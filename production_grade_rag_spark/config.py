@@ -1,0 +1,62 @@
+"""Engine configuration mirroring the reference's config surface.
+
+Mirrors /root/reference/config/rag_config.yaml and
+src/config/settings.py (chunk sizes, fusion weights, thresholds,
+feature flags) as a plain dataclass — flags gate plan shape at
+build time (reference: src/config/feature_flags.py:21-161).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # chunking (reference: config/settings.py:45-46, 89-92)
+    chunk_size: int = 1000
+    chunk_overlap: int = 200
+    parent_chunk_size: int = 2000
+    parent_chunk_overlap: int = 400
+    child_chunk_size: int = 400
+    child_chunk_overlap: int = 100
+    min_chunk_chars: int = 50          # document_processor.py:103
+
+    # embeddings (reference: config/rag_config.yaml:22-27)
+    embedding_dim: int = 64            # testdata embeddings are 64-d
+    embedding_model: str = "hash-64"   # deterministic feature-hash embedder
+    normalize_embeddings: bool = True
+
+    # retrieval (reference: config/rag_config.yaml:33-48, advanced_search.py:53-66)
+    default_k: int = 10
+    max_k: int = 100
+    similarity_threshold: float = 0.7
+    parent_child_threshold: float = 0.65
+    parent_child_search_threshold: float = 0.75
+    hybrid_vector_weight: float = 0.7
+    hybrid_text_weight: float = 0.3
+    strategy_weights: dict = field(default_factory=lambda: {
+        "similarity": 0.6, "parent_child": 0.4, "hybrid": 0.5,
+    })
+    diversity_jaccard_cutoff: float = 0.85   # advanced_search.py:275-311
+    quality_threshold: float = 0.5           # rag_pipeline.py:49
+
+    # token budget (reference: rag_engine.py:36-37)
+    max_context_tokens: int = 128_000
+    max_doc_tokens: int = 10_000
+    chars_per_token: int = 4
+
+    # feature flags (reference: config/feature_flags.py)
+    enable_parent_retrieval: bool = True
+    enable_hybrid_search: bool = True
+    enable_advanced_search: bool = True
+
+    def validate(self) -> None:
+        """Constraint checks ported from rag_config.py:54-93."""
+        if self.chunk_overlap >= self.chunk_size:
+            raise ValueError("chunk_overlap must be < chunk_size")
+        if abs(self.hybrid_vector_weight + self.hybrid_text_weight - 1.0) > 1e-9:
+            raise ValueError("hybrid weights must sum to 1.0")
+
+
+DEFAULT_CONFIG = EngineConfig()

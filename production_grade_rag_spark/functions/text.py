@@ -1,0 +1,234 @@
+"""Scalar text functions (SURVEY §2.7 F1-F17) and the cleaner/scorer
+transforms (T1/T2).
+
+Everything here is a JVM-side column expression (whole-stage codegen;
+no Python in the hot path).  The regex patterns are defined ONCE as
+module constants and reused to generate the DuckDB oracle SQL in
+``plans.catalog`` — Spark (Java regex) and DuckDB (RE2) agree on this
+pattern subset (no lookaround/backrefs; inline ``(?i)``/``(?m)`` flags).
+
+Semantics ported from the reference (behavior, not code):
+- T1 cleaner  : document_processor.py:20-33
+- T2 scorer   : document_processor.py:35-81
+- word count  : document_processor.py:41 (``len(s.split())``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- T1 cleaning rules (pattern, replacement), applied in order -------------
+# document_processor.py:25-31.  Python .strip() becomes the final rule
+# (Spark/DuckDB trim() only strips spaces; Python strips all whitespace).
+CLEAN_RULES: tuple[tuple[str, str], ...] = (
+    (r"\n\s*\n\s*\n", "\n\n"),                                # collapse 3+ blank-ish lines
+    (r" +", " "),                                             # collapse space runs
+    (r"(?i)Cookie Policy|Privacy Policy|Terms of Service", ""),  # boilerplate
+    (r"(?i)Subscribe to.*newsletter", ""),
+    (r"(?i)Follow us on.*", ""),
+    (r"<[^>]+>", ""),                                         # HTML tags
+    (r"&\w+;", ""),                                           # HTML entities
+    (r"^\s+|\s+$", ""),                                       # Python str.strip()
+)
+
+# --- T2 structure regexes (multiline) ---------------------------------------
+HEADER_RE = r"(?m)^#{1,6}\s+.+"                # document_processor.py:48
+LIST_RE = r"(?m)^\s*[-*+]\s+.+"                # :51
+RICHNESS_RE = r"(?m)^#{1,6}\s+.+|^\s*[-*+]\s+.+|^\s*\d+\.\s+.+"   # :55
+SENTENCE_SPLIT_RE = r"[.!?]+"                  # :58
+WORD_SPLIT_RE = r"\s+"
+PY_STRIP_RE = r"^\s+|\s+$"  # Python str.strip(); trim() strips spaces only
+
+
+def pystrip(col: Column) -> Column:
+    return F.regexp_replace(col, PY_STRIP_RE, "")
+
+# intent keywords (advanced_search.py:125-146), used by F5 intent classifier
+INTENT_RULES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("technical", ("api", "code", "function", "class", "implement")),
+    ("how-to", ("how to", "how do", "steps", "tutorial")),
+    ("problem-solving", ("error", "problem", "issue", "fix", "debug")),
+    ("conceptual", ("what is", "explain", "concept", "theory")),
+)
+
+# credibility domains (document_processor.py:66-69)
+CREDIBLE_DOMAINS: tuple[str, ...] = (
+    "yahoo", "org", "realmadrid", "psg", "inter", "porto", "benfica",
+    "apple", "ai", "nvidia", "google", "microsoft", "amazon", "meta",
+)
+
+
+def clean_text(col: Column) -> Column:
+    """T1: chained regexp_replace per CLEAN_RULES (document_processor.py:20-33)."""
+    out = col
+    for pat, rep in CLEAN_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def word_count(col: Column) -> Column:
+    """F3: Python ``len(s.split())`` — whitespace split dropping empties.
+    Python-style strip first: a leading newline must not add a token."""
+    t = pystrip(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, WORD_SPLIT_RE))
+    )
+
+
+def regex_count(col: Column, pattern: str) -> Column:
+    """F2: count of regex matches (``len(re.findall(...))``)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def avg_sentence_words(col: Column) -> Column:
+    """Mean words per sentence, sentences split on ``[.!?]+`` keeping
+    empty boundary strings — exactly ``re.split`` semantics
+    (document_processor.py:58-61)."""
+    sentences = F.split(col, SENTENCE_SPLIT_RE)
+    total_words = F.aggregate(
+        sentences,
+        F.lit(0),
+        lambda acc, s: acc + F.when(F.length(pystrip(s)) == 0, F.lit(0))
+                             .otherwise(F.size(F.split(pystrip(s), WORD_SPLIT_RE))),
+    )
+    return total_words.cast("double") / F.size(sentences)
+
+
+def clamp01(col: Column) -> Column:
+    """F17: clamp to [0, 1] (document_processor.py:79)."""
+    return F.least(F.greatest(col, F.lit(0.0)), F.lit(1.0))
+
+
+def quality_components(text_col: Column,
+                       title_col: Column | None = None,
+                       url_col: Column | None = None) -> dict[str, Column]:
+    """T2 quality signals (document_processor.py:35-81).
+
+    Testdata documents carry no title/url, so those terms default to
+    their reference fallbacks (title term 0, credibility 0.5).
+    Returns the five component columns plus the weighted, clamped score.
+    """
+    wc = word_count(text_col)
+    length_score = F.when(
+        wc > 100, F.least(F.lit(1.0), wc.cast("double") / 1000.0)
+    ).otherwise(F.lit(0.0))
+
+    header_cnt = regex_count(text_col, HEADER_RE)
+    list_cnt = regex_count(text_col, LIST_RE)
+    title_term = (
+        F.when(F.length(F.trim(title_col)) > 5, F.lit(0.3)).otherwise(F.lit(0.0))
+        if title_col is not None else F.lit(0.0)
+    )
+    structure_score = F.least(
+        F.lit(1.0),
+        title_term
+        + F.when(header_cnt > 0, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(list_cnt > 0, F.lit(0.3)).otherwise(F.lit(0.0)),
+    )
+
+    richness_score = F.least(
+        F.lit(1.0), regex_count(text_col, RICHNESS_RE).cast("double") / 10.0
+    )
+
+    readability_score = F.greatest(
+        F.lit(0.0), 1.0 - F.abs(avg_sentence_words(text_col) - 17.0) / 17.0
+    )
+
+    if url_col is not None:
+        url = F.lower(url_col)
+        credible = F.lit(False)
+        for d in CREDIBLE_DOMAINS:
+            credible = credible | url.contains(d)
+        comnet = url.contains("com") | url.contains("net")
+        credibility_score = F.when(url_col.isNull(), F.lit(0.5)) \
+            .when(credible, F.lit(0.8)).when(comnet, F.lit(0.6)).otherwise(F.lit(0.4))
+    else:
+        credibility_score = F.lit(0.5)
+
+    quality = clamp01(
+        0.2 * length_score + 0.15 * structure_score + 0.25 * richness_score
+        + 0.2 * readability_score + 0.2 * credibility_score
+    )
+    # empty content -> score 0 (document_processor.py:38-39)
+    quality = F.when(F.length(text_col) == 0, F.lit(0.0)).otherwise(quality)
+    return {
+        "length_score": length_score,
+        "structure_score": structure_score,
+        "richness_score": richness_score,
+        "readability_score": readability_score,
+        "credibility_score": credibility_score,
+        "quality_score": quality,
+    }
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """T2 as a DataFrame transform: documents -> documents_enriched."""
+    comps = quality_components(F.col(text_col))
+    for name, col in comps.items():
+        df = df.withColumn(name, F.round(col, 6))
+    return df
+
+
+def quality_filter(df: DataFrame, threshold: float = 0.5,
+                   col: str = "quality_score") -> DataFrame:
+    """T3: NULL scores pass (backward compat, rag_pipeline.py:45-68)."""
+    return df.filter(F.col(col).isNull() | (F.col(col) >= F.lit(threshold)))
+
+
+def token_estimate(col: Column, chars_per_token: int = 4) -> Column:
+    """F8: ``len(s) // 4`` (rag_engine.py:243)."""
+    return F.floor(F.length(col) / chars_per_token).cast("long")
+
+
+def truncate_ellipsis(col: Column, max_chars: int) -> Column:
+    """F9: truncate + '...' (rag_engine.py:252)."""
+    return F.when(
+        F.length(col) > max_chars,
+        F.concat(F.substring(col, 1, max_chars), F.lit("...")),
+    ).otherwise(col)
+
+
+def classify_intent(col: Column) -> Column:
+    """F5: keyword intent classifier (advanced_search.py:125-146)."""
+    lowered = F.lower(col)
+    expr = None
+    for intent, terms in INTENT_RULES:
+        cond = F.lit(False)
+        for t in terms:
+            cond = cond | lowered.contains(t)
+        expr = F.when(cond, F.lit(intent)) if expr is None else expr.when(cond, F.lit(intent))
+    return expr.otherwise(F.lit("general"))
+
+
+def word_tokens(col: Column) -> Column:
+    """Distinct lowercase whitespace tokens (W5 Jaccard input,
+    advanced_search.py:297-311)."""
+    t = F.lower(pystrip(col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(F.split(t, WORD_SPLIT_RE)))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """F14: Jaccard over token arrays; both-empty -> 1.0, one-empty -> 0.0
+    (advanced_search.py:297-311)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return (
+        F.when((F.size(a) == 0) & (F.size(b) == 0), F.lit(1.0))
+        .when((F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0))
+        .otherwise(inter.cast("double") / union)
+    )
+
+
+# URL pattern shared with the DuckDB oracle — RE2-safe (no lookaround):
+# markdown targets and bare URLs both match; punctuation-stripped by the
+# trailing character class (notion_collector.py:340-398).
+URL_RE = r"(https?://[^\s)\]>'\"]+)"
+
+
+def extract_links(col: Column) -> Column:
+    """S4/F10: extract URLs, dedupe, drop notion.so links
+    (notion_collector.py:340-398)."""
+    urls = F.array_distinct(F.regexp_extract_all(col, F.lit(URL_RE), 1))
+    return F.filter(urls, lambda u: ~u.contains("notion.so"))

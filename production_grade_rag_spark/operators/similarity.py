@@ -1,0 +1,141 @@
+"""Vector similarity search (SURVEY §2.3 R4/R5/R6).
+
+The reference's $vectorSearch (vector_search.py:37-95, metric per
+index_manager.py:57-76) becomes:
+
+- one query vector  : broadcast the vector as a literal column; score
+  every row JVM-side; exact top-k = TakeOrderedAndProject (no shuffle
+  of the corpus, no driver loop).
+- many query vectors: broadcast hash join queries x corpus, per-query
+  row_number top-k.
+- pairwise (R5 self-similarity / near-dup candidates): exact
+  cross-join for small n; BucketedRandomProjectionLSH above ~10^7
+  vectors (cosine on unit vectors <-> euclidean LSH) — the
+  ``numCandidates`` recall knob maps to LSH bucketLength/numHashTables.
+
+Scores are raw cosine (SURVEY §7.0 convention — NOT Atlas' (1+cos)/2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, euclidean, to_double_array
+
+METRICS = {"cosine": cosine, "dotProduct": dot, "euclidean": euclidean}
+
+
+def _score(metric: str, a, b):
+    fn = METRICS[metric]
+    s = fn(a, b)
+    # euclidean is a distance: smaller = better; negate so desc sort works
+    return -s if metric == "euclidean" else s
+
+
+def knn_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             metric: str = "cosine", min_score: float | None = None) -> DataFrame:
+    """R4: exact top-k for ONE query vector (vector_search.py:37-95).
+
+    The query is a literal array column — no shuffle, no crossJoin node;
+    orderBy+limit compiles to TakeOrderedAndProject.  Deterministic
+    tiebreak on the id column.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = corpus.withColumn(
+        "score", _score(metric, to_double_array(F.col(vec_col)), q))
+    if min_score is not None:
+        scored = scored.filter(F.col("score") >= min_score)   # T5
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             q_vec: str = "embedding", q_id: str = "query_id",
+             c_vec: str = "embedding", c_id: str = "vec_id",
+             metric: str = "cosine") -> DataFrame:
+    """R4 batched: broadcast the (small) query set against the corpus,
+    per-query top-k via row_number.  One shuffle on query_id only."""
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       to_double_array(F.col(q_vec)).alias("__qv"))
+    c = corpus.select(F.col(c_id).alias("result_id"),
+                      to_double_array(F.col(c_vec)).alias("__cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+               .withColumn("score", _score(metric, F.col("__cv"), F.col("__qv")))
+               .drop("__qv", "__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("result_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def self_similar(corpus: DataFrame, query_id, k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 exclude_same_doc: str | None = None,
+                 metric: str = "cosine") -> DataFrame:
+    """R5: rows similar to one existing row, excluding itself
+    (vector_search.py:488-533 anti-predicates)."""
+    target = corpus.filter(F.col(id_col) == query_id) \
+                   .select(to_double_array(F.col(vec_col)).alias("__qv"))
+    out = (corpus.filter(F.col(id_col) != query_id)
+                 .crossJoin(F.broadcast(target))
+                 .withColumn("score", _score(metric, to_double_array(F.col(vec_col)),
+                                             F.col("__qv")))
+                 .drop("__qv"))
+    if exclude_same_doc is not None:
+        out = out.filter(F.col("doc_id") != exclude_same_doc)
+    return out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def pairwise_similar(corpus: DataFrame, threshold: float,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     metric: str = "cosine") -> DataFrame:
+    """R5 pairwise: all pairs (a < b) above a similarity threshold —
+    the exact near-dup candidate generator.  O(n^2/2): fine to ~10^5
+    rows; above that use ``lsh_similar_pairs``."""
+    a = corpus.select(F.col(id_col).alias("id_a"),
+                      to_double_array(F.col(vec_col)).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"),
+                      to_double_array(F.col(vec_col)).alias("__vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("score", _score(metric, F.col("__va"), F.col("__vb")))
+             .filter(F.col("score") >= threshold)
+             .select("id_a", "id_b", F.round("score", 6).alias("score")))
+
+
+def first_chunk_vectors(chunks: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """R6/W3: proxy each document by its FIRST chunk's embedding
+    (vector_store.py:306-342) via min_by — single agg, no window shuffle."""
+    return chunks.groupBy("doc_id").agg(
+        F.min_by(F.col(vec_col), F.col("chunk_index")).alias(vec_col))
+
+
+def lsh_similar_pairs(corpus: DataFrame, threshold: float,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      bucket_length: float = 0.5,
+                      num_hash_tables: int = 4) -> DataFrame:
+    """R5 at scale: BucketedRandomProjectionLSH approxSimilarityJoin on
+    L2-normalized vectors.  cos(a,b) >= t  <=>  ||a-b|| <= sqrt(2-2t)
+    on the unit sphere, so the cosine threshold maps exactly to a
+    euclidean radius.  Candidate recall is tuned by numHashTables (the
+    ``numCandidates`` analog, vector_search.py:67)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401  (plan sanity)
+
+    from ..functions.vector import l2_normalize
+
+    dist = float((2.0 - 2.0 * threshold) ** 0.5)
+    feats = corpus.select(
+        F.col(id_col),
+        array_to_vector(l2_normalize(to_double_array(F.col(vec_col)))).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, dist, distCol="dist")
+    return (joined
+            .select(F.col(f"datasetA.{id_col}").alias("id_a"),
+                    F.col(f"datasetB.{id_col}").alias("id_b"),
+                    (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("score"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round("score", 6).alias("score")))

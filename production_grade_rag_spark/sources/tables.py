@@ -1,0 +1,107 @@
+"""Batch sources/sinks over parquet (SURVEY §2.1, S6-S14).
+
+The reference's live connectors (Notion REST, crawler, Mongo) become
+file-based batch sources here; documents arrive as parquet.  Scans go
+through ``spark.read.parquet`` so Catalyst pushes filters and prunes
+columns down to the parquet reader (check: ``PushedFilters`` /
+``ReadSchema`` in ``.explain("formatted")``).
+
+100 TB notes: each table is a parquet directory; partition `documents`
+by a bucket of doc_id and `events` by date(ts) at write time so scans
+prune.  Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S6-style scan: parquet read; add .filter/.limit at the call site
+    (reference: vector_storage/document_repository.py:236-267).
+
+    events.ts is TIMESTAMP(NANOS) in the parquet footer — Spark reads it
+    as a nanos long (spark.sql.legacy.parquet.nanosAsLong) and we
+    truncate to a microsecond timestamp, matching DuckDB's ns->us cast.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The testdata files are single-row-group parquet, so the scan yields
+    # ONE task regardless of cores.  On a real cluster files split into
+    # many input partitions; locally we restore parallelism explicitly
+    # for the fact-sized tables (a cheap one-time shuffle << the serial
+    # regex/chunk/embed work that follows).
+    if name in ("lineitem", "orders", "events", "documents", "embeddings",
+                "customer", "part", "supplier"):
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def ordered_chunk_scan(chunks: DataFrame, document_id) -> DataFrame:
+    """S7: chunks of one document in chunk_index order
+    (reference: document_repository.py:405-431)."""
+    return chunks.filter(F.col("doc_id") == document_id).orderBy("chunk_index")
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "append",
+                  partition_by: list[str] | None = None) -> None:
+    """S8/S9 bulk insert -> parquet append; Spark handles batching
+    (reference batches 500 rows/insert_many, a non-semantic artifact:
+    document_repository.py:356-403)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_json_backup(df: DataFrame, path: str) -> None:
+    """S13 JSON backup sink (reference: pipelines/etl_pipeline.py:153-182)."""
+    df.write.mode("overwrite").json(path)
+
+
+def cascading_delete(documents: DataFrame, chunks: DataFrame,
+                     delete_ids: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S11 cascading delete as anti-join rewrite (reference:
+    document_repository.py:210-234,433-456; vector_store.py:245-279).
+
+    ``delete_ids`` has a single ``doc_id`` column.  At scale this is a
+    broadcast anti-join when delete_ids is small (the usual case).
+    """
+    ids = delete_ids.select("doc_id")
+    docs_kept = documents.join(F.broadcast(ids), "doc_id", "left_anti")
+    chunks_kept = chunks.join(F.broadcast(ids), "doc_id", "left_anti")
+    return docs_kept, chunks_kept
+
+
+def mark_status(df: DataFrame, status: str) -> DataFrame:
+    """S10/S12 status update: recompute-and-rewrite of the status column
+    (reference: document_repository.py:176-208, vector_store.py:103-181;
+    retries are Spark task retries, deterministic ids remove FK fixup)."""
+    return df.withColumn("processing_status", F.lit(status)) \
+             .withColumn("updated_at", F.current_timestamp())
+
+
+def storage_stats(documents: DataFrame, chunks: DataFrame) -> DataFrame:
+    """S14 storage stats (reference: vector_store.py:344-379)."""
+    d = documents.agg(F.count("*").alias("document_count"))
+    c = chunks.agg(F.count("*").alias("chunk_count"))
+    return d.crossJoin(c)

@@ -1,0 +1,72 @@
+"""Replicates the driver's correctness gate locally: run every
+catalog query on Spark at sf0.01 and its DuckDB oracle on the same
+parquet, then compare row count, column names, and values
+order-insensitively (exact for ints/strings/timestamps; floats must
+match to 1e-9 because both sides round in-query)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from production_grade_rag_spark.plans.catalog import CATALOG
+
+from conftest import SF01
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, then rows; stringify for stable compare."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(f"{v:.12g}")
+            elif v is None:
+                vals.append("NULL")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [columns[i] for i in idx], out
+
+
+ORACLE_CASES = [n for n, s in CATALOG.items() if s.oracle is not None]
+ROWS_ONLY_CASES = [n for n, s in CATALOG.items() if s.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(spark, duck, name):
+    spec = CATALOG[name]
+    sdf = spec.build(spark, SF01)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    rel = duck.execute(spec.oracle)
+    duck_cols = [c[0] for c in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), \
+        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), \
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+
+    _, s_norm = _normalize(spark_rows, spark_cols)
+    _, d_norm = _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, \
+        f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_runs(spark, name):
+    spec = CATALOG[name]
+    df = spec.build(spark, SF01)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
