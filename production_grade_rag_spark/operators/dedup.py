@@ -1,0 +1,292 @@
+"""Deduplication suite (beyond-reference, mandated by BASELINE.json):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+The reference's only dedup is id-level ($group by _id, vector_search.py:
+169-180) and similarity self-search (vector_search.py:488-533); a
+100 TB training-data pipeline needs content-level dedup.  All hashes
+are md5-derived so Spark (Java) and DuckDB (oracle) agree exactly.
+
+Scale design (the part that matters at 1000 executors):
+- Signatures (minhash/simhash) are computed with higher-order column
+  functions over the token/shingle ARRAY — zero explode, zero shuffle,
+  one narrow pass over the corpus, fully codegen'd.
+- Candidate generation never compares all pairs: MinHash shuffles on
+  (band_idx, band_hash) — each bucket holds only colliding docs; SimHash
+  shuffles on 16-bit pigeonhole blocks (hamming<=3 pairs MUST share one
+  of 4 exact blocks).  Bucket-local self-joins are the only quadratic
+  step and buckets are tiny by construction.  Skewed buckets (boilerplate
+  shingles) are handled by AQE skew-join or by capping bucket size.
+- Verification (exact Jaccard / exact hamming) runs only on candidates.
+- ``pairwise_*`` exact variants are O(n^2/2) oracles for tests — never
+  the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WORD_SPLIT_RE, pystrip
+
+# ---------------------------------------------------------------------------
+# shared hashing primitives (md5 -> 32-bit int; Spark/DuckDB-identical)
+# ---------------------------------------------------------------------------
+
+
+def md5_int32(col: Column) -> Column:
+    """First 8 hex chars of md5 as an unsigned 32-bit value in a long.
+    DuckDB twin: ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens (empty text -> empty array)."""
+    t = F.lower(pystrip(col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, WORD_SPLIT_RE))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles joined with single spaces.  Documents
+    shorter than k tokens contribute their whole text as one shingle so
+    short exact-dups still collide."""
+    toks = tokens(col)
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.when(n >= k, F.array_distinct(shingled)) \
+            .otherwise(F.array(F.array_join(toks, " ")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     normalize: bool = True) -> DataFrame:
+    """Exact content dedup: group by content hash, keep min-id as the
+    canonical row.  Output: one row per input id with its group key,
+    the keeper id, and the group size.  One shuffle on the 128-bit hash
+    (uniform — no skew by construction)."""
+    key = F.lower(pystrip(F.col(text_col))) if normalize else F.col(text_col)
+    hashed = df.select(F.col(id_col), F.md5(key).alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count("*").alias("group_size"))
+    return (hashed.join(groups, "content_hash")
+            .select(id_col, "content_hash", "keeper_id", "group_size",
+                    (F.col(id_col) != F.col("keeper_id")).alias("is_duplicate")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array<long>, computed with higher-order
+    functions over the shingle array — no explode, no shuffle.
+
+    h_s(x) = int32(md5(s || ':' || x)); sig[s] = min over shingles.
+    Empty shingle set -> per-seed sentinel (never collides with real
+    signatures).
+    """
+    sh = word_shingles(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.when(
+            F.size(sh) == 0, F.lit(-1) - s
+        ).otherwise(
+            F.array_min(F.transform(
+                sh, lambda x: md5_int32(F.concat(s.cast("string"), F.lit(":"), x))))
+        ))
+
+
+def minhash_bands(sig_col: Column, num_bands: int = 4,
+                  rows_per_band: int = 4) -> Column:
+    """Split the signature into bands; band key = md5 of the joined
+    band values.  array<struct<band:int, band_hash:string>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.array_join(
+                F.transform(F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string")), "_")).alias("band_hash")))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.8,
+                        num_hashes: int = 16, num_bands: int = 4,
+                        max_bucket: int | None = 1000) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    Plan: signature (narrow) -> explode bands (x num_bands) -> shuffle on
+    (band, band_hash) -> bucket-local self-join (a.id < b.id) ->
+    distinct candidate pairs -> exact Jaccard verify >= threshold.
+
+    ``max_bucket`` drops degenerate buckets (identical boilerplate at
+    corpus scale) instead of letting one bucket go quadratic — the
+    members still pair through their other bands; log-and-drop is the
+    standard skew guard.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col)).alias("__sh"),
+        minhash_signature(F.col(text_col), num_hashes).alias("__sig"))
+    banded = sigs.select(
+        id_col, "__sh",
+        F.explode(minhash_bands(F.col("__sig"), num_bands, rows_per_band))
+         .alias("__b")
+    ).select(id_col, "__sh", F.col("__b.band").alias("band"),
+             F.col("__b.band_hash").alias("band_hash"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash")
+        banded = (banded.withColumn("__n", F.count("*").over(w))
+                  .filter(F.col("__n") <= max_bucket).drop("__n"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"),
+                      "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"),
+                      "band", "band_hash")
+    cands = (a.join(b, ["band", "band_hash"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "__sh_a", "__sh_b")
+              .dropDuplicates(["id_a", "id_b"]))
+    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+           / F.size(F.array_union("__sh_a", "__sh_b")))
+    return (cands.withColumn("jaccard", F.round(jac, 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+
+
+def dedup_keepers(pairs: DataFrame, all_ids: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Collapse near-dup pairs to a keep/drop decision: drop any id that
+    pairs with a smaller id (min-id-wins union-find approximation, one
+    pass — SURVEY §7.2 phase-2 'connected-components-lite').  Exact CC
+    needs iteration; min-id-per-pair is the standard single-pass
+    trade-off and is deterministic."""
+    losers = pairs.select(F.greatest("id_a", "id_b").alias(id_col)).distinct()
+    return (all_ids.select(id_col)
+            .join(losers.withColumn("__drop", F.lit(True)), id_col, "left")
+            .select(id_col, F.coalesce("__drop", F.lit(False)).alias("is_near_dup")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise — oracle / small-corpus path)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.5, k: int = 3) -> DataFrame:
+    """Exact pairwise word-k-gram Jaccard above threshold.  O(n^2/2)
+    cross join — the verification oracle for minhash, and the exact
+    path for corpora small enough to broadcast one side."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+           / F.size(F.array_union("__sh_a", "__sh_b")))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("jaccard", F.round(jac, 6))
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit as two 32-bit words) + pigeonhole blocking
+# ---------------------------------------------------------------------------
+
+def _bit_vote(j: int):
+    """Merge lambda for bit position j (closure so the lambda keeps
+    exactly two parameters — PySpark derives the higher-order-function
+    arity from the Python signature, so a `j=j` default would be
+    misread as a third lambda variable)."""
+    return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
+
+
+def _simhash_word(hashes: Column) -> Column:
+    """One 32-bit simhash word from an array of 32-bit token hashes.
+    Token multiplicity counts (standard simhash weighting): bit j set
+    iff sum over tokens of (2*bit_j(hash)-1) > 0.  Bit positions are
+    Python literals (shiftright needs a constant), so this unrolls to
+    32 static aggregate expressions over the precomputed hash array."""
+    word = F.lit(0).cast("long")
+    for j in range(32):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(j))
+        word = word + F.when(bit_sum > 0, F.lit(1 << j).cast("long")) \
+                       .otherwise(F.lit(0).cast("long"))
+    return word
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as (sim_hi, sim_lo) longs — pure column
+    expressions, no shuffle.  Identical formula in the DuckDB oracle
+    (which computes it relationally: tokens x range(32) group-by)."""
+    toks = tokens(F.col(text_col))
+    lo_hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    hi_hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"))
+    return (df
+            .withColumn("__hlo", lo_hashes)
+            .withColumn("__hhi", hi_hashes)
+            .select(F.col(id_col),
+                    _simhash_word(F.col("__hhi")).alias("sim_hi"),
+                    _simhash_word(F.col("__hlo")).alias("sim_lo")))
+
+
+def simhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole blocking.
+
+    Any two signatures within hamming distance d share at least one of
+    d+1 equal blocks; with d=3 we block on 4 exact 16-bit words.  Plan:
+    explode 4 block keys per doc -> shuffle on (block_idx, block_value)
+    -> bucket-local self-join -> exact hamming verify <= d.  No O(n^2).
+    """
+    sigs = simhash(df, text_col, id_col)
+    blocks = F.array(
+        F.struct(F.lit(0).alias("blk"), (F.col("sim_lo") % 65536).alias("val")),
+        F.struct(F.lit(1).alias("blk"),
+                 F.shiftright(F.col("sim_lo"), 16).alias("val")),
+        F.struct(F.lit(2).alias("blk"), (F.col("sim_hi") % 65536).alias("val")),
+        F.struct(F.lit(3).alias("blk"),
+                 F.shiftright(F.col("sim_hi"), 16).alias("val")))
+    banded = (sigs.withColumn("__b", F.explode(blocks))
+              .select(id_col, "sim_hi", "sim_lo",
+                      F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val")))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sim_hi").alias("hi_a"),
+                      F.col("sim_lo").alias("lo_a"), "blk", "val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sim_hi").alias("hi_b"),
+                      F.col("sim_lo").alias("lo_b"), "blk", "val")
+    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (a.join(b, ["blk", "val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("hamming", ham)
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming")
+             .dropDuplicates(["id_a", "id_b"]))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        use_lsh: bool = False) -> DataFrame:
+    """Near-dups by embedding cosine.  Exact pairwise below ~10^5 rows;
+    ``use_lsh=True`` switches to BucketedRandomProjectionLSH (cosine
+    threshold mapped exactly to a euclidean radius on the unit sphere)
+    — the 100 TB path."""
+    from .similarity import lsh_similar_pairs, pairwise_similar
+    if use_lsh:
+        return lsh_similar_pairs(vectors, threshold, vec_col, id_col)
+    return pairwise_similar(vectors, threshold, vec_col, id_col)

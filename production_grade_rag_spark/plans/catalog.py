@@ -409,3 +409,9 @@ def oracle_sql() -> dict[str, str]:
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.build for name, spec in CATALOG.items() if spec.headline}
+
+
+# Side-effect registrations: vector/dedup/text-analysis/events entries
+# live in catalog_ext to keep this file readable.  Imported at the
+# bottom so `register` and `_t` exist when catalog_ext imports back.
+from . import catalog_ext  # noqa: E402,F401  (registration side effects)

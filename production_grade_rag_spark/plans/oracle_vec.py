@@ -1,0 +1,248 @@
+"""DuckDB oracle-SQL generators for vector, dedup, and text-analysis
+queries.
+
+Shared-constant discipline (same as plans.oracle_sql): every hash /
+shingle / profile definition is imported from the operator modules so
+the Spark expressions and this SQL cannot drift.  Hashes are md5-based
+(`('0x' || substr(md5(x),1,8))::BIGINT` == Spark
+`conv(substring(md5(x),1,8),16,10)`), verified byte-identical in tests.
+"""
+
+from __future__ import annotations
+
+from ..functions.text import PY_STRIP_RE, WORD_SPLIT_RE
+from ..operators.textstats import BPE_TOKEN_RE, LANG_PROFILES
+from .oracle_sql import sql_str
+
+
+def _strip(expr: str) -> str:
+    return f"regexp_replace({expr}, {sql_str(PY_STRIP_RE)}, '', 'g')"
+
+
+def tokens_sql(expr: str) -> str:
+    """Lowercased whitespace tokens; empty text -> empty list."""
+    t = f"lower({_strip(expr)})"
+    return (f"(CASE WHEN {t} = '' THEN []::VARCHAR[] "
+            f"ELSE regexp_split_to_array({t}, {sql_str(WORD_SPLIT_RE)}) END)")
+
+
+def md5_int32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def word_shingles_sql(toks: str, k: int = 3) -> str:
+    """Distinct word k-shingles; short docs -> whole text as one shingle.
+    Mirrors operators.dedup.word_shingles."""
+    shingled = (f"list_distinct(list_transform(range(0, len({toks}) - {k} + 1), "
+                f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')))")
+    return (f"(CASE WHEN len({toks}) >= {k} THEN {shingled} "
+            f"ELSE [array_to_string({toks}, ' ')] END)")
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Sequential double-precision dot product (same fold order as the
+    Spark aggregate expression)."""
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> p[1]::DOUBLE * p[2]::DOUBLE))")
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (f"({dot_sql(a, b)} / "
+            f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))")
+
+
+def vec_lit_sql(vec: list[float]) -> str:
+    return "[" + ", ".join(f"{x!r}::DOUBLE" for x in vec) + "]"
+
+
+def overlap_score_sql(expr: str, query_terms: list[str]) -> str:
+    """Text-branch relevance: |distinct tokens ∩ query| / |query|."""
+    qlist = "[" + ", ".join(sql_str(t) for t in query_terms) + "]"
+    return (f"(len(list_intersect(list_distinct({tokens_sql(expr)}), {qlist}))"
+            f"::DOUBLE / {len(query_terms)})")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_sql() -> str:
+    key = f"lower({_strip('text')})"
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, md5({key}) AS content_hash FROM documents
+), groups AS (
+  SELECT content_hash, min(doc_id) AS keeper_id, count(*) AS group_size
+  FROM hashed GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.keeper_id, g.group_size,
+       h.doc_id <> g.keeper_id AS is_duplicate
+FROM hashed h JOIN groups g USING (content_hash)
+"""
+
+
+def minhash_pairs_sql(threshold: float = 0.8, num_hashes: int = 16,
+                      num_bands: int = 4, k: int = 3) -> str:
+    """MinHash-LSH candidate pairs + exact-Jaccard verify, replicating
+    the banding exactly (an LSH miss is a semantic outcome, not an
+    error, so the oracle must band identically)."""
+    rows = num_hashes // num_bands
+    toks = tokens_sql("text")
+    sh = word_shingles_sql(toks, k)
+    seed_hash = md5_int32_sql("s::VARCHAR || ':' || x")
+    sig = (f"list_transform(range(0, {num_hashes}), s -> "
+           f"CASE WHEN len(sh) = 0 THEN -1 - s ELSE "
+           f"list_min(list_transform(sh, x -> {seed_hash})) END)")
+    band_hash = (f"md5(array_to_string(list_transform("
+                 f"list_slice(sig, band * {rows} + 1, band * {rows} + {rows}), "
+                 f"v -> v::VARCHAR), '_'))")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, sh, {sig} AS sig FROM sh
+), banded AS (
+  SELECT doc_id, sh, band::INT AS band, {band_hash} AS band_hash
+  FROM sig, (SELECT unnest(range(0, {num_bands})) AS band)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      / len(list_distinct(sa.sh || sb.sh)) >= {threshold}
+"""
+
+
+def ngram_pairs_sql(threshold: float = 0.5, k: int = 3) -> str:
+    toks = tokens_sql("text")
+    sh = word_shingles_sql(toks, k)
+    jac = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+           " / len(list_distinct(a.sh || b.sh))")
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({jac}, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {jac} >= {threshold}
+"""
+
+
+def simhash_sql() -> str:
+    """64-bit simhash as (sim_hi, sim_lo): relational formulation —
+    unnest tokens x range(32) bit positions, two grouped sums.  Docs
+    with zero tokens keep signature 0 via the left join."""
+    toks = tokens_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), h AS (
+  SELECT doc_id,
+         {md5_int32_sql('tok')} AS h_lo,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
+  FROM toks
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h_lo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s_lo,
+         sum(CASE WHEN (h_hi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s_hi
+  FROM h, (SELECT unnest(range(0, 32))::INT AS j)
+  GROUP BY doc_id, j
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s_hi > 0 THEN 1::BIGINT << j ELSE 0 END) AS sim_hi,
+         sum(CASE WHEN s_lo > 0 THEN 1::BIGINT << j ELSE 0 END) AS sim_lo
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(sig.sim_hi, 0)::BIGINT AS sim_hi,
+       coalesce(sig.sim_lo, 0)::BIGINT AS sim_lo
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Pigeonhole-blocked simhash pairs (4 x 16-bit blocks), exact
+    hamming verify — same plan shape as the Spark operator."""
+    return f"""
+WITH sig AS (
+  SELECT doc_id, sim_hi, sim_lo FROM ({simhash_sql().strip()})
+), blocks AS (
+  SELECT doc_id, sim_hi, sim_lo, blk,
+         CASE blk WHEN 0 THEN sim_lo % 65536
+                  WHEN 1 THEN sim_lo >> 16
+                  WHEN 2 THEN sim_hi % 65536
+                  ELSE sim_hi >> 16 END AS val
+  FROM sig, (SELECT unnest(range(0, 4))::INT AS blk)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       (bit_count(xor(a.sim_hi, b.sim_hi))
+        + bit_count(xor(a.sim_lo, b.sim_lo)))::INT AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+      + bit_count(xor(a.sim_lo, b.sim_lo)) <= {max_hamming}
+"""
+
+
+def embedding_pairs_sql(threshold: float = 0.95) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def lang_scores_sql(expr: str) -> dict[str, str]:
+    toks = f"list_distinct({tokens_sql(expr)})"
+    out = {}
+    for lang, words in LANG_PROFILES:
+        wl = "[" + ", ".join(sql_str(w) for w in words) + "]"
+        out[lang] = (f"(CASE WHEN len({tokens_sql(expr)}) = 0 THEN 0.0 "
+                     f"ELSE len(list_intersect({toks}, {wl}))::DOUBLE"
+                     f" / {len(words)} END)")
+    return out
+
+
+def detect_language_sql(expr: str, min_score: float = 0.05) -> str:
+    scores = lang_scores_sql(expr)
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'"
+        for lang, _ in LANG_PROFILES)
+    return (f"(CASE WHEN {best} < {min_score} THEN 'unknown' "
+            f"ELSE (CASE {cases} END) END)")
+
+
+def bpe_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, {sql_str(BPE_TOKEN_RE)}, 0))"
+
+
+def fingerprint_sql(k: int = 8, mod: int = 16) -> str:
+    """Mirrors operators.textstats.fingerprint: char k-grams of the
+    whitespace-normalized text, md5-int hash, keep h % mod == 0,
+    scalar projection (size/min/max) of the sorted distinct set."""
+    t = (f"regexp_replace(lower({_strip('text')}), "
+         f"{sql_str(WORD_SPLIT_RE)}, ' ', 'g')")
+    grams = (f"(CASE WHEN length({t}) < {k} THEN [{t}] "
+             f"ELSE list_transform(range(1, length({t}) - {k} + 2), "
+             f"i -> substr({t}, i::INT, {k})) END)")
+    kept = (f"list_sort(list_distinct(list_filter("
+            f"list_transform({grams}, g -> {md5_int32_sql('g')}), "
+            f"h -> h % {mod} = 0)))")
+    return f"""
+WITH fp AS (SELECT doc_id, {kept} AS fingerprint FROM documents)
+SELECT doc_id, len(fingerprint) AS fingerprint_size,
+       coalesce(fingerprint[1], -1) AS fp_min,
+       coalesce(fingerprint[-1], -1) AS fp_max
+FROM fp
+"""
