@@ -84,36 +84,56 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array<long>, computed with higher-order
-    functions over the shingle array — no explode, no shuffle.
+# Universal-hash family over one md5 base hash per shingle:
+#   h_s(x) = (A[s] * md5_int32(x) + B[s]) mod MINHASH_PRIME
+# One md5 per shingle (not per seed x shingle): the seeds are cheap
+# integer arithmetic, so the expression stays small enough for
+# whole-stage codegen and the md5 work doesn't multiply by num_hashes.
+# A[s] < 2^31 and base < 2^32 keep A*base + B below 2^63 (no overflow).
+# The DuckDB oracle imports these exact constants.
+MINHASH_PRIME = 4294967311           # smallest prime > 2^32
+HASH_A = [((2 * s + 1) * 2654435761) % 2147483647 for s in range(64)]
+HASH_B = [(s * 2654435769 + 40503) % MINHASH_PRIME for s in range(64)]
+assert all(a > 0 for a in HASH_A)
 
-    h_s(x) = int32(md5(s || ':' || x)); sig[s] = min over shingles.
-    Empty shingle set -> per-seed sentinel (never collides with real
-    signatures).
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = 16) -> DataFrame:
+    """Wide MinHash signature table (id, h0..h{n-1}).
+
+    Plan: explode distinct shingles -> one md5 base hash per shingle ->
+    single hash-aggregate computing all num_hashes min() columns
+    map-side-partially.  One shuffle on id_col.  The explode/groupBy
+    formulation (rather than nested higher-order functions) keeps every
+    expression tree tiny — HOF signatures get re-inlined by Catalyst
+    into each downstream band/join reference and blow up codegen.
     """
-    sh = word_shingles(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.when(
-            F.size(sh) == 0, F.lit(-1) - s
-        ).otherwise(
-            F.array_min(F.transform(
-                sh, lambda x: md5_int32(F.concat(s.cast("string"), F.lit(":"), x))))
-        ))
+    ex = df.select(F.col(id_col),
+                   F.explode(word_shingles(F.col(text_col))).alias("__shingle"))
+    h = ex.select(id_col, md5_int32(F.col("__shingle")).alias("__h"))
+    aggs = [
+        F.min((F.lit(HASH_A[s]) * F.col("__h") + F.lit(HASH_B[s]))
+              % F.lit(MINHASH_PRIME)).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
 
 
-def minhash_bands(sig_col: Column, num_bands: int = 4,
-                  rows_per_band: int = 4) -> Column:
-    """Split the signature into bands; band key = md5 of the joined
-    band values.  array<struct<band:int, band_hash:string>>."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.md5(F.array_join(
-                F.transform(F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string")), "_")).alias("band_hash")))
+def minhash_band_table(sigs: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 16, num_bands: int = 4) -> DataFrame:
+    """Slim LSH band table (id, band, band_hash): band key = md5 of the
+    '_'-joined signature slice.  num_bands rows per document."""
+    rows = num_hashes // num_bands
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"h{s}").cast("string")
+                for s in range(b * rows, (b + 1) * rows)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.md5(F.concat_ws("_", *cols)).alias("band_hash")))
+    return (sigs.select(id_col, F.explode(F.array(*bands)).alias("__b"))
+                .select(id_col, F.col("__b.band").alias("band"),
+                        F.col("__b.band_hash").alias("band_hash")))
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
@@ -122,44 +142,42 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         max_bucket: int | None = 1000) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
 
-    Plan: signature (narrow) -> explode bands (x num_bands) -> shuffle on
-    (band, band_hash) -> bucket-local self-join (a.id < b.id) ->
-    distinct candidate pairs -> exact Jaccard verify >= threshold.
+    Plan: signatures (explode + one hash-agg) -> slim band table ->
+    shuffle on (band, band_hash) -> bucket-local self-join (a.id < b.id)
+    -> distinct candidate pairs -> join shingle sets back for the exact
+    Jaccard verify >= threshold.  Only ids and 32-byte band hashes move
+    through the candidate shuffle; shingle arrays are joined in only
+    for the (small) candidate set.
 
     ``max_bucket`` drops degenerate buckets (identical boilerplate at
     corpus scale) instead of letting one bucket go quadratic — the
     members still pair through their other bands; log-and-drop is the
     standard skew guard.
     """
-    rows_per_band = num_hashes // num_bands
-    sigs = df.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col)).alias("__sh"),
-        minhash_signature(F.col(text_col), num_hashes).alias("__sig"))
-    banded = sigs.select(
-        id_col, "__sh",
-        F.explode(minhash_bands(F.col("__sig"), num_bands, rows_per_band))
-         .alias("__b")
-    ).select(id_col, "__sh", F.col("__b.band").alias("band"),
-             F.col("__b.band_hash").alias("band_hash"))
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = minhash_band_table(sigs, id_col, num_hashes, num_bands)
     if max_bucket is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("band", "band_hash")
         banded = (banded.withColumn("__n", F.count("*").over(w))
                   .filter(F.col("__n") <= max_bucket).drop("__n"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"),
-                      "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"),
-                      "band", "band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cands = (a.join(b, ["band", "band_hash"])
               .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "__sh_a", "__sh_b")
+              .select("id_a", "id_b")
               .dropDuplicates(["id_a", "id_b"]))
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh"))
     jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
            / F.size(F.array_union("__sh_a", "__sh_b")))
-    return (cands.withColumn("jaccard", F.round(jac, 6))
-                 .filter(F.col("jaccard") >= threshold)
-                 .select("id_a", "id_b", "jaccard"))
+    return (cands
+            .join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("__sh").alias("__sh_a")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"),
+                            F.col("__sh").alias("__sh_b")), "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def dedup_keepers(pairs: DataFrame, all_ids: DataFrame,
@@ -186,11 +204,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     cross join — the verification oracle for minhash, and the exact
     path for corpora small enough to broadcast one side."""
     sh = df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"),
+                  F.size("__sh").alias("__n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"),
+                  F.size("__sh").alias("__n_b"))
     jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
            / F.size(F.array_union("__sh_a", "__sh_b")))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    # size-bound prune inside the join condition: |A∩B| <= min(|A|,|B|)
+    # and |A∪B| >= max(|A|,|B|), so jaccard <= min/max — pairs failing
+    # the cheap cardinality test never evaluate the set expressions.
+    bound = (F.least("__n_a", "__n_b").cast("double")
+             / F.greatest("__n_a", "__n_b")) >= threshold
+    return (a.join(b, (F.col("id_a") < F.col("id_b")) & bound)
              .withColumn("jaccard", F.round(jac, 6))
              .filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b", "jaccard"))

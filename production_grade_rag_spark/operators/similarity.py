@@ -92,12 +92,26 @@ def pairwise_similar(corpus: DataFrame, threshold: float,
     """R5 pairwise: all pairs (a < b) above a similarity threshold —
     the exact near-dup candidate generator.  O(n^2/2): fine to ~10^5
     rows; above that use ``lsh_similar_pairs``."""
-    a = corpus.select(F.col(id_col).alias("id_a"),
-                      to_double_array(F.col(vec_col)).alias("__va"))
-    b = corpus.select(F.col(id_col).alias("id_b"),
-                      to_double_array(F.col(vec_col)).alias("__vb"))
+    from ..functions.vector import norm
+    if metric == "cosine":
+        # hoist per-row norms out of the O(n^2) loop: one dot per pair
+        # instead of three.  dot/(na*nb) is bit-identical to cosine()
+        # (same double ops, just factored), so the oracle still matches.
+        a = corpus.select(F.col(id_col).alias("id_a"),
+                          to_double_array(F.col(vec_col)).alias("__va")) \
+                  .withColumn("__na", norm(F.col("__va")))
+        b = corpus.select(F.col(id_col).alias("id_b"),
+                          to_double_array(F.col(vec_col)).alias("__vb")) \
+                  .withColumn("__nb", norm(F.col("__vb")))
+        score = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    else:
+        a = corpus.select(F.col(id_col).alias("id_a"),
+                          to_double_array(F.col(vec_col)).alias("__va"))
+        b = corpus.select(F.col(id_col).alias("id_b"),
+                          to_double_array(F.col(vec_col)).alias("__vb"))
+        score = _score(metric, F.col("__va"), F.col("__vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-             .withColumn("score", _score(metric, F.col("__va"), F.col("__vb")))
+             .withColumn("score", score)
              .filter(F.col("score") >= threshold)
              .select("id_a", "id_b", F.round("score", 6).alias("score")))
 

@@ -85,24 +85,35 @@ def minhash_pairs_sql(threshold: float = 0.8, num_hashes: int = 16,
                       num_bands: int = 4, k: int = 3) -> str:
     """MinHash-LSH candidate pairs + exact-Jaccard verify, replicating
     the banding exactly (an LSH miss is a semantic outcome, not an
-    error, so the oracle must band identically)."""
+    error, so the oracle must band identically).  Universal-hash family
+    and constants imported from operators.dedup so both sides compute
+    bit-identical signatures."""
+    from ..operators.dedup import HASH_A, HASH_B, MINHASH_PRIME
     rows = num_hashes // num_bands
     toks = tokens_sql("text")
     sh = word_shingles_sql(toks, k)
-    seed_hash = md5_int32_sql("s::VARCHAR || ':' || x")
-    sig = (f"list_transform(range(0, {num_hashes}), s -> "
-           f"CASE WHEN len(sh) = 0 THEN -1 - s ELSE "
-           f"list_min(list_transform(sh, x -> {seed_hash})) END)")
-    band_hash = (f"md5(array_to_string(list_transform("
-                 f"list_slice(sig, band * {rows} + 1, band * {rows} + {rows}), "
-                 f"v -> v::VARCHAR), '_'))")
+    sig_cols = ",\n         ".join(
+        f"min(({HASH_A[s]} * h + {HASH_B[s]}) % {MINHASH_PRIME}) AS h{s}"
+        for s in range(num_hashes))
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({concat})".format(
+            b=b, concat=" || '_' || ".join(
+                f"h{s}::VARCHAR" for s in range(b * rows, (b + 1) * rows)))
+        for b in range(num_bands))
     return f"""
 WITH sh AS (
   SELECT doc_id, {sh} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), h AS (
+  SELECT doc_id, {md5_int32_sql('shingle')} AS h FROM ex
 ), sig AS (
-  SELECT doc_id, sh, {sig} AS sig FROM sh
+  SELECT doc_id,
+         {sig_cols}
+  FROM h GROUP BY doc_id
 ), banded AS (
-  SELECT doc_id, sh, band::INT AS band, {band_hash} AS band_hash
+  SELECT doc_id, band::INT AS band,
+         CASE band::INT {band_cases} END AS band_hash
   FROM sig, (SELECT unnest(range(0, {num_bands})) AS band)
 ), cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
