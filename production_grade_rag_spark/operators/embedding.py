@@ -51,6 +51,21 @@ def tokenize(col: Column) -> Column:
             .otherwise(F.split(t, WORD_SPLIT_RE))
 
 
+def hash_components(df: DataFrame, text_col: str = "content",
+                    id_col: str = "chunk_id", dim: int = 64) -> DataFrame:
+    """Sparse components of the feature-hash embedding: one row per
+    (id, bucket) with the signed token-count sum.  This is the partial
+    (pre-assembly, pre-normalization) stage of ``hash_embed`` — exposed
+    because it is fully relational (explode -> hash -> groupBy) and so
+    oracle-checkable without array-stringification hazards."""
+    toks = (df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__tok"))
+              .select(F.col(id_col),
+                      _bucket(F.col("__tok"), dim).alias("bucket"),
+                      _sign(F.col("__tok")).alias("__sign")))
+    return (toks.groupBy(id_col, "bucket")
+                .agg(F.sum("__sign").alias("val")))
+
+
 def hash_embed(df: DataFrame, text_col: str = "content",
                id_col: str = "chunk_id", dim: int = 64,
                normalize: bool = True,
@@ -61,15 +76,11 @@ def hash_embed(df: DataFrame, text_col: str = "content",
     per (id, bucket) -> assemble dense array via map lookup.  Rows with
     zero tokens get the zero vector (left join keeps them).
     """
-    toks = (df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__tok"))
-              .select(F.col(id_col),
-                      _bucket(F.col("__tok"), dim).alias("__bucket"),
-                      _sign(F.col("__tok")).alias("__sign")))
-    sums = (toks.groupBy(id_col, "__bucket")
-                .agg(F.sum("__sign").alias("__val"))
-                .groupBy(id_col)
-                .agg(F.map_from_entries(
-                    F.collect_list(F.struct("__bucket", "__val"))).alias("__m")))
+    sums = (hash_components(df, text_col, id_col, dim)
+            .groupBy(id_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket").alias("__bucket"),
+                                        F.col("val").alias("__val")))).alias("__m")))
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.coalesce(F.element_at(F.col("__m"), j.cast("long")), F.lit(0.0)),

@@ -1,0 +1,118 @@
+"""Multimodal columns (beyond-reference, mandated by BASELINE.json).
+
+Design: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct alongside (mime_type, n_bytes, modality).  All
+Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested; the actual media decode is STUBBED
+because no image/audio library ships in this container:
+
+- ``backend="fake"`` (default): deterministic md5-derived features, so
+  the whole path is reproducible AND oracle-checkable in DuckDB.
+- ``backend="real"``: raises NotImplementedError at plan-build time
+  with the integration point documented — a per-executor decoder
+  singleton inside the same mapInPandas iterator.
+
+100 TB notes: decode runs as mapInPandas over Arrow batches — one
+narrow pass, no shuffle, parallel per input partition; cap batch bytes
+via spark.sql.execution.arrow.maxRecordsPerBatch when payloads are
+large, and store media in its own parquet column so column pruning
+skips it for metadata-only queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_FEATURES = 8
+
+
+def attach_binary(df: DataFrame, text_col: str = "text",
+                  modality: str = "image") -> DataFrame:
+    """Treat a column's bytes as an opaque media payload: binary content
+    + typed metadata struct.  (Testdata has no real media; utf-8 text
+    bytes stand in — the engine never interprets them.)"""
+    content = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("content_bytes", content).withColumn(
+        "media_meta",
+        F.struct(F.lit(f"application/x-{modality}").alias("mime_type"),
+                 F.length(content).alias("n_bytes"),
+                 F.lit(modality).alias("modality")))
+
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def fake_decode_bytes(payload: bytes) -> dict:
+    """Deterministic stand-in for a media decoder: md5-derived
+    dimensions + N_FEATURES floats in [0, 1].  Pure function of the
+    bytes — the DuckDB oracle replicates it exactly."""
+    h = hashlib.md5(payload).hexdigest()
+    return {
+        "n_bytes": len(payload),
+        "width": 1 + int(h[0:4], 16) % 2048,
+        "height": 1 + int(h[4:8], 16) % 2048,
+        "features": [int(h[2 * i: 2 * i + 2], 16) / 255.0
+                     for i in range(N_FEATURES)],
+    }
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id",
+                    bytes_col: str = "content_bytes",
+                    backend: str = "fake") -> DataFrame:
+    """Decode + feature-extract over binary payloads via mapInPandas.
+
+    ``backend="real"`` is the integration point for an actual decoder
+    (PIL/librosa/decord singleton per executor, initialized lazily in
+    the iterator closure exactly where ``fake_decode_bytes`` is called).
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            "media decode backend %r: no media library ships in this "
+            "container; plug a per-executor decoder singleton into "
+            "decode_features._decode (same mapInPandas shape)" % backend)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bytes_col]):
+                rec = fake_decode_bytes(bytes(payload))
+                rec["doc_id"] = doc_id
+                rows.append(rec)
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in _FEATURE_SCHEMA.fields])
+
+    return (df.select(id_col, bytes_col)
+              .mapInPandas(_decode, schema=_FEATURE_SCHEMA))
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id",
+                 duration_col: str = "duration_s",
+                 max_frames: int = 5) -> DataFrame:
+    """Frame-sampling plan for video payloads: pick up to ``max_frames``
+    evenly spaced timestamps per item — pure column arithmetic (the
+    decode of each sampled frame would then run through
+    ``decode_features``).  One row per (item, frame_index)."""
+    dur = F.col(duration_col).cast("double")
+    base = df.select(
+        F.col(id_col), dur.alias("__dur"),
+        F.least(F.lit(max_frames),
+                F.greatest(F.ceil(dur).cast("int"), F.lit(1))).alias("__n"))
+    return (base
+            .withColumn("frame_index",
+                        F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+            .select(id_col,
+                    F.col("frame_index").cast("int").alias("frame_index"),
+                    F.round(F.col("__dur") * F.col("frame_index") / F.col("__n"), 6)
+                     .alias("frame_ts")))

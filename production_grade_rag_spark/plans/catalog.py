@@ -415,3 +415,4 @@ def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # live in catalog_ext to keep this file readable.  Imported at the
 # bottom so `register` and `_t` exist when catalog_ext imports back.
 from . import catalog_ext  # noqa: E402,F401  (registration side effects)
+from . import catalog_more  # noqa: E402,F401  (registration side effects)

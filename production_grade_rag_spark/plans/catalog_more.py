@@ -1,0 +1,264 @@
+"""Catalog extension 2: embedding generation (M3), batched knn join
+(R4), dedup keep/drop resolution, Notion-style block rendering (S3),
+title fallback (S5).  Imported by plans.catalog after catalog_ext; same
+registry and parity conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, embedding, similarity
+from . import oracle_vec as OV
+from .catalog import _t, register
+from .oracle_sql import sql_str
+
+
+# ===========================================================================
+# M3: feature-hash embedding (the oracle-checkable embedder backend)
+# ===========================================================================
+
+@register("m3_hash_components", headline=True, oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OV.tokens_sql('text')}) AS tok FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+       sum(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                THEN 1 ELSE -1 END)::BIGINT AS val
+FROM toks GROUP BY doc_id, bucket
+""")
+def m3_hash_components(spark: SparkSession, d: str) -> DataFrame:
+    """M3: deterministic feature-hash embedder, sparse-component view
+    (document_processor.py:125-150 replaced by a library-free embedder,
+    SURVEY §2.8/§7.4: torch is a config-flagged backend; this is the
+    correctness path).  Plan: explode tokens -> md5 bucket/sign ->
+    map-side partial agg + one shuffle on (id, bucket)."""
+    docs = _t(spark, d, "documents")
+    out = embedding.hash_components(docs, text_col="text", id_col="doc_id", dim=64)
+    return out.select("doc_id", "bucket", F.col("val").cast("long").alias("val"))
+
+
+@register("m3_hash_embed")   # rows-only: dense array assembly + L2 normalize
+def m3_hash_embed(spark: SparkSession, d: str) -> DataFrame:
+    """M3 full path: dense 64-d normalized embedding per document.
+    Components are oracle-checked in m3_hash_components; the assembly +
+    normalization is covered by tests/test_embedding.py (builtin path
+    == pandas-UDF path == pure-Python twin)."""
+    docs = _t(spark, d, "documents")
+    out = embedding.hash_embed(docs, text_col="text", id_col="doc_id", dim=64)
+    return out.select("doc_id", "embedding_model",
+                      F.round(F.aggregate(F.col("embedding"), F.lit(0.0),
+                                          lambda a, x: a + x * x), 6)
+                       .alias("sq_norm"))
+
+
+# ===========================================================================
+# R4 batched: many query vectors at once
+# ===========================================================================
+
+_KNN_JOIN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS result_id,
+         {OV.cosine_sql('c.embedding', 'q.embedding')} AS score
+  FROM embeddings c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, result_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, result_id) AS rank
+  FROM scored
+)
+SELECT query_id, result_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("r4_knn_join_batch", oracle=_KNN_JOIN_ORACLE)
+def r4_knn_join_batch(spark: SparkSession, d: str) -> DataFrame:
+    """R4 batched (vector_search.py:37-95 for a query SET): broadcast
+    the small query side against the corpus, per-query top-k via
+    row_number — one shuffle on query_id only, corpus never shuffles."""
+    emb = _t(spark, d, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.knn_join(queries, emb, k=5, q_id="vec_id")
+    return out.select("query_id", "result_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+# ===========================================================================
+# Dedup keep/drop resolution (pairs -> per-id decision)
+# ===========================================================================
+
+@register("dd_keepers", oracle=f"""
+WITH pairs AS ({OV.ngram_pairs_sql(0.5).strip()})
+SELECT d.doc_id,
+       coalesce(l.is_dup, FALSE) AS is_near_dup
+FROM documents d
+LEFT JOIN (SELECT DISTINCT greatest(id_a, id_b) AS doc_id, TRUE AS is_dup
+           FROM pairs) l USING (doc_id)
+""")
+def dd_keepers(spark: SparkSession, d: str) -> DataFrame:
+    """Near-dup pairs collapsed to a keep/drop decision per id (min-id
+    wins, single pass — SURVEY §7.2 phase 2 'connected-components-lite').
+    Uses the exact n-gram pairs so the decision itself is
+    oracle-checked end-to-end."""
+    docs = _t(spark, d, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.dedup_keepers(pairs, docs)
+
+
+# ===========================================================================
+# S3 / S5: semi-structured block rendering + title fallback
+# ===========================================================================
+
+_HEADING_RE = r"^#{1,6}\s+"
+_BULLET_RE = r"^\s*[-*+]\s+"
+_H1_TITLE_RE = r"(?m)^#\s+(.+)$"
+_H1_TITLE_SQL = sql_str(_H1_TITLE_RE)
+
+
+@register("s3_blocks_markdown", oracle=f"""
+WITH lines AS (
+  SELECT doc_id, string_split(text, e'\\n') AS ls FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_transform(ls, ln ->
+         CASE WHEN regexp_matches(ln, {sql_str(_HEADING_RE)})
+              THEN '**' || regexp_replace(ln, {sql_str(_HEADING_RE)}, '') || '**'
+              WHEN regexp_matches(ln, {sql_str(_BULLET_RE)})
+              THEN '- ' || regexp_replace(ln, {sql_str(_BULLET_RE)}, '')
+              ELSE ln END), e'\\n') AS rendered
+FROM lines
+""")
+def s3_blocks_markdown(spark: SparkSession, d: str) -> DataFrame:
+    """S3: block->markdown decode (notion_collector.py:207-300).  Each
+    line becomes a typed block encoded as a JSON doc (to_json), decoded
+    back (get_json_object = F16) and rendered per block type
+    (heading -> bold, bullet -> normalized list item, paragraph ->
+    passthrough), then page-assembled with newlines
+    (notion_collector.py:302-325).  The JSON round-trip IS the Spark
+    plan; the oracle renders the lines directly — output equality
+    verifies the decode path."""
+    docs = _t(spark, d, "documents")
+    blocks = F.transform(
+        F.split(F.col("text"), "\n"),
+        lambda ln: F.to_json(F.struct(
+            F.when(ln.rlike(_HEADING_RE), F.lit("heading"))
+             .when(ln.rlike(_BULLET_RE), F.lit("bulleted_list_item"))
+             .otherwise(F.lit("paragraph")).alias("type"),
+            ln.alias("text"))))
+    rendered = F.transform(
+        blocks,
+        lambda b: F.when(
+            F.get_json_object(b, "$.type") == "heading",
+            F.concat(F.lit("**"),
+                     F.regexp_replace(F.get_json_object(b, "$.text"),
+                                      _HEADING_RE, ""),
+                     F.lit("**")))
+        .when(
+            F.get_json_object(b, "$.type") == "bulleted_list_item",
+            F.concat(F.lit("- "),
+                     F.regexp_replace(F.get_json_object(b, "$.text"),
+                                      _BULLET_RE, "")))
+        .otherwise(F.get_json_object(b, "$.text")))
+    return docs.select("doc_id", F.array_join(rendered, "\n").alias("rendered"))
+
+
+# ===========================================================================
+# T7 exact greedy budget + multimodal plumbing
+# ===========================================================================
+
+@register("t7_greedy_budget")   # rows-only: greedy kept-set is sequential
+def t7_greedy_budget(spark: SparkSession, d: str) -> DataFrame:
+    """T7 exact: the reference's greedy skip-and-continue budget loop
+    (rag_engine.py:230-258) per query via applyInPandas over k-bounded
+    groups.  tests/test_budget.py pins it against the pure-Python twin;
+    the window-form twin is oracle-checked as t7_token_budget_prefix."""
+    from ..operators import budget
+    docs = _t(spark, d, "documents")
+    results = docs.select(
+        (F.col("doc_id") % 4).cast("string").alias("query_id"),
+        F.col("doc_id"),
+        (F.col("n_chars").cast("double")).alias("score"),
+        F.col("text").alias("content"))
+    out = budget.greedy_token_budget(results, max_total_tokens=300,
+                                     max_result_tokens=100)
+    return out.select("query_id", "doc_id", "est_tokens",
+                      F.length("content").alias("kept_chars"))
+
+
+_MM_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, length(text)::INT AS n_bytes,
+         md5(text) AS hex FROM documents
+)
+SELECT doc_id, n_bytes,
+       (1 + ('0x' || substr(hex, 1, 4))::BIGINT % 2048)::INT AS width,
+       (1 + ('0x' || substr(hex, 5, 4))::BIGINT % 2048)::INT AS height,
+       round(('0x' || substr(hex, 1, 2))::BIGINT / 255.0, 6) AS f0,
+       round(('0x' || substr(hex, 3, 2))::BIGINT / 255.0, 6) AS f1,
+       round(('0x' || substr(hex, 15, 2))::BIGINT / 255.0, 6) AS f7
+FROM h
+"""
+
+
+@register("mm_decode_features", oracle=_MM_ORACLE)
+def mm_decode_features(spark: SparkSession, d: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload column -> mapInPandas
+    feature extraction (Arrow-batched, no shuffle).  The decoder is the
+    deterministic fake (md5-derived), so the ENTIRE UDF path — binary
+    encoding, batch iteration, schema — is oracle-checked; a real
+    decoder drops into the same iterator (multimodal.decode_features).
+    ASCII testdata makes utf-8 bytes == DuckDB's md5(text) input."""
+    from ..operators import multimodal
+    docs = _t(spark, d, "documents")
+    media = multimodal.attach_binary(docs)
+    feats = multimodal.decode_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", "width", "height",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.element_at("features", 8), 6).alias("f7"))
+
+
+@register("mm_frame_sample", oracle="""
+WITH base AS (
+  SELECT doc_id, (n_chars / 100.0) AS dur,
+         least(5, greatest(ceil(n_chars / 100.0)::INT, 1)) AS n
+  FROM documents
+)
+SELECT doc_id, frame_index::INT AS frame_index,
+       round(dur * frame_index / n, 6) AS frame_ts
+FROM base, LATERAL unnest(range(0, n)) AS t(frame_index)
+""")
+def mm_frame_sample(spark: SparkSession, d: str) -> DataFrame:
+    """Video frame-sampling plan: up to 5 evenly spaced timestamps per
+    item, pure column arithmetic (each sampled frame then feeds
+    decode_features).  Duration is a deterministic stand-in
+    (n_chars/100 seconds)."""
+    from ..operators import multimodal
+    docs = _t(spark, d, "documents").select(
+        "doc_id", (F.col("n_chars") / 100.0).alias("duration_s"))
+    return multimodal.frame_sample(docs)
+
+
+@register("s5_title_fallback", oracle=f"""
+SELECT doc_id,
+       coalesce(
+         nullif(regexp_extract(text, {_H1_TITLE_SQL}, 1), ''),
+         source || '-' || doc_id::VARCHAR) AS title
+FROM documents
+""")
+def s5_title_fallback(spark: SparkSession, d: str) -> DataFrame:
+    """S5: title fallback chain (web_crawler.py:72-184): first '# '
+    heading, else a deterministic source-derived default (the
+    reference's metadata-title and URL tiers have no testdata columns;
+    the timestamped default is replaced by a deterministic one —
+    SURVEY §7.4 risk 6)."""
+    docs = _t(spark, d, "documents")
+    heading = F.nullif(F.regexp_extract(F.col("text"), _H1_TITLE_RE, 1),
+                       F.lit(""))
+    fallback = F.concat_ws("-", F.col("source"), F.col("doc_id"))
+    return docs.select("doc_id", F.coalesce(heading, fallback).alias("title"))

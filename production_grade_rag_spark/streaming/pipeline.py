@@ -1,0 +1,104 @@
+"""Structured Streaming twins of the batch event analytics (SURVEY
+§2.10 / §7.2 phase 5).
+
+The reference has NO streaming (its nearest analogues are in-memory
+mutation: conversation trim W6 slack_bot.py:138-168, rolling metrics A8
+rag_engine.py:391-438).  The engine exposes the batch operators AND
+their streaming twins built on the SAME logical plans:
+
+- tumbling hourly counts  == catalog ev_hourly_event_counts
+- session windows (30 min) == catalog ev_sessionize (batch form uses
+  lag+prefix-sum; streaming uses the native session_window, same
+  semantics for closed sessions)
+
+Both run over a file source (parquet directory), watermarked on ts so
+state is bounded; ``run_available_now`` drains whatever data exists and
+stops — which makes the twins testable against the batch results
+(tests/test_streaming.py).
+
+100 TB notes: in production the source becomes Kafka/event-log files
+partitioned by arrival date; the aggregation state is keyed by
+(window/user) and sharded across executors by the same groupBy keys as
+the batch plan; the watermark bounds state size, and
+availableNow/trigger intervals control micro-batch sizing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong (set in session.py) it surfaces
+# as a nanosecond long — declared so here, converted right after read
+# (same convention as sources.tables.load_table).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str,
+                      watermark: str = "2 hours") -> DataFrame:
+    """File-source stream over the events parquet, watermarked on ts."""
+    # the file source wants a directory; glob-filter down to the events
+    # file (a production deployment points at an events/ directory or
+    # Kafka topic instead)
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+               .withWatermark("ts", watermark))
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts — the streaming twin of
+    ev_hourly_event_counts (identical agg expressions; the batch form
+    groups on date_trunc, this one on window(ts, '1 hour'))."""
+    return (events
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value", "avg_value"))
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a 30-min inactivity gap — the streaming twin
+    of ev_sessionize (native session_window; closed sessions match the
+    batch lag+prefix-sum sessionization).  Convention: session_end is
+    the LAST EVENT's timestamp (the batch form's max(ts));
+    session_window.end is last-event + gap, so the gap is subtracted."""
+    return (events
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    (F.col("w.end") - F.expr(f"INTERVAL {gap}"))
+                    .alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def run_available_now(result: DataFrame, table_name: str,
+                      timeout_s: int = 120) -> DataFrame:
+    """Drain all available input through the streaming plan into an
+    in-memory sink and return the sink contents as a DataFrame."""
+    with tempfile.TemporaryDirectory(prefix="pgrs_ckpt_") as ckpt:
+        q = (result.writeStream.format("memory")
+             .queryName(table_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(timeout_s)
+        q.stop()
+    return result.sparkSession.table(table_name)

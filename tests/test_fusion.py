@@ -1,0 +1,67 @@
+"""A3 fusion equivalence (SURVEY §7.4 risk 4): the reference's
+sequential running weighted mean (advanced_search.py:236-253) equals
+the grouped weighted mean sum(s*w)/sum(w) when each strategy
+contributes once per id — plus Spark-side checks of the fusion ops."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from production_grade_rag_spark.operators.fusion import STRATEGY_WEIGHTS
+
+
+def running_weighted_mean(pairs):
+    """The reference's sequential fold: combined = (prev*prev_w + s*w)
+    / (prev_w + w), accumulating weights."""
+    score, weight = 0.0, 0.0
+    for s, w in pairs:
+        score = (score * weight + s * w) / (weight + w)
+        weight += w
+    return score
+
+
+@given(st.lists(
+    st.tuples(st.floats(0, 1), st.sampled_from(list(STRATEGY_WEIGHTS.values()))),
+    min_size=1, max_size=3, unique_by=lambda p: p[1]))
+@settings(max_examples=300, deadline=None)
+def test_running_mean_equals_grouped_weighted_mean(pairs):
+    grouped = sum(s * w for s, w in pairs) / sum(w for _, w in pairs)
+    assert math.isclose(running_weighted_mean(pairs), grouped, rel_tol=1e-12)
+
+
+def test_multi_strategy_fusion_spark(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from production_grade_rag_spark.operators.fusion import multi_strategy_fusion
+    rows = [(1, 0.9, "similarity"), (1, 0.5, "hybrid"),
+            (2, 0.8, "parent_child"), (3, 0.4, "similarity")]
+    df = spark.createDataFrame(rows, ["id", "score", "strategy"])
+    out = {r["id"]: r for r in multi_strategy_fusion(df).collect()}
+    exp1 = (0.9 * 0.6 + 0.5 * 0.5) / (0.6 + 0.5)
+    assert math.isclose(out[1]["fused_score"], exp1, rel_tol=1e-12)
+    assert out[1]["strategies_used"] == ["hybrid", "similarity"]
+    assert math.isclose(out[2]["fused_score"], 0.8, rel_tol=1e-12)
+    assert math.isclose(out[3]["fused_score"], 0.4, rel_tol=1e-12)
+
+
+def test_greedy_diversity_keeps_rank_order_subset(spark):
+    from production_grade_rag_spark.operators.fusion import greedy_diversity
+    rows = [
+        ("q", 1, 0.9, "alpha beta gamma delta"),
+        ("q", 2, 0.8, "alpha beta gamma delta"),      # dup of 1 -> dropped
+        ("q", 3, 0.7, "совсем other words here"),
+        ("q", 4, 0.6, "alpha beta gamma echo"),       # J=3/5 vs 1 -> kept
+    ]
+    df = spark.createDataFrame(rows, ["query_id", "doc_id", "score", "content"])
+    kept = sorted(r["doc_id"] for r in greedy_diversity(df, threshold=0.7).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_greedy_diversity_skips_small_sets(spark):
+    from production_grade_rag_spark.operators.fusion import greedy_diversity
+    rows = [("q", 1, 0.9, "same words"), ("q", 2, 0.8, "same words")]
+    df = spark.createDataFrame(rows, ["query_id", "doc_id", "score", "content"])
+    # <= min_results rows -> no filtering at all (advanced_search.py:282)
+    assert greedy_diversity(df).count() == 2
