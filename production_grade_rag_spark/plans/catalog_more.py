@@ -87,6 +87,29 @@ def r4_knn_join_batch(spark: SparkSession, d: str) -> DataFrame:
                       F.round("score", 6).alias("score"), "rank")
 
 
+@register("r4_ivf_topk")   # rows-only: IVF is approximate by design
+def r4_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
+    """R4 approximate: IVF top-k (16 cells, probe 4) — the ANN scale
+    path next to the exact r4_knn_topk and the LSH pair join.  Recall
+    vs exact is asserted in tests/test_similarity.py; the driver
+    records a rows-only check because ANN misses are semantic."""
+    from .catalog_ext import QUERY_VEC
+    emb = _t(spark, d, "embeddings")
+    out = similarity.ivf_topk(emb, QUERY_VEC, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register("r5_lsh_pairs")   # rows-only: LSH candidate recall is approximate
+def r5_lsh_pairs(spark: SparkSession, d: str) -> DataFrame:
+    """R5 at scale: BucketedRandomProjectionLSH near-dup pairs (cosine
+    threshold mapped exactly to a euclidean radius on the unit sphere).
+    Exact twin dd_embedding_neardup is the oracle-checked baseline;
+    recall is asserted in tests/test_similarity.py."""
+    emb = _t(spark, d, "embeddings")
+    out = similarity.lsh_similar_pairs(emb, threshold=0.3)
+    return out.select("id_a", "id_b", "score")
+
+
 # ===========================================================================
 # Dedup keep/drop resolution (pairs -> per-id decision)
 # ===========================================================================

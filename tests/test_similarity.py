@@ -1,0 +1,68 @@
+"""ANN variants (IVF, LSH) must trade recall, not correctness: the
+results they DO return are exactly scored, and recall against the exact
+search stays above a floor on the testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from production_grade_rag_spark.operators import similarity
+from production_grade_rag_spark.plans.catalog_ext import QUERY_VEC
+from production_grade_rag_spark.sources import load_table
+
+from conftest import SF001
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    exact = [r["vec_id"] for r in
+             similarity.knn_topk(emb, QUERY_VEC, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(emb, QUERY_VEC, k=10,
+                                  n_lists=8, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+    # scores of returned rows are exact: every approx hit that is also
+    # an exact hit must carry the same score
+    ex = {r["vec_id"]: r["score"] for r in
+          similarity.knn_topk(emb, QUERY_VEC, k=500).collect()}
+    for r in similarity.ivf_topk(emb, QUERY_VEC, k=10,
+                                 n_lists=8, n_probe=4).collect():
+        assert abs(ex[r["vec_id"]] - r["score"]) < 1e-9
+
+
+def test_ivf_probe_all_cells_equals_exact(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    exact = [r["vec_id"] for r in
+             similarity.knn_topk(emb, QUERY_VEC, k=10).collect()]
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(emb, QUERY_VEC, k=10,
+                                n_lists=8, n_probe=8).collect()]
+    assert exact == full
+
+
+def test_lsh_pairs_recall_vs_exact(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             similarity.pairwise_similar(emb, 0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           similarity.lsh_similar_pairs(emb, 0.3,
+                                        num_hash_tables=8).collect()}
+    assert exact, "test corpus should contain near pairs at 0.3"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+    # no false positives: LSH verifies with the exact distance
+    assert lsh <= exact or all(
+        abs(s) >= 0.3 - 1e-9 for s in
+        [r["score"] for r in
+         similarity.lsh_similar_pairs(emb, 0.3, num_hash_tables=8).collect()])
+
+
+def test_euclidean_and_dot_metrics(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    top_dot = similarity.knn_topk(emb, QUERY_VEC, k=5, metric="dotProduct")
+    top_euc = similarity.knn_topk(emb, QUERY_VEC, k=5, metric="euclidean")
+    assert top_dot.count() == 5 and top_euc.count() == 5
+    # euclidean scores are negated distances: all <= 0
+    assert all(r["score"] <= 0 for r in top_euc.collect())
+    assert "score" in top_dot.columns
