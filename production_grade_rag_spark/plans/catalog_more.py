@@ -9,9 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, embedding, similarity
+from ..operators import chunking, dedup, embedding, similarity
+from . import oracle_sql as O
 from . import oracle_vec as OV
 from .catalog import _t, register
+from .catalog_ext import QUERY_VEC
 from .oracle_sql import sql_str
 
 
@@ -187,6 +189,93 @@ def s3_blocks_markdown(spark: SparkSession, d: str) -> DataFrame:
                                       _BULLET_RE, "")))
         .otherwise(F.get_json_object(b, "$.text")))
     return docs.select("doc_id", F.array_join(rendered, "\n").alias("rendered"))
+
+
+_MD_LINK_RE = r"\[([^\]]+)\]\(([^)]+)\)"
+
+
+@register("f12_slack_format", oracle=f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '\\*\\*([^*]+)\\*\\*', '*\\1*', 'g'),
+           {sql_str(_MD_LINK_RE)}, '<\\2|\\1>', 'g'),
+         '(?m)^#{{1,6}}\\s+(.+)$', '*\\1*', 'g') AS slack_text
+FROM documents
+""")
+def f12_slack_format(spark: SparkSession, d: str) -> DataFrame:
+    """F12: markdown -> Slack mrkdwn rewrite chain (slack_bot.py:
+    174-188): **bold** -> *bold*, [t](url) -> <url|t>, headings ->
+    bold lines.  Pure regexp_replace chain, codegen'd."""
+    docs = _t(spark, d, "documents")
+    out = F.regexp_replace(F.col("text"), r"\*\*([^*]+)\*\*", r"*$1*")
+    out = F.regexp_replace(out, _MD_LINK_RE, r"<$2|$1>")
+    out = F.regexp_replace(out, r"(?m)^#{1,6}\s+(.+)$", r"*$1*")
+    return docs.select("doc_id", out.alias("slack_text"))
+
+
+@register("m4_context_grouping", oracle=f"""
+WITH ranked AS (
+  SELECT d.source, d.text,
+         {OV.cosine_sql('e.embedding', OV.vec_lit_sql(QUERY_VEC))} AS score,
+         d.doc_id
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  ORDER BY score DESC, d.doc_id LIMIT 10
+), grouped AS (
+  SELECT CASE WHEN source IN ('src0', 'src1') THEN 'notion'
+              WHEN source IN ('src2', 'src3') THEN 'web'
+              ELSE 'other' END AS source_group,
+         count(*) AS n_results,
+         string_agg(substr(text, 1, 80), e'\\n---\\n' ORDER BY score DESC, doc_id)
+           AS context
+  FROM ranked GROUP BY 1
+)
+SELECT source_group, n_results, context FROM grouped
+""")
+def m4_context_grouping(spark: SparkSession, d: str) -> DataFrame:
+    """M4 in-scope slice: context assembly for generation — partition
+    ranked results into source groups (notion/web/other) and
+    concatenate their texts separator-joined in rank order
+    (rag_engine.py:296-347).  The LLM call itself is out of scope
+    (BASELINE.md); this is the data shaping that feeds it."""
+    from .catalog_ext import QUERY_VEC, _qvec_col
+    from ..functions.vector import cosine, to_double_array
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    ranked = (docs.join(emb, docs.doc_id == emb.vec_id)
+              .select("source", "text", "doc_id",
+                      cosine(to_double_array(F.col("embedding")), _qvec_col())
+                      .alias("score"))
+              .orderBy(F.desc("score"), "doc_id").limit(10))
+    grp = (F.when(F.col("source").isin("src0", "src1"), "notion")
+            .when(F.col("source").isin("src2", "src3"), "web")
+            .otherwise("other"))
+    return (ranked
+            .withColumn("source_group", grp)
+            .groupBy("source_group")
+            .agg(F.count("*").alias("n_results"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct(
+                             (-F.col("score")).alias("k1"),
+                             F.col("doc_id").alias("k2"),
+                             F.substring("text", 1, 80).alias("t")))),
+                         lambda s: s["t"]),
+                     "\n---\n").alias("context")))
+
+
+@register("s7_ordered_chunk_scan", oracle=f"""
+WITH chunks AS ({O.chunk_fixed_sql().strip()})
+SELECT chunk_id, doc_id, chunk_index, word_count
+FROM chunks WHERE doc_id = 7 ORDER BY chunk_index
+""")
+def s7_ordered_chunk_scan(spark: SparkSession, d: str) -> DataFrame:
+    """S7: one document's chunks in chunk_index order
+    (document_repository.py:405-431) over the fixed-stride chunk set."""
+    from ..sources import ordered_chunk_scan
+    chunks = chunking.chunk_fixed(_t(spark, d, "documents"))
+    return (ordered_chunk_scan(chunks, 7)
+            .select("chunk_id", "doc_id", "chunk_index", "word_count"))
 
 
 # ===========================================================================

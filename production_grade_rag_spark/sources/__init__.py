@@ -1,3 +1,25 @@
-from .tables import TABLE_NAMES, load_table, load_tables, register_views
+from .tables import (
+    TABLE_NAMES,
+    cascading_delete,
+    load_table,
+    load_tables,
+    mark_status,
+    ordered_chunk_scan,
+    register_views,
+    storage_stats,
+    write_json_backup,
+    write_parquet,
+)
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLE_NAMES",
+    "cascading_delete",
+    "load_table",
+    "load_tables",
+    "mark_status",
+    "ordered_chunk_scan",
+    "register_views",
+    "storage_stats",
+    "write_json_backup",
+    "write_parquet",
+]

@@ -1,0 +1,83 @@
+"""Sink/source roundtrips (SURVEY §2.1 S8-S14): parquet append, JSON
+backup, status mark, cascading delete, storage stats."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from production_grade_rag_spark.operators.chunking import chunk_fixed
+from production_grade_rag_spark.sources import (
+    cascading_delete,
+    load_table,
+    mark_status,
+    storage_stats,
+    write_json_backup,
+    write_parquet,
+)
+
+from conftest import SF001
+
+
+def test_parquet_roundtrip_and_append(spark):
+    docs = load_table(spark, SF001, "documents").limit(20)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/documents"
+        write_parquet(docs, path)                       # S8
+        write_parquet(docs, path)                       # append batch 2 (S9)
+        back = spark.read.parquet(path)
+        assert back.count() == 40
+        assert set(back.columns) == set(docs.columns)
+
+
+def test_json_backup_roundtrip(spark):
+    docs = load_table(spark, SF001, "documents").limit(10) \
+        .select("doc_id", "source", "lang")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/backup"
+        write_json_backup(docs, path)                   # S13
+        assert len(list(Path(path).glob("*.json"))) >= 1
+        back = spark.read.json(path)
+        assert back.count() == 10
+        assert {r["doc_id"] for r in back.collect()} == \
+               {r["doc_id"] for r in docs.collect()}
+
+
+def test_mark_status(spark):
+    docs = load_table(spark, SF001, "documents").limit(5)
+    out = mark_status(docs, "completed")                # S10/S12
+    rows = out.select("processing_status", "updated_at").collect()
+    assert all(r["processing_status"] == "completed" for r in rows)
+    assert all(r["updated_at"] is not None for r in rows)
+
+
+def test_cascading_delete(spark):
+    docs = load_table(spark, SF001, "documents")
+    chunks = chunk_fixed(docs.limit(100))
+    delete_ids = docs.select("doc_id").limit(10)
+    kept_docs, kept_chunks = cascading_delete(docs, chunks, delete_ids)  # S11
+    deleted = {r["doc_id"] for r in delete_ids.collect()}
+    assert not deleted & {r["doc_id"] for r in kept_docs.collect()}
+    assert not deleted & {r["doc_id"] for r in kept_chunks.collect()}
+    assert kept_docs.count() == docs.count() - 10
+
+
+def test_storage_stats(spark):
+    docs = load_table(spark, SF001, "documents")
+    chunks = chunk_fixed(docs.limit(50))
+    row = storage_stats(docs, chunks).first()           # S14
+    assert row["document_count"] == docs.count()
+    assert row["chunk_count"] == chunks.count()
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    """S6: filters and projections must reach the scan node
+    (SURVEY §4: Catalyst pushdown is load-bearing at 100 TB)."""
+    docs = load_table(spark, SF001, "documents")
+    plan = (docs.filter(F.col("doc_id") == 5).select("doc_id", "source")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,5)]" in plan
+    lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert lines and "text" not in lines[0], "projection must prune text"
