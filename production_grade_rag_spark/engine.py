@@ -1,0 +1,200 @@
+"""User-facing engine facade — the reference's API surface, Spark-first.
+
+Mirrors the entry points a user of the reference calls today:
+
+- feature pipeline ``build_index``   (rag_pipeline.py:189-236)
+- ``search`` with search_type dispatch semantic/hybrid/filtered
+  (vector_store.py:183-243, VectorSearchQuery base.py:16-23)
+- ``multi_strategy_search`` orchestrator: strategy selection by intent
+  + feature flags, fusion, diversity (advanced_search.py:68-206)
+- ``attribute`` source attribution  (source_attribution.py:23-129)
+- ``budget`` context token budget   (rag_engine.py:230-258)
+
+Every method returns a DataFrame (lazy plan); nothing collects except
+the caller.  The LLM generation layer is out of scope (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .functions import text as X
+from .functions.vector import cosine, to_double_array
+from .operators import fusion
+from .operators.budget import greedy_token_budget
+from .operators.chunking import chunk_fixed, chunk_recursive
+from .operators.embedding import embed_text_py, hash_embed
+from .operators.similarity import knn_topk
+from .operators.attribution import attribution_join
+
+
+class SparkRagEngine:
+    """The reference's engine object, re-expressed as plan builders."""
+
+    def __init__(self, spark: SparkSession,
+                 config: EngineConfig = DEFAULT_CONFIG):
+        config.validate()
+        self.spark = spark
+        self.config = config
+
+    # -- feature pipeline ---------------------------------------------------
+
+    def build_index(self, documents: DataFrame, text_col: str = "text",
+                    recursive: bool = False) -> DataFrame:
+        """rag_pipeline: quality (T2) -> filter (T3) -> clean+chunk
+        (T1/M1/T4/W2) -> embed (M3).  Returns the chunk index frame
+        (chunk_id, doc_id, content, chunk_index, ..., embedding)."""
+        c = self.config
+        scored = X.with_quality(documents, text_col=text_col)
+        kept = X.quality_filter(scored, c.quality_threshold)
+        chunker = chunk_recursive if recursive else chunk_fixed
+        chunks = chunker(kept, text_col=text_col,
+                         chunk_size=c.chunk_size, overlap=c.chunk_overlap,
+                         min_chars=c.min_chunk_chars)
+        return hash_embed(chunks, text_col="content", id_col="chunk_id",
+                          dim=c.embedding_dim,
+                          normalize=c.normalize_embeddings)
+
+    def embed_query(self, query_text: str) -> list[float]:
+        return embed_text_py(query_text, dim=self.config.embedding_dim,
+                             normalize=self.config.normalize_embeddings)
+
+    # -- retrieval ----------------------------------------------------------
+
+    def search(self, index: DataFrame, query_text: str | None = None,
+               query_vector: list[float] | None = None,
+               search_type: str = "semantic", limit: int | None = None,
+               min_score: float | None = None,
+               filters: dict | None = None,
+               id_col: str = "chunk_id") -> DataFrame:
+        """VectorSearchQuery semantics (base.py:16-23): one of
+        query_text / query_vector; search_type in {semantic, hybrid,
+        filtered}; equality ``filters`` applied AFTER scoring, before
+        the limit (the reference's $match placement —
+        vector_search.py:79-80,249-257)."""
+        c = self.config
+        k = min(limit or c.default_k, c.max_k)
+        if query_vector is None:
+            if query_text is None:
+                raise ValueError("need query_text or query_vector")
+            query_vector = self.embed_query(query_text)
+
+        if search_type == "semantic":
+            out = knn_topk(index, query_vector, k=k, id_col=id_col)
+        elif search_type == "filtered":
+            scored = index.withColumn(
+                "score", cosine(to_double_array(F.col("embedding")),
+                                F.array(*[F.lit(float(x))
+                                          for x in query_vector])))
+            scored = scored.filter(
+                F.col("score") >= (min_score if min_score is not None
+                                   else c.similarity_threshold))
+            for col, val in (filters or {}).items():
+                scored = scored.filter(F.col(col) == val)
+            out = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+        elif search_type == "hybrid":
+            out = self._hybrid(index, query_text or "", query_vector, k,
+                               id_col)
+        else:
+            raise ValueError(f"unknown search_type {search_type!r}")
+
+        if search_type != "filtered":
+            if min_score is not None:
+                out = out.filter(F.col("score") >= min_score)
+            for col, val in (filters or {}).items():
+                out = out.filter(F.col(col) == val)
+        return out
+
+    def _hybrid(self, index: DataFrame, query_text: str,
+                query_vector: list[float], k: int,
+                id_col: str) -> DataFrame:
+        """R7: vector branch (2k) ∪ text-overlap branch (2k) -> dedup
+        by id (max per score) -> 0.7/0.3 fusion -> top-k
+        (vector_search.py:98-204; candidate sizing :131,158)."""
+        c = self.config
+        qv = F.array(*[F.lit(float(x)) for x in query_vector])
+        vec = (index.select(
+                   F.col(id_col).alias("id"),
+                   cosine(to_double_array(F.col("embedding")), qv)
+                   .alias("vector_score"))
+               .orderBy(F.desc("vector_score"), "id").limit(2 * k))
+        terms = [t for t in query_text.lower().split() if t]
+        toks = F.array_distinct(F.split(F.lower(F.trim(F.col("content"))),
+                                        r"\s+"))
+        tscore = (F.size(F.array_intersect(
+                      toks, F.array(*[F.lit(t) for t in terms])))
+                  .cast("double") / max(len(terms), 1))
+        txt = (index.select(F.col(id_col).alias("id"),
+                            tscore.alias("text_score"))
+               .orderBy(F.desc("text_score"), "id").limit(2 * k))
+        merged = fusion.hybrid_union(vec, txt)
+        fused = fusion.weighted_fusion(merged, c.hybrid_vector_weight,
+                                       c.hybrid_text_weight)
+        return (fused.orderBy(F.desc("score"), "id").limit(k)
+                     .withColumnRenamed("id", id_col))
+
+    def multi_strategy_search(self, index: DataFrame, query_text: str,
+                              limit: int | None = None,
+                              strategies: list[str] | None = None,
+                              id_col: str = "chunk_id") -> DataFrame:
+        """Orchestrator (advanced_search.py:68-206): run the selected
+        strategies, fuse per-id with strategy weights (A3), then greedy
+        diversity (W5), then top-k.  Strategy selection honors the
+        feature flags when not given explicitly."""
+        c = self.config
+        k = min(limit or c.default_k, c.max_k)
+        qv = self.embed_query(query_text)
+        if strategies is None:
+            strategies = ["similarity"]
+            if c.enable_hybrid_search:
+                strategies.append("hybrid")
+            if c.enable_parent_retrieval:
+                strategies.append("parent_child")
+        branches = []
+        for s in strategies:
+            if s == "similarity":
+                b = knn_topk(index, qv, k=k, id_col=id_col) \
+                    .select(F.col(id_col).alias("id"), "score")
+            elif s == "hybrid":
+                b = self._hybrid(index, query_text, qv, k, id_col) \
+                    .select(F.col(id_col).alias("id"), "score")
+            elif s == "parent_child":
+                b = knn_topk(index, qv, k=k, id_col=id_col,
+                             min_score=c.parent_child_search_threshold) \
+                    .select(F.col(id_col).alias("id"), "score")
+            else:
+                raise ValueError(f"unknown strategy {s!r}")
+            branches.append(b.withColumn("strategy", F.lit(s)))
+        unioned = branches[0]
+        for b in branches[1:]:
+            unioned = unioned.unionByName(b)
+        fused = fusion.multi_strategy_fusion(unioned,
+                                             weights=c.strategy_weights)
+        ranked = (fused.join(index.select(F.col(id_col).alias("id"),
+                                          "content"), "id", "left")
+                  .select(F.lit("q").alias("query_id"), "id",
+                          F.col("fused_score").alias("score"),
+                          "strategies_used", "content"))
+        diverse = fusion.greedy_diversity(
+            ranked, threshold=c.diversity_jaccard_cutoff)
+        return (diverse.orderBy(F.desc("score"), "id").limit(k)
+                       .withColumnRenamed("id", id_col)
+                       .drop("query_id"))
+
+    # -- post-processing ----------------------------------------------------
+
+    def attribute(self, results: DataFrame, documents: DataFrame,
+                  doc_cols=("source", "lang")) -> DataFrame:
+        """R1: broadcast attribution join."""
+        return attribution_join(results, documents, doc_cols=doc_cols)
+
+    def budget(self, results: DataFrame, query_col: str = "query_id",
+               id_col: str = "doc_id") -> DataFrame:
+        """T7: exact greedy context budget."""
+        c = self.config
+        return greedy_token_budget(
+            results, query_col=query_col, id_col=id_col,
+            max_total_tokens=c.max_context_tokens,
+            max_result_tokens=c.max_doc_tokens)

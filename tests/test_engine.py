@@ -1,0 +1,96 @@
+"""Engine facade: the reference's API surface must behave per the
+reference semantics (search-type dispatch, filter-after-score ordering,
+fusion weights, flag-driven strategy selection)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from production_grade_rag_spark.config import EngineConfig
+from production_grade_rag_spark.engine import SparkRagEngine
+from production_grade_rag_spark.sources import load_table
+
+from conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return SparkRagEngine(spark, EngineConfig(quality_threshold=0.2))
+
+
+@pytest.fixture(scope="module")
+def index(spark, engine):
+    docs = load_table(spark, SF001, "documents").limit(100)
+    idx = engine.build_index(docs)
+    idx.cache().count()
+    return idx
+
+
+def test_build_index_schema(index):
+    cols = set(index.columns)
+    assert {"chunk_id", "doc_id", "content", "chunk_index",
+            "embedding", "embedding_model"} <= cols
+
+
+def test_semantic_search_topk(engine, index):
+    out = engine.search(index, query_text="table scan filter", limit=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_filtered_search_applies_min_score_and_filters(engine, index):
+    out = engine.search(index, query_text="table scan filter",
+                        search_type="filtered", limit=50,
+                        min_score=0.05, filters={"chunk_type": "flat"})
+    rows = out.collect()
+    assert all(r["score"] >= 0.05 for r in rows)
+    assert all(r["chunk_type"] == "flat" for r in rows)
+
+
+def test_hybrid_scores_are_weighted_sum(engine, index):
+    out = engine.search(index, query_text="table scan filter",
+                        search_type="hybrid", limit=10)
+    for r in out.collect():
+        v = r["vector_score"] or 0.0
+        t = r["text_score"] or 0.0
+        assert math.isclose(r["score"], 0.7 * v + 0.3 * t, rel_tol=1e-9)
+
+
+def test_multi_strategy_returns_strategy_sets(engine, index):
+    out = engine.multi_strategy_search(index, "table scan filter", limit=5)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    known = {"similarity", "hybrid", "parent_child"}
+    for r in rows:
+        assert set(r["strategies_used"]) <= known
+        assert len(r["strategies_used"]) >= 1
+
+
+def test_flags_gate_strategy_selection(spark, index):
+    eng = SparkRagEngine(spark, EngineConfig(
+        enable_hybrid_search=False, enable_parent_retrieval=False))
+    out = eng.multi_strategy_search(index, "table scan filter", limit=5)
+    for r in out.collect():
+        assert r["strategies_used"] == ["similarity"]
+
+
+def test_attribute_joins_document_fields(engine, index, spark):
+    docs = load_table(spark, SF001, "documents")
+    res = engine.search(index, query_text="table scan", limit=5)
+    out = engine.attribute(res, docs)
+    rows = out.collect()
+    assert all("source" in r and r["source"] is not None for r in rows)
+
+
+def test_bad_inputs_raise(engine, index):
+    with pytest.raises(ValueError):
+        engine.search(index)
+    with pytest.raises(ValueError):
+        engine.search(index, query_text="x", search_type="nope")
+    with pytest.raises(ValueError):
+        EngineConfig(chunk_overlap=2000).validate()
