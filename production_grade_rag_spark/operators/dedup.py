@@ -193,6 +193,35 @@ def dedup_keepers(pairs: DataFrame, all_ids: DataFrame,
             .select(id_col, F.coalesce("__drop", F.lit(False)).alias("is_near_dup")))
 
 
+def connected_components(pairs: DataFrame, all_ids: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iter: int = 8) -> DataFrame:
+    """Exact near-dup groups: connected components over the pair graph
+    by iterative min-label propagation (the standard large-graph
+    pattern: k rounds of join+min cover components of diameter k; near-
+    dup clusters are shallow, so ``max_iter`` rounds converge —
+    asserted against the transitive-closure oracle in the catalog).
+
+    Each round is one broadcast-able join + one groupBy on the id key;
+    localCheckpoint every round truncates the lineage so plans stay
+    flat at scale.  Output: (id, component) with component = min id of
+    the cluster; singletons keep their own id.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = all_ids.select(F.col(id_col).alias("id"),
+                            F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.dst == labels.id)
+                 .select(F.col("src").alias("id"), "component"))
+        labels = (labels.union(neigh)
+                  .groupBy("id").agg(F.min("component").alias("component"))
+                  .localCheckpoint())
+    return labels.withColumnRenamed("id", id_col)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise — oracle / small-corpus path)
 # ---------------------------------------------------------------------------

@@ -70,6 +70,45 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
 
 
+# English stopwords for the quality-ratio signal (superset of the 'en'
+# language profile; public/ubiquitous list).
+STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "a",
+    "on", "as", "are", "was", "by", "at", "an", "be", "this", "it",
+)
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+DIGIT_RE = r"[0-9]"
+UPPER_RE = r"[A-Z]"
+
+
+def quality_ratios(col: Column) -> dict[str, Column]:
+    """Training-data quality signals: punctuation / digit / uppercase
+    character ratios and stopword token ratio (a document with almost
+    no stopwords is usually not prose; one that is mostly punctuation
+    or digits is usually markup or tables)."""
+    n_chars = F.greatest(F.length(col), F.lit(1))
+    t = F.lower(pystrip(col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, WORD_SPLIT_RE))
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = F.size(F.filter(
+        toks, lambda w: w.isin(*STOPWORDS)))
+    counts = {
+        "punct_ratio": F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0)),
+        "digit_ratio": F.size(F.regexp_extract_all(col, F.lit(DIGIT_RE), 0)),
+        "upper_ratio": F.size(F.regexp_extract_all(col, F.lit(UPPER_RE), 0)),
+    }
+    out = {k: v.cast("double") / n_chars for k, v in counts.items()}
+    out["stopword_ratio"] = stop_hits.cast("double") / n_toks
+    return out
+
+
+def with_quality_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    for name, col in quality_ratios(F.col(text_col)).items():
+        df = df.withColumn(name, F.round(col, 6))
+    return df
+
+
 def char_shingles(col: Column, k: int = 8) -> Column:
     """Character k-grams of the lowercased, whitespace-normalized text."""
     t = F.regexp_replace(F.lower(pystrip(col)), WORD_SPLIT_RE, " ")

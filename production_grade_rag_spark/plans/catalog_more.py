@@ -134,6 +134,90 @@ def dd_keepers(spark: SparkSession, d: str) -> DataFrame:
     return dedup.dedup_keepers(pairs, docs)
 
 
+_RATIO_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, {OV.tokens_sql('text')} AS tk FROM documents
+)
+SELECT doc_id,
+       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(regexp_extract_all(text, '[0-9]', 0))::DOUBLE
+             / greatest(length(text), 1), 6) AS digit_ratio,
+       round(len(regexp_extract_all(text, '[A-Z]', 0))::DOUBLE
+             / greatest(length(text), 1), 6) AS upper_ratio,
+       round(len(list_filter(tk, w -> list_contains({{stop}}, w)))::DOUBLE
+             / greatest(len(tk), 1), 6) AS stopword_ratio
+FROM toks
+"""
+
+
+def _ratio_oracle() -> str:
+    from ..operators.textstats import STOPWORDS
+    stop = "[" + ", ".join(sql_str(w) for w in STOPWORDS) + "]"
+    return _RATIO_ORACLE.replace("{stop}", stop)
+
+
+@register("ta_quality_ratios", oracle=_ratio_oracle())
+def ta_quality_ratios(spark: SparkSession, d: str) -> DataFrame:
+    """Training-data quality signals: punctuation/digit/uppercase char
+    ratios + stopword token ratio (textstats.quality_ratios) — the
+    mandated length/punct/stopword quality scoring next to the
+    reference's T2 five-signal score."""
+    from ..operators.textstats import with_quality_ratios
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    return with_quality_ratios(docs).drop("text")
+
+
+@register("ev_sliding_counts", oracle="""
+WITH ex AS (
+  SELECT event_type, value,
+         make_timestamp(((floor(epoch(ts))::BIGINT // 1800 - off) * 1800)
+                        * 1000000) AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS off)
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM ex GROUP BY 1, 2
+""")
+def ev_sliding_counts(spark: SparkSession, d: str) -> DataFrame:
+    """Sliding-window counts: 1-hour windows every 30 minutes (each
+    event lands in exactly two windows).  Same plan under Structured
+    Streaming; the tumbling twin is ev_hourly_event_counts."""
+    ev = _t(spark, d, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 4).alias("sum_value"))
+              .select(F.col("w.start").alias("window_start"), "event_type",
+                      "n_events", "sum_value"))
+
+
+@register("dd_components", oracle=f"""
+WITH RECURSIVE pairs AS ({OV.ngram_pairs_sql(0.5).strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+""")
+def dd_components(spark: SparkSession, d: str) -> DataFrame:
+    """Exact near-dup clusters: connected components by iterative
+    min-label propagation over the n-gram pair graph (the exact upgrade
+    of dd_keepers' single-pass min-id).  The DuckDB oracle computes the
+    transitive closure recursively — equality proves the propagation
+    converged."""
+    docs = _t(spark, d, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.connected_components(pairs, docs)
+
+
 # ===========================================================================
 # S3 / S5: semi-structured block rendering + title fallback
 # ===========================================================================
