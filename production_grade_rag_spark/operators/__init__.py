@@ -1,0 +1,23 @@
+from . import (
+    attribution,
+    budget,
+    chunking,
+    dedup,
+    embedding,
+    fusion,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+__all__ = [
+    "attribution",
+    "budget",
+    "chunking",
+    "dedup",
+    "embedding",
+    "fusion",
+    "multimodal",
+    "similarity",
+    "textstats",
+]

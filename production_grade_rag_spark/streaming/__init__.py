@@ -1,0 +1,3 @@
+from . import pipeline
+
+__all__ = ["pipeline"]
