@@ -275,6 +275,32 @@ def s3_blocks_markdown(spark: SparkSession, d: str) -> DataFrame:
     return docs.select("doc_id", F.array_join(rendered, "\n").alias("rendered"))
 
 
+@register("ev_user_rolling", oracle="""
+SELECT event_id, user_id,
+       round(sum(CAST(round(value * 10000) AS BIGINT)) OVER w / 10000.0
+             / count(*) OVER w, 6) AS running_avg_value,
+       count(*) OVER w AS user_query_count
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def ev_user_rolling(spark: SparkSession, d: str) -> DataFrame:
+    """A8 per-key form: running means PER USER — the scale-correct
+    variant of ev_rolling_metrics (whose single global ordering is the
+    oracle-twin of the reference's one-process counters; partitioning
+    by user shards the window state across executors)."""
+    from pyspark.sql import Window
+    ev = _t(spark, d, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = F.round(F.col("value") * 10000).cast("long")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum(iv).over(w) / F.lit(10000.0) / F.count("*").over(w), 6)
+         .alias("running_avg_value"),
+        F.count("*").over(w).alias("user_query_count"))
+
+
 _MD_LINK_RE = r"\[([^\]]+)\]\(([^)]+)\)"
 
 

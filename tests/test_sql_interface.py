@@ -1,0 +1,38 @@
+"""The engine is usable through plain spark.sql over registered views
+(the DataFrame catalog entries and ad-hoc SQL share Catalyst plans)."""
+
+from __future__ import annotations
+
+from production_grade_rag_spark.sources import register_views
+
+from conftest import SF001
+
+
+def test_sql_over_views_matches_dataframe(spark):
+    register_views(spark, SF001)
+    sql = spark.sql("""
+        SELECT d.source, count(*) AS n_docs, sum(d.n_chars) AS chars
+        FROM documents d
+        WHERE d.lang = 'en'
+        GROUP BY d.source
+    """).collect()
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.sources import load_table
+    df = (load_table(spark, SF001, "documents")
+          .filter(F.col("lang") == "en").groupBy("source")
+          .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")))
+    assert sorted(map(tuple, sql)) == sorted(map(tuple, df.collect()))
+
+
+def test_sql_join_star_schema(spark):
+    register_views(spark, SF001)
+    rows = spark.sql("""
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY rev DESC LIMIT 5
+    """).collect()
+    assert len(rows) == 5
+    assert all(r["rev"] is not None for r in rows)
