@@ -120,7 +120,10 @@ def greedy_diversity(results: DataFrame, query_col: str = "query_id",
     schema = results.schema
 
     def _filter(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([score_col], ascending=False, kind="mergesort")
+        # deterministic total order: score desc, then content (group
+        # collection order from the shuffle is not stable)
+        pdf = pdf.sort_values([score_col, text_col],
+                              ascending=[False, True], kind="mergesort")
         if len(pdf) <= min_results:
             return pdf
         kept_tokens: list[set[str]] = []
