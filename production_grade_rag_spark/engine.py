@@ -30,6 +30,30 @@ from .operators.similarity import knn_topk
 from .operators.attribution import attribution_join
 
 
+def query_intent(query_text: str) -> str:
+    """Keyword intent detection (advanced_search.py:125-146) — the
+    driver-side twin of functions.text.classify_intent, same
+    INTENT_RULES keyword lists."""
+    low = query_text.lower()
+    for intent, terms in X.INTENT_RULES:
+        if any(t in low for t in terms):
+            return intent
+    return "general"
+
+
+def select_strategies(intent: str, config: EngineConfig) -> list[str]:
+    """Strategy selection by intent + feature flags
+    (advanced_search.py:172-206): similarity always; parent_child for
+    every intent except problem-solving when the flag allows; hybrid
+    when its flag allows."""
+    strategies = ["similarity"]
+    if intent != "problem-solving" and config.enable_parent_retrieval:
+        strategies.append("parent_child")
+    if config.enable_hybrid_search:
+        strategies.append("hybrid")
+    return strategies
+
+
 class SparkRagEngine:
     """The reference's engine object, re-expressed as plan builders."""
 
@@ -147,11 +171,7 @@ class SparkRagEngine:
         k = min(limit or c.default_k, c.max_k)
         qv = self.embed_query(query_text)
         if strategies is None:
-            strategies = ["similarity"]
-            if c.enable_hybrid_search:
-                strategies.append("hybrid")
-            if c.enable_parent_retrieval:
-                strategies.append("parent_child")
+            strategies = select_strategies(query_intent(query_text), c)
         branches = []
         for s in strategies:
             if s == "similarity":

@@ -89,6 +89,30 @@ def r4_knn_join_batch(spark: SparkSession, d: str) -> DataFrame:
                       F.round("score", 6).alias("score"), "rank")
 
 
+_EUC_SQL = ("sqrt(list_sum(list_transform(list_zip(embedding, {q}), "
+            "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))))")
+
+
+def _euc_oracle() -> str:
+    e = _EUC_SQL.format(q=OV.vec_lit_sql(QUERY_VEC))
+    return f"""
+SELECT vec_id, round({e}, 6) AS distance
+FROM embeddings
+ORDER BY {e}, vec_id
+LIMIT 10
+"""
+
+
+@register("r4_knn_euclidean", oracle=_euc_oracle())
+def r4_knn_euclidean(spark: SparkSession, d: str) -> DataFrame:
+    """R4 with the euclidean metric (index_manager.py:57-60 metric
+    choices cosine/euclidean/dotProduct — cosine is r4_knn_topk, dot is
+    inside a3): nearest-by-distance top-k."""
+    emb = _t(spark, d, "embeddings")
+    out = similarity.knn_topk(emb, QUERY_VEC, k=10, metric="euclidean")
+    return out.select("vec_id", F.round(-F.col("score"), 6).alias("distance"))
+
+
 @register("r4_ivf_topk")   # rows-only: IVF is approximate by design
 def r4_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
     """R4 approximate: IVF top-k (16 cells, probe 4) — the ANN scale

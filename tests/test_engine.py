@@ -71,6 +71,23 @@ def test_multi_strategy_returns_strategy_sets(engine, index):
         assert len(r["strategies_used"]) >= 1
 
 
+def test_intent_driven_strategy_selection():
+    from production_grade_rag_spark.engine import query_intent, select_strategies
+    cfg = EngineConfig()
+    assert query_intent("how to fix the api code") == "technical"
+    assert query_intent("steps to deploy") == "how-to"
+    assert query_intent("weird error in prod") == "problem-solving"
+    assert query_intent("what is a vector") == "conceptual"
+    assert query_intent("weather tomorrow") == "general"
+    # problem-solving drops parent_child; everything keeps similarity
+    assert select_strategies("problem-solving", cfg) == ["similarity", "hybrid"]
+    assert select_strategies("conceptual", cfg) == [
+        "similarity", "parent_child", "hybrid"]
+    off = EngineConfig(enable_hybrid_search=False,
+                       enable_parent_retrieval=False)
+    assert select_strategies("general", off) == ["similarity"]
+
+
 def test_flags_gate_strategy_selection(spark, index):
     eng = SparkRagEngine(spark, EngineConfig(
         enable_hybrid_search=False, enable_parent_retrieval=False))
