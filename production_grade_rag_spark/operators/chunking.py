@@ -23,7 +23,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -325,6 +325,77 @@ def chunk_parent_child(documents: DataFrame,
             F.col("__c.child_index").alias("child_index"),
         )
     )
+
+
+def chunk_parent_child_fixed(documents: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             parent_size: int = 2000, parent_overlap: int = 400,
+                             child_size: int = 400,
+                             child_overlap: int = 100) -> DataFrame:
+    """M2 with the SQL-expressible fixed-stride splitter: same hierarchy,
+    ids, and global interleaved chunk_index as ``chunk_parent_child``
+    (parent, its children, next parent — parent_child_chunker.py:84,
+    110,127), but built from pure column expressions so the whole
+    operator is oracle-checkable in DuckDB (the recursive variant's
+    rows-only twin).
+
+    Global index arithmetic: parent i's index = i + sum of child counts
+    of parents 0..i-1 (one prefix-sum window per document); child j of
+    parent i follows at +1+j.  No Python, two explodes, one window.
+    """
+    pstride = parent_size - parent_overlap
+    cstride = child_size - child_overlap
+    src = F.col("__src")
+    docs = documents.withColumn("__src", F.col(text_col))
+    n_par = F.when(F.length(src) == 0, F.lit(0)).otherwise(
+        F.floor((F.length(src) - 1) / pstride) + 1)
+    parents = (docs
+               .withColumn("p_idx",
+                           F.explode(F.sequence(F.lit(0),
+                                                n_par.cast("int") - 1)))
+               .withColumn("p_content",
+                           src.substr((F.col("p_idx") * pstride).cast("int") + 1,
+                                      F.lit(parent_size)))
+               .select(F.col(id_col).alias("doc_id"), "p_idx", "p_content"))
+    n_child = F.when(F.length("p_content") == 0, F.lit(0)).otherwise(
+        F.floor((F.length("p_content") - 1) / cstride) + 1).cast("int")
+    parents = parents.withColumn("child_count", n_child)
+    w = (Window.partitionBy("doc_id").orderBy("p_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    parents = parents.withColumn(
+        "p_global",
+        F.coalesce(F.sum(F.col("child_count") + 1).over(w), F.lit(0))
+         .cast("int"))
+    parent_id = F.concat_ws("_", F.col("doc_id"), F.lit("parent"), F.col("p_idx"))
+    parent_rows = parents.select(
+        parent_id.alias("chunk_id"),
+        F.col("doc_id"),
+        F.col("p_content").alias("content"),
+        F.col("p_global").alias("chunk_index"),
+        F.lit("parent").alias("chunk_type"),
+        parent_id.alias("parent_id"),
+        F.col("child_count"),
+        F.lit(None).cast("int").alias("child_index"))
+    children = (parents
+                .withColumn("c_idx",
+                            F.explode(F.sequence(F.lit(0),
+                                                 F.col("child_count") - 1)))
+                .withColumn("c_content",
+                            F.col("p_content")
+                             .substr((F.col("c_idx") * cstride).cast("int") + 1,
+                                     F.lit(child_size))))
+    child_rows = children.select(
+        F.concat_ws("_", parent_id, F.lit("child"), F.col("c_idx"))
+         .alias("chunk_id"),
+        F.col("doc_id"),
+        F.col("c_content").alias("content"),
+        (F.col("p_global") + 1 + F.col("c_idx")).alias("chunk_index"),
+        F.lit("child").alias("chunk_type"),
+        parent_id.alias("parent_id"),
+        F.lit(None).cast("int").alias("child_count"),
+        F.col("c_idx").alias("child_index"))
+    return parent_rows.unionByName(child_rows)
 
 
 def parent_context(chunks: DataFrame) -> DataFrame:

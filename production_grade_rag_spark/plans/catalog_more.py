@@ -412,6 +412,51 @@ def s7_ordered_chunk_scan(spark: SparkSession, d: str) -> DataFrame:
             .select("chunk_id", "doc_id", "chunk_index", "word_count"))
 
 
+_M2F_ORACLE = """
+WITH parents AS (
+  SELECT doc_id, p_idx::INT AS p_idx,
+         substr(text, p_idx::INT * 1600 + 1, 2000) AS p_content
+  FROM documents, LATERAL unnest(range(0,
+    CASE WHEN length(text) = 0 THEN 0
+         ELSE (length(text) - 1) // 1600 + 1 END)) AS t(p_idx)
+), p2 AS (
+  SELECT *, (CASE WHEN length(p_content) = 0 THEN 0
+                  ELSE (length(p_content) - 1) // 300 + 1 END)::INT AS child_count
+  FROM parents
+), p3 AS (
+  SELECT *, coalesce(sum(child_count + 1) OVER (
+              PARTITION BY doc_id ORDER BY p_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS p_global,
+         doc_id || '_parent_' || p_idx AS parent_id
+  FROM p2
+)
+SELECT parent_id AS chunk_id, doc_id, p_global AS chunk_index,
+       'parent' AS chunk_type, parent_id, child_count,
+       NULL::INT AS child_index, length(p_content)::INT AS content_len
+FROM p3
+UNION ALL
+SELECT parent_id || '_child_' || c_idx AS chunk_id, doc_id,
+       p_global + 1 + c_idx::INT AS chunk_index,
+       'child' AS chunk_type, parent_id, NULL::INT AS child_count,
+       c_idx::INT AS child_index,
+       length(substr(p_content, c_idx::INT * 300 + 1, 400))::INT AS content_len
+FROM p3, LATERAL unnest(range(0, child_count)) AS t(c_idx)
+"""
+
+
+@register("m2_parent_child_fixed", oracle=_M2F_ORACLE)
+def m2_parent_child_fixed(spark: SparkSession, d: str) -> DataFrame:
+    """M2 fixed-stride variant: full parent/child hierarchy — ids,
+    interleaved global chunk_index, child counts — oracle-checked end
+    to end (the recursive-splitter variant m2_parent_child is its
+    rows-only twin; both share schema and id scheme)."""
+    docs = _t(spark, d, "documents")
+    out = chunking.chunk_parent_child_fixed(docs)
+    return out.select("chunk_id", "doc_id", "chunk_index", "chunk_type",
+                      "parent_id", "child_count", "child_index",
+                      F.length("content").cast("int").alias("content_len"))
+
+
 # ===========================================================================
 # T7 exact greedy budget + multimodal plumbing
 # ===========================================================================
