@@ -553,3 +553,33 @@ def s5_title_fallback(spark: SparkSession, d: str) -> DataFrame:
                        F.lit(""))
     fallback = F.concat_ws("-", F.col("source"), F.col("doc_id"))
     return docs.select("doc_id", F.coalesce(heading, fallback).alias("title"))
+
+
+# ===========================================================================
+# Custom stateful streaming operator (applyInPandasWithState)
+# ===========================================================================
+
+@register("st_user_running_state", oracle="""
+SELECT user_id,
+       count(*) AS event_count,
+       sum(CAST(floor(value * 10000) AS BIGINT)) / 10000.0 AS value_sum
+FROM events
+GROUP BY user_id
+""")
+def st_user_running_state(spark: SparkSession, d: str) -> DataFrame:
+    """A8 as a custom stateful streaming operator: per-user running
+    (count, value-sum) via applyInPandasWithState over the watermarked
+    event stream; drained with availableNow, then the last emission per
+    user (max event_count) is the final state — which must equal the
+    plain batch groupBy, the SQL oracle here.  Integer-scaled
+    accumulation makes the float sum batch-order independent."""
+    from pyspark.sql import Window
+    from ..streaming import pipeline as SP
+    stream = SP.read_event_stream(spark, d)
+    updates = SP.run_available_now(SP.user_running_state(stream),
+                                   "st_user_running_state",
+                                   output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_count"))
+    return (updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_count", "value_sum"))

@@ -27,9 +27,13 @@ from __future__ import annotations
 
 import tempfile
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 # events.parquet stores TIMESTAMP(NANOS); with
 # spark.sql.legacy.parquet.nanosAsLong (set in session.py) it surfaces
@@ -88,14 +92,51 @@ def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
                     "n_events", "sum_value"))
 
 
+def user_running_state(events: DataFrame) -> DataFrame:
+    """A8 rolling metrics as a CUSTOM STATEFUL operator
+    (applyInPandasWithState): per-user running event count and value
+    sum held in executor state, sharded by the groupBy key exactly like
+    the batch shuffle (reference twin: in-memory metric mutation,
+    rag_engine.py:415-459).
+
+    Emits the running totals after every micro-batch that touches the
+    user ("update" mode); the LAST emission per user (max event_count —
+    strictly increasing) equals the batch groupBy aggregate, which is
+    the oracle check (catalog st_user_running_state).
+
+    Determinism across batch orderings: value is accumulated as
+    floor(value*10000) in int64 (exact integer adds commute; float
+    sums don't), divided once on emit.  State size: two longs per user
+    — at 100 TB this is bounded by |users|, not |events|, and
+    NoTimeout is replaced by an event-time timeout to expire idle keys.
+    """
+    out_schema = "user_id long, event_count long, value_sum double"
+    state_schema = "cnt long, vsum long"
+
+    def update(key, pdfs, state):
+        cnt, vsum = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            vsum += int(np.floor(pdf["value"].to_numpy() * 10000)
+                        .astype("int64").sum())
+        state.update((cnt, vsum))
+        yield pd.DataFrame({"user_id": [key[0]], "event_count": [cnt],
+                            "value_sum": [vsum / 10000.0]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_available_now(result: DataFrame, table_name: str,
-                      timeout_s: int = 120) -> DataFrame:
+                      timeout_s: int = 120,
+                      output_mode: str = "complete") -> DataFrame:
     """Drain all available input through the streaming plan into an
     in-memory sink and return the sink contents as a DataFrame."""
     with tempfile.TemporaryDirectory(prefix="pgrs_ckpt_") as ckpt:
         q = (result.writeStream.format("memory")
              .queryName(table_name)
-             .outputMode("complete")
+             .outputMode(output_mode)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True)
              .start())

@@ -22,6 +22,39 @@ def test_hourly_counts_stream_matches_batch(spark):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_user_running_state_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState must carry state ACROSS micro-batches:
+    split the events into 3 files, force one file per trigger, and the
+    final per-user emission must equal the batch groupBy aggregate."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "events_split")
+    events = spark.read.parquet(f"{SF001}/events.parquet")
+    events.repartition(3).write.parquet(src)
+
+    raw = (spark.readStream.schema(sp.EVENTS_RAW_SCHEMA)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(src))
+    stream = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                 .withWatermark("ts", "2 hours"))
+    updates = sp.run_available_now(sp.user_running_state(stream),
+                                   "t_user_state", output_mode="update")
+    # >1 emission for at least one user proves multiple micro-batches ran
+    assert updates.count() > updates.select("user_id").distinct().count()
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_count"))
+    final = (updates.withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1").select("user_id", "event_count", "value_sum"))
+    batch = (spark.read.parquet(f"{SF001}/events.parquet")
+             .groupBy("user_id")
+             .agg(F.count("*").alias("event_count"),
+                  (F.sum(F.floor(F.col("value") * 10000).cast("long"))
+                   / 10000.0).alias("value_sum")))
+    cols = ["user_id", "event_count", "value_sum"]
+    assert _rows(final, cols) == _rows(batch, cols)
+
+
 def test_sessionize_stream_matches_batch(spark):
     events = sp.read_event_stream(spark, SF001)
     out = sp.run_available_now(sp.sessionized(events), "t_sessions")
