@@ -583,3 +583,40 @@ def st_user_running_state(spark: SparkSession, d: str) -> DataFrame:
     return (updates.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("user_id", "event_count", "value_sum"))
+
+
+@register("ev_skew_salted_agg", oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(floor(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
+FROM events
+GROUP BY event_type
+""")
+def ev_skew_salted_agg(spark: SparkSession, d: str) -> DataFrame:
+    """Salting demo for skewed group keys: event_type has very few
+    distinct values, so a naive groupBy lands each key on ONE reducer.
+    Two-phase plan: partial agg on (event_type, salt=pmod(hash,16))
+    spreads each hot key over 16 reducers, then a final agg on
+    event_type combines the 16 tiny partials.  For count/sum Spark's
+    own map-side combine already does this — the pattern matters for
+    aggregates WITHOUT partial merge (collect_list, exact distinct,
+    pandas UDAFs); distinct users here is exact via the same two-phase
+    shape (partial distinct inside each salt shard, merged as a set
+    union — expressed with a pre-distinct on (type, salt, user)).
+    Integer-scaled value sum keeps float parity salt-order independent."""
+    ev = _t(spark, d, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.hash("user_id"), F.lit(16)))
+    partial = (salted
+               .groupBy("event_type", "__salt")
+               .agg(F.count("*").alias("__n"),
+                    F.collect_set("user_id").alias("__users"),
+                    F.sum(F.floor(F.col("value") * 10000).cast("long"))
+                    .alias("__v")))
+    return (partial
+            .groupBy("event_type")
+            .agg(F.sum("__n").alias("n_events"),
+                 F.size(F.array_distinct(
+                     F.flatten(F.collect_list("__users")))).cast("long")
+                 .alias("n_users"),
+                 (F.sum("__v") / 10000.0).alias("sum_value")))
