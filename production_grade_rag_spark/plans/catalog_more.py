@@ -620,3 +620,64 @@ def ev_skew_salted_agg(spark: SparkSession, d: str) -> DataFrame:
                      F.flatten(F.collect_list("__users")))).cast("long")
                  .alias("n_users"),
                  (F.sum("__v") / 10000.0).alias("sum_value")))
+
+
+# ===========================================================================
+# Standalone T4/T5/T6 (explicit §2.2 keys; also exercised inside
+# m1_chunk_fixed and r4_knn_filtered pipelines)
+# ===========================================================================
+
+@register("t4_min_length", oracle=f"""
+SELECT doc_id, length({O.pystrip_sql('text')}) AS content_len
+FROM documents
+WHERE length({O.pystrip_sql('text')}) >= 50
+""")
+def t4_min_length(spark: SparkSession, d: str) -> DataFrame:
+    """T4 standalone: min-length gate on stripped content
+    (document_processor.py:103-104; the chunk pipeline applies the
+    same gate inside m1_chunk_fixed)."""
+    from ..functions.text import pystrip
+    docs = _t(spark, d, "documents")
+    return (docs.select("doc_id",
+                        F.length(pystrip(F.col("text"))).alias("content_len"))
+            .filter(F.col("content_len") >= 50))
+
+
+def _t5_oracle() -> str:
+    from .catalog_ext import QUERY_VEC
+    score = OV.cosine_sql("embedding", OV.vec_lit_sql(QUERY_VEC))
+    return f"""
+SELECT vec_id, round({score}, 6) AS score
+FROM embeddings
+WHERE {score} >= 0.1
+"""
+
+
+@register("t5_score_threshold", oracle=_t5_oracle())
+def t5_score_threshold(spark: SparkSession, d: str) -> DataFrame:
+    """T5 standalone: min-score filter on similarity scores with NO
+    top-k (vector_search.py:249-253 / advanced_search.py:224 — the
+    threshold is its own operator; r4_knn_filtered composes it with
+    the limit)."""
+    from ..operators.similarity import cosine, to_double_array
+    from .catalog_ext import _qvec_col
+    emb = _t(spark, d, "embeddings")
+    score = cosine(to_double_array(F.col("embedding")), _qvec_col())
+    return (emb.select("vec_id", F.round(score, 6).alias("score"),
+                       score.alias("__raw"))
+            .filter(F.col("__raw") >= 0.1).drop("__raw"))
+
+
+@register("t6_field_projection", oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE source = 'src3'
+""")
+def t6_field_projection(spark: SparkSession, d: str) -> DataFrame:
+    """T6 standalone: field projection + predicate, the $project/$match
+    pair (vector_search.py:83-93).  Catalyst pushes BOTH to the parquet
+    scan (PushedFilters + ReadSchema pruning — asserted in
+    tests/test_sources.py for the same shape)."""
+    docs = _t(spark, d, "documents")
+    return (docs.filter(F.col("source") == "src3")
+            .select("doc_id", "lang", "source"))
