@@ -216,7 +216,8 @@ def u1_union_distinct(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register("a5_corpus_stats_cube", oracle="""
-SELECT source, lang, count(*) AS doc_count, sum(n_chars) AS total_chars
+SELECT source, lang, count(*) AS doc_count,
+       sum(n_chars)::BIGINT AS total_chars  -- DuckDB sum->HUGEINT renders as float
 FROM documents
 GROUP BY CUBE (source, lang)
 """)
@@ -353,7 +354,7 @@ WITH ranked AS (
   SELECT doc_id, (length(text) // 4)::BIGINT AS est_tokens,
          sum((length(text) // 4)::BIGINT) OVER (
            ORDER BY n_chars DESC, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS running_tokens
   FROM documents
 )
 SELECT doc_id, est_tokens, running_tokens

@@ -269,9 +269,9 @@ def a4_best_doc_per_source(spark: SparkSession, d: str) -> DataFrame:
 @register("a6_source_stats", oracle=f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_english,
-       sum(CASE WHEN len({OV.tokens_sql('text')}) >= 100 THEN 1 ELSE 0 END) AS n_long,
-       sum(n_chars) AS total_chars
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_english,
+       sum(CASE WHEN len({OV.tokens_sql('text')}) >= 100 THEN 1 ELSE 0 END)::BIGINT AS n_long,
+       sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY source
 """)
 def a6_source_stats(spark: SparkSession, d: str) -> DataFrame:
@@ -414,7 +414,7 @@ WITH ordered AS (
   FROM ordered
 ), numbered AS (
   SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,

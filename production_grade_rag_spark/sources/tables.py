@@ -30,6 +30,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as a nanos long (spark.sql.legacy.parquet.nanosAsLong) and we
     truncate to a microsecond timestamp, matching DuckDB's ns->us cast.
     """
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); without this runtime
+        # conf a vanilla session throws PARQUET_TYPE_ILLEGAL before the
+        # bigint->timestamp conversion below can run.  Set it on the
+        # session we're handed (it is a runtime SQL conf), so callers
+        # (driver harness included) need no session-level setup.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
