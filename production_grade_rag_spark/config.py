@@ -48,7 +48,7 @@ class EngineConfig:
 
     # feature flags (reference: config/feature_flags.py)
     enable_parent_retrieval: bool = True
-    enable_hybrid_search: bool = True
+    enable_hybrid_search: bool = False  # rag_config.yaml ships it off
     enable_advanced_search: bool = True
 
     def validate(self) -> None:

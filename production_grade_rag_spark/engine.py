@@ -95,9 +95,11 @@ class SparkRagEngine:
                id_col: str = "chunk_id") -> DataFrame:
         """VectorSearchQuery semantics (base.py:16-23): one of
         query_text / query_vector; search_type in {semantic, hybrid,
-        filtered}; equality ``filters`` applied AFTER scoring, before
-        the limit (the reference's $match placement —
-        vector_search.py:79-80,249-257)."""
+        filtered}; ``min_score`` and equality ``filters`` apply after
+        scoring and BEFORE the limit (the reference's $match placement —
+        vector_search.py:79-80,194-203,249-257), so a full k rows of
+        matching results come back even when the unfiltered top-k would
+        have dropped them."""
         c = self.config
         k = min(limit or c.default_k, c.max_k)
         if query_vector is None:
@@ -105,8 +107,16 @@ class SparkRagEngine:
                 raise ValueError("need query_text or query_vector")
             query_vector = self.embed_query(query_text)
 
+        # equality filters reference row attributes, not the score, so
+        # they commute with scoring: filtering the index up front is the
+        # same set as "after scoring, before the limit", and Catalyst
+        # pushes the predicate down to the scan.
+        for col, val in (filters or {}).items():
+            index = index.filter(F.col(col) == val)
+
         if search_type == "semantic":
-            out = knn_topk(index, query_vector, k=k, id_col=id_col)
+            out = knn_topk(index, query_vector, k=k, id_col=id_col,
+                           min_score=min_score)
         elif search_type == "filtered":
             scored = index.withColumn(
                 "score", cosine(to_double_array(F.col("embedding")),
@@ -115,25 +125,17 @@ class SparkRagEngine:
             scored = scored.filter(
                 F.col("score") >= (min_score if min_score is not None
                                    else c.similarity_threshold))
-            for col, val in (filters or {}).items():
-                scored = scored.filter(F.col(col) == val)
             out = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
         elif search_type == "hybrid":
             out = self._hybrid(index, query_text or "", query_vector, k,
-                               id_col)
+                               id_col, min_score=min_score)
         else:
             raise ValueError(f"unknown search_type {search_type!r}")
-
-        if search_type != "filtered":
-            if min_score is not None:
-                out = out.filter(F.col("score") >= min_score)
-            for col, val in (filters or {}).items():
-                out = out.filter(F.col(col) == val)
         return out
 
     def _hybrid(self, index: DataFrame, query_text: str,
                 query_vector: list[float], k: int,
-                id_col: str) -> DataFrame:
+                id_col: str, min_score: float | None = None) -> DataFrame:
         """R7: vector branch (2k) ∪ text-overlap branch (2k) -> dedup
         by id (max per score) -> 0.7/0.3 fusion -> top-k
         (vector_search.py:98-204; candidate sizing :131,158)."""
@@ -156,6 +158,10 @@ class SparkRagEngine:
         merged = fusion.hybrid_union(vec, txt)
         fused = fusion.weighted_fusion(merged, c.hybrid_vector_weight,
                                        c.hybrid_text_weight)
+        if min_score is not None:
+            # threshold the FUSED score before the limit, so matching
+            # rows outside the unthresholded top-k still surface.
+            fused = fused.filter(F.col("score") >= min_score)
         return (fused.orderBy(F.desc("score"), "id").limit(k)
                      .withColumnRenamed("id", id_col))
 
@@ -173,9 +179,16 @@ class SparkRagEngine:
         if strategies is None:
             strategies = select_strategies(query_intent(query_text), c)
         branches = []
+        # each branch is threshold-filtered BEFORE fusion, per the
+        # reference's per-strategy SearchConfig.threshold
+        # (advanced_search.py:53-66,224: similarity 0.7, parent_child
+        # 0.65 on top of its 0.75 search threshold).  The repo-only
+        # hybrid strategy has no reference threshold and enters fusion
+        # unfiltered.
         for s in strategies:
             if s == "similarity":
-                b = knn_topk(index, qv, k=k, id_col=id_col) \
+                b = knn_topk(index, qv, k=k, id_col=id_col,
+                             min_score=c.similarity_threshold) \
                     .select(F.col(id_col).alias("id"), "score")
             elif s == "hybrid":
                 b = self._hybrid(index, query_text, qv, k, id_col) \
@@ -183,7 +196,8 @@ class SparkRagEngine:
             elif s == "parent_child":
                 b = knn_topk(index, qv, k=k, id_col=id_col,
                              min_score=c.parent_child_search_threshold) \
-                    .select(F.col(id_col).alias("id"), "score")
+                    .select(F.col(id_col).alias("id"), "score") \
+                    .filter(F.col("score") >= c.parent_child_threshold)
             else:
                 raise ValueError(f"unknown strategy {s!r}")
             branches.append(b.withColumn("strategy", F.lit(s)))

@@ -35,11 +35,14 @@ def greedy_budget_py(rows: list[dict], text_key: str = "content",
     for row in rows:
         text = row[text_key] or ""
         est = len(text) // CHARS_PER_TOKEN
+        # check order matters: the reference tests the RAW estimate
+        # against the total budget (skip) before per-result truncation,
+        # so a huge doc that would fit only after truncation is skipped.
+        if total + est > max_total_tokens:
+            continue                      # skip, keep scanning
         if est > max_result_tokens:
             text = text[: max_result_tokens * CHARS_PER_TOKEN] + "..."
             est = max_result_tokens
-        if total + est > max_total_tokens:
-            continue                      # skip, keep scanning
         row = dict(row)
         row[text_key] = text
         row["est_tokens"] = est

@@ -307,6 +307,60 @@ def t3_quality_filter(spark: SparkSession, d: str) -> DataFrame:
             .select("doc_id", F.round("quality_score", 6).alias("quality_score")))
 
 
+@register("t3_quality_filter_030", oracle=f"""
+SELECT doc_id, round({O.quality_sql('text')}, 6) AS quality_score
+FROM documents
+WHERE {O.quality_sql('text')} >= 0.3
+""")
+def t3_quality_filter_030(spark: SparkSession, d: str) -> DataFrame:
+    """T3 at the flagship threshold 0.3 (rag_pipeline.py:45-68;
+    quality_threshold in rag_config.yaml).  The 0.5 twin above is
+    vacuous on synthetic testdata (every doc scores below it), so this
+    entry is the one that actually exercises the filter predicate and
+    the NULL-passes rule against the oracle."""
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    scored = docs.withColumn("quality_score",
+                             X.quality_components(F.col("text"))["quality_score"])
+    return (X.quality_filter(scored, 0.3)
+            .select("doc_id", F.round("quality_score", 6).alias("quality_score")))
+
+
+# Synthetic testdata text carries no URLs, which made the plain s4 entry
+# pass vacuously (0 rows).  This twin appends a deterministic link-bearing
+# suffix to every 7th document — two duplicate URLs (dedupe), a markdown
+# target, and a notion.so link (exclusion) — so every branch of the
+# extractor is oracle-exercised.  Same suffix expression on both sides.
+_S4_SUFFIX_SQL = (
+    "' see https://example.com/doc/' || doc_id || "
+    "' and [ref](https://docs.example.org/p/' || (doc_id % 13) || ') again "
+    "https://example.com/doc/' || doc_id || ' but not "
+    "https://notion.so/internal/' || doc_id"
+)
+
+
+@register("s4_extract_links_seeded", oracle=f"""
+SELECT doc_id, unnest({O.links_sql(f"(text || {_S4_SUFFIX_SQL})")}) AS url
+FROM documents WHERE doc_id % 7 = 0
+""")
+def s4_extract_links_seeded(spark: SparkSession, d: str) -> DataFrame:
+    """S4/F10/F11 over link-seeded text: URL regex -> dedupe ->
+    notion.so exclusion all verified non-vacuously
+    (notion_collector.py:340-398)."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") % 7 == 0)
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://example.com/doc/"), F.col("doc_id"),
+            F.lit(" and [ref](https://docs.example.org/p/"),
+            F.col("doc_id") % 13,
+            F.lit(") again https://example.com/doc/"), F.col("doc_id"),
+            F.lit(" but not https://notion.so/internal/"), F.col("doc_id"),
+        ))
+    return seeded.select(
+        "doc_id", F.explode(X.extract_links(F.col("text"))).alias("url"))
+
+
 @register("f3_word_count",
           oracle=f"SELECT doc_id, {O.word_count_sql('text')} AS word_count FROM documents")
 def f3_word_count(spark: SparkSession, d: str) -> DataFrame:

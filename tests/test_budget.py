@@ -26,6 +26,18 @@ def test_single_result_truncation():
     assert out[0]["content"] == "y" * 200 + "..."
 
 
+def test_oversized_doc_skipped_before_truncation():
+    # reference checks the RAW estimate against the total budget first
+    # (rag_engine.py _filter_and_optimize_results): a huge doc that
+    # would fit only after truncation is skipped, not kept-truncated.
+    rows = [
+        {"doc_id": 1, "content": "x" * 2000},  # 500 raw > 160 total -> skip
+        {"doc_id": 2, "content": "x" * 400},   # 100 fits
+    ]
+    out = greedy_budget_py(rows, max_total_tokens=160, max_result_tokens=50)
+    assert [r["doc_id"] for r in out] == [2]
+
+
 def test_spark_matches_python(spark):
     import random
     rng = random.Random(7)

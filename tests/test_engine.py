@@ -61,14 +61,29 @@ def test_hybrid_scores_are_weighted_sum(engine, index):
         assert math.isclose(r["score"], 0.7 * v + 0.3 * t, rel_tol=1e-9)
 
 
-def test_multi_strategy_returns_strategy_sets(engine, index):
-    out = engine.multi_strategy_search(index, "table scan filter", limit=5)
+def test_multi_strategy_returns_strategy_sets(spark, index):
+    # permissive thresholds: hash-embedding cosines sit well below the
+    # reference's 0.7/0.75 cutoffs, which would (correctly) empty every
+    # branch; this test exercises fusion shape, not thresholds.
+    eng = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.2, similarity_threshold=0.0,
+        parent_child_threshold=0.0, parent_child_search_threshold=0.0,
+        enable_hybrid_search=True))
+    out = eng.multi_strategy_search(index, "table scan filter", limit=5)
     rows = out.collect()
     assert 0 < len(rows) <= 5
     known = {"similarity", "hybrid", "parent_child"}
     for r in rows:
         assert set(r["strategies_used"]) <= known
         assert len(r["strategies_used"]) >= 1
+
+
+def test_multi_strategy_thresholds_drop_low_scores(engine, index):
+    # with the reference's default per-strategy thresholds
+    # (advanced_search.py:53-66), low-scoring hash-embedding hits are
+    # filtered out of fusion entirely.
+    out = engine.multi_strategy_search(index, "table scan filter", limit=5)
+    assert out.count() == 0
 
 
 def test_intent_driven_strategy_selection():
@@ -79,9 +94,15 @@ def test_intent_driven_strategy_selection():
     assert query_intent("weird error in prod") == "problem-solving"
     assert query_intent("what is a vector") == "conceptual"
     assert query_intent("weather tomorrow") == "general"
-    # problem-solving drops parent_child; everything keeps similarity
-    assert select_strategies("problem-solving", cfg) == ["similarity", "hybrid"]
+    # problem-solving drops parent_child; everything keeps similarity.
+    # hybrid is OFF by default (rag_config.yaml: enable_hybrid_search
+    # false) and joins only when the flag is raised.
+    assert select_strategies("problem-solving", cfg) == ["similarity"]
     assert select_strategies("conceptual", cfg) == [
+        "similarity", "parent_child"]
+    on = EngineConfig(enable_hybrid_search=True)
+    assert select_strategies("problem-solving", on) == ["similarity", "hybrid"]
+    assert select_strategies("conceptual", on) == [
         "similarity", "parent_child", "hybrid"]
     off = EngineConfig(enable_hybrid_search=False,
                        enable_parent_retrieval=False)
