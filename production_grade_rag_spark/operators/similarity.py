@@ -158,19 +158,26 @@ def ivf_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
             centroids, ["cell_id", "centroid"])
     else:
         cent_df = centroids
-        cents = {r["cell_id"]: r["centroid"] for r in cent_df.collect()}
-        bc = corpus.sparkSession.sparkContext.broadcast(cents)
+        # centroid table is n_lists rows — driver-side collect is the
+        # broadcast, and assignment stays a pure column expression
+        # (whole-stage codegen, no Python in the per-row path): one
+        # squared-distance expression per centroid, packed into an
+        # array of (dist, cell_id) structs; array_sort orders by field
+        # order, so element 0 is the nearest cell (ties -> lowest id).
+        cents = sorted((r["cell_id"], [float(x) for x in r["centroid"]])
+                       for r in cent_df.collect())
+        v = vector_to_array(F.col("__features"))
 
-        @F.udf("int")
-        def nearest(v):
-            best, best_d = -1, float("inf")
-            for cid, c in bc.value.items():
-                d = sum((a - b) ** 2 for a, b in zip(v, c))
-                if d < best_d:
-                    best, best_d = cid, d
-            return best
-        assigned = feats.withColumn("__cell", nearest(vector_to_array(
-            F.col("__features"))))
+        def _dist(c: list[float]):
+            return F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+
+        nearest = F.element_at(F.array_sort(F.array(*[
+            F.struct(_dist(c).alias("d"), F.lit(cid).alias("c"))
+            for cid, c in cents])), 1)["c"]
+        assigned = feats.withColumn("__cell", nearest)
 
     # probe selection is centroid-count work (n_lists rows) — driver-side
     q = [float(x) for x in query_vec]

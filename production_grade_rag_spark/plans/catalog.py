@@ -131,22 +131,27 @@ WHERE r_name IN ('ASIA', 'EUROPE')
 GROUP BY n_name
 """)
 def q5_nation_revenue(spark: SparkSession, d: str) -> DataFrame:
-    """TPC-H Q5 shape: star join.  All dimensions (region/nation/
-    customer/supplier) broadcast; only orders⋈lineitem shuffles."""
+    """TPC-H Q5 shape: star join.  Only the FIXED-size dimensions
+    (region 5 rows, nation 25) are force-broadcast; customer and
+    supplier scale with the fact data (sf x 150k / sf x 10k rows), so
+    forcing them into a broadcast ODMs executors at 100 TB — their join
+    strategy is left to Catalyst/AQE, which broadcasts while they fit
+    the threshold and falls back to shuffle joins beyond it."""
     region = _t(spark, d, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     nation = _t(spark, d, "nation")
     cust = _t(spark, d, "customer")
     sup = _t(spark, d, "supplier")
     orders = _t(spark, d, "orders")
     li = _t(spark, d, "lineitem")
-    dims = (nation.join(F.broadcast(region),
-                        nation.n_regionkey == region.r_regionkey)
-            .join(cust, cust.c_nationkey == nation.n_nationkey))
+    dims = nation.join(F.broadcast(region),
+                       nation.n_regionkey == region.r_regionkey)
+    cust_n = cust.join(F.broadcast(dims),
+                       cust.c_nationkey == dims.n_nationkey)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
-        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey)
-              & (sup.s_nationkey == dims.c_nationkey))
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey)
+              & (sup.s_nationkey == cust_n.c_nationkey))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))

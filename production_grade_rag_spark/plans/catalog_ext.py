@@ -20,7 +20,7 @@ from .catalog import _t, register
 
 # Deterministic query literals shared by Spark and oracle sides.
 QUERY_TERMS = ["table", "join", "vector", "scan", "filter", "group"]
-QUERY_VEC = [1.0, 0.5, -0.25, 0.75, -0.5] + [0.0] * 59   # dim 64
+QUERY_VEC = OV.QUERY_VEC   # dim 64; canonical definition in oracle_vec
 
 
 def _qvec_col():

@@ -13,7 +13,7 @@ from ..operators import chunking, dedup, embedding, similarity
 from . import oracle_sql as O
 from . import oracle_vec as OV
 from .catalog import _t, register
-from .catalog_ext import QUERY_VEC
+from .oracle_vec import QUERY_VEC
 from .oracle_sql import sql_str
 
 
@@ -119,7 +119,6 @@ def r4_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
     path next to the exact r4_knn_topk and the LSH pair join.  Recall
     vs exact is asserted in tests/test_similarity.py; the driver
     records a rows-only check because ANN misses are semantic."""
-    from .catalog_ext import QUERY_VEC
     emb = _t(spark, d, "embeddings")
     out = similarity.ivf_topk(emb, QUERY_VEC, k=10)
     return out.select("vec_id", F.round("score", 6).alias("score"))
@@ -372,7 +371,7 @@ def m4_context_grouping(spark: SparkSession, d: str) -> DataFrame:
     concatenate their texts separator-joined in rank order
     (rag_engine.py:296-347).  The LLM call itself is out of scope
     (BASELINE.md); this is the data shaping that feeds it."""
-    from .catalog_ext import QUERY_VEC, _qvec_col
+    from .catalog_ext import _qvec_col
     from ..functions.vector import cosine, to_double_array
     docs = _t(spark, d, "documents")
     emb = _t(spark, d, "embeddings")
@@ -644,7 +643,6 @@ def t4_min_length(spark: SparkSession, d: str) -> DataFrame:
 
 
 def _t5_oracle() -> str:
-    from .catalog_ext import QUERY_VEC
     score = OV.cosine_sql("embedding", OV.vec_lit_sql(QUERY_VEC))
     return f"""
 SELECT vec_id, round({score}, 6) AS score

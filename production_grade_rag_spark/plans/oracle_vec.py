@@ -15,6 +15,11 @@ from ..operators.textstats import BPE_TOKEN_RE, LANG_PROFILES
 from .oracle_sql import sql_str
 
 
+# shared test query vector (dim 64) — lives here (no catalog imports)
+# so catalog_ext and catalog_more can both use it without a cycle.
+QUERY_VEC = [1.0, 0.5, -0.25, 0.75, -0.5] + [0.0] * 59
+
+
 def _strip(expr: str) -> str:
     return f"regexp_replace({expr}, {sql_str(PY_STRIP_RE)}, '', 'g')"
 
