@@ -38,6 +38,14 @@ class EngineConfig:
     strategy_weights: dict = field(default_factory=lambda: {
         "similarity": 0.6, "parent_child": 0.4, "hybrid": 0.5,
     })
+    # per-strategy retrieval depth (advanced_search.py:53-66): each
+    # strategy retrieves its own max_results FIRST, then threshold-
+    # filters, then the orchestrator truncates to the caller's limit.
+    # hybrid is a repo-only strategy with no reference config row; it
+    # sizes its candidate pools internally (2x the caller's limit).
+    strategy_max_results: dict = field(default_factory=lambda: {
+        "similarity": 15, "parent_child": 8,
+    })
     diversity_jaccard_cutoff: float = 0.85   # advanced_search.py:275-311
     quality_threshold: float = 0.5           # rag_pipeline.py:49
 

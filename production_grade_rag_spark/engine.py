@@ -95,11 +95,20 @@ class SparkRagEngine:
                id_col: str = "chunk_id") -> DataFrame:
         """VectorSearchQuery semantics (base.py:16-23): one of
         query_text / query_vector; search_type in {semantic, hybrid,
-        filtered}; ``min_score`` and equality ``filters`` apply after
-        scoring and BEFORE the limit (the reference's $match placement —
-        vector_search.py:79-80,194-203,249-257), so a full k rows of
-        matching results come back even when the unfiltered top-k would
-        have dropped them."""
+        filtered}.  Filter placement follows the reference's pipelines
+        exactly:
+
+        - semantic  : $match filters run AFTER $vectorSearch's internal
+          limit (vector_search.py:61-95), so the top-k is taken over the
+          UNFILTERED corpus and filters/min_score then drop rows — fewer
+          than k results can come back.
+        - filtered  : $vectorSearch retrieves limit*2 candidates, then
+          the score threshold and filters apply, then the final $limit
+          (vector_search.py:234-275).
+        - hybrid    : candidate branches are unfiltered; filters apply
+          after fusion, before the final sort+limit
+          (vector_search.py:193-205).
+        """
         c = self.config
         k = min(limit or c.default_k, c.max_k)
         if query_vector is None:
@@ -107,38 +116,42 @@ class SparkRagEngine:
                 raise ValueError("need query_text or query_vector")
             query_vector = self.embed_query(query_text)
 
-        # equality filters reference row attributes, not the score, so
-        # they commute with scoring: filtering the index up front is the
-        # same set as "after scoring, before the limit", and Catalyst
-        # pushes the predicate down to the scan.
-        for col, val in (filters or {}).items():
-            index = index.filter(F.col(col) == val)
+        def eq_filters(df: DataFrame) -> DataFrame:
+            for col, val in (filters or {}).items():
+                df = df.filter(F.col(col) == val)
+            return df
 
         if search_type == "semantic":
-            out = knn_topk(index, query_vector, k=k, id_col=id_col,
-                           min_score=min_score)
+            # top-k over the unfiltered index, THEN $match (post-limit).
+            out = knn_topk(index, query_vector, k=k, id_col=id_col)
+            out = eq_filters(out)
+            if min_score is not None:
+                out = out.filter(F.col("score") >= min_score)
         elif search_type == "filtered":
-            scored = index.withColumn(
-                "score", cosine(to_double_array(F.col("embedding")),
-                                F.array(*[F.lit(float(x))
-                                          for x in query_vector])))
-            scored = scored.filter(
+            # retrieve 2k candidates, threshold, filter, final limit.
+            cand = knn_topk(index, query_vector, k=2 * k, id_col=id_col)
+            cand = cand.filter(
                 F.col("score") >= (min_score if min_score is not None
                                    else c.similarity_threshold))
-            out = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+            out = eq_filters(cand) \
+                .orderBy(F.desc("score"), F.col(id_col)).limit(k)
         elif search_type == "hybrid":
             out = self._hybrid(index, query_text or "", query_vector, k,
-                               id_col, min_score=min_score)
+                               id_col, min_score=min_score,
+                               filters=filters)
         else:
             raise ValueError(f"unknown search_type {search_type!r}")
         return out
 
     def _hybrid(self, index: DataFrame, query_text: str,
                 query_vector: list[float], k: int,
-                id_col: str, min_score: float | None = None) -> DataFrame:
+                id_col: str, min_score: float | None = None,
+                filters: dict | None = None) -> DataFrame:
         """R7: vector branch (2k) ∪ text-overlap branch (2k) -> dedup
-        by id (max per score) -> 0.7/0.3 fusion -> top-k
-        (vector_search.py:98-204; candidate sizing :131,158)."""
+        by id (max per score) -> 0.7/0.3 fusion -> $match filters ->
+        top-k (vector_search.py:98-204; candidate sizing :131,158;
+        post-fusion filter placement :193-205).  Candidate pools are
+        UNFILTERED — filters only drop rows from the fused set."""
         c = self.config
         qv = F.array(*[F.lit(float(x)) for x in query_vector])
         vec = (index.select(
@@ -158,9 +171,17 @@ class SparkRagEngine:
         merged = fusion.hybrid_union(vec, txt)
         fused = fusion.weighted_fusion(merged, c.hybrid_vector_weight,
                                        c.hybrid_text_weight)
+        # post-fusion $match (vector_search.py:193-205): attribute
+        # filters need the index columns back — join only the filtered
+        # attributes (broadcast-sized: <= 4k fused candidate ids).
+        if filters:
+            attrs = index.select(F.col(id_col).alias("id"),
+                                 *[F.col(col) for col in filters])
+            fused = fused.join(attrs, "id", "left")
+            for col, val in filters.items():
+                fused = fused.filter(F.col(col) == val)
+            fused = fused.drop(*filters.keys())
         if min_score is not None:
-            # threshold the FUSED score before the limit, so matching
-            # rows outside the unthresholded top-k still surface.
             fused = fused.filter(F.col("score") >= min_score)
         return (fused.orderBy(F.desc("score"), "id").limit(k)
                      .withColumnRenamed("id", id_col))
@@ -179,25 +200,36 @@ class SparkRagEngine:
         if strategies is None:
             strategies = select_strategies(query_intent(query_text), c)
         branches = []
-        # each branch is threshold-filtered BEFORE fusion, per the
-        # reference's per-strategy SearchConfig.threshold
-        # (advanced_search.py:53-66,224: similarity 0.7, parent_child
-        # 0.65 on top of its 0.75 search threshold).  The repo-only
-        # hybrid strategy has no reference threshold and enters fusion
-        # unfiltered.
+        # per the reference's _execute_single_strategy
+        # (advanced_search.py:204-226): each strategy RETRIEVES its own
+        # config.max_results first (similarity 15, parent_child 8 —
+        # advanced_search.py:53-66), THEN filters by its threshold
+        # (similarity 0.7; parent_child 0.65 on top of the 0.75
+        # search-internal threshold of its filtered-search retrieval,
+        # advanced_search.py:350-356), then truncates to the caller's
+        # limit.  The repo-only hybrid strategy has no reference config
+        # row and enters fusion unfiltered at the caller's limit.
         for s in strategies:
             if s == "similarity":
-                b = knn_topk(index, qv, k=k, id_col=id_col,
-                             min_score=c.similarity_threshold) \
-                    .select(F.col(id_col).alias("id"), "score")
+                m = c.strategy_max_results["similarity"]
+                b = (knn_topk(index, qv, k=m, id_col=id_col)
+                     .select(F.col(id_col).alias("id"), "score")
+                     .filter(F.col("score") >= c.similarity_threshold)
+                     .orderBy(F.desc("score"), "id").limit(k))
             elif s == "hybrid":
                 b = self._hybrid(index, query_text, qv, k, id_col) \
                     .select(F.col(id_col).alias("id"), "score")
             elif s == "parent_child":
-                b = knn_topk(index, qv, k=k, id_col=id_col,
-                             min_score=c.parent_child_search_threshold) \
-                    .select(F.col(id_col).alias("id"), "score") \
-                    .filter(F.col("score") >= c.parent_child_threshold)
+                m = c.strategy_max_results["parent_child"]
+                # filtered-search retrieval: 2m candidates -> 0.75
+                # threshold -> limit m (vector_search.py:234-275), then
+                # the orchestrator's 0.65 threshold + caller truncation.
+                b = (knn_topk(index, qv, k=2 * m, id_col=id_col)
+                     .select(F.col(id_col).alias("id"), "score")
+                     .filter(F.col("score") >= c.parent_child_search_threshold)
+                     .orderBy(F.desc("score"), "id").limit(m)
+                     .filter(F.col("score") >= c.parent_child_threshold)
+                     .orderBy(F.desc("score"), "id").limit(k))
             else:
                 raise ValueError(f"unknown strategy {s!r}")
             branches.append(b.withColumn("strategy", F.lit(s)))

@@ -25,6 +25,11 @@ from ..functions.vector import cosine, dot, euclidean, to_double_array
 
 METRICS = {"cosine": cosine, "dotProduct": dot, "euclidean": euclidean}
 
+# ceiling for the expression-based IVF cell assignment: beyond this the
+# n_lists x dim literal tree hits the Catalyst codegen-inlining blowup
+# (see build notes); the join path takes over.
+_MAX_EXPR_CENTROIDS = 64
+
 
 def _score(metric: str, a, b):
     fn = METRICS[metric]
@@ -166,18 +171,51 @@ def ivf_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
         # order, so element 0 is the nearest cell (ties -> lowest id).
         cents = sorted((r["cell_id"], [float(x) for x in r["centroid"]])
                        for r in cent_df.collect())
+        # guard against silent nulls from zip_with padding: every
+        # centroid must match the embedding dim (sampled from one row).
+        dims = {len(c) for _, c in cents}
+        if len(dims) != 1:
+            raise ValueError(f"centroids have mixed dims {sorted(dims)}")
+        sample = feats.select(
+            F.size(vector_to_array(F.col("__features"))).alias("d")).head()
+        if sample is not None and sample["d"] != dims.pop():
+            raise ValueError(
+                f"centroid dim {len(cents[0][1])} != embedding dim "
+                f"{sample['d']}")
         v = vector_to_array(F.col("__features"))
 
-        def _dist(c: list[float]):
-            return F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+        if len(cents) <= _MAX_EXPR_CENTROIDS:
+
+            def _dist(c: list[float]):
+                return F.aggregate(
+                    F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+
+            nearest = F.element_at(F.array_sort(F.array(*[
+                F.struct(_dist(c).alias("d"), F.lit(cid).alias("c"))
+                for cid, c in cents])), 1)["c"]
+            assigned = feats.withColumn("__cell", nearest)
+        else:
+            # n_lists x dim literal sub-expressions in one projection
+            # re-inline per downstream reference and blow up codegen
+            # (documented build-notes pitfall).  Above the ceiling,
+            # assign via a broadcast join against the centroid table:
+            # one small shuffle-free crossJoin + min-struct agg.
+            d = F.aggregate(
+                F.zip_with(v, F.col("centroid").cast("array<double>"),
                            lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, x: acc + x)
-
-        nearest = F.element_at(F.array_sort(F.array(*[
-            F.struct(_dist(c).alias("d"), F.lit(cid).alias("c"))
-            for cid, c in cents])), 1)["c"]
-        assigned = feats.withColumn("__cell", nearest)
+            assign = (feats.select(F.col(id_col), "__features")
+                      .crossJoin(F.broadcast(cent_df))
+                      .withColumn("__d", d)
+                      .groupBy(id_col)
+                      .agg(F.min(F.struct(F.col("__d").alias("d"),
+                                          F.col("cell_id").alias("c")))
+                           .alias("__m"))
+                      .select(F.col(id_col),
+                              F.col("__m.c").alias("__cell")))
+            assigned = feats.join(assign, id_col)
 
     # probe selection is centroid-count work (n_lists rows) — driver-side
     q = [float(x) for x in query_vec]

@@ -33,11 +33,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); without this runtime
         # conf a vanilla session throws PARQUET_TYPE_ILLEGAL before the
-        # bigint->timestamp conversion below can run.  Set it on the
-        # session we're handed (it is a runtime SQL conf), so callers
-        # (driver harness included) need no session-level setup.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # bigint->timestamp conversion below can run.  Set it only for
+        # the duration of the read (the relation captures its schema at
+        # read time — verified: execution after restore still works), so
+        # the caller's session conf is left exactly as we found it.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # documents/embeddings arrive as one parquet row group -> one scan

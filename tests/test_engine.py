@@ -52,6 +52,32 @@ def test_filtered_search_applies_min_score_and_filters(engine, index):
     assert all(r["chunk_type"] == "flat" for r in rows)
 
 
+def test_semantic_filters_apply_after_topk(engine, index):
+    # reference $match placement (vector_search.py:61-95): the top-k is
+    # taken over the UNFILTERED corpus, filters drop rows from it — so
+    # the filtered result must be a subset of the unfiltered top-k ids
+    # (possibly fewer than k rows), not a full k of matching rows.
+    q = "table scan filter"
+    top = {r["chunk_id"] for r in
+           engine.search(index, query_text=q, limit=5).collect()}
+    out = engine.search(index, query_text=q, limit=5,
+                        filters={"chunk_type": "flat"}).collect()
+    assert {r["chunk_id"] for r in out} <= top
+    assert all(r["chunk_type"] == "flat" for r in out)
+
+
+def test_filtered_search_candidates_are_top_2k(engine, index):
+    # filtered retrieval pools limit*2 candidates before thresholding
+    # (vector_search.py:234-275): with a no-op threshold, filtered(k)
+    # degenerates to exactly the semantic top-k.
+    q = "table scan filter"
+    out = engine.search(index, query_text=q, search_type="filtered",
+                        limit=3, min_score=-1.0).collect()
+    top3 = engine.search(index, query_text=q, limit=3).collect()
+    assert [r["chunk_id"] for r in out] == [r["chunk_id"] for r in top3]
+    assert len(out) == 3
+
+
 def test_hybrid_scores_are_weighted_sum(engine, index):
     out = engine.search(index, query_text="table scan filter",
                         search_type="hybrid", limit=10)
@@ -84,6 +110,22 @@ def test_multi_strategy_thresholds_drop_low_scores(engine, index):
     # filtered out of fusion entirely.
     out = engine.multi_strategy_search(index, "table scan filter", limit=5)
     assert out.count() == 0
+
+
+def test_strategy_retrieval_depth_is_config_max_results(spark, index):
+    # advanced_search.py:204-226: similarity retrieves its OWN
+    # max_results (15) before thresholding — a caller limit of 50
+    # cannot surface more than 15 similarity rows.
+    eng = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.2, similarity_threshold=0.0,
+        parent_child_threshold=0.0, parent_child_search_threshold=0.0))
+    out = eng.multi_strategy_search(index, "table scan filter",
+                                    limit=50, strategies=["similarity"])
+    n = out.count()
+    assert 0 < n <= 15
+    pc = eng.multi_strategy_search(index, "table scan filter",
+                                   limit=50, strategies=["parent_child"])
+    assert 0 < pc.count() <= 8
 
 
 def test_intent_driven_strategy_selection():

@@ -66,3 +66,28 @@ def test_euclidean_and_dot_metrics(spark):
     # euclidean scores are negated distances: all <= 0
     assert all(r["score"] <= 0 for r in top_euc.collect())
     assert "score" in top_dot.columns
+
+
+def test_ivf_precomputed_centroid_dim_mismatch_raises(spark):
+    import pytest
+    emb = load_table(spark, SF001, "embeddings")
+    bad = spark.createDataFrame(
+        [(0, [0.0] * 32), (1, [0.1] * 32)], ["cell_id", "centroid"])
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ivf_topk(emb, QUERY_VEC, k=5, n_probe=2, centroids=bad)
+
+
+def test_ivf_join_fallback_matches_expression_path(spark, monkeypatch):
+    emb = load_table(spark, SF001, "embeddings")
+    rows = emb.limit(4).collect()
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r["embedding"]])
+         for i, r in enumerate(rows)], ["cell_id", "centroid"])
+    expr = [r["vec_id"] for r in
+            similarity.ivf_topk(emb, QUERY_VEC, k=10, n_probe=4,
+                                centroids=cents).collect()]
+    monkeypatch.setattr(similarity, "_MAX_EXPR_CENTROIDS", 0)
+    join = [r["vec_id"] for r in
+            similarity.ivf_topk(emb, QUERY_VEC, k=10, n_probe=4,
+                                centroids=cents).collect()]
+    assert expr == join and len(expr) == 10
