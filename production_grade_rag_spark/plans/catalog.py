@@ -99,7 +99,11 @@ LIMIT 10
 """)
 def q3_top_revenue_orders(spark: SparkSession, d: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    customer is broadcast (dimension-sized); lineitem never shuffles
+    customer is NOT force-broadcast: the BUILDING-segment projection is
+    sf x 30k rows — it scales with the fact data, so a broadcast hint
+    becomes the scale-killer at 100x.  AQE broadcasts it while it fits
+    autoBroadcastJoinThreshold and shuffle-joins beyond, the same
+    treatment q5 gives customer/supplier.  lineitem never shuffles
     twice.  Deterministic tiebreak on l_orderkey."""
     cust = _t(spark, d, "customer").filter(F.col("c_mktsegment") == "BUILDING") \
         .select("c_custkey")
@@ -109,7 +113,7 @@ def q3_top_revenue_orders(spark: SparkSession, d: str) -> DataFrame:
         F.col("l_shipdate") > F.to_timestamp(F.lit("1999-01-01")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
@@ -241,10 +245,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')
 """)
 def s11_cascading_delete(spark: SparkSession, d: str) -> DataFrame:
     """S11: delete-as-anti-join (document_repository.py:210-234).
-    delete_ids broadcast; no full-table shuffle."""
+    The delete set here is a full source partition — fact-scaled, not
+    dimension-sized — so no broadcast hint: AQE broadcasts while it
+    fits and shuffle-joins beyond (same policy as q3/q5)."""
     docs = _t(spark, d, "documents")
     delete_ids = docs.filter(F.col("source") == "src0").select("doc_id")
-    kept = docs.join(F.broadcast(delete_ids), "doc_id", "left_anti")
+    kept = docs.join(delete_ids, "doc_id", "left_anti")
     return kept.select("doc_id", "source")
 
 

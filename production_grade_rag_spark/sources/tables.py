@@ -102,16 +102,22 @@ def write_json_backup(df: DataFrame, path: str) -> None:
 
 
 def cascading_delete(documents: DataFrame, chunks: DataFrame,
-                     delete_ids: DataFrame) -> tuple[DataFrame, DataFrame]:
+                     delete_ids: DataFrame,
+                     broadcast_hint: bool = True) -> tuple[DataFrame, DataFrame]:
     """S11 cascading delete as anti-join rewrite (reference:
     document_repository.py:210-234,433-456; vector_store.py:245-279).
 
-    ``delete_ids`` has a single ``doc_id`` column.  At scale this is a
-    broadcast anti-join when delete_ids is small (the usual case).
+    ``delete_ids`` has a single ``doc_id`` column.  ``broadcast_hint``
+    forces a broadcast anti-join — right for the usual small delete set,
+    but a forced hint removes AQE's escape hatch when the set is large
+    (bulk purges), so callers with an unbounded set pass False and let
+    AQE pick broadcast-vs-shuffle from the measured size.
     """
     ids = delete_ids.select("doc_id")
-    docs_kept = documents.join(F.broadcast(ids), "doc_id", "left_anti")
-    chunks_kept = chunks.join(F.broadcast(ids), "doc_id", "left_anti")
+    if broadcast_hint:
+        ids = F.broadcast(ids)
+    docs_kept = documents.join(ids, "doc_id", "left_anti")
+    chunks_kept = chunks.join(ids, "doc_id", "left_anti")
     return docs_kept, chunks_kept
 
 

@@ -64,6 +64,27 @@ def test_cascading_delete(spark):
     assert kept_docs.count() == docs.count() - 10
 
 
+def test_cascading_delete_hint_paths(spark):
+    # broadcast_hint=True plans a forced broadcast anti-join;
+    # broadcast_hint=False leaves strategy to AQE (no ResolvedHint /
+    # broadcast join node forced in the analyzed plan) — both produce
+    # the same kept set.
+    docs = load_table(spark, SF001, "documents")
+    chunks = chunk_fixed(docs.limit(100))
+    delete_ids = docs.select("doc_id").limit(10)
+    hinted, _ = cascading_delete(docs, chunks, delete_ids,
+                                 broadcast_hint=True)
+    unhinted, _ = cascading_delete(docs, chunks, delete_ids,
+                                   broadcast_hint=False)
+    assert "UnresolvedHint BROADCAST" in hinted._jdf.queryExecution() \
+        .logical().toString() or "ResolvedHint" in hinted._jdf \
+        .queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution() \
+        .analyzed().toString()
+    assert sorted(r["doc_id"] for r in hinted.collect()) == \
+        sorted(r["doc_id"] for r in unhinted.collect())
+
+
 def test_storage_stats(spark):
     docs = load_table(spark, SF001, "documents")
     chunks = chunk_fixed(docs.limit(50))
