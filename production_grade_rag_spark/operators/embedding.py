@@ -24,6 +24,7 @@ codegens the assembly loop.
 from __future__ import annotations
 
 import hashlib
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -123,3 +124,130 @@ def hash_embed_pandas(df: DataFrame, text_col: str = "content",
 
     return (df.withColumn(out_col, embed_udf(F.col(text_col)))
               .withColumn("embedding_model", F.lit(f"hash-{dim}")))
+
+
+# ===========================================================================
+# M3 model-backed backend (reference document_processor.py:125-150)
+# ===========================================================================
+
+# per-process encoder singletons: one python worker process per executor
+# core holds at most one loaded model per model_name, loaded lazily on
+# the first Arrow batch it sees (the reference's EmbeddingGenerator
+# .initialize() lazy-load, document_processor.py:130-135).
+_MODEL_CACHE: dict = {}
+
+DEFAULT_MODEL = "sentence-transformers/all-MiniLM-L6-v2"  # settings.py:44
+DEFAULT_BATCH = 32                                        # rag_config.yaml:26
+
+
+def model_available() -> bool:
+    """True when the sentence-transformers library is importable."""
+    try:
+        import sentence_transformers  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def sentence_transformer_factory(model_name: str):
+    """Factory returning an ``encode(texts, normalize) -> list[list
+    [float]]`` closure over a real SentenceTransformer.  Import happens
+    inside the returned loader, ON THE EXECUTOR, so the driver never
+    needs the library to build the plan."""
+
+    def load():
+        from sentence_transformers import SentenceTransformer
+        model = SentenceTransformer(model_name)
+
+        def encode(texts: list[str], normalize: bool):
+            out = model.encode(texts, convert_to_numpy=True,
+                               show_progress_bar=False,
+                               normalize_embeddings=normalize)
+            return out.tolist()
+
+        return encode
+
+    return load
+
+
+def fake_model_factory(model_name: str, dim: int = 64):
+    """Deterministic stand-in encoder for environments without the
+    model library: SAME plumbing (iterator UDF, per-executor singleton,
+    batch slicing), hash-math values — so the Spark side of the model
+    path is fully exercised and reproducible."""
+
+    def load():
+        def encode(texts: list[str], normalize: bool):
+            return [embed_text_py(t, dim, normalize) for t in texts]
+
+        return encode
+
+    return load
+
+
+def model_embed(df: DataFrame, text_col: str = "content",
+                model_name: str = DEFAULT_MODEL,
+                batch_size: int = DEFAULT_BATCH, normalize: bool = True,
+                out_col: str = "embedding",
+                encoder_factory=None) -> DataFrame:
+    """M3: model-backed embedding generation
+    (document_processor.py:125-150; batch size rag_config.yaml:26).
+
+    Iterator-form Arrow pandas UDF: the encoder loads ONCE per python
+    worker (lazy singleton keyed by model_name) and then streams Arrow
+    batches through ``encode`` in ``batch_size`` slices — the
+    distributed twin of the reference's initialize-once-then-batch
+    loop.  ``encoder_factory`` defaults to the real
+    sentence-transformers loader; pass ``fake_model_factory(...)`` for
+    a deterministic library-free run.
+
+    100 TB notes: model load cost amortizes over a whole worker
+    lifetime, Arrow transfers are zero-copy columnar, and nothing
+    touches the driver; partitioning is inherited from the input (text
+    rows are narrow — repartition upstream if the source was few large
+    files).
+    """
+    if encoder_factory is None:
+        if not model_available():
+            raise ImportError(
+                "sentence-transformers is not installed; use "
+                "embed(df, backend='auto') for the hash fallback or "
+                "pass encoder_factory=fake_model_factory(...)")
+        encoder_factory = sentence_transformer_factory(model_name)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        enc = _MODEL_CACHE.get(model_name)
+        if enc is None:
+            enc = _MODEL_CACHE.setdefault(model_name, encoder_factory())
+        for texts in batches:
+            clean = ["" if t is None else str(t) for t in texts]
+            vals: list[list[float]] = []
+            for i in range(0, len(clean), batch_size):
+                vals.extend([list(map(float, v)) for v in
+                             enc(clean[i:i + batch_size], normalize)])
+            yield pd.Series(vals)
+
+    return (df.withColumn(out_col, embed_udf(F.col(text_col)))
+              .withColumn("embedding_model", F.lit(model_name)))
+
+
+def embed(df: DataFrame, backend: str = "auto", text_col: str = "content",
+          id_col: str = "chunk_id", dim: int = 64, normalize: bool = True,
+          out_col: str = "embedding", model_name: str = DEFAULT_MODEL,
+          batch_size: int = DEFAULT_BATCH) -> DataFrame:
+    """Backend dispatch for M3:
+
+    - ``"hash"``  : deterministic builtin-expression embedder.
+    - ``"model"`` : sentence-transformers (raises if not installed).
+    - ``"auto"``  : model when the library is importable, else the
+      documented hash fallback — the container-safe default.
+    """
+    if backend == "model" or (backend == "auto" and model_available()):
+        return model_embed(df, text_col=text_col, model_name=model_name,
+                           batch_size=batch_size, normalize=normalize,
+                           out_col=out_col)
+    if backend in ("hash", "auto"):
+        return hash_embed(df, text_col=text_col, id_col=id_col, dim=dim,
+                          normalize=normalize, out_col=out_col)
+    raise ValueError(f"unknown embedding backend {backend!r}")

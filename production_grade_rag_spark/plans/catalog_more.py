@@ -56,6 +56,31 @@ def m3_hash_embed(spark: SparkSession, d: str) -> DataFrame:
                        .alias("sq_norm"))
 
 
+@register("m3_model_embed")  # rows-only: model-backed UDF path (M3)
+def m3_model_embed(spark: SparkSession, d: str) -> DataFrame:
+    """M3 model backend (document_processor.py:125-150): iterator
+    pandas UDF with a per-executor lazy encoder singleton, encoding in
+    batch-32 slices (rag_config.yaml:26).  Runs the real
+    sentence-transformers loader when the library is importable; in
+    this container the deterministic fake encoder exercises the
+    identical Spark plumbing (same UDF, singleton, and batch shape).
+    Backend dispatch + shape/norm invariants are pytest-pinned in
+    tests/test_embedding.py."""
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    if embedding.model_available():
+        out = embedding.model_embed(docs, text_col="text")
+    else:
+        out = embedding.model_embed(
+            docs, text_col="text", model_name="fake-minilm-64",
+            encoder_factory=embedding.fake_model_factory(
+                "fake-minilm-64", dim=64))
+    return out.select(
+        "doc_id", "embedding_model",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(F.col("embedding"), F.lit(0.0),
+                            lambda a, x: a + x * x), 6).alias("sq_norm"))
+
+
 # ===========================================================================
 # R4 batched: many query vectors at once
 # ===========================================================================

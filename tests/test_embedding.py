@@ -40,3 +40,46 @@ def test_normalized_vectors_are_unit_or_zero(spark):
     for r in hash_embed(docs, id_col="doc_id", dim=32).collect():
         n = math.sqrt(sum(x * x for x in r["embedding"]))
         assert math.isclose(n, 1.0, abs_tol=1e-9) or n == 0.0
+
+
+def test_model_embed_fake_backend_matches_hash_math(spark):
+    # the fake encoder routes the SAME iterator-UDF/singleton/batch
+    # plumbing as a real model; values equal the pure-Python twin.
+    from production_grade_rag_spark.operators import embedding as E
+    docs = load_table(spark, SF001, "documents").limit(40) \
+        .select("doc_id", F.col("text").alias("content"))
+    out = E.model_embed(
+        docs, model_name="fake-minilm-32", batch_size=7,
+        encoder_factory=E.fake_model_factory("fake-minilm-32", dim=32))
+    rows = out.select("doc_id", "embedding", "embedding_model").collect()
+    texts = {r["doc_id"]: r["content"] for r in docs.collect()}
+    assert len(rows) == 40
+    for r in rows:
+        assert r["embedding_model"] == "fake-minilm-32"
+        assert len(r["embedding"]) == 32
+        expect = embed_text_py(texts[r["doc_id"]] or "", 32, True)
+        assert all(math.isclose(x, y, abs_tol=1e-12)
+                   for x, y in zip(r["embedding"], expect))
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert n == 0.0 or math.isclose(n, 1.0, rel_tol=1e-9)
+
+
+def test_embed_backend_dispatch(spark):
+    from production_grade_rag_spark.operators import embedding as E
+    import pytest
+    docs = load_table(spark, SF001, "documents").limit(10) \
+        .select("doc_id", F.col("text").alias("content"))
+    h = E.embed(docs, backend="hash", id_col="doc_id", dim=16)
+    assert h.select("embedding_model").first()["embedding_model"] == "hash-16"
+    # auto falls back to hash when the model library is missing
+    a = E.embed(docs, backend="auto", id_col="doc_id", dim=16)
+    if E.model_available():
+        assert a.select("embedding_model").first()["embedding_model"] \
+            == E.DEFAULT_MODEL
+    else:
+        assert a.select("embedding_model").first()["embedding_model"] \
+            == "hash-16"
+        with pytest.raises(ImportError):
+            E.model_embed(docs)
+    with pytest.raises(ValueError):
+        E.embed(docs, backend="nope")
