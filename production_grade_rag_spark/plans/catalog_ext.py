@@ -516,10 +516,12 @@ def m2_parent_child(spark: SparkSession, d: str) -> DataFrame:
         "child_count", "child_index", "word_count")
 
 
-@register("r2_parent_context")   # rows-only (depends on M2 output)
-def r2_parent_context(spark: SparkSession, d: str) -> DataFrame:
-    """R2: child -> parent text via self equi-join (replaces the
-    reference's parent_content denormalization)."""
+@register("r2_parent_context_recursive")   # rows-only: recursive splitter
+def r2_parent_context_recursive(spark: SparkSession, d: str) -> DataFrame:
+    """R2 over the recursive-splitter hierarchy (rows-only — the
+    splitter is not SQL-expressible).  The oracle-checked form is
+    r2_parent_context in catalog_more, built on the fixed-stride
+    hierarchy; the join itself is identical."""
     docs = _t(spark, d, "documents")
     chunks = chunking.chunk_parent_child(docs)
     return chunking.parent_context(chunks).select(
@@ -527,9 +529,10 @@ def r2_parent_context(spark: SparkSession, d: str) -> DataFrame:
         F.length("parent_content").alias("parent_len"))
 
 
-@register("r3_parent_child_map")   # rows-only (depends on M2 output)
-def r3_parent_child_map(spark: SparkSession, d: str) -> DataFrame:
-    """R3: child ids grouped under parents
+@register("r3_parent_child_map_recursive")   # rows-only: recursive splitter
+def r3_parent_child_map_recursive(spark: SparkSession, d: str) -> DataFrame:
+    """R3 over the recursive-splitter hierarchy (rows-only); the
+    oracle-checked form is r3_parent_child_map in catalog_more
     (parent_child_chunker.py:165-186)."""
     docs = _t(spark, d, "documents")
     chunks = chunking.chunk_parent_child(docs)

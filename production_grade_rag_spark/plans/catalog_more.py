@@ -436,7 +436,7 @@ def s7_ordered_chunk_scan(spark: SparkSession, d: str) -> DataFrame:
             .select("chunk_id", "doc_id", "chunk_index", "word_count"))
 
 
-_M2F_ORACLE = """
+_M2F_CTE = """
 WITH parents AS (
   SELECT doc_id, p_idx::INT AS p_idx,
          substr(text, p_idx::INT * 1600 + 1, 2000) AS p_content
@@ -454,6 +454,9 @@ WITH parents AS (
          doc_id || '_parent_' || p_idx AS parent_id
   FROM p2
 )
+"""
+
+_M2F_ORACLE = _M2F_CTE + """
 SELECT parent_id AS chunk_id, doc_id, p_global AS chunk_index,
        'parent' AS chunk_type, parent_id, child_count,
        NULL::INT AS child_index, length(p_content)::INT AS content_len
@@ -479,6 +482,43 @@ def m2_parent_child_fixed(spark: SparkSession, d: str) -> DataFrame:
     return out.select("chunk_id", "doc_id", "chunk_index", "chunk_type",
                       "parent_id", "child_count", "child_index",
                       F.length("content").cast("int").alias("content_len"))
+
+
+@register("r2_parent_context", oracle=_M2F_CTE + """
+SELECT parent_id || '_child_' || c_idx AS chunk_id, doc_id, parent_id,
+       length(p_content)::INT AS parent_len
+FROM p3, LATERAL unnest(range(0, child_count)) AS t(c_idx)
+""")
+def r2_parent_context(spark: SparkSession, d: str) -> DataFrame:
+    """R2: child -> parent text via self equi-join on the fixed-stride
+    hierarchy (replaces the reference's parent_content
+    denormalization, parent_child_chunker.py:118-151).  Oracle replays
+    the hierarchy CTE and emits each child with its parent's length.
+    The recursive-splitter twin is r2_parent_context_recursive."""
+    docs = _t(spark, d, "documents")
+    chunks = chunking.chunk_parent_child_fixed(docs)
+    return chunking.parent_context(chunks).select(
+        "chunk_id", "doc_id", "parent_id",
+        F.length("parent_content").cast("int").alias("parent_len"))
+
+
+@register("r3_parent_child_map", oracle=_M2F_CTE + """
+SELECT parent_id, count(*)::BIGINT AS child_count,
+       string_agg(parent_id || '_child_' || c_idx, ','
+                  ORDER BY parent_id || '_child_' || c_idx) AS child_ids
+FROM p3, LATERAL unnest(range(0, child_count)) AS t(c_idx)
+GROUP BY parent_id
+""")
+def r3_parent_child_map(spark: SparkSession, d: str) -> DataFrame:
+    """R3: child ids grouped under parents on the fixed-stride
+    hierarchy (parent_child_chunker.py:165-186); child_ids joined in
+    lexicographic order on both sides.  The recursive-splitter twin is
+    r3_parent_child_map_recursive."""
+    docs = _t(spark, d, "documents")
+    chunks = chunking.chunk_parent_child_fixed(docs)
+    return (chunking.parent_child_map(chunks)
+            .select("parent_id", "child_count",
+                    F.array_join("child_ids", ",").alias("child_ids")))
 
 
 # ===========================================================================
