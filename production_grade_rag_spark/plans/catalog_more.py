@@ -744,3 +744,71 @@ def t6_field_projection(spark: SparkSession, d: str) -> DataFrame:
     docs = _t(spark, d, "documents")
     return (docs.filter(F.col("source") == "src3")
             .select("doc_id", "lang", "source"))
+
+
+# ===========================================================================
+# S1/S2: JSON page-dump source (notion_collector.py:56-144)
+# ===========================================================================
+
+def _scratch(name: str) -> str:
+    """Repo-local scratch dir (gitignored spark-warehouse) for dump
+    roundtrips — catalog entries must not write outside the repo."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, "spark-warehouse", name)
+
+
+@register("s1_json_page_scan", oracle="""
+SELECT doc_id AS page_id, source AS title, n_chars
+FROM documents WHERE doc_id % 7 = 0
+""")
+def s1_json_page_scan(spark: SparkSession, d: str) -> DataFrame:
+    """S1: Notion page-dump scan (notion_collector.py:56-104).  The
+    REST /search accumulation becomes a JSON-lines dump read back with
+    PERMISSIVE + _corrupt_record: two deliberately malformed lines are
+    appended to the dump and land in the corrupt channel instead of
+    failing the scan (web_crawler.py:72-184 error tolerance), so the
+    parsed output equals the documents-derived oracle exactly."""
+    from ..sources import json_dump as J
+    docs = (_t(spark, d, "documents").filter(F.col("doc_id") % 7 == 0)
+            .select(F.col("doc_id").alias("page_id"),
+                    F.col("source").alias("title"), "n_chars"))
+    path = _scratch("s1_json_dump")
+    J.write_json_dump(docs, path,
+                      corrupt_lines=['{"page_id": broken', 'not json'])
+    df = J.read_json_dump(
+        spark, path, schema="page_id BIGINT, title STRING, n_chars BIGINT")
+    good, _bad = J.split_corrupt(df)
+    return good.select("page_id", "title", "n_chars")
+
+
+@register("s2_json_db_scan", oracle="""
+SELECT doc_id AS entry_id, source AS db_title, lang, n_chars
+FROM documents WHERE doc_id % 5 = 0
+""")
+def s2_json_db_scan(spark: SparkSession, d: str) -> DataFrame:
+    """S2: Notion database-dump scan (notion_collector.py:105-144).
+    Database entries carry a nested ``properties`` object; the dump
+    serializes {"entry_id", "properties": {"title", "lang"},
+    "n_chars"} and the scan projects the nested fields back out with
+    dot paths — the semi-structured half of the source pair.  One
+    corrupt line exercises the PERMISSIVE channel."""
+    from ..sources import json_dump as J
+    docs = (_t(spark, d, "documents").filter(F.col("doc_id") % 5 == 0)
+            .select(F.col("doc_id").alias("entry_id"),
+                    F.struct(F.col("source").alias("title"),
+                             F.col("lang").alias("lang")).alias("properties"),
+                    "n_chars"))
+    path = _scratch("s2_json_dump")
+    J.write_json_dump(docs, path, corrupt_lines=['{"entry_id": 1, "properties": }'])
+    df = J.read_json_dump(
+        spark, path,
+        schema="entry_id BIGINT, "
+               "properties STRUCT<title: STRING, lang: STRING>, "
+               "n_chars BIGINT")
+    good, _bad = J.split_corrupt(df)
+    return good.select("entry_id",
+                       F.col("properties.title").alias("db_title"),
+                       F.col("properties.lang").alias("lang"),
+                       "n_chars")

@@ -1,3 +1,4 @@
+from .json_dump import read_json_dump, split_corrupt, write_json_dump
 from .tables import (
     TABLE_NAMES,
     cascading_delete,
@@ -18,8 +19,11 @@ __all__ = [
     "load_tables",
     "mark_status",
     "ordered_chunk_scan",
+    "read_json_dump",
     "register_views",
+    "split_corrupt",
     "storage_stats",
     "write_json_backup",
+    "write_json_dump",
     "write_parquet",
 ]

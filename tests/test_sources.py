@@ -102,3 +102,38 @@ def test_scan_pushdown_reaches_parquet(spark):
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,5)]" in plan
     lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert lines and "text" not in lines[0], "projection must prune text"
+
+
+def test_json_dump_roundtrip_and_corrupt_capture(spark, tmp_path):
+    from production_grade_rag_spark.sources import (
+        read_json_dump, split_corrupt, write_json_dump)
+    docs = load_table(spark, SF001, "documents").limit(20) \
+        .select("doc_id", "source", "n_chars")
+    path = str(tmp_path / "dump")
+    write_json_dump(docs, path,
+                    corrupt_lines=['{"doc_id": oops', "garbage line"])
+    df = read_json_dump(
+        spark, path, schema="doc_id BIGINT, source STRING, n_chars BIGINT")
+    good, bad = split_corrupt(df)
+    assert good.count() == 20
+    assert bad.count() == 2
+    captured = {r["_corrupt_record"] for r in bad.collect()}
+    assert captured == {'{"doc_id": oops', "garbage line"}
+    # parsed values survive the roundtrip
+    orig = {(r["doc_id"], r["source"], r["n_chars"])
+            for r in docs.collect()}
+    back = {(r["doc_id"], r["source"], r["n_chars"])
+            for r in good.collect()}
+    assert orig == back
+
+
+def test_json_dump_inferred_schema_has_stable_corrupt_col(spark, tmp_path):
+    from production_grade_rag_spark.sources import read_json_dump
+    docs = load_table(spark, SF001, "documents").limit(5) \
+        .select("doc_id", "source")
+    from production_grade_rag_spark.sources import write_json_dump
+    path = str(tmp_path / "clean_dump")
+    write_json_dump(docs, path)   # no corrupt lines
+    df = read_json_dump(spark, path)
+    assert "_corrupt_record" in df.columns
+    assert df.filter(df["_corrupt_record"].isNotNull()).count() == 0
