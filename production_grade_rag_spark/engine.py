@@ -244,7 +244,7 @@ class SparkRagEngine:
                           F.col("fused_score").alias("score"),
                           "strategies_used", "content"))
         diverse = fusion.greedy_diversity(
-            ranked, threshold=c.diversity_jaccard_cutoff)
+            ranked, threshold=c.diversity_jaccard_cutoff, id_col="id")
         return (diverse.orderBy(F.desc("score"), "id").limit(k)
                        .withColumnRenamed("id", id_col)
                        .drop("query_id"))

@@ -106,7 +106,8 @@ def dedup_argmax(df: DataFrame, key_col: str, score_col: str = "score",
 
 def greedy_diversity(results: DataFrame, query_col: str = "query_id",
                      score_col: str = "score", text_col: str = "content",
-                     threshold: float = 0.85, min_results: int = 3) -> DataFrame:
+                     threshold: float = 0.85, min_results: int = 3,
+                     id_col: str | None = None) -> DataFrame:
     """W5: greedy Jaccard diversity filter per query
     (advanced_search.py:275-311).
 
@@ -116,14 +117,21 @@ def greedy_diversity(results: DataFrame, query_col: str = "query_id",
     rows.  Sequential by construction -> applyInPandas per query_id;
     group size is k-bounded (<=10 in the reference), so the Python loop
     is O(k^2) per query and the operator scales with #queries.
+
+    ``id_col`` adds a final tiebreak to the greedy order: identical
+    (score, content) pairs — exact-duplicate docs — otherwise fall
+    back to unstable shuffle order, and WHICH duplicate survives would
+    be nondeterministic.
     """
     schema = results.schema
+    sort_cols = [score_col, text_col] + ([id_col] if id_col else [])
+    ascending = [False, True] + ([True] if id_col else [])
 
     def _filter(pdf: pd.DataFrame) -> pd.DataFrame:
         # deterministic total order: score desc, then content (group
         # collection order from the shuffle is not stable)
-        pdf = pdf.sort_values([score_col, text_col],
-                              ascending=[False, True], kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, ascending=ascending,
+                              kind="mergesort")
         if len(pdf) <= min_results:
             return pdf
         kept_tokens: list[set[str]] = []

@@ -541,11 +541,58 @@ def r3_parent_child_map_recursive(spark: SparkSession, d: str) -> DataFrame:
                     F.array_join("child_ids", ",").alias("child_ids")))
 
 
-@register("w5_greedy_diversity")   # rows-only: sequential greedy loop
+def _w5_oracle() -> str:
+    """Recursive-CTE replay of the greedy diversity loop: the kept set
+    is a bitmask over the <=10 ranked candidates; a precomputed
+    violation mask per candidate (pairs with Jaccard > threshold)
+    reduces the keep test to one AND per step — no aggregate in the
+    recursive term."""
+    ov = OV.overlap_score_sql("text", QUERY_TERMS)
+    toks = OV.tokens_sql("text")
+    return f"""
+WITH RECURSIVE cand0 AS (
+  SELECT doc_id, {ov} AS score, text
+  FROM documents
+  ORDER BY score DESC, doc_id LIMIT 10
+), cand AS (
+  SELECT doc_id, score, list_distinct({toks}) AS toks,
+         row_number() OVER (ORDER BY score DESC, text, doc_id) AS rn
+  FROM cand0
+), pairj AS (
+  SELECT a.rn AS rn_a, b.rn AS rn_b,
+         CASE WHEN len(a.toks) = 0 AND len(b.toks) = 0 THEN 1.0
+              WHEN len(a.toks) = 0 OR len(b.toks) = 0 THEN 0.0
+              ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / len(list_distinct(a.toks || b.toks)) END AS j
+  FROM cand a JOIN cand b ON a.rn < b.rn
+), viol AS (
+  SELECT rn_b, sum(1::BIGINT << rn_a)::BIGINT AS vmask
+  FROM pairj WHERE j > 0.85 GROUP BY rn_b
+), walk AS (
+  SELECT 0::BIGINT AS rn, 0::BIGINT AS mask
+  UNION ALL
+  SELECT c.rn,
+         w.mask | (CASE WHEN (w.mask & coalesce(v.vmask, 0::BIGINT)) = 0
+                        THEN (1::BIGINT << c.rn) ELSE 0::BIGINT END)
+  FROM walk w
+  JOIN cand c ON c.rn = w.rn + 1
+  LEFT JOIN viol v ON v.rn_b = c.rn
+)
+SELECT 'q1' AS query_id, c.doc_id, round(c.score, 6) AS score
+FROM cand c, (SELECT mask FROM walk ORDER BY rn DESC LIMIT 1) m
+WHERE ((m.mask >> c.rn) & 1) = 1
+"""
+
+
+@register("w5_greedy_diversity", oracle=_w5_oracle())
 def w5_greedy_diversity(spark: SparkSession, d: str) -> DataFrame:
     """W5: greedy Jaccard diversity filter per query over the top-10
     text-overlap results (advanced_search.py:275-311).  applyInPandas
-    per query_id; k-bounded groups."""
+    per query_id; k-bounded groups.  The sequential loop IS
+    SQL-replayable because the kept-set state over <=10 candidates
+    fits a bitmask accumulator (oracle above); assumes >min_results
+    candidates so the filter actually runs (documents >= 50 rows at
+    every sf)."""
     docs = _t(spark, d, "documents")
     results = (docs.select(
         F.lit("q1").alias("query_id"),
@@ -553,5 +600,5 @@ def w5_greedy_diversity(spark: SparkSession, d: str) -> DataFrame:
         _overlap_score(F.col("text")).alias("score"),
         F.col("text").alias("content"))
         .orderBy(F.desc("score"), "doc_id").limit(10))
-    out = fusion.greedy_diversity(results)
+    out = fusion.greedy_diversity(results, id_col="doc_id")
     return out.select("query_id", "doc_id", F.round("score", 6).alias("score"))

@@ -525,12 +525,44 @@ def r3_parent_child_map(spark: SparkSession, d: str) -> DataFrame:
 # T7 exact greedy budget + multimodal plumbing
 # ===========================================================================
 
-@register("t7_greedy_budget")   # rows-only: greedy kept-set is sequential
+_T7_GREEDY_ORACLE = """
+WITH RECURSIVE ranked AS (
+  SELECT (doc_id % 4)::VARCHAR AS query_id, doc_id,
+         coalesce(length(text), 0)::BIGINT AS n_len,
+         coalesce(length(text), 0)::BIGINT // 4 AS est,
+         row_number() OVER (PARTITION BY doc_id % 4
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT query_id, 0::BIGINT AS rn, 0::BIGINT AS total,
+         NULL::BIGINT AS doc_id, FALSE AS kept,
+         0::BIGINT AS est_tokens, 0::INT AS kept_chars
+  FROM (SELECT DISTINCT query_id FROM ranked)
+  UNION ALL
+  SELECT r.query_id, r.rn,
+         CASE WHEN w.total + r.est > 300 THEN w.total
+              ELSE w.total + least(r.est, 100) END,
+         r.doc_id,
+         w.total + r.est <= 300,
+         least(r.est, 100)::BIGINT,
+         (CASE WHEN r.est > 100 THEN 403 ELSE r.n_len END)::INT
+  FROM walk w JOIN ranked r ON r.query_id = w.query_id AND r.rn = w.rn + 1
+)
+SELECT query_id, doc_id, est_tokens, kept_chars FROM walk WHERE kept
+"""
+
+
+@register("t7_greedy_budget", oracle=_T7_GREEDY_ORACLE)
 def t7_greedy_budget(spark: SparkSession, d: str) -> DataFrame:
     """T7 exact: the reference's greedy skip-and-continue budget loop
     (rag_engine.py:230-258) per query via applyInPandas over k-bounded
     groups.  tests/test_budget.py pins it against the pure-Python twin;
-    the window-form twin is oracle-checked as t7_token_budget_prefix."""
+    the window-form twin is oracle-checked as t7_token_budget_prefix.
+    The loop is SQL-replayable: a recursive CTE walks each query's
+    ranked rows carrying the running total (skip keeps the total,
+    keep adds the truncated estimate), so the kept set gets a value
+    oracle.  Budget 300 tokens / 100 per result; truncation to 400
+    chars + '...' shows up as kept_chars = 403."""
     from ..operators import budget
     docs = _t(spark, d, "documents")
     results = docs.select(
