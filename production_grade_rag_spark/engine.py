@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .config import DEFAULT_CONFIG, EngineConfig
 from .functions import text as X
 from .functions.vector import cosine, to_double_array
-from .operators import fusion
+from .operators import fusion, textscore
 from .operators.budget import greedy_token_budget
 from .operators.chunking import chunk_fixed, chunk_recursive
 from .operators.embedding import embed_text_py, hash_embed
@@ -159,14 +159,12 @@ class SparkRagEngine:
                    cosine(to_double_array(F.col("embedding")), qv)
                    .alias("vector_score"))
                .orderBy(F.desc("vector_score"), "id").limit(2 * k))
+        # text branch: smoothed TF-IDF over the query terms — the
+        # documented stand-in for the reference's Lucene-BM25 $search
+        # side (operators/textscore.py header records the deviation).
         terms = [t for t in query_text.lower().split() if t]
-        toks = F.array_distinct(F.split(F.lower(F.trim(F.col("content"))),
-                                        r"\s+"))
-        tscore = (F.size(F.array_intersect(
-                      toks, F.array(*[F.lit(t) for t in terms])))
-                  .cast("double") / max(len(terms), 1))
-        txt = (index.select(F.col(id_col).alias("id"),
-                            tscore.alias("text_score"))
+        txt = (textscore.tfidf_score(index, terms, text_col="content")
+               .select(F.col(id_col).alias("id"), "text_score")
                .orderBy(F.desc("text_score"), "id").limit(2 * k))
         merged = fusion.hybrid_union(vec, txt)
         fused = fusion.weighted_fusion(merged, c.hybrid_vector_weight,

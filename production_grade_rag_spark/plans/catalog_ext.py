@@ -17,6 +17,7 @@ from ..operators import attribution as attr
 from ..operators import chunking, dedup, fusion, similarity, textstats
 from . import oracle_vec as OV
 from .catalog import _t, register
+from .oracle_sql import sql_str
 
 # Deterministic query literals shared by Spark and oracle sides.
 QUERY_TERMS = ["table", "join", "vector", "scan", "filter", "group"]
@@ -138,6 +139,82 @@ ORDER BY {fusion.VECTOR_WEIGHT} * coalesce(vector_score, 0)
          + {fusion.TEXT_WEIGHT} * coalesce(text_score, 0) DESC, id
 LIMIT 20
 """
+
+
+def _tfidf_sql(terms: list[str]) -> tuple[str, str]:
+    """(CTE prefix, score expression) for the smoothed TF-IDF twin of
+    operators.textscore.tfidf_score — same fold order so doubles match
+    bit-for-bit."""
+    toks = OV.tokens_sql("text")
+    dfs = ", ".join(
+        f"sum((len(list_filter(toks, x -> x = {sql_str(t)})) > 0)::INT) AS df_{i}"
+        for i, t in enumerate(terms))
+    cte = (f"tf AS (SELECT doc_id, {toks} AS toks FROM documents), "
+           f"stats AS (SELECT count(*) AS n_docs, {dfs} FROM tf)")
+    score = "0.0" + "".join(
+        f" + len(list_filter(toks, x -> x = {sql_str(t)}))::DOUBLE"
+        f" * (ln((1.0 + n_docs) / (1.0 + df_{i})) + 1.0)"
+        for i, t in enumerate(terms))
+    return cte, score
+
+
+def _tfidf_hybrid_oracle() -> str:
+    cte, score = _tfidf_sql(QUERY_TERMS)
+    return f"""
+WITH {cte},
+vec AS (
+  SELECT vec_id AS id, {OV.cosine_sql('embedding', OV.vec_lit_sql(QUERY_VEC))} AS vector_score,
+         NULL::DOUBLE AS text_score
+  FROM embeddings
+  ORDER BY vector_score DESC, vec_id LIMIT 40
+), txt AS (
+  SELECT doc_id AS id, NULL::DOUBLE AS vector_score, {score} AS text_score
+  FROM tf, stats
+  ORDER BY text_score DESC, doc_id LIMIT 40
+), unioned AS (
+  SELECT * FROM vec UNION ALL SELECT * FROM txt
+), merged AS (
+  SELECT id, max(vector_score) AS vector_score, max(text_score) AS text_score
+  FROM unioned GROUP BY id
+)
+SELECT id, round(coalesce(vector_score, 0), 6) AS vector_score,
+       round(coalesce(text_score, 0), 6) AS text_score,
+       round({fusion.VECTOR_WEIGHT} * coalesce(vector_score, 0)
+             + {fusion.TEXT_WEIGHT} * coalesce(text_score, 0), 6) AS score
+FROM merged
+ORDER BY {fusion.VECTOR_WEIGHT} * coalesce(vector_score, 0)
+         + {fusion.TEXT_WEIGHT} * coalesce(text_score, 0) DESC, id
+LIMIT 20
+"""
+
+
+@register("r7_hybrid_tfidf", oracle=_tfidf_hybrid_oracle())
+def r7_hybrid_tfidf(spark: SparkSession, d: str) -> DataFrame:
+    """R7 with the TF-IDF text branch (SURVEY §7.2 phase 4): the
+    reference's $search side is Lucene BM25 (vector_search.py:141-160);
+    smoothed TF-IDF is the documented stand-in (operators/textscore.py
+    header records the deviation).  Same fusion pipeline as
+    r7_hybrid_fusion — only the text relevance changes."""
+    from ..operators import textscore
+    emb = _t(spark, d, "embeddings")
+    docs = _t(spark, d, "documents")
+    vec = (emb.select(
+        F.col("vec_id").alias("id"),
+        cosine(to_double_array(F.col("embedding")), _qvec_col())
+            .alias("vector_score"))
+        .orderBy(F.desc("vector_score"), "id").limit(40))
+    txt = (textscore.tfidf_score(docs, QUERY_TERMS, text_col="text")
+           .select(F.col("doc_id").alias("id"), "text_score")
+           .orderBy(F.desc("text_score"), "id").limit(40))
+    merged = fusion.hybrid_union(vec, txt)
+    fused = fusion.weighted_fusion(merged)
+    return (fused
+            .select("id",
+                    F.round(F.coalesce("vector_score", F.lit(0.0)), 6).alias("vector_score"),
+                    F.round(F.coalesce("text_score", F.lit(0.0)), 6).alias("text_score"),
+                    F.round("score", 6).alias("score"),
+                    F.col("score").alias("__raw"))
+            .orderBy(F.desc("__raw"), "id").limit(20).drop("__raw"))
 
 
 @register("r7_hybrid_fusion", headline=True, oracle=_HYBRID_ORACLE)

@@ -65,3 +65,18 @@ def test_greedy_diversity_skips_small_sets(spark):
     df = spark.createDataFrame(rows, ["query_id", "doc_id", "score", "content"])
     # <= min_results rows -> no filtering at all (advanced_search.py:282)
     assert greedy_diversity(df).count() == 2
+
+
+def test_tfidf_score_matches_formula(spark):
+    import math
+    from production_grade_rag_spark.operators.textscore import tfidf_score
+    rows = [(1, "a a b x"), (2, "a c"), (3, "y z"), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text_score"]
+           for r in tfidf_score(df, ["a", "b"]).collect()}
+    n = 4
+    idf_a = math.log((1 + n) / (1 + 2)) + 1   # 'a' in docs 1,2
+    idf_b = math.log((1 + n) / (1 + 1)) + 1   # 'b' in doc 1
+    assert math.isclose(out[1], 2 * idf_a + 1 * idf_b, rel_tol=1e-12)
+    assert math.isclose(out[2], 1 * idf_a, rel_tol=1e-12)
+    assert out[3] == 0.0 and out[4] == 0.0
