@@ -42,12 +42,31 @@ def m3_hash_components(spark: SparkSession, d: str) -> DataFrame:
     return out.select("doc_id", "bucket", F.col("val").cast("long").alias("val"))
 
 
-@register("m3_hash_embed")   # rows-only: dense array assembly + L2 normalize
+@register("m3_hash_embed", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OV.tokens_sql('text')}) AS tok FROM documents
+), comps AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         sum(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END) AS val
+  FROM toks GROUP BY doc_id, bucket
+), sq AS (
+  SELECT doc_id, sum(val * val) AS s FROM comps GROUP BY doc_id
+)
+SELECT d.doc_id, 'hash-64' AS embedding_model,
+       CASE WHEN coalesce(s.s, 0) = 0 THEN 0.0 ELSE 1.0 END AS sq_norm
+FROM documents d LEFT JOIN sq s USING (doc_id)
+""")
 def m3_hash_embed(spark: SparkSession, d: str) -> DataFrame:
     """M3 full path: dense 64-d normalized embedding per document.
     Components are oracle-checked in m3_hash_components; the assembly +
     normalization is covered by tests/test_embedding.py (builtin path
-    == pandas-UDF path == pure-Python twin)."""
+    == pandas-UDF path == pure-Python twin).  The dense output also
+    gets a value oracle on its squared norm: exactly 1.0 after L2
+    normalization unless every bucket sum cancels to zero (then the
+    zero vector stays zero) — both cases derivable from the component
+    sums, no array stringification involved."""
     docs = _t(spark, d, "documents")
     out = embedding.hash_embed(docs, text_col="text", id_col="doc_id", dim=64)
     return out.select("doc_id", "embedding_model",
@@ -844,3 +863,57 @@ def s2_json_db_scan(spark: SparkSession, d: str) -> DataFrame:
                        F.col("properties.title").alias("db_title"),
                        F.col("properties.lang").alias("lang"),
                        "n_chars")
+
+
+# ===========================================================================
+# Engine API surface: filter placement pinned by value oracles
+# ===========================================================================
+
+_ENG_COS = OV.cosine_sql("embedding", OV.vec_lit_sql(QUERY_VEC))
+
+
+@register("eng_semantic_postfilter", oracle=f"""
+WITH topk AS (
+  SELECT vec_id, label, {_ENG_COS} AS score
+  FROM embeddings
+  ORDER BY score DESC, vec_id LIMIT 10
+)
+SELECT vec_id, label, round(score, 6) AS score
+FROM topk WHERE label = 3
+""")
+def eng_semantic_postfilter(spark: SparkSession, d: str) -> DataFrame:
+    """Engine search(search_type='semantic') filter placement: the
+    $match runs AFTER $vectorSearch's limit (vector_search.py:61-95),
+    so equality filters subset the UNFILTERED top-k — here 3 of the
+    top-10 carry label 3, and exactly those come back."""
+    from ..engine import SparkRagEngine
+    eng = SparkRagEngine(spark)
+    emb = _t(spark, d, "embeddings")
+    out = eng.search(emb, query_vector=QUERY_VEC, search_type="semantic",
+                     limit=10, filters={"label": 3}, id_col="vec_id")
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@register("eng_filtered_pool", oracle=f"""
+WITH pool AS (
+  SELECT vec_id, label, {_ENG_COS} AS score
+  FROM embeddings
+  ORDER BY score DESC, vec_id LIMIT 10
+)
+SELECT vec_id, label, round(score, 6) AS score
+FROM pool WHERE score >= 0.2 AND label = 0
+ORDER BY score DESC, vec_id LIMIT 5
+""")
+def eng_filtered_pool(spark: SparkSession, d: str) -> DataFrame:
+    """Engine search(search_type='filtered') candidate pooling: the
+    filtered strategy retrieves limit*2 candidates, then applies the
+    score threshold and equality filters, then the final limit
+    (vector_search.py:234-275) — label-0 rows OUTSIDE the top-10 pool
+    never surface even though fewer than 5 rows survive."""
+    from ..engine import SparkRagEngine
+    eng = SparkRagEngine(spark)
+    emb = _t(spark, d, "embeddings")
+    out = eng.search(emb, query_vector=QUERY_VEC, search_type="filtered",
+                     limit=5, min_score=0.2, filters={"label": 0},
+                     id_col="vec_id")
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
