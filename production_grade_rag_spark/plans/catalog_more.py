@@ -55,7 +55,8 @@ WITH toks AS (
   SELECT doc_id, sum(val * val) AS s FROM comps GROUP BY doc_id
 )
 SELECT d.doc_id, 'hash-64' AS embedding_model,
-       CASE WHEN coalesce(s.s, 0) = 0 THEN 0.0 ELSE 1.0 END AS sq_norm
+       CASE WHEN coalesce(s.s, 0) = 0 THEN 0.0::DOUBLE
+            ELSE 1.0::DOUBLE END AS sq_norm
 FROM documents d LEFT JOIN sq s USING (doc_id)
 """)
 def m3_hash_embed(spark: SparkSession, d: str) -> DataFrame:
