@@ -218,8 +218,18 @@ def ivf_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
             assigned = feats.join(assign, id_col)
 
     # probe selection is centroid-count work (n_lists rows) — driver-side
+    probe_cells = _probe_cells(cent_df, query_vec, n_probe)
+    probed = assigned.filter(F.col("__cell").isin(probe_cells)) \
+                     .drop("__features", "__cell")
+    return knn_topk(probed, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def _probe_cells(cent_df: DataFrame, query_vec: list[float],
+                 n_probe: int) -> list[int]:
+    """Nearest n_probe cell ids for a query — centroid-count work
+    (n_lists rows), evaluated driver-side."""
     q = [float(x) for x in query_vec]
-    probe_cells = [
+    return [
         r["cell_id"] for r in
         (cent_df.withColumn(
             "__d",
@@ -229,9 +239,51 @@ def ivf_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
                         F.lit(0.0), lambda acc, x: acc + x))
          .orderBy("__d", "cell_id").limit(n_probe).collect())
     ]
-    probed = assigned.filter(F.col("__cell").isin(probe_cells)) \
-                     .drop("__features", "__cell")
-    return knn_topk(probed, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_build_store(corpus: DataFrame, path: str, n_lists: int = 16,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """R4 at 100 TB, offline half: materialize the corpus PARTITIONED
+    BY IVF cell so online probes prune whole directories — the layout
+    ``ivf_topk``'s docstring promises.  KMeans (seeded) trains the
+    cells; the store is ``{path}/data/cell=N/*.parquet`` plus an
+    ``{path}/centroids`` table read back at query time.
+
+    At scale this is the ingest job: one KMeans fit on a sample, one
+    assign pass, one partitioned write.  Re-cluster only when drift
+    degrades probe recall."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn(
+        "__features", array_to_vector(to_double_array(F.col(vec_col))))
+    km = KMeans(k=n_lists, seed=42, featuresCol="__features",
+                predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    assigned.write.mode("overwrite").partitionBy("cell") \
+        .parquet(f"{path}/data")
+    cents = [(i, [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())]
+    corpus.sparkSession.createDataFrame(cents, ["cell_id", "centroid"]) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search_store(spark, path: str, query_vec: list[float], k: int = 10,
+                     n_probe: int = 4, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """R4 at 100 TB, online half: probe the ``n_probe`` nearest cells
+    of an ``ivf_build_store`` layout.  The ``cell IN (...)`` predicate
+    is a PARTITION filter — pruned directories are never opened
+    (asserted in tests/test_similarity.py), so the scan cost is
+    n_probe/n_lists of the corpus regardless of corpus size."""
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    cells = _probe_cells(cent_df, query_vec, n_probe)
+    data = spark.read.parquet(f"{path}/data") \
+        .filter(F.col("cell").isin(cells))
+    return knn_topk(data.drop("cell"), query_vec, k=k,
+                    vec_col=vec_col, id_col=id_col)
 
 
 def lsh_similar_pairs(corpus: DataFrame, threshold: float,

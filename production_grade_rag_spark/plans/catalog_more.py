@@ -918,3 +918,34 @@ def eng_filtered_pool(spark: SparkSession, d: str) -> DataFrame:
                      limit=5, min_score=0.2, filters={"label": 0},
                      id_col="vec_id")
     return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@register("r4_ivf_store")   # rows-only: ANN + KMeans assignment
+def r4_ivf_store(spark: SparkSession, d: str) -> DataFrame:
+    """R4 scale path end-to-end: build the cell-partitioned IVF store
+    (ivf_build_store writes data/cell=N/ + a centroids table), then
+    probe it (ivf_search_store) — the probe predicate prunes whole
+    partition directories, asserted in tests/test_similarity.py.
+    Approximate by design -> rows-only; recall floor is pytest-pinned."""
+    emb = _t(spark, d, "embeddings")
+    path = _scratch("ivf_store")
+    similarity.ivf_build_store(emb, path, n_lists=8)
+    out = similarity.ivf_search_store(spark, path, QUERY_VEC,
+                                      k=10, n_probe=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register("st_dedup_stream", oracle="""
+SELECT DISTINCT md5(coalesce(text, '')) AS content_hash FROM documents
+""")
+def st_dedup_stream(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming exact dedup (ingest-time twin of dd_exact): file-source
+    document stream -> md5(text) -> dropDuplicates on the hash, drained
+    with availableNow.  The surviving doc per hash is arrival-order
+    dependent, so the entry projects the deterministic part — the
+    distinct hash set, which must equal the batch DISTINCT."""
+    from ..streaming import pipeline as SP
+    stream = SP.dedup_stream(SP.read_document_stream(spark, d))
+    out = SP.run_available_now(stream.select("content_hash"),
+                               "st_dedup_stream", output_mode="append")
+    return out.select("content_hash").distinct()

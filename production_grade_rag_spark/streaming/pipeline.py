@@ -128,6 +128,42 @@ def user_running_state(events: DataFrame) -> DataFrame:
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+DOCS_RAW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (ingest twin of
+    the batch S6 scan — in production this is the collector's landing
+    directory)."""
+    return (spark.readStream.schema(DOCS_RAW_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the ingest-time twin of the batch
+    dd_exact operator: md5 the text, keep the first arrival per hash
+    (dropDuplicates keyed on the hash; which duplicate arrives first is
+    stream-order dependent, so only the HASH SET is deterministic and
+    that is what the oracle checks).
+
+    100 TB notes: plain dropDuplicates holds every seen hash in state
+    forever — right for a bounded backfill (availableNow), wrong for an
+    unbounded feed.  There, add an arrival-time watermark and use
+    dropDuplicatesWithinWatermark so the seen-hash state expires once
+    late duplicates can no longer arrive; cross-horizon dedup then
+    happens in the periodic batch dd_exact/dd_minhash_lsh sweep."""
+    hashed = docs.withColumn(
+        "content_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def run_available_now(result: DataFrame, table_name: str,
                       timeout_s: int = 120,
                       output_mode: str = "complete") -> DataFrame:

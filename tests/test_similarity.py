@@ -91,3 +91,27 @@ def test_ivf_join_fallback_matches_expression_path(spark, monkeypatch):
             similarity.ivf_topk(emb, QUERY_VEC, k=10, n_probe=4,
                                 centroids=cents).collect()]
     assert expr == join and len(expr) == 10
+
+
+def test_ivf_partitioned_store_prunes_cells(spark, tmp_path):
+    emb = load_table(spark, SF001, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_store(emb, path, n_lists=8)
+    out = similarity.ivf_search_store(spark, path, QUERY_VEC,
+                                      k=10, n_probe=4)
+    rows = out.collect()
+    assert len(rows) == 10
+    exact = {r["vec_id"] for r in
+             similarity.knn_topk(emb, QUERY_VEC, k=10).collect()}
+    recall = len(exact & {r["vec_id"] for r in rows}) / 10
+    assert recall >= 0.5, f"partitioned IVF recall@10 too low: {recall}"
+    # the probe predicate must prune at the PARTITION level: the scan
+    # carries cell IN (...) as a partition filter, and probing all
+    # cells recovers the exact top-k.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0] and "IN" in pf[0].upper()
+    full = {r["vec_id"] for r in
+            similarity.ivf_search_store(spark, path, QUERY_VEC,
+                                        k=10, n_probe=8).collect()}
+    assert full == exact

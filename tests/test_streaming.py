@@ -62,3 +62,19 @@ def test_sessionize_stream_matches_batch(spark):
     # batch emits (user_id, session_id); compare on the session extents
     cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
     assert _rows(out, cols) == _rows(batch.select(*cols), cols)
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    from production_grade_rag_spark.streaming import pipeline as SP
+    from production_grade_rag_spark.sources import load_table
+    from conftest import SF001
+    from pyspark.sql import functions as F
+    stream = SP.dedup_stream(SP.read_document_stream(spark, SF001))
+    out = SP.run_available_now(stream, "t_dedup_stream",
+                               output_mode="append")
+    docs = load_table(spark, SF001, "documents")
+    batch_hashes = {r["h"] for r in docs.select(
+        F.md5(F.coalesce("text", F.lit(""))).alias("h")).distinct().collect()}
+    rows = out.collect()
+    assert {r["content_hash"] for r in rows} == batch_hashes
+    assert len(rows) == len(batch_hashes)   # exactly one survivor per hash
