@@ -7,8 +7,9 @@ This is the reference's rag_pipeline + similarity strategy
 (rag_pipeline.py:189-236 -> vector_search.py:37-95 ->
 source_attribution.py:23-129) as ONE DataFrame DAG: Catalyst fuses the
 clean/score/chunk projections into the parquet scan stage, the only
-shuffle is the embedder's (id, bucket) agg, and attribution is a
-broadcast hash join (the reference's dict cache, distributed).
+shuffle is the embedder's (id, bucket) agg, and attribution is an
+AQE-planned hash join (the reference's dict cache, distributed —
+broadcast while the attrs fit, shuffled beyond).
 """
 
 from __future__ import annotations
@@ -35,10 +36,14 @@ def flagship_search(spark: SparkSession, sf_dir: str, k: int = 10,
                      id_col="chunk_id", dim=dim)                # M3
     qv = embed_text_py(FLAGSHIP_QUERY, dim=dim)
     top = knn_topk(emb, qv, k=k, id_col="chunk_id")             # R4+T5+W1
-    # R1: attribution join — documents is dimension-sized, broadcast it
+    # R1: attribution join.  The attribution side is the full scored
+    # documents projection — corpus-scaled, NOT a fixed dimension — and
+    # the stream side is only k rows, so no forced broadcast: AQE
+    # broadcasts the attrs while they fit and shuffle-joins beyond
+    # (same policy as q3/s11).
     attrib = scored.select("doc_id", F.col("source").alias("source_type"),
                            F.col("lang").alias("doc_lang"), "quality_score")
-    return (top.join(F.broadcast(attrib), "doc_id", "left")
+    return (top.join(attrib, "doc_id", "left")
                .select("chunk_id", "doc_id", "content",
                        F.round("score", 6).alias("score"),
                        "source_type", "doc_lang", "quality_score"))
