@@ -55,15 +55,31 @@ def test_filtered_search_applies_min_score_and_filters(engine, index):
 def test_semantic_filters_apply_after_topk(engine, index):
     # reference $match placement (vector_search.py:61-95): the top-k is
     # taken over the UNFILTERED corpus, filters drop rows from it — so
-    # the filtered result must be a subset of the unfiltered top-k ids
-    # (possibly fewer than k rows), not a full k of matching rows.
+    # filtering on one document's id must return exactly that doc's
+    # rows OF THE TOP-5 (fewer than 5), not refill to 5 rows from the
+    # doc's other chunks the way a pre-filter implementation would.
     q = "table scan filter"
-    top = {r["chunk_id"] for r in
-           engine.search(index, query_text=q, limit=5).collect()}
-    out = engine.search(index, query_text=q, limit=5,
-                        filters={"chunk_type": "flat"}).collect()
-    assert {r["chunk_id"] for r in out} <= top
-    assert all(r["chunk_type"] == "flat" for r in out)
+    # fine-grained chunks so documents own SEVERAL index rows each —
+    # otherwise pre- and post-filtering coincide and prove nothing.
+    eng = SparkRagEngine(
+        engine.spark, EngineConfig(quality_threshold=0.2, chunk_size=120,
+                                   chunk_overlap=20, min_chunk_chars=10))
+    docs = load_table(engine.spark, SF001, "documents").limit(40)
+    idx = eng.build_index(docs)
+    idx.cache().count()
+    top = eng.search(idx, query_text=q, limit=5).collect()
+    focus = next(r["doc_id"] for r in top
+                 if sum(1 for t in top if t["doc_id"] == r["doc_id"]) < 5
+                 and idx.filter(F.col("doc_id") == r["doc_id"]).count()
+                 > sum(1 for t in top if t["doc_id"] == r["doc_id"]))
+    expect = {r["chunk_id"] for r in top if r["doc_id"] == focus}
+    # a pre-filter implementation would refill from the doc's OTHER
+    # chunks; post-top-k filtering returns exactly the top-5 subset.
+    assert idx.filter(F.col("doc_id") == focus).count() > len(expect)
+    out = eng.search(idx, query_text=q, limit=5,
+                     filters={"doc_id": focus}).collect()
+    assert {r["chunk_id"] for r in out} == expect
+    idx.unpersist()
 
 
 def test_filtered_search_candidates_are_top_2k(engine, index):
@@ -174,3 +190,22 @@ def test_bad_inputs_raise(engine, index):
         engine.search(index, query_text="x", search_type="nope")
     with pytest.raises(ValueError):
         EngineConfig(chunk_overlap=2000).validate()
+
+
+def test_hybrid_filters_apply_after_fusion(engine, index):
+    # vector_search.py:193-205: hybrid filters run on the FUSED set;
+    # the attribute columns are joined back only for filtering and do
+    # not leak into the result schema.
+    q = "table scan filter"
+    top = engine.search(index, query_text=q, search_type="hybrid",
+                        limit=10).collect()
+    id2doc = {r["chunk_id"]: r["doc_id"]
+              for r in index.select("chunk_id", "doc_id").collect()}
+    focus = id2doc[top[0]["chunk_id"]]
+    out = engine.search(index, query_text=q, search_type="hybrid",
+                        limit=10, filters={"doc_id": focus}).collect()
+    assert out, "focus doc must survive its own filter"
+    assert all(id2doc[r["chunk_id"]] == focus for r in out)
+    assert "doc_id" not in engine.search(
+        index, query_text=q, search_type="hybrid", limit=3,
+        filters={"doc_id": focus}).columns
