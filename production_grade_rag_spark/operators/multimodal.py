@@ -116,3 +116,40 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id",
                     F.col("frame_index").cast("int").alias("frame_index"),
                     F.round(F.col("__dur") * F.col("frame_index") / F.col("__n"), 6)
                      .alias("frame_ts")))
+
+
+def audio_windows(df: DataFrame, id_col: str = "doc_id",
+                  n_samples_col: str = "n_samples",
+                  sample_rate: int = 16_000,
+                  window_s: float = 1.0,
+                  hop_s: float = 0.5) -> DataFrame:
+    """Audio analysis-window plan: fixed-length windows with hop (the
+    STFT/feature-frame layout) — pure integer column arithmetic, one
+    row per (item, window_index) with [start_sample, end_sample)
+    offsets; the final window truncates at the payload end, and empty
+    payloads still get one empty window.  Each window's byte range
+    would then feed ``decode_features`` for the actual feature pass.
+
+    Window math stays in exact integers (samples, not seconds) so the
+    plan is oracle-replayable; the count is
+    1 + max(0, ceil((n_samples - win) / hop)).
+    """
+    win = int(sample_rate * window_s)
+    hop = int(sample_rate * hop_s)
+    ns = F.col(n_samples_col).cast("long")
+    # integer ceil-div via (a + b - 1) div b, clamped before the div's
+    # truncate-toward-zero can disagree with floor on negatives
+    n_win = F.lit(1) + F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"({n_samples_col} - {win} + {hop - 1}) div {hop}"))
+    base = df.select(F.col(id_col), ns.alias("__ns"),
+                     n_win.alias("__n_win"))
+    return (base
+            .withColumn("window_index",
+                        F.explode(F.sequence(F.lit(0), F.col("__n_win") - 1)))
+            .select(id_col,
+                    F.col("window_index").cast("int").alias("window_index"),
+                    (F.col("window_index") * hop).cast("long")
+                    .alias("start_sample"),
+                    F.least(F.col("window_index") * hop + win,
+                            F.col("__ns")).cast("long").alias("end_sample")))

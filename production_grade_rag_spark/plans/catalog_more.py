@@ -949,3 +949,27 @@ def st_dedup_stream(spark: SparkSession, d: str) -> DataFrame:
     out = SP.run_available_now(stream.select("content_hash"),
                                "st_dedup_stream", output_mode="append")
     return out.select("content_hash").distinct()
+
+
+@register("mm_audio_windows", oracle="""
+WITH base AS (
+  SELECT doc_id, (n_chars * 100)::BIGINT AS n_samples FROM documents
+), w AS (
+  SELECT doc_id, n_samples,
+         1 + greatest(0, (n_samples - 16000 + 7999) // 8000) AS n_win
+  FROM base
+)
+SELECT doc_id, i::INT AS window_index,
+       (i * 8000)::BIGINT AS start_sample,
+       least(i * 8000 + 16000, n_samples)::BIGINT AS end_sample
+FROM w, LATERAL unnest(range(0, n_win)) AS t(i)
+""")
+def mm_audio_windows(spark: SparkSession, d: str) -> DataFrame:
+    """Audio windowing plan: 1 s windows with 0.5 s hop at 16 kHz over
+    the payload's sample count (deterministic stand-in: n_chars * 100
+    samples).  Exact integer window math; the per-window byte ranges
+    feed decode_features in a real pipeline."""
+    from ..operators import multimodal
+    docs = _t(spark, d, "documents").select(
+        "doc_id", (F.col("n_chars") * 100).cast("long").alias("n_samples"))
+    return multimodal.audio_windows(docs)

@@ -54,3 +54,26 @@ def test_frame_sample_bounds(spark):
     per = out.groupBy("doc_id").count().collect()
     assert all(1 <= r["count"] <= 5 for r in per)
     assert out.filter((F.col("frame_ts") < 0)).count() == 0
+
+
+def test_audio_windows_layout(spark):
+    from production_grade_rag_spark.operators import multimodal
+    rows = [(1, 40000), (2, 16000), (3, 0), (4, 7000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_samples"])
+    out = multimodal.audio_windows(df)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["window_index"], r["start_sample"], r["end_sample"]))
+    for v in by_doc.values():
+        v.sort()
+    # 40000 samples: windows at 0/8000/16000/24000 -> 4 windows,
+    # ceil((40000-16000)/8000)=3 plus the first
+    assert by_doc[1] == [(0, 0, 16000), (1, 8000, 24000),
+                         (2, 16000, 32000), (3, 24000, 40000)]
+    # exactly one full window
+    assert by_doc[2] == [(0, 0, 16000)]
+    # empty payload still yields one (empty) window
+    assert by_doc[3] == [(0, 0, 0)]
+    # short payload truncates
+    assert by_doc[4] == [(0, 0, 7000)]
