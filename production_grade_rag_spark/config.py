@@ -25,6 +25,14 @@ class EngineConfig:
     # embeddings (reference: config/rag_config.yaml:22-27)
     embedding_dim: int = 64            # testdata embeddings are 64-d
     embedding_model: str = "hash-64"   # deterministic feature-hash embedder
+    # backend dispatch (operators/embedding.embed): "hash" | "model" |
+    # "auto" (model when sentence-transformers is importable, else the
+    # documented hash fallback).  "hash" is the default because query
+    # vectors must come from the same embedder as the index and the
+    # hash path is the only one with a pure-Python query-side twin.
+    embedding_backend: str = "hash"
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2"  # settings.py:44
+    model_batch_size: int = 32         # rag_config.yaml:26
     normalize_embeddings: bool = True
 
     # retrieval (reference: config/rag_config.yaml:33-48, advanced_search.py:53-66)

@@ -25,7 +25,8 @@ from .functions.vector import cosine, to_double_array
 from .operators import fusion, textscore
 from .operators.budget import greedy_token_budget
 from .operators.chunking import chunk_fixed, chunk_recursive
-from .operators.embedding import embed_text_py, hash_embed
+from .operators import embedding
+from .operators.embedding import embed_text_py
 from .operators.similarity import knn_topk
 from .operators.attribution import attribution_join
 
@@ -68,8 +69,13 @@ class SparkRagEngine:
     def build_index(self, documents: DataFrame, text_col: str = "text",
                     recursive: bool = False) -> DataFrame:
         """rag_pipeline: quality (T2) -> filter (T3) -> clean+chunk
-        (T1/M1/T4/W2) -> embed (M3).  Returns the chunk index frame
-        (chunk_id, doc_id, content, chunk_index, ..., embedding)."""
+        (T1/M1/T4/W2) -> embed (M3, backend per config).  Returns the
+        chunk index frame (chunk_id, doc_id, content, chunk_index, ...,
+        embedding).  NOTE: with a model backend, query vectors must
+        come from the same model — ``embed_query`` only has the hash
+        twin, so model-backed indexes are for index-side workloads
+        (dedup, clustering, pairwise similarity) until a query-side
+        encoder is wired in."""
         c = self.config
         scored = X.with_quality(documents, text_col=text_col)
         kept = X.quality_filter(scored, c.quality_threshold)
@@ -77,9 +83,12 @@ class SparkRagEngine:
         chunks = chunker(kept, text_col=text_col,
                          chunk_size=c.chunk_size, overlap=c.chunk_overlap,
                          min_chars=c.min_chunk_chars)
-        return hash_embed(chunks, text_col="content", id_col="chunk_id",
-                          dim=c.embedding_dim,
-                          normalize=c.normalize_embeddings)
+        return embedding.embed(chunks, backend=c.embedding_backend,
+                               text_col="content", id_col="chunk_id",
+                               dim=c.embedding_dim,
+                               normalize=c.normalize_embeddings,
+                               model_name=c.model_name,
+                               batch_size=c.model_batch_size)
 
     def embed_query(self, query_text: str) -> list[float]:
         return embed_text_py(query_text, dim=self.config.embedding_dim,

@@ -209,3 +209,18 @@ def test_hybrid_filters_apply_after_fusion(engine, index):
     assert "doc_id" not in engine.search(
         index, query_text=q, search_type="hybrid", limit=3,
         filters={"doc_id": focus}).columns
+
+
+def test_build_index_backend_dispatch(spark):
+    # embedding_backend flows from config through build_index; "auto"
+    # falls back to hash in this container (no model library).
+    from production_grade_rag_spark.operators.embedding import model_available
+    docs = load_table(spark, SF001, "documents").limit(10)
+    eng = SparkRagEngine(spark, EngineConfig(quality_threshold=0.0,
+                                             embedding_backend="auto"))
+    idx = eng.build_index(docs)
+    model = idx.select("embedding_model").first()["embedding_model"]
+    if model_available():
+        assert model == "sentence-transformers/all-MiniLM-L6-v2"
+    else:
+        assert model == "hash-64"
