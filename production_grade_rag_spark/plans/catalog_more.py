@@ -973,3 +973,25 @@ def mm_audio_windows(spark: SparkSession, d: str) -> DataFrame:
     docs = _t(spark, d, "documents").select(
         "doc_id", (F.col("n_chars") * 100).cast("long").alias("n_samples"))
     return multimodal.audio_windows(docs)
+
+
+@register("ev_salted_join", oracle="""
+WITH dim AS (
+  SELECT user_id, count(*)::BIGINT AS user_events
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, d.user_events
+FROM events e JOIN dim d USING (user_id)
+""")
+def ev_salted_join(spark: SparkSession, d: str) -> DataFrame:
+    """Skewed fact-dim join without broadcast: the fact side is salted
+    over 8 shuffle partitions per key and the (unbroadcastable-at-
+    scale) dimension is replicated per salt — identical result to the
+    plain join, which is exactly what the oracle replays.  Agg-side
+    twin: ev_skew_salted_agg."""
+    from ..operators.skew import salted_join
+    events = _t(spark, d, "events")
+    dim = events.groupBy("user_id").agg(
+        F.count("*").alias("user_events"))
+    fact = events.select("event_id", "user_id")
+    return salted_join(fact, dim, "user_id", n_salts=8)

@@ -121,6 +121,30 @@ def cascading_delete(documents: DataFrame, chunks: DataFrame,
     return docs_kept, chunks_kept
 
 
+def upsert_partitions(df: DataFrame, path: str,
+                      partition_by: list[str]) -> None:
+    """S10 at scale: dynamic partition overwrite — rewrite ONLY the
+    partitions present in ``df`` (e.g. the statuses being updated),
+    leaving every other partition's files untouched, instead of the
+    full-table recompute-and-rewrite ``mark_status`` implies.  The
+    partitionOverwriteMode conf is set transiently around the write
+    (save/restore, same discipline as the events nanos conf)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def mark_status(df: DataFrame, status: str) -> DataFrame:
     """S10/S12 status update: recompute-and-rewrite of the status column
     (reference: document_repository.py:176-208, vector_store.py:103-181;

@@ -137,3 +137,58 @@ def test_json_dump_inferred_schema_has_stable_corrupt_col(spark, tmp_path):
     df = read_json_dump(spark, path)
     assert "_corrupt_record" in df.columns
     assert df.filter(df["_corrupt_record"].isNotNull()).count() == 0
+
+
+def test_upsert_partitions_rewrites_only_present_partitions(spark, tmp_path):
+    from production_grade_rag_spark.sources.tables import upsert_partitions
+    docs = load_table(spark, SF001, "documents").limit(30)
+    tagged = mark_status(docs, "pending")
+    path = str(tmp_path / "status_table")
+    # seed: 30 pending rows
+    tagged.write.partitionBy("processing_status").parquet(path)
+    # upsert: 10 of them flip to completed; ONLY that partition is
+    # written — pending keeps all 30 original rows
+    done = mark_status(docs.limit(10), "completed")
+    upsert_partitions(done, path, ["processing_status"])
+    back = spark.read.parquet(path)
+    counts = {r["processing_status"]: r["n"] for r in
+              back.groupBy("processing_status")
+              .agg(F.count("*").alias("n")).collect()}
+    assert counts == {"pending": 30, "completed": 10}
+    # overwriting an EXISTING partition replaces just its contents
+    done5 = mark_status(docs.limit(5), "completed")
+    upsert_partitions(done5, path, ["processing_status"])
+    back2 = spark.read.parquet(path)
+    counts2 = {r["processing_status"]: r["n"] for r in
+               back2.groupBy("processing_status")
+               .agg(F.count("*").alias("n")).collect()}
+    assert counts2 == {"pending": 30, "completed": 5}
+    # conf restored
+    try:
+        mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    except Exception:
+        mode = None
+    assert mode in (None, "STATIC", "static")
+
+
+def test_salted_join_matches_plain_join(spark):
+    import pytest
+    from production_grade_rag_spark.operators.skew import salted_join
+    events = load_table(spark, SF001, "events")
+    dim = events.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    fact = events.select("event_id", "user_id")
+    plain = {(r["event_id"], r["user_events"]) for r in
+             fact.join(dim, "user_id").collect()}
+    salted = {(r["event_id"], r["user_events"]) for r in
+              salted_join(fact, dim, "user_id", n_salts=8).collect()}
+    assert salted == plain and plain
+    # left join keeps unmatched fact rows
+    dim_half = dim.filter(F.col("user_id") % 2 == 0)
+    pl = {(r["event_id"], r["user_events"]) for r in
+          fact.join(dim_half, "user_id", "left").collect()}
+    sl = {(r["event_id"], r["user_events"]) for r in
+          salted_join(fact, dim_half, "user_id", n_salts=8,
+                      how="left").collect()}
+    assert sl == pl
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "user_id", how="full")
