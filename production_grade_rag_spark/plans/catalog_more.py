@@ -995,3 +995,26 @@ def ev_salted_join(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").alias("user_events"))
     fact = events.select("event_id", "user_id")
     return salted_join(fact, dim, "user_id", n_salts=8)
+
+
+@register("ta_length_quantiles", oracle="""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang
+""")
+def ta_length_quantiles(spark: SparkSession, d: str) -> DataFrame:
+    """Text-analysis extension: per-language document length
+    distribution via EXACT interpolated percentiles (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear
+    interpolation definition, verified bit-equal).  At 100 TB swap for
+    ``percentile_approx`` — t-digest sketches merge map-side and skip
+    the per-group sort the exact form needs; exact kept here for the
+    value oracle."""
+    docs = _t(spark, d, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("round(percentile(n_chars, 0.5), 6)").alias("p50"),
+        F.expr("round(percentile(n_chars, 0.9), 6)").alias("p90"),
+        F.expr("round(percentile(n_chars, 0.99), 6)").alias("p99"))

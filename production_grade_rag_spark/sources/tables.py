@@ -158,3 +158,29 @@ def storage_stats(documents: DataFrame, chunks: DataFrame) -> DataFrame:
     d = documents.agg(F.count("*").alias("document_count"))
     c = chunks.agg(F.count("*").alias("chunk_count"))
     return d.crossJoin(c)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_rows_per_file: int = 1_000_000) -> int:
+    """Compact a small-files parquet directory (streaming sinks and
+    frequent small appends fragment tables; at 100 TB a scan of 10^6
+    tiny files is planner- and NameNode-bound long before it is
+    IO-bound).  Rewrites the directory into ceil(rows/target) files
+    via a round-robin repartition and an overwrite-through-temp swap;
+    returns the file count written.
+
+    At scale run this per PARTITION directory (date=.../) so the
+    rewrite parallelizes and concurrent writers touch disjoint paths;
+    table formats with transactions (Delta/Iceberg OPTIMIZE) replace
+    the temp-swap dance."""
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

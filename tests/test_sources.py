@@ -192,3 +192,21 @@ def test_salted_join_matches_plain_join(spark):
     assert sl == pl
     with pytest.raises(ValueError):
         salted_join(fact, dim, "user_id", how="full")
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    from production_grade_rag_spark.sources.tables import compact_parquet
+    from pathlib import Path
+    docs = load_table(spark, SF001, "documents").limit(40) \
+        .select("doc_id", "source", "n_chars")
+    path = str(tmp_path / "fragmented")
+    # fragment: 20 tiny files
+    docs.repartition(20).write.parquet(path)
+    assert len(list(Path(path).glob("part-*"))) == 20
+    before = {tuple(r) for r in docs.collect()}
+    n_files = compact_parquet(spark, path, target_rows_per_file=25)
+    assert n_files == 2
+    parts = list(Path(path).glob("part-*"))
+    assert len(parts) == 2
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
