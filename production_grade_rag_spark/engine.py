@@ -181,13 +181,17 @@ class SparkRagEngine:
         # post-fusion $match (vector_search.py:193-205): attribute
         # filters need the index columns back — join only the filtered
         # attributes (broadcast-sized: <= 4k fused candidate ids).
+        # Attributes are aliased __f_<col> so a filter key named
+        # "score"/"vector_score"/"text_score"/"id" can't collide with
+        # the fused frame's own columns.
         if filters:
-            attrs = index.select(F.col(id_col).alias("id"),
-                                 *[F.col(col) for col in filters])
+            attrs = index.select(
+                F.col(id_col).alias("id"),
+                *[F.col(col).alias(f"__f_{col}") for col in filters])
             fused = fused.join(attrs, "id", "left")
             for col, val in filters.items():
-                fused = fused.filter(F.col(col) == val)
-            fused = fused.drop(*filters.keys())
+                fused = fused.filter(F.col(f"__f_{col}") == val)
+            fused = fused.drop(*[f"__f_{col}" for col in filters])
         if min_score is not None:
             fused = fused.filter(F.col("score") >= min_score)
         return (fused.orderBy(F.desc("score"), "id").limit(k)
@@ -218,7 +222,9 @@ class SparkRagEngine:
         # row and enters fusion unfiltered at the caller's limit.
         for s in strategies:
             if s == "similarity":
-                m = c.strategy_max_results["similarity"]
+                # .get with the reference defaults (advanced_search.py:
+                # 53-66) so a user-supplied partial dict doesn't KeyError.
+                m = c.strategy_max_results.get("similarity", 15)
                 b = (knn_topk(index, qv, k=m, id_col=id_col)
                      .select(F.col(id_col).alias("id"), "score")
                      .filter(F.col("score") >= c.similarity_threshold)
@@ -227,7 +233,7 @@ class SparkRagEngine:
                 b = self._hybrid(index, query_text, qv, k, id_col) \
                     .select(F.col(id_col).alias("id"), "score")
             elif s == "parent_child":
-                m = c.strategy_max_results["parent_child"]
+                m = c.strategy_max_results.get("parent_child", 8)
                 # filtered-search retrieval: 2m candidates -> 0.75
                 # threshold -> limit m (vector_search.py:234-275), then
                 # the orchestrator's 0.65 threshold + caller truncation.

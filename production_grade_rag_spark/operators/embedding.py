@@ -131,9 +131,13 @@ def hash_embed_pandas(df: DataFrame, text_col: str = "content",
 # ===========================================================================
 
 # per-process encoder singletons: one python worker process per executor
-# core holds at most one loaded model per model_name, loaded lazily on
+# core holds at most one loaded model per cache key, loaded lazily on
 # the first Arrow batch it sees (the reference's EmbeddingGenerator
-# .initialize() lazy-load, document_processor.py:130-135).
+# .initialize() lazy-load, document_processor.py:130-135).  The key is
+# (model_name, factory identity) — NOT model_name alone — so two
+# model_embed calls with the same model_name but different factories
+# (e.g. fake vs real in one long-lived worker) never reuse each other's
+# encoder.  Factories advertise identity via a ``cache_key`` attribute.
 _MODEL_CACHE: dict = {}
 
 DEFAULT_MODEL = "sentence-transformers/all-MiniLM-L6-v2"  # settings.py:44
@@ -167,6 +171,7 @@ def sentence_transformer_factory(model_name: str):
 
         return encode
 
+    load.cache_key = f"st:{model_name}"
     return load
 
 
@@ -182,6 +187,7 @@ def fake_model_factory(model_name: str, dim: int = 64):
 
         return encode
 
+    load.cache_key = f"fake:{model_name}:{dim}"
     return load
 
 
@@ -215,11 +221,19 @@ def model_embed(df: DataFrame, text_col: str = "content",
                 "pass encoder_factory=fake_model_factory(...)")
         encoder_factory = sentence_transformer_factory(model_name)
 
+    # resolved driver-side, closed over by the UDF: custom factories
+    # without a cache_key fall back to (model_name, qualname) which
+    # still separates fake from real.
+    cache_key = (model_name,
+                 getattr(encoder_factory, "cache_key",
+                         getattr(encoder_factory, "__qualname__",
+                                 repr(encoder_factory))))
+
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        enc = _MODEL_CACHE.get(model_name)
+        enc = _MODEL_CACHE.get(cache_key)
         if enc is None:
-            enc = _MODEL_CACHE.setdefault(model_name, encoder_factory())
+            enc = _MODEL_CACHE.setdefault(cache_key, encoder_factory())
         for texts in batches:
             clean = ["" if t is None else str(t) for t in texts]
             vals: list[list[float]] = []

@@ -172,16 +172,18 @@ def ivf_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
         cents = sorted((r["cell_id"], [float(x) for x in r["centroid"]])
                        for r in cent_df.collect())
         # guard against silent nulls from zip_with padding: every
-        # centroid must match the embedding dim (sampled from one row).
+        # centroid must match the query dim — and the query must match
+        # the corpus dim for the search to mean anything, so this
+        # driver-side check covers the corpus too WITHOUT launching a
+        # per-query sampling job (the online path stays job-free until
+        # the actual probe scan).
         dims = {len(c) for _, c in cents}
         if len(dims) != 1:
             raise ValueError(f"centroids have mixed dims {sorted(dims)}")
-        sample = feats.select(
-            F.size(vector_to_array(F.col("__features"))).alias("d")).head()
-        if sample is not None and sample["d"] != dims.pop():
+        if dims.pop() != len(query_vec):
             raise ValueError(
-                f"centroid dim {len(cents[0][1])} != embedding dim "
-                f"{sample['d']}")
+                f"centroid dim {len(cents[0][1])} != query dim "
+                f"{len(query_vec)}")
         v = vector_to_array(F.col("__features"))
 
         if len(cents) <= _MAX_EXPR_CENTROIDS:

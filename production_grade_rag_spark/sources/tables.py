@@ -169,18 +169,35 @@ def compact_parquet(spark: SparkSession, path: str,
     via a round-robin repartition and an overwrite-through-temp swap;
     returns the file count written.
 
+    LOCAL-FILESYSTEM ONLY: the swap uses os.rename/shutil, so ``path``
+    must be a plain local directory (no s3://...).  The swap order is
+    crash-safe-ish: the live directory is renamed aside FIRST, the
+    replacement renamed in, and only then is the old copy deleted — a
+    crash mid-swap leaves the data in ``path__old`` (recoverable by
+    hand) rather than vanished.
+
     At scale run this per PARTITION directory (date=.../) so the
     rewrite parallelizes and concurrent writers touch disjoint paths;
     table formats with transactions (Delta/Iceberg OPTIMIZE) replace
     the temp-swap dance."""
     import math
+    import os
     import shutil
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet is local-filesystem-only, got {path!r}")
+    local = path[len("file://"):] if path.startswith("file://") else path
 
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
-    tmp = path.rstrip("/") + "__compacting"
+    tmp = local.rstrip("/") + "__compacting"
+    old = local.rstrip("/") + "__old"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old)
     return n_files

@@ -83,3 +83,23 @@ def test_embed_backend_dispatch(spark):
             E.model_embed(docs)
     with pytest.raises(ValueError):
         E.embed(docs, backend="nope")
+
+
+def test_model_cache_keyed_by_factory_identity(spark):
+    # two model_embed calls sharing a model_name but carrying DIFFERENT
+    # encoder factories (dim 16 vs dim 32 fakes) must not reuse each
+    # other's per-worker singleton — the cache key includes the factory
+    # identity, not just model_name.
+    from production_grade_rag_spark.operators import embedding as E
+    docs = load_table(spark, SF001, "documents").limit(20) \
+        .select("doc_id", F.col("text").alias("content"))
+    a = E.model_embed(docs, model_name="shared-name",
+                      encoder_factory=E.fake_model_factory("shared-name", dim=16))
+    b = E.model_embed(docs, model_name="shared-name",
+                      encoder_factory=E.fake_model_factory("shared-name", dim=32))
+    # run in one action so both UDFs execute in the same python workers
+    joined = a.select("doc_id", F.col("embedding").alias("e16")) \
+        .join(b.select("doc_id", F.col("embedding").alias("e32")), "doc_id")
+    for r in joined.collect():
+        assert len(r["e16"]) == 16
+        assert len(r["e32"]) == 32

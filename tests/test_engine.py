@@ -224,3 +224,32 @@ def test_build_index_backend_dispatch(spark):
         assert model == "sentence-transformers/all-MiniLM-L6-v2"
     else:
         assert model == "hash-64"
+
+
+def test_hybrid_filter_key_colliding_with_fused_columns(engine, index):
+    # a filter key named like a fused-frame column ("vector_score")
+    # must not collide with the join (ADVICE r3): attributes are
+    # joined under a __f_ prefix.  Before the fix this raised
+    # AMBIGUOUS_REFERENCE on the filter.
+    idx = index.withColumn("vector_score", F.lit("tagged"))
+    out = engine.search(idx, query_text="table scan filter",
+                        search_type="hybrid", limit=5,
+                        filters={"vector_score": "tagged"})
+    rows = out.collect()
+    assert rows, "all rows carry the tag, filter must keep them"
+    # the result's vector_score is the FUSED branch score (float),
+    # not the index attribute used for filtering
+    assert all(not isinstance(r["vector_score"], str) for r in rows)
+
+
+def test_multi_strategy_partial_max_results_dict(spark, index):
+    # a user-supplied partial strategy_max_results falls back to the
+    # reference defaults (15/8) instead of raising KeyError.
+    eng = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.2, similarity_threshold=0.0,
+        parent_child_threshold=0.0, parent_child_search_threshold=0.0,
+        strategy_max_results={"similarity": 5}))
+    out = eng.multi_strategy_search(
+        index, "table scan filter", limit=50,
+        strategies=["similarity", "parent_child"])
+    assert out.count() > 0

@@ -210,3 +210,10 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     assert len(parts) == 2
     after = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_compact_parquet_rejects_remote_uri(spark):
+    from production_grade_rag_spark.sources.tables import compact_parquet
+    import pytest
+    with pytest.raises(ValueError, match="local-filesystem-only"):
+        compact_parquet(spark, "s3://bucket/table")
