@@ -34,6 +34,14 @@ class EngineConfig:
     model_name: str = "sentence-transformers/all-MiniLM-L6-v2"  # settings.py:44
     model_batch_size: int = 32         # rag_config.yaml:26
     normalize_embeddings: bool = True
+    # optional encoder factory (operators.embedding contract: factory()
+    # -> encode(texts, normalize) -> list[list[float]], with a
+    # .cache_key attribute).  None -> the sentence-transformers loader
+    # when the model backend is active.  Both index-side (model_embed)
+    # and query-side (encode_query) use THIS factory, so index and
+    # query vectors always come from the same encoder — the reference's
+    # invariant (advanced_search.py:320-324).
+    encoder_factory: object | None = None
 
     # retrieval (reference: config/rag_config.yaml:33-48, advanced_search.py:53-66)
     default_k: int = 10

@@ -71,11 +71,9 @@ class SparkRagEngine:
         """rag_pipeline: quality (T2) -> filter (T3) -> clean+chunk
         (T1/M1/T4/W2) -> embed (M3, backend per config).  Returns the
         chunk index frame (chunk_id, doc_id, content, chunk_index, ...,
-        embedding).  NOTE: with a model backend, query vectors must
-        come from the same model — ``embed_query`` only has the hash
-        twin, so model-backed indexes are for index-side workloads
-        (dedup, clustering, pairwise similarity) until a query-side
-        encoder is wired in."""
+        embedding).  With a model backend, ``embed_query`` encodes
+        queries through the SAME factory, so the index is searchable
+        end-to-end."""
         c = self.config
         scored = X.with_quality(documents, text_col=text_col)
         kept = X.quality_filter(scored, c.quality_threshold)
@@ -88,11 +86,30 @@ class SparkRagEngine:
                                dim=c.embedding_dim,
                                normalize=c.normalize_embeddings,
                                model_name=c.model_name,
-                               batch_size=c.model_batch_size)
+                               batch_size=c.model_batch_size,
+                               encoder_factory=c.encoder_factory)
+
+    def _model_backend_active(self) -> bool:
+        """True when build_index would take the model path — the
+        same dispatch condition as operators.embedding.embed."""
+        c = self.config
+        return (c.embedding_backend == "model"
+                or (c.embedding_backend == "auto"
+                    and (embedding.model_available()
+                         or c.encoder_factory is not None)))
 
     def embed_query(self, query_text: str) -> list[float]:
-        return embed_text_py(query_text, dim=self.config.embedding_dim,
-                             normalize=self.config.normalize_embeddings)
+        """Encode a query with the SAME embedder build_index used
+        (reference: advanced_search.py:320-324) — the model backend's
+        driver-side encoder when active, else the hash twin."""
+        c = self.config
+        if self._model_backend_active():
+            return embedding.encode_query(
+                query_text, model_name=c.model_name,
+                normalize=c.normalize_embeddings,
+                encoder_factory=c.encoder_factory)
+        return embed_text_py(query_text, dim=c.embedding_dim,
+                             normalize=c.normalize_embeddings)
 
     # -- retrieval ----------------------------------------------------------
 

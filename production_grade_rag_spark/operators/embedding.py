@@ -191,6 +191,47 @@ def fake_model_factory(model_name: str, dim: int = 64):
     return load
 
 
+def _default_factory(model_name: str, encoder_factory):
+    """Resolve the encoder factory: explicit one wins; otherwise the
+    real sentence-transformers loader (raising early when the library
+    is absent so the failure happens driver-side, not mid-job)."""
+    if encoder_factory is not None:
+        return encoder_factory
+    if not model_available():
+        raise ImportError(
+            "sentence-transformers is not installed; use "
+            "embed(df, backend='auto') for the hash fallback or "
+            "pass encoder_factory=fake_model_factory(...)")
+    return sentence_transformer_factory(model_name)
+
+
+def _factory_key(model_name: str, encoder_factory) -> tuple:
+    return (model_name,
+            getattr(encoder_factory, "cache_key",
+                    getattr(encoder_factory, "__qualname__",
+                            repr(encoder_factory))))
+
+
+def encode_query(text: str, model_name: str = DEFAULT_MODEL,
+                 normalize: bool = True, encoder_factory=None) -> list[float]:
+    """Query-side twin of ``model_embed`` — encode ONE string
+    driver-side with the SAME factory/cache machinery, so a model-built
+    index can be searched end-to-end (the reference encodes queries
+    with the same model as chunks, advanced_search.py:320-324).
+
+    The driver process keeps its own ``_MODEL_CACHE`` singleton per
+    (model_name, factory identity), exactly like each executor worker:
+    the model loads once per driver lifetime, then every query is a
+    single in-process ``encode`` call — no Spark job."""
+    encoder_factory = _default_factory(model_name, encoder_factory)
+    key = _factory_key(model_name, encoder_factory)
+    enc = _MODEL_CACHE.get(key)
+    if enc is None:
+        enc = _MODEL_CACHE.setdefault(key, encoder_factory())
+    return [float(x) for x in enc(["" if text is None else str(text)],
+                                  normalize)[0]]
+
+
 def model_embed(df: DataFrame, text_col: str = "content",
                 model_name: str = DEFAULT_MODEL,
                 batch_size: int = DEFAULT_BATCH, normalize: bool = True,
@@ -213,21 +254,11 @@ def model_embed(df: DataFrame, text_col: str = "content",
     rows are narrow — repartition upstream if the source was few large
     files).
     """
-    if encoder_factory is None:
-        if not model_available():
-            raise ImportError(
-                "sentence-transformers is not installed; use "
-                "embed(df, backend='auto') for the hash fallback or "
-                "pass encoder_factory=fake_model_factory(...)")
-        encoder_factory = sentence_transformer_factory(model_name)
-
+    encoder_factory = _default_factory(model_name, encoder_factory)
     # resolved driver-side, closed over by the UDF: custom factories
     # without a cache_key fall back to (model_name, qualname) which
     # still separates fake from real.
-    cache_key = (model_name,
-                 getattr(encoder_factory, "cache_key",
-                         getattr(encoder_factory, "__qualname__",
-                                 repr(encoder_factory))))
+    cache_key = _factory_key(model_name, encoder_factory)
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -249,18 +280,23 @@ def model_embed(df: DataFrame, text_col: str = "content",
 def embed(df: DataFrame, backend: str = "auto", text_col: str = "content",
           id_col: str = "chunk_id", dim: int = 64, normalize: bool = True,
           out_col: str = "embedding", model_name: str = DEFAULT_MODEL,
-          batch_size: int = DEFAULT_BATCH) -> DataFrame:
+          batch_size: int = DEFAULT_BATCH, encoder_factory=None) -> DataFrame:
     """Backend dispatch for M3:
 
     - ``"hash"``  : deterministic builtin-expression embedder.
-    - ``"model"`` : sentence-transformers (raises if not installed).
-    - ``"auto"``  : model when the library is importable, else the
-      documented hash fallback — the container-safe default.
+    - ``"model"`` : sentence-transformers, or whatever
+      ``encoder_factory`` supplies (raises if neither is available).
+    - ``"auto"``  : model when the library is importable OR an explicit
+      ``encoder_factory`` is given, else the documented hash fallback —
+      the container-safe default.
     """
-    if backend == "model" or (backend == "auto" and model_available()):
+    if backend == "model" or (backend == "auto" and
+                              (model_available()
+                               or encoder_factory is not None)):
         return model_embed(df, text_col=text_col, model_name=model_name,
                            batch_size=batch_size, normalize=normalize,
-                           out_col=out_col)
+                           out_col=out_col,
+                           encoder_factory=encoder_factory)
     if backend in ("hash", "auto"):
         return hash_embed(df, text_col=text_col, id_col=id_col, dim=dim,
                           normalize=normalize, out_col=out_col)
