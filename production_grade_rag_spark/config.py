@@ -51,6 +51,13 @@ class EngineConfig:
     parent_child_search_threshold: float = 0.75
     hybrid_vector_weight: float = 0.7
     hybrid_text_weight: float = 0.3
+    # hybrid text branch scoring: "bm25" (Okapi, the reference's
+    # Lucene-$search model — vector_search.py:141-160) or "tfidf"
+    # (smoothed TF-IDF, the lighter fallback without saturation or
+    # length norm).  Both are pure column expressions.
+    text_relevance: str = "bm25"
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
     strategy_weights: dict = field(default_factory=lambda: {
         "similarity": 0.6, "parent_child": 0.4, "hybrid": 0.5,
     })

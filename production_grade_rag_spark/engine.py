@@ -185,12 +185,19 @@ class SparkRagEngine:
                    cosine(to_double_array(F.col("embedding")), qv)
                    .alias("vector_score"))
                .orderBy(F.desc("vector_score"), "id").limit(2 * k))
-        # text branch: smoothed TF-IDF over the query terms — the
-        # documented stand-in for the reference's Lucene-BM25 $search
-        # side (operators/textscore.py header records the deviation).
+        # text branch: Okapi BM25 over the query terms (the reference's
+        # Lucene-$search scoring model, vector_search.py:141-160);
+        # config.text_relevance="tfidf" selects the lighter smoothed
+        # TF-IDF fallback.
         terms = [t for t in query_text.lower().split() if t]
-        txt = (textscore.tfidf_score(index, terms, text_col="content")
-               .select(F.col(id_col).alias("id"), "text_score")
+        if c.text_relevance == "bm25":
+            txt = textscore.bm25_score(index, terms, text_col="content",
+                                       k1=c.bm25_k1, b=c.bm25_b)
+        elif c.text_relevance == "tfidf":
+            txt = textscore.tfidf_score(index, terms, text_col="content")
+        else:
+            raise ValueError(f"unknown text_relevance {c.text_relevance!r}")
+        txt = (txt.select(F.col(id_col).alias("id"), "text_score")
                .orderBy(F.desc("text_score"), "id").limit(2 * k))
         merged = fusion.hybrid_union(vec, txt)
         fused = fusion.weighted_fusion(merged, c.hybrid_vector_weight,

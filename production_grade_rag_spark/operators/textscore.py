@@ -1,22 +1,29 @@
-"""Query-time TF-IDF text relevance (SURVEY §7.2 phase 4).
+"""Query-time text relevance: Okapi BM25 + smoothed TF-IDF
+(SURVEY §7.2 phase 4).
 
 The reference's hybrid text branch is Atlas $search — Lucene BM25
-(vector_search.py:141-160).  BM25's length normalization and term
-saturation depend on index-time corpus statistics Spark doesn't keep,
-so the documented stand-in is query-term TF-IDF with sklearn-style
-smoothed idf:
+(vector_search.py:141-160).  ``bm25_score`` is the faithful twin:
+
+    score(d, Q) = sum_t idf_t * tf(t,d)*(k1+1)
+                         / (tf(t,d) + k1*(1 - b + b*|d|/avgdl))
+    idf_t       = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+
+with the classic Okapi defaults k1=1.2, b=0.75 — term-frequency
+saturation (k1) and document-length normalization (b) included.  The
+index-time corpus statistics BM25 needs (N, df_t, avgdl) are computed
+on the fly as ONE tiny agg row and broadcast, so the per-row score
+stays a pure column expression — JVM-side, whole-stage-codegen'd, and
+exactly replayable as a DuckDB oracle.
+
+``tfidf_score`` (sklearn-style smoothed idf, no saturation or length
+norm) remains as the config fallback:
 
     score(d, Q) = sum_t  tf(t, d) * (ln((1 + N) / (1 + df_t)) + 1)
 
-Deliberate deviation from BM25 (documented, not hidden): same
-monotonicity in term frequency and term rarity, but no saturation or
-length normalization.  In exchange the score is a pure column
-expression — JVM-side, whole-stage-codegen'd, and exactly replayable
-as a DuckDB oracle — and the 0.7/0.3 fusion weights stay unchanged.
-
-100 TB notes: corpus stats (N, df per query term) are ONE tiny agg row
-broadcast to every executor; the per-row score is expression-only.
-df for a 6-term query is 7 numbers — no inverted index materializes.
+100 TB notes: corpus stats for a 6-term query are <10 numbers — no
+inverted index materializes; avgdl is kept as (sum_dl, N) so the
+average is one exact-integer-sum division, deterministic under any
+partial-agg order.
 """
 
 from __future__ import annotations
@@ -59,4 +66,42 @@ def tfidf_score(docs: DataFrame, terms: list[str], text_col: str = "text",
                     / (F.lit(1.0) + F.col(f"__df_{i}"))) + F.lit(1.0)
         expr = expr + tf * idf
     drop = ["__toks", "__n_docs"] + [f"__df_{i}" for i in range(len(terms))]
+    return scored.withColumn(out_col, expr).drop(*drop)
+
+
+def bm25_score(docs: DataFrame, terms: list[str], text_col: str = "text",
+               out_col: str = "text_score",
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Score every row against the query terms with Okapi BM25
+    (the reference's Lucene-$search scoring model,
+    vector_search.py:141-160; k1/b are the Lucene defaults).
+
+    Plan: tokenize (expression) -> one global agg for (N, df_t,
+    sum_dl) -> broadcast the 1-row stats -> per-row score expression.
+    avgdl enters the expression as sum_dl/N (exact integer sums) so
+    the value is independent of partial-agg order.  Adds ``out_col``;
+    preserves all input columns.
+    """
+    base = docs.withColumn(
+        "__toks", tokens(F.coalesce(F.col(text_col), F.lit(""))))
+    aggs = [F.count("*").alias("__n_docs"),
+            F.sum(F.size("__toks")).alias("__sumdl")]
+    for i, t in enumerate(terms):
+        aggs.append(F.sum((_count_term(F.col("__toks"), t) > 0)
+                          .cast("long")).alias(f"__df_{i}"))
+    stats = base.agg(*aggs)
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n_docs").cast("double")
+    dl = F.size("__toks").cast("double")
+    # length norm shared by every term; fold order mirrors the oracle
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl
+    expr = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = _count_term(F.col("__toks"), t).cast("double")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("__n_docs") - F.col(f"__df_{i}") + F.lit(0.5))
+                    / (F.col(f"__df_{i}") + F.lit(0.5)))
+        expr = expr + idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)
+    drop = (["__toks", "__n_docs", "__sumdl"]
+            + [f"__df_{i}" for i in range(len(terms))])
     return scored.withColumn(out_col, expr).drop(*drop)

@@ -188,6 +188,92 @@ LIMIT 20
 """
 
 
+def _bm25_sql(terms: list[str], k1: float = 1.2,
+              b: float = 0.75) -> tuple[str, str]:
+    """(CTE prefix, score expression) for the Okapi-BM25 twin of
+    operators.textscore.bm25_score — identical fold order and explicit
+    ::DOUBLE casts (DuckDB float literals default to DECIMAL, a
+    documented stringify hazard) so doubles match bit-for-bit."""
+    toks = OV.tokens_sql("text")
+    dfs = ", ".join(
+        f"sum((len(list_filter(toks, x -> x = {sql_str(t)})) > 0)::INT) AS df_{i}"
+        for i, t in enumerate(terms))
+    cte = (f"tf AS (SELECT doc_id, {toks} AS toks FROM documents), "
+           f"stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl, "
+           f"{dfs} FROM tf)")
+    avgdl = "(sumdl::DOUBLE / n_docs::DOUBLE)"
+    norm = (f"(1.0::DOUBLE - {b!r}::DOUBLE"
+            f" + {b!r}::DOUBLE * len(toks)::DOUBLE / {avgdl})")
+    score = "0.0" + "".join(
+        f" + ln(1.0::DOUBLE + (n_docs - df_{i} + 0.5::DOUBLE)"
+        f" / (df_{i} + 0.5::DOUBLE))"
+        f" * (len(list_filter(toks, x -> x = {sql_str(t)}))::DOUBLE"
+        f" * {k1 + 1.0!r}::DOUBLE)"
+        f" / (len(list_filter(toks, x -> x = {sql_str(t)}))::DOUBLE"
+        f" + {k1!r}::DOUBLE * {norm})"
+        for i, t in enumerate(terms))
+    return cte, score
+
+
+def _bm25_hybrid_oracle() -> str:
+    cte, score = _bm25_sql(QUERY_TERMS)
+    return f"""
+WITH {cte},
+vec AS (
+  SELECT vec_id AS id, {OV.cosine_sql('embedding', OV.vec_lit_sql(QUERY_VEC))} AS vector_score,
+         NULL::DOUBLE AS text_score
+  FROM embeddings
+  ORDER BY vector_score DESC, vec_id LIMIT 40
+), txt AS (
+  SELECT doc_id AS id, NULL::DOUBLE AS vector_score, {score} AS text_score
+  FROM tf, stats
+  ORDER BY text_score DESC, doc_id LIMIT 40
+), unioned AS (
+  SELECT * FROM vec UNION ALL SELECT * FROM txt
+), merged AS (
+  SELECT id, max(vector_score) AS vector_score, max(text_score) AS text_score
+  FROM unioned GROUP BY id
+)
+SELECT id, round(coalesce(vector_score, 0), 6) AS vector_score,
+       round(coalesce(text_score, 0), 6) AS text_score,
+       round({fusion.VECTOR_WEIGHT} * coalesce(vector_score, 0)
+             + {fusion.TEXT_WEIGHT} * coalesce(text_score, 0), 6) AS score
+FROM merged
+ORDER BY {fusion.VECTOR_WEIGHT} * coalesce(vector_score, 0)
+         + {fusion.TEXT_WEIGHT} * coalesce(text_score, 0) DESC, id
+LIMIT 20
+"""
+
+
+@register("r7_hybrid_bm25", oracle=_bm25_hybrid_oracle())
+def r7_hybrid_bm25(spark: SparkSession, d: str) -> DataFrame:
+    """R7 with the Okapi-BM25 text branch — the faithful twin of the
+    reference's Lucene-$search side (vector_search.py:141-160; k1=1.2,
+    b=0.75): saturation and length norm included, corpus stats one
+    broadcast row.  Same fusion pipeline as r7_hybrid_fusion — only
+    the text relevance changes."""
+    from ..operators import textscore
+    emb = _t(spark, d, "embeddings")
+    docs = _t(spark, d, "documents")
+    vec = (emb.select(
+        F.col("vec_id").alias("id"),
+        cosine(to_double_array(F.col("embedding")), _qvec_col())
+            .alias("vector_score"))
+        .orderBy(F.desc("vector_score"), "id").limit(40))
+    txt = (textscore.bm25_score(docs, QUERY_TERMS, text_col="text")
+           .select(F.col("doc_id").alias("id"), "text_score")
+           .orderBy(F.desc("text_score"), "id").limit(40))
+    merged = fusion.hybrid_union(vec, txt)
+    fused = fusion.weighted_fusion(merged)
+    return (fused
+            .select("id",
+                    F.round(F.coalesce("vector_score", F.lit(0.0)), 6).alias("vector_score"),
+                    F.round(F.coalesce("text_score", F.lit(0.0)), 6).alias("text_score"),
+                    F.round("score", 6).alias("score"),
+                    F.col("score").alias("__raw"))
+            .orderBy(F.desc("__raw"), "id").limit(20).drop("__raw"))
+
+
 @register("r7_hybrid_tfidf", oracle=_tfidf_hybrid_oracle())
 def r7_hybrid_tfidf(spark: SparkSession, d: str) -> DataFrame:
     """R7 with the TF-IDF text branch (SURVEY §7.2 phase 4): the

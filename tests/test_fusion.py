@@ -80,3 +80,50 @@ def test_tfidf_score_matches_formula(spark):
     assert math.isclose(out[1], 2 * idf_a + 1 * idf_b, rel_tol=1e-12)
     assert math.isclose(out[2], 1 * idf_a, rel_tol=1e-12)
     assert out[3] == 0.0 and out[4] == 0.0
+
+
+def test_bm25_score_matches_formula(spark):
+    import math
+    from production_grade_rag_spark.operators.textscore import bm25_score
+    rows = [(1, "a a b x"), (2, "a c"), (3, "y z"), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text_score"]
+           for r in bm25_score(df, ["a", "b"]).collect()}
+    n, k1, b = 4, 1.2, 0.75
+    avgdl = (4 + 2 + 2 + 0) / 4
+    def idf(dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    def term(tf, dl, dfreq):
+        return idf(dfreq) * (tf * (k1 + 1)) / \
+            (tf + k1 * (1 - b + b * dl / avgdl))
+    assert math.isclose(out[1], term(2, 4, 2) + term(1, 4, 1), rel_tol=1e-12)
+    assert math.isclose(out[2], term(1, 2, 2), rel_tol=1e-12)
+    assert out[3] == 0.0 and out[4] == 0.0
+
+
+def test_bm25_saturation_and_length_norm(spark):
+    # BM25's two properties TF-IDF lacks (the round-3 gap this closes):
+    # (1) term-frequency SATURATION — marginal gain per extra
+    # occurrence strictly shrinks and the score stays below the
+    # idf*(k1+1) asymptote; (2) LENGTH NORMALIZATION — same tf in a
+    # longer document scores lower.
+    import math
+    from production_grade_rag_spark.operators.textscore import bm25_score
+    # same length (padding with distinct junk), growing tf of "a"
+    rows = [(i, " ".join(["a"] * i + [f"x{j}" for j in range(10 - i)]))
+            for i in range(1, 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = {r["doc_id"]: r["text_score"]
+         for r in bm25_score(df, ["a"]).collect()}
+    gains = [s[i + 1] - s[i] for i in range(1, 8)]
+    assert all(g > 0 for g in gains), "more tf must still help"
+    assert all(g2 < g1 for g1, g2 in zip(gains, gains[1:])), "diminishing"
+    n, k1 = 8, 1.2
+    asymptote = math.log(1 + (n - 8 + 0.5) / (8 + 0.5)) * (k1 + 1)
+    assert all(v < asymptote for v in s.values())
+    # length norm: tf=2 of "a" in a 4-token doc vs a 20-token doc
+    rows2 = [(1, "a a x y"), (2, "a a " + " ".join(f"z{j}" for j in range(18)))]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    s2 = {r["doc_id"]: r["text_score"]
+          for r in bm25_score(df2, ["a"]).collect()}
+    assert s2[1] > s2[2]
