@@ -217,3 +217,76 @@ def test_compact_parquet_rejects_remote_uri(spark):
     import pytest
     with pytest.raises(ValueError, match="local-filesystem-only"):
         compact_parquet(spark, "s3://bucket/table")
+
+
+def test_salted_ops_under_manufactured_skew(spark):
+    # Round-3 verdict item 5: the salted plans were only ever exercised
+    # on uniform testdata.  Manufacture a hot key (30% of 20k fact rows
+    # on user_id=1), then assert (a) the salted join/agg results are
+    # IDENTICAL to their unsalted oracles on the skewed input, (b) the
+    # salt column actually reaches the physical shuffle, and (c) the
+    # hot key genuinely spreads across many salt values — validating
+    # the cost-model note in operators/skew.py.
+    from production_grade_rag_spark.operators.skew import salted_join
+
+    n = 20_000
+    fact = (spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(1))       # 30% hot
+         .otherwise(F.pmod(F.col("id"), F.lit(500))).alias("user_id"),
+        (F.col("id") % 97).alias("amount")))
+    dim = (spark.range(500).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("segment_"), (F.col("id") % 7)).alias("segment")))
+
+    hot = fact.filter(F.col("user_id") == 1)
+    assert hot.count() == n * 3 // 10
+
+    # (a) join parity on skewed data
+    salted = salted_join(fact, dim, "user_id", n_salts=8)
+    plain = fact.join(dim, "user_id")
+    assert salted.count() == plain.count() == n
+    s = {(r["event_id"], r["segment"]) for r in salted.collect()}
+    p = {(r["event_id"], r["segment"]) for r in plain.collect()}
+    assert s == p
+
+    # (a') two-phase salted agg parity (the ev_skew_salted_agg pattern)
+    two_phase = (fact
+                 .withColumn("__salt", F.pmod(F.hash("event_id"), F.lit(16)))
+                 .groupBy("user_id", "__salt")
+                 .agg(F.count("*").alias("c"), F.sum("amount").alias("s"))
+                 .groupBy("user_id")
+                 .agg(F.sum("c").alias("n_events"),
+                      F.sum("s").alias("total")))
+    direct = fact.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("amount").alias("total"))
+    assert {tuple(r) for r in two_phase.collect()} == \
+           {tuple(r) for r in direct.collect()}
+
+    # (b) the salt is part of the join's physical shuffle key.  At
+    # this toy size AQE (correctly) broadcasts the 500-row dim and no
+    # shuffle exists — the very situation salting is NOT for — so
+    # disable auto-broadcast to expose the shuffle plan salting
+    # targets at scale (dim too big to broadcast).
+    for key in ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+        spark.conf.set(key, "-1")
+    try:
+        shuffled = salted_join(fact, dim, "user_id", n_salts=8)
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan and "hashpartitioning" in plan
+        assert {(r["event_id"], r["segment"])
+                for r in shuffled.collect()} == p
+    finally:
+        for key in ("spark.sql.autoBroadcastJoinThreshold",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+            spark.conf.unset(key)
+
+    # (c) the hot key spreads across salts (cost model: hot rows no
+    # longer land on one reducer).  Same salt expression as salted_join
+    # (whole-row hash).
+    spread = (fact.filter(F.col("user_id") == 1)
+              .select(F.pmod(F.hash(*[F.col(c) for c in fact.columns]),
+                             F.lit(8)).alias("salt"))
+              .distinct().count())
+    assert spread == 8
