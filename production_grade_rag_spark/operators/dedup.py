@@ -91,9 +91,21 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 # whole-stage codegen and the md5 work doesn't multiply by num_hashes.
 # A[s] < 2^31 and base < 2^32 keep A*base + B below 2^63 (no overflow).
 # The DuckDB oracle imports these exact constants.
+#
+# Width guidance (band-collision S-curve, P = 1 - (1 - j^r)^b with
+# r = num_hashes/num_bands rows per band): the demo default 16/4
+# (r=4) is coarse — its 50%-recall point sits near j≈0.66 and the
+# curve is shallow, so borderline pairs are missed.  At corpus scale
+# use 128 hashes / 32 bands (r=4, catches j≥0.6 aggressively, rely on
+# the exact-Jaccard verify for precision) or 128/16 (r=8, 50% point
+# j≈0.71 — tighter candidate volume for threshold 0.8).  The recall
+# ordering is pinned by tests/test_minhash_width.py.
 MINHASH_PRIME = 4294967311           # smallest prime > 2^32
-HASH_A = [((2 * s + 1) * 2654435761) % 2147483647 for s in range(64)]
-HASH_B = [(s * 2654435769 + 40503) % MINHASH_PRIME for s in range(64)]
+MAX_MINHASH_WIDTH = 128
+HASH_A = [((2 * s + 1) * 2654435761) % 2147483647
+          for s in range(MAX_MINHASH_WIDTH)]
+HASH_B = [(s * 2654435769 + 40503) % MINHASH_PRIME
+          for s in range(MAX_MINHASH_WIDTH)]
 assert all(a > 0 for a in HASH_A)
 
 
