@@ -288,6 +288,88 @@ def ivf_search_store(spark, path: str, query_vec: list[float], k: int = 10,
                     vec_col=vec_col, id_col=id_col)
 
 
+def _sqdist_to_centroid(vec_col: str):
+    """Squared euclidean distance between ``vec_col`` (array) and the
+    joined ``centroid`` column — the shared assignment expression."""
+    return F.aggregate(
+        F.zip_with(to_double_array(F.col(vec_col)),
+                   F.col("centroid").cast("array<double>"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_cells(rows: DataFrame, cent_df: DataFrame,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Assign each row to its nearest centroid WITHOUT refitting:
+    broadcast the n_lists-row centroid table, crossJoin, min-struct agg
+    per id (ties -> lowest cell_id).  Adds ``cell`` and ``cell_dist``
+    (squared distance) columns; input columns preserved."""
+    best = (rows.select(F.col(id_col), F.col(vec_col))
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn("__d", _sqdist_to_centroid(vec_col))
+            .groupBy(id_col)
+            .agg(F.min(F.struct(F.col("__d").alias("d"),
+                                F.col("cell_id").alias("c"))).alias("__m"))
+            .select(F.col(id_col), F.col("__m.c").alias("cell"),
+                    F.col("__m.d").alias("cell_dist")))
+    return rows.join(best, id_col)
+
+
+def ivf_append_store(new_rows: DataFrame, path: str,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """Incremental ingest for an ``ivf_build_store`` layout: assign new
+    rows to the EXISTING centroids (no refit — one broadcast join, no
+    KMeans pass) and append them into the partitioned data directory.
+    Searches prune exactly as before; appended rows are found through
+    the cell their vector lands in.
+
+    At 100 TB this is the steady-state ingest path — refitting per
+    batch would rewrite the whole layout.  Appends degrade the
+    clustering as the corpus drifts away from the original centroids;
+    monitor ``ivf_store_drift`` and rebuild (``ivf_build_store``) when
+    the mean assigned distance trends up."""
+    spark = new_rows.sparkSession
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    # align the vector element type with the store: parquet appends
+    # with a different physical type (float vs double) poison every
+    # later scan of that partition directory.
+    stored = dict(spark.read.parquet(f"{path}/data").dtypes)[vec_col]
+    if dict(new_rows.dtypes).get(vec_col) != stored:
+        new_rows = new_rows.withColumn(vec_col,
+                                       F.col(vec_col).cast(stored))
+    assigned = assign_cells(new_rows, cent_df, vec_col, id_col) \
+        .drop("cell_dist")
+    assigned.write.mode("append").partitionBy("cell") \
+        .parquet(f"{path}/data")
+
+
+def ivf_store_drift(spark, path: str,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Refit signal for an IVF store: per-cell row count and mean
+    squared distance to the assigned centroid (KMeans inertia per
+    cell), plus an ALL row (cell_id null) for the overall mean.  A
+    rising overall mean across appends — or one cell ballooning —
+    means the centroids no longer describe the corpus: rebuild.
+
+    One scan of the store + a broadcast join of the n_lists-row
+    centroid table; no KMeans, no collect beyond the caller's."""
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    data = spark.read.parquet(f"{path}/data")
+    per_row = (data.join(F.broadcast(cent_df),
+                         data.cell == cent_df.cell_id)
+               .withColumn("__d", _sqdist_to_centroid(vec_col)))
+    per_cell = (per_row.groupBy("cell_id")
+                .agg(F.count("*").alias("n_rows"),
+                     F.avg("__d").alias("mean_sq_dist")))
+    overall = (per_row.agg(F.count("*").alias("n_rows"),
+                           F.avg("__d").alias("mean_sq_dist"))
+               .select(F.lit(None).cast("long").alias("cell_id"),
+                       "n_rows", "mean_sq_dist"))
+    return per_cell.unionByName(overall)
+
+
 def lsh_similar_pairs(corpus: DataFrame, threshold: float,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       bucket_length: float = 0.5,

@@ -115,3 +115,54 @@ def test_ivf_partitioned_store_prunes_cells(spark, tmp_path):
             similarity.ivf_search_store(spark, path, QUERY_VEC,
                                         k=10, n_probe=8).collect()}
     assert full == exact
+
+
+def test_ivf_append_store_and_drift(spark, tmp_path):
+    # round-3 verdict item 7: the store must take incremental appends
+    # (assign to existing centroids, no refit) with searches still
+    # partition-pruned and able to find the appended rows, and expose
+    # a drift metric that moves when appended data stops matching the
+    # original clustering.
+    path = str(tmp_path / "ivf")
+    emb = load_table(spark, SF001, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    similarity.ivf_build_store(base, path, n_lists=8)
+
+    drift0 = {r["cell_id"]: r for r in
+              similarity.ivf_store_drift(spark, path).collect()}
+    base_mean = drift0[None]["mean_sq_dist"]
+    assert drift0[None]["n_rows"] == base.count()
+    assert base_mean > 0
+
+    # append in-distribution rows: searches must find them via their
+    # assigned cell, with the partition filter still present.
+    extra = emb.filter(F.col("vec_id") >= 400)
+    n_extra = extra.count()
+    assert n_extra > 0
+    similarity.ivf_append_store(extra, path)
+    target = extra.orderBy("vec_id").first()
+    qv = [float(x) for x in target["embedding"]]
+    out = similarity.ivf_search_store(spark, path, qv, k=3, n_probe=2)
+    rows = out.collect()
+    assert rows[0]["vec_id"] == target["vec_id"]  # its own vector: top-1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0] and "IN" in pf[0].upper()
+
+    drift1 = {r["cell_id"]: r for r in
+              similarity.ivf_store_drift(spark, path).collect()}
+    assert drift1[None]["n_rows"] == base.count() + n_extra
+    # in-distribution append: overall mean stays the same order
+    assert drift1[None]["mean_sq_dist"] < 4 * base_mean
+
+    # out-of-distribution append (vectors far outside the corpus):
+    # the refit signal must rise.
+    dim = len(qv)
+    far = spark.createDataFrame(
+        [(100_000 + i, [50.0 + i] * dim, "ood") for i in range(20)],
+        "vec_id long, embedding array<double>, label string") \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    similarity.ivf_append_store(far.select(base.columns), path)
+    drift2 = {r["cell_id"]: r for r in
+              similarity.ivf_store_drift(spark, path).collect()}
+    assert drift2[None]["mean_sq_dist"] > 10 * drift1[None]["mean_sq_dist"]
