@@ -1018,3 +1018,17 @@ def ta_length_quantiles(spark: SparkSession, d: str) -> DataFrame:
         F.expr("round(percentile(n_chars, 0.5), 6)").alias("p50"),
         F.expr("round(percentile(n_chars, 0.9), 6)").alias("p90"),
         F.expr("round(percentile(n_chars, 0.99), 6)").alias("p99"))
+
+
+@register("flagship_dim384", headline=True)
+def flagship_dim384(spark: SparkSession, d: str) -> DataFrame:
+    """Flagship pipeline at the reference's production embedding width
+    (384-dim all-MiniLM, settings.py:40) — the bench-honesty variant
+    the round-3 verdict asked for: clean -> chunk -> hash-embed at
+    dim=384 -> knn -> attribution, same DAG as entry()'s dim-64 run,
+    6x the embedding assembly and cosine width.  Rows-only by design
+    (the value math is pinned by the dim-64 oracle entries; this one
+    exists so the bench would catch a superlinear blowup in the dense
+    assembly or the zip_with cosine at real dimensionality)."""
+    from .flagship import flagship_search
+    return flagship_search(spark, d, k=10, dim=384)
