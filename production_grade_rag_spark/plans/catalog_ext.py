@@ -190,6 +190,9 @@ LIMIT 20
 
 def _bm25_sql(terms: list[str], k1: float = 1.2,
               b: float = 0.75) -> tuple[str, str]:
+    # NOTE: the tf/stats CTE reads FROM documents; callers whose Spark
+    # side scores a 1:1 join of documents (e.g. docs x embeddings as an
+    # engine index) get identical stats because the row set is the same.
     """(CTE prefix, score expression) for the Okapi-BM25 twin of
     operators.textscore.bm25_score — identical fold order and explicit
     ::DOUBLE casts (DuckDB float literals default to DECIMAL, a

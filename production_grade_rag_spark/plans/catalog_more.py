@@ -1032,3 +1032,66 @@ def flagship_dim384(spark: SparkSession, d: str) -> DataFrame:
     assembly or the zip_with cosine at real dimensionality)."""
     from .flagship import flagship_search
     return flagship_search(spark, d, k=10, dim=384)
+
+
+def _eng_hybrid_oracle() -> str:
+    from .catalog_ext import _bm25_sql, QUERY_TERMS
+    from ..operators import fusion
+    cte, score = _bm25_sql(QUERY_TERMS)
+    cos = OV.cosine_sql("e.embedding", OV.vec_lit_sql(QUERY_VEC))
+    return f"""
+WITH {cte},
+vec AS (
+  SELECT d.doc_id AS id, {cos} AS vector_score, NULL::DOUBLE AS text_score
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  ORDER BY vector_score DESC, id LIMIT 20
+), txt AS (
+  SELECT doc_id AS id, NULL::DOUBLE AS vector_score, {score} AS text_score
+  FROM tf, stats
+  ORDER BY text_score DESC, id LIMIT 20
+), unioned AS (
+  SELECT * FROM vec UNION ALL SELECT * FROM txt
+), merged AS (
+  SELECT id, max(vector_score) AS vector_score, max(text_score) AS text_score
+  FROM unioned GROUP BY id
+), fused AS (
+  SELECT id, vector_score, text_score,
+         {fusion.VECTOR_WEIGHT} * coalesce(vector_score, 0)
+         + {fusion.TEXT_WEIGHT} * coalesce(text_score, 0) AS score
+  FROM merged
+)
+SELECT f.id AS doc_id,
+       round(coalesce(f.vector_score, 0), 6) AS vector_score,
+       round(coalesce(f.text_score, 0), 6) AS text_score,
+       round(f.score, 6) AS score
+FROM fused f JOIN documents d ON d.doc_id = f.id
+WHERE d.lang = 'en'
+ORDER BY f.score DESC, f.id LIMIT 10
+"""
+
+
+@register("eng_hybrid_bm25", oracle=_eng_hybrid_oracle())
+def eng_hybrid_bm25(spark: SparkSession, d: str) -> DataFrame:
+    """Engine search(search_type='hybrid') end-to-end with the BM25
+    text branch: candidate pools of 2k per branch are UNFILTERED,
+    max-dedup + 0.7/0.3 fusion, then the $match filter runs on the
+    FUSED set before the final top-k (vector_search.py:98-205) — the
+    engine-level twin of r7_hybrid_bm25 that additionally pins the
+    post-fusion filter placement and the __f_-prefixed attribute
+    join."""
+    from .catalog_ext import QUERY_TERMS
+    from ..engine import SparkRagEngine
+    eng = SparkRagEngine(spark)
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    index = (docs.join(emb, docs.doc_id == emb.vec_id)
+             .select("doc_id", F.col("text").alias("content"),
+                     "embedding", "lang"))
+    out = eng.search(index, query_text=" ".join(QUERY_TERMS),
+                     query_vector=QUERY_VEC, search_type="hybrid",
+                     limit=10, filters={"lang": "en"}, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.round(F.coalesce("vector_score", F.lit(0.0)), 6).alias("vector_score"),
+        F.round(F.coalesce("text_score", F.lit(0.0)), 6).alias("text_score"),
+        F.round("score", 6).alias("score"))
