@@ -1095,3 +1095,85 @@ def eng_hybrid_bm25(spark: SparkSession, d: str) -> DataFrame:
         F.round(F.coalesce("vector_score", F.lit(0.0)), 6).alias("vector_score"),
         F.round(F.coalesce("text_score", F.lit(0.0)), 6).alias("text_score"),
         F.round("score", 6).alias("score"))
+
+
+def _eng_multi_oracle() -> str:
+    """Recursive-CTE replay of multi_strategy_search with the
+    similarity strategy: retrieval depth 15 -> threshold -> caller
+    limit 10 -> weighted-mean fusion ((s*w)/w, same double ops) ->
+    greedy diversity as a bitmask walk (the _w5_oracle pattern) ->
+    final top-k."""
+    from .catalog_ext import QUERY_TERMS
+    from ..operators import fusion
+    from ..operators.embedding import embed_text_py
+    qtext = " ".join(QUERY_TERMS)
+    qv = embed_text_py(qtext, 64, True)   # engine.embed_query twin
+    cos = OV.cosine_sql("e.embedding", OV.vec_lit_sql(qv))
+    toks = OV.tokens_sql("text")
+    w = fusion.STRATEGY_WEIGHTS["similarity"]
+    fused = f"(score * {w!r}::DOUBLE) / {w!r}::DOUBLE"
+    return f"""
+WITH RECURSIVE knn AS (
+  SELECT d.doc_id, {cos} AS score, d.text
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  ORDER BY score DESC, d.doc_id LIMIT 15
+), branch AS (
+  SELECT doc_id, score, text FROM knn WHERE score >= 0.0::DOUBLE
+  ORDER BY score DESC, doc_id LIMIT 10
+), cand AS (
+  SELECT doc_id, {fused} AS score, text,
+         list_distinct({toks}) AS toks,
+         row_number() OVER (ORDER BY {fused} DESC, text, doc_id) AS rn
+  FROM branch
+), pairj AS (
+  SELECT a.rn AS rn_a, b.rn AS rn_b,
+         CASE WHEN len(a.toks) = 0 AND len(b.toks) = 0 THEN 1.0
+              WHEN len(a.toks) = 0 OR len(b.toks) = 0 THEN 0.0
+              ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / len(list_distinct(a.toks || b.toks)) END AS j
+  FROM cand a JOIN cand b ON a.rn < b.rn
+), viol AS (
+  SELECT rn_b, sum(1::BIGINT << rn_a)::BIGINT AS vmask
+  FROM pairj WHERE j > 0.85 GROUP BY rn_b
+), walk AS (
+  SELECT 0::BIGINT AS rn, 0::BIGINT AS mask
+  UNION ALL
+  SELECT c.rn,
+         w.mask | (CASE WHEN (w.mask & coalesce(v.vmask, 0::BIGINT)) = 0
+                        THEN (1::BIGINT << c.rn) ELSE 0::BIGINT END)
+  FROM walk w
+  JOIN cand c ON c.rn = w.rn + 1
+  LEFT JOIN viol v ON v.rn_b = c.rn
+)
+SELECT c.doc_id, round(c.score, 6) AS score,
+       'similarity' AS strategies_used
+FROM cand c, (SELECT mask FROM walk ORDER BY rn DESC LIMIT 1) m
+WHERE ((m.mask >> c.rn) & 1) = 1
+ORDER BY c.score DESC, c.doc_id LIMIT 10
+"""
+
+
+@register("eng_multi_similarity", oracle=_eng_multi_oracle())
+def eng_multi_similarity(spark: SparkSession, d: str) -> DataFrame:
+    """§2.9 orchestrator end-to-end under a value oracle: engine
+    multi_strategy_search (advanced_search.py:68-206) with the
+    similarity strategy — per-strategy retrieval depth (max_results
+    15) BEFORE thresholding, caller truncation, weighted-mean fusion
+    (A3), greedy Jaccard diversity (W5), final top-k.  The query
+    vector goes through engine.embed_query (hash twin inlined in the
+    oracle), so the whole driver->plan->fusion->diversity chain is
+    hash-checked, not just its operator pieces."""
+    from .catalog_ext import QUERY_TERMS
+    from ..config import EngineConfig
+    from ..engine import SparkRagEngine
+    eng = SparkRagEngine(spark, EngineConfig(similarity_threshold=0.0))
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    index = (docs.join(emb, docs.doc_id == emb.vec_id)
+             .select("doc_id", F.col("text").alias("content"), "embedding"))
+    out = eng.multi_strategy_search(index, " ".join(QUERY_TERMS),
+                                    limit=10, strategies=["similarity"],
+                                    id_col="doc_id")
+    return out.select("doc_id", F.round("score", 6).alias("score"),
+                      F.array_join("strategies_used", ",")
+                       .alias("strategies_used"))
