@@ -78,3 +78,75 @@ def test_stream_dedup_matches_batch_distinct(spark):
     rows = out.collect()
     assert {r["content_hash"] for r in rows} == batch_hashes
     assert len(rows) == len(batch_hashes)   # exactly one survivor per hash
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """The watermark's semantic effect, not just its presence: an event
+    arriving AFTER the watermark passed its window must be excluded
+    from the (append-finalized) aggregate, while the same data in a
+    batch plan counts it — this is the state-bounding contract the
+    100 TB notes rely on."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def ts(h, m):
+        return datetime.datetime(2026, 1, 1, h, m)
+
+    def add_file(name, rows, mtime):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # Spark keeps TWO watermarks per batch (SPARK-40925): eviction uses
+    # the current one, the late-row filter uses the PREVIOUS batch's —
+    # so a drop needs the late row to arrive two batches after the
+    # watermark-advancing event.
+    # batch 1: on-time 09:30 + a 12:05 event (2h watermark -> 10:05).
+    add_file("b1", [(ts(9, 30), "click", 1.0), (ts(12, 5), "click", 1.0)],
+             mtime=1_600_000_000)
+    # batch 2: evicts+emits the [09:00,10:00) window (eviction wm
+    # 10:05 > window end).
+    add_file("b2", [(ts(12, 10), "click", 1.0)], mtime=1_600_000_100)
+    # batch 3: a LATE 09:45 event — late-filter wm is now 10:05, the
+    # row is dropped, the closed window is NOT re-emitted.
+    add_file("b3", [(ts(9, 45), "click", 1.0), (ts(12, 45), "click", 1.0)],
+             mtime=1_600_000_200)
+
+    raw = (spark.readStream
+           .schema("ts timestamp, event_type string, value double")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src)))
+    out = sp.hourly_counts(raw.withWatermark("ts", "2 hours"))
+    q = (out.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    dropped = sum(s.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for s in (p.get("stateOperators") or []))
+    emitted = {r["window_start"].hour: r["n_events"]
+               for r in spark.table("t_late").collect()}
+
+    # exactly the late row was dropped by the watermark
+    assert dropped == 1
+    # the 09:00 window closed with ONLY the on-time event
+    assert emitted.get(9) == 1
+    # 12:00's window never finalized (watermark 10:45) -> not emitted
+    assert 12 not in emitted
+    # the batch plan over the same files counts the late event too
+    batch = sp.hourly_counts(
+        spark.read.parquet(str(src)).withWatermark("ts", "2 hours"))
+    bcounts = {r["window_start"].hour: r["n_events"]
+               for r in batch.collect()}
+    assert bcounts[9] == 2
