@@ -30,24 +30,35 @@ def main() -> None:
     # query, not session startup
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # one failing query must not lose the artifact for the healthy 14:
+    # failures are recorded per-query and the JSON line is always emitted
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in CATALOG.items():
         if not spec.headline:
             continue
         t0 = time.perf_counter()
-        df = spec.build(spark, SF_DIR)
-        n = df.count()
+        try:
+            df = spec.build(spark, SF_DIR)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 — bench must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

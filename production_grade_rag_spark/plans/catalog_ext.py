@@ -596,7 +596,12 @@ def ev_sessionize(spark: SparkSession, d: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    # encoding-agnostic epoch seconds: the testdata has shipped ts as
+    # both TIMESTAMP(NANOS)->bigint->timestamp and plain timestamp[us]
+    # (TIMESTAMP_NTZ); casting through "timestamp" first is legal for
+    # either, and the session TZ is UTC so NTZ->TZ is the identity
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     return (ev
             .withColumn("new_session",
                         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))

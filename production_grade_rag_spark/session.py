@@ -35,8 +35,10 @@ def get_spark(app_name: str = "production_grade_rag_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        # testdata events.parquet stores TIMESTAMP(NANOS): read as long,
-        # converted to a microsecond timestamp in sources.tables
+        # if testdata events.parquet stores TIMESTAMP(NANOS) (it has in
+        # some regenerations) read it as a long, converted to a
+        # microsecond timestamp in sources.tables; a timestamp[us]
+        # encoding ignores this conf
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

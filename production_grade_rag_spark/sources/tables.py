@@ -26,14 +26,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S6-style scan: parquet read; add .filter/.limit at the call site
     (reference: vector_storage/document_repository.py:236-267).
 
-    events.ts is TIMESTAMP(NANOS) in the parquet footer — Spark reads it
-    as a nanos long (spark.sql.legacy.parquet.nanosAsLong) and we
-    truncate to a microsecond timestamp, matching DuckDB's ns->us cast.
+    events.ts has shipped in two physical encodings across testdata
+    regenerations — TIMESTAMP(NANOS) (read as a nanos long under
+    spark.sql.legacy.parquet.nanosAsLong, then truncated to a
+    microsecond timestamp below, matching DuckDB's ns->us cast) and
+    plain timestamp[us] (read as-is) — so everything here branches on
+    the OBSERVED dtype rather than assuming one.
     """
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); without this runtime
-        # conf a vanilla session throws PARQUET_TYPE_ILLEGAL before the
-        # bigint->timestamp conversion below can run.  Set it only for
+        # if events.parquet stores TIMESTAMP(NANOS), a vanilla session
+        # throws PARQUET_TYPE_ILLEGAL without this runtime conf before
+        # the bigint->timestamp conversion below can run (a
+        # timestamp[us] file ignores the conf).  Set it only for
         # the duration of the read (the relation captures its schema at
         # read time — verified: execution after restore still works), so
         # the caller's session conf is left exactly as we found it.

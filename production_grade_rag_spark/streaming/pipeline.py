@@ -35,18 +35,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-# events.parquet stores TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong (set in session.py) it surfaces
-# as a nanosecond long — declared so here, converted right after read
-# (same convention as sources.tables.load_table).
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Raw file schema for the stream source, from one batch footer
+    read.  The testdata has shipped ``ts`` as both TIMESTAMP(NANOS)
+    (surfacing as a nanos long under
+    spark.sql.legacy.parquet.nanosAsLong, set in session.py) and plain
+    timestamp[us] (surfacing as TIMESTAMP_NTZ) — hardcoding either
+    breaks when the file is regenerated, so observe what's there (same
+    defensive convention as sources.tables.load_table)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Convert whatever the source surfaced for ``ts`` into a plain
+    TIMESTAMP, branching on the observed dtype (nanos long vs
+    timestamp/timestamp_ntz; UTC session TZ makes the NTZ cast the
+    identity)."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as nanos long
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str,
@@ -55,11 +63,11 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     # the file source wants a directory; glob-filter down to the events
     # file (a production deployment points at an events/ directory or
     # Kafka topic instead)
-    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = _events_raw_schema(spark, sf_dir)
+    raw = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-               .withWatermark("ts", watermark))
+    return normalize_event_ts(raw).withWatermark("ts", watermark)
 
 
 def hourly_counts(events: DataFrame) -> DataFrame:

@@ -33,11 +33,10 @@ def test_user_running_state_across_microbatches(spark, tmp_path):
     events = spark.read.parquet(f"{SF001}/events.parquet")
     events.repartition(3).write.parquet(src)
 
-    raw = (spark.readStream.schema(sp.EVENTS_RAW_SCHEMA)
+    raw = (spark.readStream.schema(events.schema)
            .option("maxFilesPerTrigger", 1)
            .parquet(src))
-    stream = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-                 .withWatermark("ts", "2 hours"))
+    stream = sp.normalize_event_ts(raw).withWatermark("ts", "2 hours")
     updates = sp.run_available_now(sp.user_running_state(stream),
                                    "t_user_state", output_mode="update")
     # >1 emission for at least one user proves multiple micro-batches ran
