@@ -24,7 +24,8 @@ from .functions import text as X
 from .functions.vector import cosine, to_double_array
 from .operators import fusion, textscore
 from .operators.budget import greedy_token_budget
-from .operators.chunking import chunk_fixed, chunk_recursive
+from .operators.chunking import (chunk_fixed, chunk_parent_child_fixed,
+                                 chunk_recursive)
 from .operators import embedding
 from .operators.embedding import embed_text_py
 from .operators.similarity import knn_topk
@@ -81,6 +82,34 @@ class SparkRagEngine:
         chunks = chunker(kept, text_col=text_col,
                          chunk_size=c.chunk_size, overlap=c.chunk_overlap,
                          min_chars=c.min_chunk_chars)
+        return embedding.embed(chunks, backend=c.embedding_backend,
+                               text_col="content", id_col="chunk_id",
+                               dim=c.embedding_dim,
+                               normalize=c.normalize_embeddings,
+                               model_name=c.model_name,
+                               batch_size=c.model_batch_size,
+                               encoder_factory=c.encoder_factory)
+
+    def build_parent_child_index(self, documents: DataFrame,
+                                 text_col: str = "text") -> DataFrame:
+        """Parent-child variant of build_index
+        (document_processor.py:119-120 + parent_child_chunker.py:84-135):
+        quality gate, then the fixed-stride parent/child hierarchy, then
+        every chunk — parents AND children — embedded and searchable.
+        Children carry ``parent_id``; parent text is NOT denormalized
+        onto them (the reference stores parent_content in child
+        metadata, parent_child_chunker.py:118-124 — here it is
+        recovered by a join at search time, see multi_strategy_search).
+        """
+        c = self.config
+        scored = X.with_quality(documents, text_col=text_col)
+        kept = X.quality_filter(scored, c.quality_threshold)
+        chunks = chunk_parent_child_fixed(
+            kept, text_col=text_col,
+            parent_size=c.parent_chunk_size,
+            parent_overlap=c.parent_chunk_overlap,
+            child_size=c.child_chunk_size,
+            child_overlap=c.child_chunk_overlap)
         return embedding.embed(chunks, backend=c.embedding_backend,
                                text_col="content", id_col="chunk_id",
                                dim=c.embedding_dim,
@@ -282,9 +311,35 @@ class SparkRagEngine:
                           "strategies_used", "content"))
         diverse = fusion.greedy_diversity(
             ranked, threshold=c.diversity_jaccard_cutoff, id_col="id")
-        return (diverse.orderBy(F.desc("score"), "id").limit(k)
-                       .withColumnRenamed("id", id_col)
-                       .drop("query_id"))
+        out = (diverse.orderBy(F.desc("score"), "id").limit(k)
+                      .withColumnRenamed("id", id_col)
+                      .drop("query_id"))
+        # parent-context attachment (the reference stores parent text in
+        # child metadata at chunk time, parent_child_chunker.py:118-124,
+        # and exposes it per result via get_parent_context :138-151;
+        # here the denormalization is replaced by a search-time join
+        # when the index carries the hierarchy columns): child results
+        # gain parent_content, parents and flat-index rows get NULL.
+        if ("parent_child" in strategies
+                and {"parent_id", "chunk_type"} <= set(index.columns)):
+            out = self._attach_parent_content(index, out, id_col)
+        return out
+
+    def _attach_parent_content(self, index: DataFrame, out: DataFrame,
+                               id_col: str) -> DataFrame:
+        """R2 restricted to the k result rows: two pruned index scans,
+        each joined against a broadcast k-row frame — no corpus-sized
+        shuffle at any scale (operators.chunking.parent_context is the
+        corpus-wide form of the same join)."""
+        kids = (index.filter(F.col("chunk_type") == "child")
+                .select(F.col(id_col), "parent_id"))
+        hit = kids.join(F.broadcast(out.select(id_col)), id_col, "inner")
+        parents = (index.filter(F.col("chunk_type") == "parent")
+                   .select(F.col(id_col).alias("parent_id"),
+                           F.col("content").alias("parent_content")))
+        pc = (parents.join(F.broadcast(hit), "parent_id", "inner")
+              .select(id_col, "parent_content"))
+        return out.join(F.broadcast(pc), id_col, "left")
 
     # -- post-processing ----------------------------------------------------
 

@@ -1177,3 +1177,124 @@ def eng_multi_similarity(spark: SparkSession, d: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"),
                       F.array_join("strategies_used", ",")
                        .alias("strategies_used"))
+
+
+def _eng_multi_pc_oracle() -> str:
+    """Recursive-CTE replay of multi_strategy_search with the
+    parent_child strategy over a parent/child hash-embedded index:
+    fixed-stride hierarchy (the _M2F_CTE) -> per-chunk feature-hash
+    components -> cosine against the hash query vector (sparse form:
+    dot(val, q)/||val||; the query vector is unit-norm so the second
+    norm is the identity at round-6) -> the branch's dual
+    threshold/limit ladder (2m=16 -> >=0 -> 8 -> >=0 -> 10) ->
+    weighted-mean fusion -> greedy-diversity bitmask walk -> top-k ->
+    parent-content length attached to child rows only."""
+    from .catalog_ext import QUERY_TERMS
+    from ..operators import fusion
+    from ..operators.embedding import embed_text_py
+    qtext = " ".join(QUERY_TERMS)
+    qv = embed_text_py(qtext, 64, True)   # engine.embed_query twin
+    qlit = OV.vec_lit_sql(qv)
+    toks = OV.tokens_sql("content")
+    w = fusion.STRATEGY_WEIGHTS["parent_child"]
+    fused = f"(score * {w!r}::DOUBLE) / {w!r}::DOUBLE"
+    cte = _M2F_CTE.replace("WITH ", "WITH RECURSIVE ", 1).rstrip()
+    return cte + f""",
+chunks AS (
+  SELECT parent_id AS chunk_id, parent_id, 'parent' AS chunk_type,
+         p_content AS content
+  FROM p3
+  UNION ALL
+  SELECT parent_id || '_child_' || c_idx AS chunk_id, parent_id,
+         'child' AS chunk_type,
+         substr(p_content, c_idx::INT * 300 + 1, 400) AS content
+  FROM p3, LATERAL unnest(range(0, child_count)) AS t(c_idx)
+), ctoks AS (
+  SELECT chunk_id, unnest({toks}) AS tok FROM chunks
+), comps AS (
+  SELECT chunk_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         sum(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END)::DOUBLE AS val
+  FROM ctoks GROUP BY chunk_id, bucket
+), scored AS (
+  SELECT chunk_id,
+         sum(val * list_extract({qlit}, bucket::INT + 1))
+           / sqrt(sum(val * val)) AS score
+  FROM comps GROUP BY chunk_id
+), knn AS (
+  SELECT s.chunk_id, s.score, c.content, c.parent_id, c.chunk_type
+  FROM scored s JOIN chunks c USING (chunk_id)
+  ORDER BY s.score DESC, s.chunk_id LIMIT 16
+), branch AS (
+  SELECT * FROM (
+    SELECT * FROM knn WHERE score >= 0.0::DOUBLE
+    ORDER BY score DESC, chunk_id LIMIT 8)
+  WHERE score >= 0.0::DOUBLE
+  ORDER BY score DESC, chunk_id LIMIT 10
+), cand AS (
+  SELECT chunk_id, {fused} AS score, content, parent_id, chunk_type,
+         list_distinct({toks}) AS ctk,
+         row_number() OVER (ORDER BY {fused} DESC, content, chunk_id) AS rn
+  FROM branch
+), pairj AS (
+  SELECT a.rn AS rn_a, b.rn AS rn_b,
+         CASE WHEN len(a.ctk) = 0 AND len(b.ctk) = 0 THEN 1.0
+              WHEN len(a.ctk) = 0 OR len(b.ctk) = 0 THEN 0.0
+              ELSE len(list_intersect(a.ctk, b.ctk))::DOUBLE
+                   / len(list_distinct(a.ctk || b.ctk)) END AS j
+  FROM cand a JOIN cand b ON a.rn < b.rn
+), viol AS (
+  SELECT rn_b, sum(1::BIGINT << rn_a)::BIGINT AS vmask
+  FROM pairj WHERE j > 0.85 GROUP BY rn_b
+), walk AS (
+  SELECT 0::BIGINT AS rn, 0::BIGINT AS mask
+  UNION ALL
+  SELECT c.rn,
+         w.mask | (CASE WHEN (w.mask & coalesce(v.vmask, 0::BIGINT)) = 0
+                        THEN (1::BIGINT << c.rn) ELSE 0::BIGINT END)
+  FROM walk w
+  JOIN cand c ON c.rn = w.rn + 1
+  LEFT JOIN viol v ON v.rn_b = c.rn
+)
+SELECT c.chunk_id, round(c.score, 6) AS score,
+       'parent_child' AS strategies_used,
+       CASE WHEN c.chunk_type = 'child'
+            THEN length(p.p_content) END::INT AS parent_len
+FROM cand c
+LEFT JOIN p3 p ON c.chunk_type = 'child' AND p.parent_id = c.parent_id,
+     (SELECT mask FROM walk ORDER BY rn DESC LIMIT 1) m
+WHERE ((m.mask >> c.rn) & 1) = 1
+ORDER BY c.score DESC, c.chunk_id LIMIT 10
+"""
+
+
+@register("eng_multi_parent_child", oracle=_eng_multi_pc_oracle())
+def eng_multi_parent_child(spark: SparkSession, d: str) -> DataFrame:
+    """§2.9 parent_child strategy end-to-end under a value oracle:
+    build_parent_child_index (M2 fixed-stride hierarchy, every chunk
+    hash-embedded) -> multi_strategy_search with the parent_child
+    branch's dual threshold ladder (advanced_search.py:338-361,
+    vector_search.py:234-275) -> fusion -> diversity -> parent content
+    recovered by the search-time join (_attach_parent_content; the
+    reference denormalizes it into child metadata instead,
+    parent_child_chunker.py:118-151).  Thresholds are 0.0 (hash-cosine
+    scores sit far below the reference's 0.75/0.65 MiniLM bands) and
+    quality_threshold 0.0 keeps the whole corpus, so the oracle replays
+    the hierarchy without a quality CTE."""
+    from ..config import EngineConfig
+    from ..engine import SparkRagEngine
+    from .catalog_ext import QUERY_TERMS
+    eng = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.0,
+        parent_child_search_threshold=0.0,
+        parent_child_threshold=0.0))
+    docs = _t(spark, d, "documents")
+    index = eng.build_parent_child_index(docs)
+    out = eng.multi_strategy_search(index, " ".join(QUERY_TERMS),
+                                    limit=10, strategies=["parent_child"])
+    return out.select("chunk_id", F.round("score", 6).alias("score"),
+                      F.array_join("strategies_used", ",")
+                       .alias("strategies_used"),
+                      F.length("parent_content").cast("int")
+                       .alias("parent_len"))

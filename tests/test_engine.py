@@ -325,3 +325,37 @@ def test_real_model_backend_if_installed(spark):
     out = eng.search(idx, query_text="table scan filter", limit=3)
     assert len(out.collect()) == 3
     idx.unpersist()
+
+
+def test_parent_child_strategy_attaches_parent_content(spark):
+    """Child results of the parent_child strategy carry their parent
+    chunk's text (the reference denormalizes parent_content into child
+    metadata, parent_child_chunker.py:118-151; here it is a search-time
+    join); parent results and flat-index searches get NULL / no column."""
+    docs = load_table(spark, SF001, "documents")
+    eng = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.0, parent_child_search_threshold=0.0,
+        parent_child_threshold=0.0))
+    index = eng.build_parent_child_index(docs)
+    out = eng.multi_strategy_search(index, "what is the best approach",
+                                    limit=10, strategies=["parent_child"])
+    rows = out.collect()
+    assert rows, "parent_child strategy returned nothing"
+    assert "parent_content" in out.columns
+    parents = {r["chunk_id"]: r["content"]
+               for r in index.filter(F.col("chunk_type") == "parent")
+                             .select("chunk_id", "content").collect()}
+    kids = {r["chunk_id"]: r["parent_id"]
+            for r in index.filter(F.col("chunk_type") == "child")
+                          .select("chunk_id", "parent_id").collect()}
+    for r in rows:
+        if r["chunk_id"] in kids:
+            assert r["parent_content"] == parents[kids[r["chunk_id"]]]
+        else:
+            assert r["parent_content"] is None
+
+    # a flat index (no hierarchy columns) is untouched by the wiring
+    flat = eng.build_index(docs)
+    flat_out = eng.multi_strategy_search(flat, "what is the best approach",
+                                         limit=5, strategies=["similarity"])
+    assert "parent_content" not in flat_out.columns
