@@ -58,6 +58,11 @@ class EngineConfig:
     text_relevance: str = "bm25"
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
+    # text-branch analyzer: "whitespace" (the repo's F3 tokenizer) or
+    # "standard" (Lucene-standard twin — the analyzer the reference's
+    # $search index declares, index_manager.py:117-152; applied to
+    # both the document side and the query terms).
+    text_analyzer: str = "whitespace"
     strategy_weights: dict = field(default_factory=lambda: {
         "similarity": 0.6, "parent_child": 0.4, "hybrid": 0.5,
     })
@@ -88,6 +93,8 @@ class EngineConfig:
             raise ValueError("chunk_overlap must be < chunk_size")
         if abs(self.hybrid_vector_weight + self.hybrid_text_weight - 1.0) > 1e-9:
             raise ValueError("hybrid weights must sum to 1.0")
+        if self.text_analyzer not in ("whitespace", "standard"):
+            raise ValueError("text_analyzer must be whitespace|standard")
 
 
 DEFAULT_CONFIG = EngineConfig()

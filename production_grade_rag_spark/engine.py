@@ -218,12 +218,19 @@ class SparkRagEngine:
         # Lucene-$search scoring model, vector_search.py:141-160);
         # config.text_relevance="tfidf" selects the lighter smoothed
         # TF-IDF fallback.
-        terms = [t for t in query_text.lower().split() if t]
+        # query terms go through the SAME analyzer as the document side
+        # (Atlas $search applies the index analyzer to the query too)
+        if c.text_analyzer == "standard":
+            terms = X.std_analyze_py(query_text)
+        else:
+            terms = [t for t in query_text.lower().split() if t]
         if c.text_relevance == "bm25":
             txt = textscore.bm25_score(index, terms, text_col="content",
-                                       k1=c.bm25_k1, b=c.bm25_b)
+                                       k1=c.bm25_k1, b=c.bm25_b,
+                                       analyzer=c.text_analyzer)
         elif c.text_relevance == "tfidf":
-            txt = textscore.tfidf_score(index, terms, text_col="content")
+            txt = textscore.tfidf_score(index, terms, text_col="content",
+                                        analyzer=c.text_analyzer)
         else:
             raise ValueError(f"unknown text_relevance {c.text_relevance!r}")
         txt = (txt.select(F.col(id_col).alias("id"), "text_score")

@@ -40,9 +40,40 @@ SENTENCE_SPLIT_RE = r"[.!?]+"                  # :58
 WORD_SPLIT_RE = r"\s+"
 PY_STRIP_RE = r"^\s+|\s+$"  # Python str.strip(); trim() strips spaces only
 
+# Lucene "standard" analyzer twin: the reference's Atlas $search text
+# index declares analyzer "lucene.standard" on every text field
+# (index_manager.py:117-152), which tokenizes at UAX#29 word
+# boundaries and lowercases — so "vector," and "Vector" both index as
+# "vector", unlike the whitespace tokenizer.  ASCII approximation:
+# token chars are [0-9a-z_] (UAX#29 ExtendNumLet keeps underscore
+# inside words); mid-word apostrophes and non-ASCII word categories
+# are documented deviations.  The pattern is shared verbatim with the
+# DuckDB oracle (Java regex and RE2 agree on this class).
+STD_TOKEN_DELIM_RE = r"[^0-9a-z_]+"
+
 
 def pystrip(col: Column) -> Column:
     return F.regexp_replace(col, PY_STRIP_RE, "")
+
+
+def std_tokens(col: Column) -> Column:
+    """Lucene-standard-analyzed tokens: lowercase, split at
+    non-alphanumeric runs, drop empties (leading/trailing delimiters
+    produce '' elements from split)."""
+    parts = F.split(F.lower(col), STD_TOKEN_DELIM_RE)
+
+    def nonempty(x):
+        return F.length(x) > 0
+
+    return F.filter(parts, nonempty)
+
+
+def std_analyze_py(text: str) -> list[str]:
+    """Driver-side twin of ``std_tokens`` for query analysis — the
+    reference analyzes queries with the same Lucene analyzer as the
+    index (Atlas $search applies it to both sides)."""
+    import re
+    return re.findall(r"[0-9a-z_]+", (text or "").lower())
 
 # intent keywords (advanced_search.py:125-146), used by F5 intent classifier
 INTENT_RULES: tuple[tuple[str, tuple[str, ...]], ...] = (

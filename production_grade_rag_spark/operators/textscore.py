@@ -31,7 +31,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import std_tokens
 from .dedup import tokens
+
+
+def _tokenizer(analyzer: str):
+    """Analyzer dispatch: "whitespace" (the repo's F3 tokenizer) or
+    "standard" (the Lucene-standard twin the reference's $search index
+    declares, index_manager.py:117-152 — strips punctuation, so
+    "vector," matches query term "vector")."""
+    if analyzer == "whitespace":
+        return tokens
+    if analyzer == "standard":
+        return std_tokens
+    raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
 def _count_term(toks: Column, term: str) -> Column:
@@ -44,7 +57,8 @@ def _count_term(toks: Column, term: str) -> Column:
 
 
 def tfidf_score(docs: DataFrame, terms: list[str], text_col: str = "text",
-                out_col: str = "text_score") -> DataFrame:
+                out_col: str = "text_score",
+                analyzer: str = "whitespace") -> DataFrame:
     """Score every row against the query terms with smoothed TF-IDF.
 
     Plan: tokenize (expression) -> one global agg for (N, df_t) ->
@@ -52,7 +66,7 @@ def tfidf_score(docs: DataFrame, terms: list[str], text_col: str = "text",
     ``out_col``; preserves all input columns.
     """
     base = docs.withColumn(
-        "__toks", tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        "__toks", _tokenizer(analyzer)(F.coalesce(F.col(text_col), F.lit(""))))
     aggs = [F.count("*").alias("__n_docs")]
     for i, t in enumerate(terms):
         aggs.append(F.sum((_count_term(F.col("__toks"), t) > 0)
@@ -71,7 +85,8 @@ def tfidf_score(docs: DataFrame, terms: list[str], text_col: str = "text",
 
 def bm25_score(docs: DataFrame, terms: list[str], text_col: str = "text",
                out_col: str = "text_score",
-               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+               k1: float = 1.2, b: float = 0.75,
+               analyzer: str = "whitespace") -> DataFrame:
     """Score every row against the query terms with Okapi BM25
     (the reference's Lucene-$search scoring model,
     vector_search.py:141-160; k1/b are the Lucene defaults).
@@ -83,7 +98,7 @@ def bm25_score(docs: DataFrame, terms: list[str], text_col: str = "text",
     preserves all input columns.
     """
     base = docs.withColumn(
-        "__toks", tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        "__toks", _tokenizer(analyzer)(F.coalesce(F.col(text_col), F.lit(""))))
     aggs = [F.count("*").alias("__n_docs"),
             F.sum(F.size("__toks")).alias("__sumdl")]
     for i, t in enumerate(terms):

@@ -189,7 +189,7 @@ LIMIT 20
 
 
 def _bm25_sql(terms: list[str], k1: float = 1.2,
-              b: float = 0.75) -> tuple[str, str]:
+              b: float = 0.75, toks: str | None = None) -> tuple[str, str]:
     # NOTE: the tf/stats CTE reads FROM documents; callers whose Spark
     # side scores a 1:1 join of documents (e.g. docs x embeddings as an
     # engine index) get identical stats because the row set is the same.
@@ -197,7 +197,7 @@ def _bm25_sql(terms: list[str], k1: float = 1.2,
     operators.textscore.bm25_score — identical fold order and explicit
     ::DOUBLE casts (DuckDB float literals default to DECIMAL, a
     documented stringify hazard) so doubles match bit-for-bit."""
-    toks = OV.tokens_sql("text")
+    toks = toks or OV.tokens_sql("text")
     dfs = ", ".join(
         f"sum((len(list_filter(toks, x -> x = {sql_str(t)})) > 0)::INT) AS df_{i}"
         for i, t in enumerate(terms))
@@ -218,8 +218,8 @@ def _bm25_sql(terms: list[str], k1: float = 1.2,
     return cte, score
 
 
-def _bm25_hybrid_oracle() -> str:
-    cte, score = _bm25_sql(QUERY_TERMS)
+def _bm25_hybrid_oracle(toks: str | None = None) -> str:
+    cte, score = _bm25_sql(QUERY_TERMS, toks=toks)
     return f"""
 WITH {cte},
 vec AS (
@@ -264,6 +264,39 @@ def r7_hybrid_bm25(spark: SparkSession, d: str) -> DataFrame:
             .alias("vector_score"))
         .orderBy(F.desc("vector_score"), "id").limit(40))
     txt = (textscore.bm25_score(docs, QUERY_TERMS, text_col="text")
+           .select(F.col("doc_id").alias("id"), "text_score")
+           .orderBy(F.desc("text_score"), "id").limit(40))
+    merged = fusion.hybrid_union(vec, txt)
+    fused = fusion.weighted_fusion(merged)
+    return (fused
+            .select("id",
+                    F.round(F.coalesce("vector_score", F.lit(0.0)), 6).alias("vector_score"),
+                    F.round(F.coalesce("text_score", F.lit(0.0)), 6).alias("text_score"),
+                    F.round("score", 6).alias("score"),
+                    F.col("score").alias("__raw"))
+            .orderBy(F.desc("__raw"), "id").limit(20).drop("__raw"))
+
+
+@register("r7_hybrid_bm25_std",
+          oracle=_bm25_hybrid_oracle(toks=OV.std_tokens_sql("text")))
+def r7_hybrid_bm25_std(spark: SparkSession, d: str) -> DataFrame:
+    """R7 BM25 with the Lucene-standard analyzer twin — the analyzer
+    the reference's $search text index actually declares
+    (index_manager.py:117-152): punctuation-stripped word tokens, so
+    "vector," and "Vector" both match query term "vector" (the
+    whitespace twin r7_hybrid_bm25 misses them).  Document-frequency,
+    length norm, and term counts all shift with the tokenization; the
+    fusion pipeline is unchanged."""
+    from ..operators import textscore
+    emb = _t(spark, d, "embeddings")
+    docs = _t(spark, d, "documents")
+    vec = (emb.select(
+        F.col("vec_id").alias("id"),
+        cosine(to_double_array(F.col("embedding")), _qvec_col())
+            .alias("vector_score"))
+        .orderBy(F.desc("vector_score"), "id").limit(40))
+    txt = (textscore.bm25_score(docs, QUERY_TERMS, text_col="text",
+                                analyzer="standard")
            .select(F.col("doc_id").alias("id"), "text_score")
            .orderBy(F.desc("text_score"), "id").limit(40))
     merged = fusion.hybrid_union(vec, txt)

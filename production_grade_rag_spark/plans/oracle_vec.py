@@ -10,7 +10,7 @@ the Spark expressions and this SQL cannot drift.  Hashes are md5-based
 
 from __future__ import annotations
 
-from ..functions.text import PY_STRIP_RE, WORD_SPLIT_RE
+from ..functions.text import PY_STRIP_RE, STD_TOKEN_DELIM_RE, WORD_SPLIT_RE
 from ..operators.textstats import BPE_TOKEN_RE, LANG_PROFILES
 from .oracle_sql import sql_str
 
@@ -29,6 +29,14 @@ def tokens_sql(expr: str) -> str:
     t = f"lower({_strip(expr)})"
     return (f"(CASE WHEN {t} = '' THEN []::VARCHAR[] "
             f"ELSE regexp_split_to_array({t}, {sql_str(WORD_SPLIT_RE)}) END)")
+
+
+def std_tokens_sql(expr: str) -> str:
+    """Lucene-standard-analyzed tokens — twin of
+    functions.text.std_tokens (shared STD_TOKEN_DELIM_RE; split then
+    drop the '' elements leading/trailing delimiters produce)."""
+    return (f"list_filter(regexp_split_to_array(lower({expr}), "
+            f"{sql_str(STD_TOKEN_DELIM_RE)}), x -> x <> '')")
 
 
 def md5_int32_sql(expr: str) -> str:

@@ -127,3 +127,39 @@ def test_bm25_saturation_and_length_norm(spark):
     s2 = {r["doc_id"]: r["text_score"]
           for r in bm25_score(df2, ["a"]).collect()}
     assert s2[1] > s2[2]
+
+
+def test_standard_analyzer_term_set_difference(spark):
+    """The Lucene-standard twin strips punctuation the whitespace
+    tokenizer keeps: "Vector, scan!" analyzes to {vector, scan} but
+    whitespace-tokenizes to {"vector,", "scan!"} — so a punctuated
+    document matches query term "vector" only under the standard
+    analyzer (the reference's $search analyzer,
+    index_manager.py:117-152)."""
+    import pyspark.sql.functions as F
+    from production_grade_rag_spark.functions.text import (std_analyze_py,
+                                                           std_tokens)
+    from production_grade_rag_spark.operators import textscore
+    from production_grade_rag_spark.operators.dedup import tokens
+
+    df = spark.createDataFrame(
+        [(1, "Vector, scan! over the big-table"),
+         (2, "vector scan plain")], ["doc_id", "text"])
+    got = {r["doc_id"]: (set(r["ws"]), set(r["std"])) for r in
+           df.select("doc_id", tokens(F.col("text")).alias("ws"),
+                     std_tokens(F.col("text")).alias("std")).collect()}
+    ws1, std1 = got[1]
+    assert std1 == {"vector", "scan", "over", "the", "big", "table"}
+    assert "vector," in ws1 and "vector" not in ws1
+    # driver-side query analysis matches the column expression
+    assert std_analyze_py("Vector, scan! over the big-table") == \
+        ["vector", "scan", "over", "the", "big", "table"]
+
+    # BM25: punctuated doc scores for "vector" only under standard
+    ws_scores = {r["doc_id"]: r["text_score"] for r in
+                 textscore.bm25_score(df, ["vector"]).collect()}
+    std_scores = {r["doc_id"]: r["text_score"] for r in
+                  textscore.bm25_score(df, ["vector"],
+                                       analyzer="standard").collect()}
+    assert ws_scores[1] == 0.0 and ws_scores[2] > 0.0
+    assert std_scores[1] > 0.0 and std_scores[2] > 0.0
