@@ -1298,3 +1298,76 @@ def eng_multi_parent_child(spark: SparkSession, d: str) -> DataFrame:
                        .alias("strategies_used"),
                       F.length("parent_content").cast("int")
                        .alias("parent_len"))
+
+
+# ===========================================================================
+# ANN recall oracles: make approximate-search QUALITY driver-visible
+# ===========================================================================
+
+def _recall_summary(exact: DataFrame, approx: DataFrame,
+                    keys: list[str], floor: float,
+                    extra_checked: str | None = None) -> DataFrame:
+    """One-row recall gate: full-outer join exact vs approx result
+    keys, recall = |∩|/|exact|, emit floor_met (the approximate side's
+    only driver-checkable property — the recall VALUE is data- and
+    implementation-dependent, the floor is the contract).  The exact
+    side's cardinality is emitted too: it IS deterministic, so the
+    oracle value-checks it."""
+    e = exact.select(*keys).withColumn("__e", F.lit(1))
+    a = approx.select(*keys).withColumn("__a", F.lit(1))
+    j = e.join(a, keys, "full")
+    agg = j.agg(F.sum("__e").alias("__n_exact"),
+                F.sum(F.col("__e") * F.col("__a")).alias("__n_hit"))
+    cols = [F.col("__n_exact").cast("long").alias("n_exact"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0))
+             / F.col("__n_exact") >= floor).alias("floor_met")]
+    return agg.select(*cols)
+
+
+@register("r4_ivf_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def r4_ivf_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Recall gate for r4_ivf_topk (16 cells, probe 4) vs the exact
+    r4_knn_topk, computed IN-PLAN: the driver now sees ANN quality,
+    not just row counts.  Floor 0.5 matches the pytest pin
+    (tests/test_similarity.py:16-24).  The exact side's top-k
+    cardinality is value-checked; floor_met flips the hash red if a
+    regression (bad centroids, broken probe pruning) drops recall."""
+    emb = _t(spark, d, "embeddings")
+    exact = similarity.knn_topk(emb, QUERY_VEC, k=10)
+    approx = similarity.ivf_topk(emb, QUERY_VEC, k=10)
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
+
+
+@register("r4_ivf_store_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def r4_ivf_store_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Recall gate for the partitioned IVF store (8 cells, probe 4,
+    directory-pruned scan) vs exact top-k — the disk-layout twin of
+    r4_ivf_recall; floor 0.5 per tests/test_similarity.py:106-107."""
+    emb = _t(spark, d, "embeddings")
+    path = _scratch("ivf_store_recall")
+    similarity.ivf_build_store(emb, path, n_lists=8)
+    exact = similarity.knn_topk(emb, QUERY_VEC, k=10)
+    approx = similarity.ivf_search_store(spark, path, QUERY_VEC,
+                                         k=10, n_probe=4)
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
+
+
+@register("r5_lsh_recall", oracle=f"""
+WITH exact AS ({OV.embedding_pairs_sql(0.3).strip()})
+SELECT count(*)::BIGINT AS n_exact, TRUE AS floor_met FROM exact
+""")
+def r5_lsh_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Recall gate for the LSH pair join vs the exact O(n^2) pairwise
+    baseline at cosine>=0.3: the exact pair COUNT is value-checked by
+    the oracle (deterministic), the LSH side must recover >=0.8 of
+    those pairs (the pytest pin, tests/test_similarity.py:44-53).
+    Guards the cosine<->euclidean radius mapping and the normalization
+    step — either breaking silently would tank recall."""
+    emb = _t(spark, d, "embeddings")
+    exact = similarity.pairwise_similar(emb, threshold=0.3)
+    approx = similarity.lsh_similar_pairs(emb, threshold=0.3)
+    return _recall_summary(exact, approx, ["id_a", "id_b"], floor=0.8)
