@@ -268,8 +268,19 @@ def ivf_build_store(corpus: DataFrame, path: str, n_lists: int = 16,
         .parquet(f"{path}/data")
     cents = [(i, [float(x) for x in c])
              for i, c in enumerate(model.clusterCenters())]
-    corpus.sparkSession.createDataFrame(cents, ["cell_id", "centroid"]) \
+    spark = corpus.sparkSession
+    spark.createDataFrame(cents, ["cell_id", "centroid"]) \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # build-time drift baseline: the overall mean squared distance of
+    # the freshly-fit store (KMeans inertia / n).  ivf_maybe_rebuild
+    # compares the live store against THIS number — appends that push
+    # the live mean past ratio*baseline trigger a refit.
+    base = (ivf_store_drift(spark, path, vec_col=vec_col)
+            .filter(F.col("cell_id").isNull()).collect()[0])
+    spark.createDataFrame(
+        [(int(n_lists), float(base["mean_sq_dist"]), int(base["n_rows"]))],
+        ["n_lists", "baseline_mean_sq_dist", "n_rows"]) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def ivf_search_store(spark, path: str, query_vec: list[float], k: int = 10,
@@ -368,6 +379,42 @@ def ivf_store_drift(spark, path: str,
                .select(F.lit(None).cast("long").alias("cell_id"),
                        "n_rows", "mean_sq_dist"))
     return per_cell.unionByName(overall)
+
+
+def ivf_maybe_rebuild(spark, path: str, ratio: float = 1.5,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> bool:
+    """Close the drift loop: compare the live store's overall mean
+    squared distance (``ivf_store_drift``) against the build-time
+    baseline recorded in ``{path}/meta``; when it exceeds
+    ``ratio * baseline`` — appended rows no longer described by the
+    original centroids, which silently tanks probe recall — refit the
+    store on its CURRENT contents and reset the baseline.  Returns
+    True iff a rebuild happened.
+
+    The rebuild reads the old ``data`` layout while writing a complete
+    new store under ``{path}/_next`` (no read/overwrite overlap), then
+    swaps the three directories in.  At 100 TB the swap becomes a
+    version-pointer flip (build store/v{n+1}, update a manifest, GC
+    v{n}); the drift check itself is one pruned scan + an n_lists-row
+    broadcast, cheap enough to run after every append batch."""
+    import os
+    import shutil
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    live = (ivf_store_drift(spark, path, vec_col=vec_col)
+            .filter(F.col("cell_id").isNull()).collect()[0]["mean_sq_dist"])
+    if live <= ratio * meta["baseline_mean_sq_dist"]:
+        return False
+    src = spark.read.parquet(f"{path}/data").drop("cell")
+    nxt = f"{path}/_next"
+    ivf_build_store(src, nxt, n_lists=int(meta["n_lists"]),
+                    vec_col=vec_col, id_col=id_col)
+    for sub in ("data", "centroids", "meta"):
+        shutil.rmtree(os.path.join(path, sub))
+        shutil.move(os.path.join(nxt, sub), os.path.join(path, sub))
+    shutil.rmtree(nxt, ignore_errors=True)
+    return True
 
 
 def lsh_similar_pairs(corpus: DataFrame, threshold: float,

@@ -19,9 +19,12 @@ from . import oracle_vec as OV
 from .catalog import _t, register
 from .oracle_sql import sql_str
 
-# Deterministic query literals shared by Spark and oracle sides.
-QUERY_TERMS = ["table", "join", "vector", "scan", "filter", "group"]
-QUERY_VEC = OV.QUERY_VEC   # dim 64; canonical definition in oracle_vec
+# Deterministic query literals shared by Spark and oracle sides
+# (canonical definitions in oracle_vec — a leaf module — so
+# catalog_more's decoration-time oracles never import from HERE while
+# this module is mid-initialization).
+QUERY_TERMS = OV.QUERY_TERMS
+QUERY_VEC = OV.QUERY_VEC   # dim 64
 
 
 def _qvec_col():
@@ -188,34 +191,9 @@ LIMIT 20
 """
 
 
-def _bm25_sql(terms: list[str], k1: float = 1.2,
-              b: float = 0.75, toks: str | None = None) -> tuple[str, str]:
-    # NOTE: the tf/stats CTE reads FROM documents; callers whose Spark
-    # side scores a 1:1 join of documents (e.g. docs x embeddings as an
-    # engine index) get identical stats because the row set is the same.
-    """(CTE prefix, score expression) for the Okapi-BM25 twin of
-    operators.textscore.bm25_score — identical fold order and explicit
-    ::DOUBLE casts (DuckDB float literals default to DECIMAL, a
-    documented stringify hazard) so doubles match bit-for-bit."""
-    toks = toks or OV.tokens_sql("text")
-    dfs = ", ".join(
-        f"sum((len(list_filter(toks, x -> x = {sql_str(t)})) > 0)::INT) AS df_{i}"
-        for i, t in enumerate(terms))
-    cte = (f"tf AS (SELECT doc_id, {toks} AS toks FROM documents), "
-           f"stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl, "
-           f"{dfs} FROM tf)")
-    avgdl = "(sumdl::DOUBLE / n_docs::DOUBLE)"
-    norm = (f"(1.0::DOUBLE - {b!r}::DOUBLE"
-            f" + {b!r}::DOUBLE * len(toks)::DOUBLE / {avgdl})")
-    score = "0.0" + "".join(
-        f" + ln(1.0::DOUBLE + (n_docs - df_{i} + 0.5::DOUBLE)"
-        f" / (df_{i} + 0.5::DOUBLE))"
-        f" * (len(list_filter(toks, x -> x = {sql_str(t)}))::DOUBLE"
-        f" * {k1 + 1.0!r}::DOUBLE)"
-        f" / (len(list_filter(toks, x -> x = {sql_str(t)}))::DOUBLE"
-        f" + {k1!r}::DOUBLE * {norm})"
-        for i, t in enumerate(terms))
-    return cte, score
+# canonical definition moved to oracle_vec (leaf module, no cycle);
+# alias kept for this module's own oracle builders below.
+_bm25_sql = OV.bm25_sql
 
 
 def _bm25_hybrid_oracle(toks: str | None = None) -> str:

@@ -1035,7 +1035,7 @@ def flagship_dim384(spark: SparkSession, d: str) -> DataFrame:
 
 
 def _eng_hybrid_oracle() -> str:
-    from .catalog_ext import _bm25_sql, QUERY_TERMS
+    from .oracle_vec import QUERY_TERMS, bm25_sql as _bm25_sql
     from ..operators import fusion
     cte, score = _bm25_sql(QUERY_TERMS)
     cos = OV.cosine_sql("e.embedding", OV.vec_lit_sql(QUERY_VEC))
@@ -1079,7 +1079,7 @@ def eng_hybrid_bm25(spark: SparkSession, d: str) -> DataFrame:
     engine-level twin of r7_hybrid_bm25 that additionally pins the
     post-fusion filter placement and the __f_-prefixed attribute
     join."""
-    from .catalog_ext import QUERY_TERMS
+    from .oracle_vec import QUERY_TERMS
     from ..engine import SparkRagEngine
     eng = SparkRagEngine(spark)
     docs = _t(spark, d, "documents")
@@ -1103,7 +1103,7 @@ def _eng_multi_oracle() -> str:
     limit 10 -> weighted-mean fusion ((s*w)/w, same double ops) ->
     greedy diversity as a bitmask walk (the _w5_oracle pattern) ->
     final top-k."""
-    from .catalog_ext import QUERY_TERMS
+    from .oracle_vec import QUERY_TERMS
     from ..operators import fusion
     from ..operators.embedding import embed_text_py
     qtext = " ".join(QUERY_TERMS)
@@ -1163,7 +1163,7 @@ def eng_multi_similarity(spark: SparkSession, d: str) -> DataFrame:
     vector goes through engine.embed_query (hash twin inlined in the
     oracle), so the whole driver->plan->fusion->diversity chain is
     hash-checked, not just its operator pieces."""
-    from .catalog_ext import QUERY_TERMS
+    from .oracle_vec import QUERY_TERMS
     from ..config import EngineConfig
     from ..engine import SparkRagEngine
     eng = SparkRagEngine(spark, EngineConfig(similarity_threshold=0.0))
@@ -1189,7 +1189,7 @@ def _eng_multi_pc_oracle() -> str:
     threshold/limit ladder (2m=16 -> >=0 -> 8 -> >=0 -> 10) ->
     weighted-mean fusion -> greedy-diversity bitmask walk -> top-k ->
     parent-content length attached to child rows only."""
-    from .catalog_ext import QUERY_TERMS
+    from .oracle_vec import QUERY_TERMS
     from ..operators import fusion
     from ..operators.embedding import embed_text_py
     qtext = " ".join(QUERY_TERMS)
@@ -1284,7 +1284,7 @@ def eng_multi_parent_child(spark: SparkSession, d: str) -> DataFrame:
     the hierarchy without a quality CTE."""
     from ..config import EngineConfig
     from ..engine import SparkRagEngine
-    from .catalog_ext import QUERY_TERMS
+    from .oracle_vec import QUERY_TERMS
     eng = SparkRagEngine(spark, EngineConfig(
         quality_threshold=0.0,
         parent_child_search_threshold=0.0,

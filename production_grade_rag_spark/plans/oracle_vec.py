@@ -15,9 +15,14 @@ from ..operators.textstats import BPE_TOKEN_RE, LANG_PROFILES
 from .oracle_sql import sql_str
 
 
-# shared test query vector (dim 64) — lives here (no catalog imports)
-# so catalog_ext and catalog_more can both use it without a cycle.
+# shared test query vector (dim 64) and query terms — they live here
+# (no catalog imports) so catalog_ext and catalog_more can both use
+# them without a cycle: catalog_more's decoration-time oracles run
+# while catalog_ext is still mid-import whenever catalog_ext is the
+# first plans module imported (plans.catalog's bottom imports chain
+# through catalog_more), so anything they need must come from a leaf.
 QUERY_VEC = [1.0, 0.5, -0.25, 0.75, -0.5] + [0.0] * 59
+QUERY_TERMS = ["table", "join", "vector", "scan", "filter", "group"]
 
 
 def _strip(expr: str) -> str:
@@ -29,6 +34,36 @@ def tokens_sql(expr: str) -> str:
     t = f"lower({_strip(expr)})"
     return (f"(CASE WHEN {t} = '' THEN []::VARCHAR[] "
             f"ELSE regexp_split_to_array({t}, {sql_str(WORD_SPLIT_RE)}) END)")
+
+
+def bm25_sql(terms: list[str], k1: float = 1.2,
+             b: float = 0.75, toks: str | None = None) -> tuple[str, str]:
+    # NOTE: the tf/stats CTE reads FROM documents; callers whose Spark
+    # side scores a 1:1 join of documents (e.g. docs x embeddings as an
+    # engine index) get identical stats because the row set is the same.
+    """(CTE prefix, score expression) for the Okapi-BM25 twin of
+    operators.textscore.bm25_score — identical fold order and explicit
+    ::DOUBLE casts (DuckDB float literals default to DECIMAL, a
+    documented stringify hazard) so doubles match bit-for-bit."""
+    toks = toks or tokens_sql("text")
+    dfs = ", ".join(
+        f"sum((len(list_filter(toks, x -> x = {sql_str(t)})) > 0)::INT) AS df_{i}"
+        for i, t in enumerate(terms))
+    cte = (f"tf AS (SELECT doc_id, {toks} AS toks FROM documents), "
+           f"stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl, "
+           f"{dfs} FROM tf)")
+    avgdl = "(sumdl::DOUBLE / n_docs::DOUBLE)"
+    norm = (f"(1.0::DOUBLE - {b!r}::DOUBLE"
+            f" + {b!r}::DOUBLE * len(toks)::DOUBLE / {avgdl})")
+    score = "0.0" + "".join(
+        f" + ln(1.0::DOUBLE + (n_docs - df_{i} + 0.5::DOUBLE)"
+        f" / (df_{i} + 0.5::DOUBLE))"
+        f" * (len(list_filter(toks, x -> x = {sql_str(t)}))::DOUBLE"
+        f" * {k1 + 1.0!r}::DOUBLE)"
+        f" / (len(list_filter(toks, x -> x = {sql_str(t)}))::DOUBLE"
+        f" + {k1!r}::DOUBLE * {norm})"
+        for i, t in enumerate(terms))
+    return cte, score
 
 
 def std_tokens_sql(expr: str) -> str:

@@ -166,3 +166,54 @@ def test_ivf_append_store_and_drift(spark, tmp_path):
     drift2 = {r["cell_id"]: r for r in
               similarity.ivf_store_drift(spark, path).collect()}
     assert drift2[None]["mean_sq_dist"] > 10 * drift1[None]["mean_sq_dist"]
+
+
+def test_ivf_drift_rebuild_loop(spark, tmp_path):
+    """Closed drift loop: a fresh store does NOT rebuild; appending a
+    drifted cluster pushes mean-sq-dist past the ratio and triggers a
+    refit on the store's current contents; probe recall for a query in
+    the drifted region recovers; the baseline resets so the next check
+    is quiet again."""
+    import numpy as np
+
+    emb = load_table(spark, SF001, "embeddings")
+    path = str(tmp_path / "store")
+    similarity.ivf_build_store(emb, path, n_lists=8)
+    assert similarity.ivf_maybe_rebuild(spark, path) is False
+
+    # drifted cluster: the corpus is unit-norm, the appended batch is a
+    # radius-3 blob (an unnormalized/new-model ingest) with enough
+    # scatter that members assign across several existing cells — the
+    # mean-sq-dist jumps ~40x AND probe recall for queries in the blob's
+    # direction drops (its true neighbors live in unprobed cells)
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=64)
+    u = u / np.linalg.norm(u)
+    rows = []
+    for i in range(300):
+        v = 3.0 * u + rng.normal(scale=1.2, size=64)
+        rows.append((100000 + i, [float(x) for x in v], 9))
+    new_df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    similarity.ivf_append_store(new_df, path)
+
+    q = [float(x) for x in u]
+    data = spark.read.parquet(f"{path}/data").drop("cell")
+    exact = {r["vec_id"] for r in
+             similarity.knn_topk(data, q, k=10).collect()}
+    before = {r["vec_id"] for r in
+              similarity.ivf_search_store(spark, path, q, k=10,
+                                          n_probe=2).collect()}
+    r_before = len(exact & before) / 10
+
+    assert similarity.ivf_maybe_rebuild(spark, path) is True
+    after = {r["vec_id"] for r in
+             similarity.ivf_search_store(spark, path, q, k=10,
+                                         n_probe=2).collect()}
+    r_after = len(exact & after) / 10
+    # calibrated on this seed: 0.6 before, 0.8 after — assert the
+    # direction and a floor with margin for KMeans float jitter
+    assert r_after > r_before, (r_before, r_after)
+    assert r_after >= 0.7, f"post-rebuild recall still low: {r_after}"
+    # rebuild kept every row and reset the baseline
+    assert spark.read.parquet(f"{path}/data").count() == emb.count() + 300
+    assert similarity.ivf_maybe_rebuild(spark, path) is False
