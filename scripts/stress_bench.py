@@ -1,0 +1,152 @@
+"""10x scale-stress bench (round-4/5 verdict item: scale evidence).
+
+Synthesizes a 10x tier from sf0.1 (50k documents / 20k embeddings) and
+times the three operators whose cost structure matters most at scale:
+
+- dd_minhash_lsh at production width (128 hashes / 32 bands): cost must
+  scale ~linearly with rows (signatures are narrow codegen'd passes;
+  the only shuffle is on (band, band_hash) buckets).
+- the IVF store: build once at n_lists=64, then a probe sweep — search
+  time must grow with n_probe (fraction of corpus scanned), NOT with
+  corpus size; probing all 64 cells converges to the exact-scan cost.
+- flagship_dim384: the end-to-end pipeline at the reference's real
+  embedding width; 10x the documents must cost ~10x, not worse.
+
+Synthesis is deterministic and distinct-by-construction: documents get
+a per-replica md5-keyed word permutation (same vocabulary, destroyed
+shingle structure — so minhash measures 10x ROWS, not a clique blowup
+of 10 identical copies), embeddings get a per-replica circular roll
+(norm-preserving).  Parquet lands under $SPARK_GRAFT_STRESS_DIR
+(default /tmp/pgrs_stress10x) and is reused across runs.
+
+Prints one JSON line; the driver-style artifact is committed as
+STRESS_r{N}.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STRESS_DIR = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/pgrs_stress10x")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "10"))
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 3)
+
+
+def synthesize(spark) -> None:
+    """Materialize the 10x documents/embeddings tier (idempotent)."""
+    from production_grade_rag_spark.sources import load_table
+
+    done = Path(STRESS_DIR) / "_SYNTH_OK"
+    if done.exists():
+        return
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+
+    # documents: md5-keyed per-replica word permutation — deterministic,
+    # JVM-side, same token multiset (quality/token stats keep their
+    # distribution) but distinct shingle sets per replica.
+    toks = F.split(F.col("text"), r"\s+")
+    keyed = F.transform(
+        toks, lambda t: F.struct(
+            F.md5(F.concat(t, F.lit("#"), F.col("rep").cast("string")))
+             .alias("k"), t.alias("v")))
+    permuted = F.array_join(
+        F.transform(F.array_sort(keyed), lambda s: s["v"]), " ")
+    d10 = (docs.select("*", rep)
+           .withColumn("text", permuted)
+           .withColumn("doc_id",
+                       F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+           .withColumn("n_chars", F.length("text").cast("int"))
+           .drop("rep"))
+    d10.write.mode("overwrite").parquet(f"{STRESS_DIR}/documents.parquet")
+
+    # embeddings: circular roll by 5*replica positions — norm-preserving
+    # and deterministic, so the 10x corpus has the same cosine geometry
+    # class without being 10 exact copies.
+    dim = 64
+    r = (F.col("rep") * 5) % dim
+    e = F.col("embedding")
+    rolled = F.concat(F.slice(e, r + 1, F.lit(dim) - r), F.slice(e, 1, r))
+    e10 = (emb.select("*", rep)
+           .withColumn("embedding", rolled)
+           .withColumn("vec_id",
+                       F.col("vec_id") + F.col("rep") * F.lit(10_000_000))
+           .drop("rep"))
+    e10.write.mode("overwrite").parquet(f"{STRESS_DIR}/embeddings.parquet")
+    done.touch()
+
+
+def main() -> None:
+    from production_grade_rag_spark.operators import dedup, similarity
+    from production_grade_rag_spark.plans.flagship import flagship_search
+    from production_grade_rag_spark.plans.oracle_vec import QUERY_VEC
+    from production_grade_rag_spark.session import get_spark
+    from production_grade_rag_spark.sources import load_table
+
+    spark = get_spark("pgrs-stress")
+    synthesize(spark)
+    res: dict = {"sf_base": SF_DIR, "replicas": REPLICAS, "timings": {}}
+    T = res["timings"]
+
+    docs1 = load_table(spark, SF_DIR, "documents")
+    docs10 = load_table(spark, STRESS_DIR, "documents")
+    emb10 = load_table(spark, STRESS_DIR, "embeddings")
+    n_docs10, n_emb10 = docs10.count(), emb10.count()
+    res["n_docs_10x"], res["n_emb_10x"] = n_docs10, n_emb10
+
+    # --- minhash at production width: 1x vs 10x ------------------------
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        n, t = _timed(lambda d=d: dedup.minhash_dedup_pairs(
+            d, num_hashes=128, num_bands=32).count())
+        T[f"minhash_128_32_{tag}"] = t
+        res[f"minhash_pairs_{tag}"] = n
+        print(f"# minhash {tag}: {t}s ({n} pairs)", file=sys.stderr)
+    res["minhash_scale_ratio"] = round(
+        T["minhash_128_32_10x"] / T["minhash_128_32_1x"], 2)
+
+    # --- IVF store: build + probe sweep vs exact -----------------------
+    store = f"{STRESS_DIR}/ivf64"
+    _, t = _timed(lambda: similarity.ivf_build_store(
+        emb10, store, n_lists=64))
+    T["ivf_build_64"] = t
+    print(f"# ivf build (64 lists, {n_emb10} rows): {t}s", file=sys.stderr)
+    _, t = _timed(lambda: similarity.knn_topk(
+        emb10, QUERY_VEC, k=10).count())
+    T["knn_exact_10x"] = t
+    probes = {}
+    for p in (1, 2, 4, 8, 16, 32, 64):
+        _, t = _timed(lambda p=p: similarity.ivf_search_store(
+            spark, store, QUERY_VEC, k=10, n_probe=p).count())
+        probes[str(p)] = t
+        print(f"# ivf probe {p}/64: {t}s", file=sys.stderr)
+    T["ivf_probe_sweep"] = probes
+
+    # --- flagship at dim 384: 1x vs 10x --------------------------------
+    for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+        n, t = _timed(lambda d=d: flagship_search(
+            spark, d, k=10, dim=384).count())
+        T[f"flagship_dim384_{tag}"] = t
+        print(f"# flagship {tag}: {t}s ({n} rows)", file=sys.stderr)
+    res["flagship_scale_ratio"] = round(
+        T["flagship_dim384_10x"] / T["flagship_dim384_1x"], 2)
+
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
