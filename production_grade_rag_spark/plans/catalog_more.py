@@ -1371,3 +1371,34 @@ def r5_lsh_recall(spark: SparkSession, d: str) -> DataFrame:
     exact = similarity.pairwise_similar(emb, threshold=0.3)
     approx = similarity.lsh_similar_pairs(emb, threshold=0.3)
     return _recall_summary(exact, approx, ["id_a", "id_b"], floor=0.8)
+
+
+@register("r4_ivf_rebuild_loop", oracle="""
+SELECT TRUE AS rebuilt, FALSE AS rebuilt_again,
+       (SELECT count(*) * 2 FROM embeddings)::BIGINT AS n_rows
+""")
+def r4_ivf_rebuild_loop(spark: SparkSession, d: str) -> DataFrame:
+    """The drift->rebuild closed loop, driver-visible: build the IVF
+    store, append a drifted batch (every corpus vector scaled 3x — an
+    unnormalized/new-model ingest; mean-sq-dist jumps far past the
+    1.5x rebuild ratio), and assert via the value oracle that
+    ivf_maybe_rebuild fires exactly once: True on the drifted store,
+    False immediately after (baseline reset), with every row retained
+    through the refit.  The recall-recovery half of the loop is pinned
+    in tests/test_similarity.py (needs a directional query; the
+    decision+retention half here is deterministic and SQL-checkable)."""
+    emb = _t(spark, d, "embeddings")
+    path = _scratch("ivf_rebuild_loop")
+    similarity.ivf_build_store(emb, path, n_lists=8)
+    drifted = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"),
+                    lambda x: x * F.lit(3.0)).alias("embedding"),
+        "label")
+    similarity.ivf_append_store(drifted, path)
+    rebuilt = similarity.ivf_maybe_rebuild(spark, path)
+    again = similarity.ivf_maybe_rebuild(spark, path)
+    n = spark.read.parquet(f"{path}/data").count()
+    return spark.createDataFrame(
+        [(bool(rebuilt), bool(again), int(n))],
+        "rebuilt boolean, rebuilt_again boolean, n_rows long")

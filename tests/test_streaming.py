@@ -149,3 +149,46 @@ def test_watermark_drops_late_events(spark, tmp_path):
     bcounts = {r["window_start"].hour: r["n_events"]
                for r in batch.collect()}
     assert bcounts[9] == 2
+
+
+def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
+    """The testdata generator has shipped events.ts as TIMESTAMP(NANOS)
+    and as plain timestamp[us] across regenerations (the round-5
+    regression): the batch loader, the sessionize plan, and the stream
+    source must produce identical results for BOTH physical encodings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    from production_grade_rag_spark.sources import load_table
+
+    src = pq.read_table(f"{SF001}/events.parquet")
+    i = src.schema.get_field_index("ts")
+    us_dir, ns_dir = str(tmp_path / "us"), str(tmp_path / "ns")
+    for d, unit in ((us_dir, "us"), (ns_dir, "ns")):
+        import os
+        os.makedirs(d, exist_ok=True)
+        t = src.set_column(
+            i, pa.field("ts", pa.timestamp(unit)),
+            src.column("ts").cast(pa.timestamp(unit)))
+        pq.write_table(t, f"{d}/events.parquet",
+                       coerce_timestamps=None, store_schema=False)
+    # physical encodings actually differ
+    assert str(pq.read_schema(f"{ns_dir}/events.parquet").field("ts").type) \
+        == "timestamp[ns]"
+
+    def rows(d):
+        return sorted(
+            (r["user_id"], r["session_id"], str(r["session_start"]),
+             r["n_events"], r["sum_value"])
+            for r in CATALOG["ev_sessionize"].build(spark, d).collect())
+
+    assert rows(us_dir) == rows(ns_dir)
+    assert load_table(spark, us_dir, "events").schema["ts"].dataType \
+        .typeName().startswith("timestamp")
+
+    # streaming twin reads both too
+    for d in (us_dir, ns_dir):
+        out = sp.run_available_now(
+            sp.hourly_counts(sp.read_event_stream(spark, d)),
+            f"t_enc_{d.rsplit('/', 1)[-1]}")
+        assert out.count() > 0
