@@ -1402,3 +1402,78 @@ def r4_ivf_rebuild_loop(spark: SparkSession, d: str) -> DataFrame:
     return spark.createDataFrame(
         [(bool(rebuilt), bool(again), int(n))],
         "rebuilt boolean, rebuilt_again boolean, n_rows long")
+
+
+@register("m1_recursive_gate", oracle="""
+SELECT TRUE AS has_chunks, 0::BIGINT AS n_offset_viol,
+       0::BIGINT AS n_size_viol, 0::BIGINT AS n_dup_index
+""")
+def m1_recursive_gate(spark: SparkSession, d: str) -> DataFrame:
+    """Driver-visible invariant gate for the recursive splitter (the
+    rows-only m1_chunk_recursive twin): every chunk's recorded
+    [start_char, end_char) offset must reproduce its content from the
+    cleaned document text (strip applied, as the splitter does), spans
+    must respect chunk_size, and (doc, chunk_index) must be unique.
+    The splitter itself is not SQL-expressible (that's why the twin is
+    rows-only); these invariants are — so a boundary-logic regression
+    now flips a value hash, not just the fuzz tests
+    (tests/test_chunking_fuzz.py)."""
+    from ..functions.text import PY_STRIP_RE, clean_text
+    docs = _t(spark, d, "documents").select(
+        "doc_id", clean_text(F.col("text")).alias("__clean"))
+    ch = chunking.chunk_recursive(_t(spark, d, "documents"))
+    j = ch.join(docs, "doc_id")
+    span = F.expr("substring(__clean, start_char + 1, end_char - start_char)")
+    offset_ok = F.regexp_replace(span, PY_STRIP_RE, "") == F.col("content")
+    size_ok = (F.col("end_char") - F.col("start_char")) <= F.lit(1000)
+    dup = (ch.groupBy("doc_id", "chunk_index").count()
+           .filter(F.col("count") > 1).count())
+    agg = j.agg(
+        F.count("*").alias("__n"),
+        F.sum((~offset_ok).cast("long")).alias("n_offset_viol"),
+        F.sum((~size_ok).cast("long")).alias("n_size_viol"))
+    return agg.select(
+        (F.col("__n") > 0).alias("has_chunks"),
+        "n_offset_viol", "n_size_viol",
+        F.lit(int(dup)).cast("long").alias("n_dup_index"))
+
+
+@register("m2_recursive_gate", oracle="""
+SELECT TRUE AS has_chunks, 0::BIGINT AS n_orphans,
+       0::BIGINT AS n_count_viol, 0::BIGINT AS n_substr_viol,
+       0::BIGINT AS n_index_viol
+""")
+def m2_recursive_gate(spark: SparkSession, d: str) -> DataFrame:
+    """Driver-visible invariant gate for the recursive parent/child
+    hierarchy (rows-only twins m2_parent_child /
+    r2_parent_context_recursive / r3_parent_child_map_recursive):
+    every child's parent exists, parents' child_count matches the
+    actual children, child content is a substring of its parent's
+    content, and the global interleaved chunk_index holds
+    (child.index == parent.index + 1 + child_index)."""
+    ch = chunking.chunk_parent_child(_t(spark, d, "documents"))
+    parents = ch.filter(F.col("chunk_type") == "parent").select(
+        F.col("parent_id").alias("pid"),
+        F.col("content").alias("p_content"),
+        F.col("chunk_index").alias("p_index"),
+        F.col("child_count").alias("p_child_count"))
+    kids = ch.filter(F.col("chunk_type") == "child")
+    jk = kids.join(parents, kids.parent_id == parents.pid, "left")
+    per_parent = (kids.groupBy("parent_id")
+                  .agg(F.count("*").alias("n_kids"))
+                  .join(parents, F.col("parent_id") == parents.pid, "full")
+                  .filter(F.coalesce("n_kids", F.lit(0))
+                          != F.coalesce("p_child_count", F.lit(-1))))
+    agg = jk.agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("pid").isNull().cast("long")).alias("n_orphans"),
+        F.sum((F.instr(F.col("p_content"), F.col("content")) == 0)
+              .cast("long")).alias("n_substr_viol"),
+        F.sum((F.col("chunk_index")
+               != F.col("p_index") + 1 + F.col("child_index"))
+              .cast("long")).alias("n_index_viol"))
+    n_count_viol = per_parent.count()
+    return agg.select(
+        (F.col("__n") > 0).alias("has_chunks"), "n_orphans",
+        F.lit(int(n_count_viol)).cast("long").alias("n_count_viol"),
+        "n_substr_viol", "n_index_viol")
