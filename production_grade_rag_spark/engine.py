@@ -348,6 +348,56 @@ class SparkRagEngine:
               .select(id_col, "parent_content"))
         return out.join(F.broadcast(pc), id_col, "left")
 
+    # -- introspection ------------------------------------------------------
+
+    def features_used(self) -> list[str]:
+        """Advanced-feature listing (rag_engine.py:378-388) — same
+        flag-to-name mapping."""
+        c = self.config
+        features = []
+        if c.enable_advanced_search:
+            features.append("advanced_search")
+        if c.enable_parent_retrieval:
+            features.append("parent_retrieval")
+        if c.enable_hybrid_search:
+            features.append("hybrid_search")
+        return features
+
+    def search_strategy_description(self) -> str:
+        """Strategy-summary string (rag_engine.py:363-376): the
+        multi-strategy label when advanced search is on, the basic
+        label otherwise."""
+        c = self.config
+        if not c.enable_advanced_search:
+            return "basic-similarity"
+        strategies = []
+        if c.enable_parent_retrieval:
+            strategies.append("parent-child")
+        if c.enable_hybrid_search:
+            strategies.append("hybrid")
+        if strategies:
+            return f"multi-strategy ({', '.join(strategies)})"
+        return "advanced-similarity"
+
+    def search_statistics(self) -> dict:
+        """Search configuration stats (advanced_search.py:363-370):
+        strategy availability + flag state.  Per-query performance
+        counters are a metrics-backend concern, out of engine scope
+        (the reference's in-process rolling averages,
+        rag_engine.py:414-459, have their distributed twin in
+        ev_rolling_metrics / A8)."""
+        c = self.config
+        n = 1  # similarity is always enabled (select_strategies)
+        n += int(c.enable_parent_retrieval) + int(c.enable_hybrid_search)
+        return {
+            "strategies_available": n,
+            "advanced_features_enabled": c.enable_advanced_search,
+            "query_expansion_enabled": False,   # parity: reference ships off
+            "reranking_enabled": False,         # parity: reference ships off
+            "features": self.features_used(),
+            "strategy_description": self.search_strategy_description(),
+        }
+
     # -- post-processing ----------------------------------------------------
 
     def attribute(self, results: DataFrame, documents: DataFrame,

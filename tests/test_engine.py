@@ -359,3 +359,32 @@ def test_parent_child_strategy_attaches_parent_content(spark):
     flat_out = eng.multi_strategy_search(flat, "what is the best approach",
                                          limit=5, strategies=["similarity"])
     assert "parent_content" not in flat_out.columns
+
+
+def test_search_statistics_and_features_follow_flags():
+    """Introspection parity (advanced_search.py:363-370,
+    rag_engine.py:363-388): flag combinations map to the same
+    strategy counts, feature lists, and description strings."""
+    from production_grade_rag_spark.engine import SparkRagEngine
+
+    eng = SparkRagEngine.__new__(SparkRagEngine)  # no spark needed
+    eng.config = EngineConfig()                   # defaults: parent on, hybrid off
+    stats = eng.search_statistics()
+    assert stats["strategies_available"] == 2
+    assert stats["features"] == ["advanced_search", "parent_retrieval"]
+    assert stats["strategy_description"] == "multi-strategy (parent-child)"
+    assert stats["query_expansion_enabled"] is False
+    assert stats["reranking_enabled"] is False
+
+    eng.config = EngineConfig(enable_hybrid_search=True)
+    stats = eng.search_statistics()
+    assert stats["strategies_available"] == 3
+    assert stats["strategy_description"] == \
+        "multi-strategy (parent-child, hybrid)"
+
+    eng.config = EngineConfig(enable_advanced_search=False,
+                              enable_parent_retrieval=False,
+                              enable_hybrid_search=False)
+    stats = eng.search_statistics()
+    assert stats["strategy_description"] == "basic-similarity"
+    assert stats["features"] == []
