@@ -388,3 +388,30 @@ def test_search_statistics_and_features_follow_flags():
     stats = eng.search_statistics()
     assert stats["strategy_description"] == "basic-similarity"
     assert stats["features"] == []
+
+
+def test_engine_standard_analyzer_dispatch(spark, index):
+    """text_analyzer='standard' must flow through engine hybrid search
+    to both the document tokenization and the query-term analysis: a
+    punctuated query matches punctuated content only under the
+    standard analyzer."""
+    eng_ws = SparkRagEngine(spark, EngineConfig())
+    eng_std = SparkRagEngine(spark, EngineConfig(text_analyzer="standard"))
+    qv = [1.0] + [0.0] * 63
+    # query with punctuation: whitespace terms are "vector," / "scan!"
+    q = "Vector, scan!"
+    ws = eng_ws.search(index, query_text=q, query_vector=qv,
+                       search_type="hybrid", limit=10)
+    std = eng_std.search(index, query_text=q, query_vector=qv,
+                         search_type="hybrid", limit=10)
+    ws_txt = {r["chunk_id"]: r["text_score"] for r in ws.collect()
+              if r["text_score"] is not None}
+    std_txt = {r["chunk_id"]: r["text_score"] for r in std.collect()
+               if r["text_score"] is not None}
+    # the standard analyzer finds strictly more text-matching docs for
+    # clean terms extracted from a punctuated query on this corpus
+    assert sum(1 for v in std_txt.values() if v > 0) >= \
+        sum(1 for v in ws_txt.values() if v > 0)
+    assert any(v > 0 for v in std_txt.values())
+    with pytest.raises(ValueError):
+        EngineConfig(text_analyzer="bogus").validate()
