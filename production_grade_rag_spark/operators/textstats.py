@@ -153,3 +153,93 @@ def fingerprint_resemblance(fp: DataFrame, threshold: float = 0.5,
              .withColumn("resemblance", F.round(res, 6))
              .filter(F.col("resemblance") >= threshold)
              .select("id_a", "id_b", "resemblance"))
+
+
+# PII/URL redaction patterns — RE2-safe so Spark (Java regex) and the
+# DuckDB oracle agree; EMAIL is the classic conservative form.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText-style repetition signals (public quality
+    rules from the Gopher paper's repetition filters): per document,
+    the fraction of non-empty lines that are duplicates, the fraction
+    of characters sitting in duplicated lines, and the share of the
+    single most-frequent token.
+
+    Plan: two explode pipelines (lines, tokens), each a partial-agg +
+    one shuffle on (id, line)/(id, token), joined on id.  At 100 TB
+    both are map-side-combined narrow aggregations — no corpus-wide
+    state, parallel in the number of documents.
+    """
+    from ..operators.dedup import tokens
+
+    lines = (df.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), "\n"))
+                        .alias("__line"))
+             .filter(F.length("__line") > 0)
+             .groupBy(id_col, "__line")
+             .agg(F.count("*").alias("__cnt"))
+             .groupBy(id_col)
+             .agg(F.sum("__cnt").alias("__n_lines"),
+                  F.count("*").alias("__n_distinct"),
+                  F.sum(F.length("__line") * F.col("__cnt")).alias("__chars"),
+                  F.sum(F.when(F.col("__cnt") > 1,
+                               F.length("__line") * F.col("__cnt"))
+                         .otherwise(F.lit(0))).alias("__dup_chars")))
+    toks = (df.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("__tok"))
+            .groupBy(id_col, "__tok")
+            .agg(F.count("*").alias("__cnt"))
+            .groupBy(id_col)
+            .agg(F.sum("__cnt").alias("__n_toks"),
+                 F.max("__cnt").alias("__top_cnt")))
+    base = df.select(F.col(id_col))
+    out = (base.join(lines, id_col, "left").join(toks, id_col, "left"))
+    return out.select(
+        F.col(id_col),
+        F.coalesce("__n_lines", F.lit(0)).alias("n_lines"),
+        F.round(F.lit(1.0) - F.coalesce("__n_distinct", F.lit(0))
+                / F.greatest(F.col("__n_lines"), F.lit(1)), 6)
+         .alias("dup_line_frac"),
+        F.round(F.coalesce("__dup_chars", F.lit(0))
+                / F.greatest(F.col("__chars"), F.lit(1)), 6)
+         .alias("dup_line_char_frac"),
+        F.round(F.coalesce("__top_cnt", F.lit(0))
+                / F.greatest(F.col("__n_toks"), F.lit(1)), 6)
+         .alias("top_word_frac"))
+
+
+def source_cap(df: DataFrame, cap: int = 5, key_col: str = "source",
+               score_col: str = "quality_score",
+               id_col: str = "doc_id") -> DataFrame:
+    """C4-style per-domain cap (public C4/RefinedWeb practice: bound
+    any one domain's contribution): keep the top ``cap`` documents per
+    source by quality.  One window shuffle on the source key; skewed
+    sources cost one partition each — salt the key if a single domain
+    dominates (operators.skew has the pattern)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.desc(score_col), id_col)
+    return (df.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= cap))
+
+
+def redact(df: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """PII/URL redaction pass: count and mask emails and URLs (the
+    standard pre-training scrub step).  Pure column expressions —
+    map-only, codegen-fused into the scan."""
+    from ..functions.text import URL_RE
+
+    n_emails = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(EMAIL_RE), 0))
+    n_urls = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(URL_RE), 1))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "[EMAIL]"),
+        URL_RE, "[URL]")
+    return df.select(
+        F.col(id_col), n_emails.alias("n_emails"), n_urls.alias("n_urls"),
+        F.length(red).cast("int").alias("redacted_len"))

@@ -9,7 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import chunking, dedup, embedding, similarity
+from ..operators import chunking, dedup, embedding, similarity, textstats
+from ..functions.text import URL_RE as _URL_RE_FOR_ORACLE
 from . import oracle_sql as O
 from . import oracle_vec as OV
 from .catalog import _t, register
@@ -1477,3 +1478,86 @@ def m2_recursive_gate(spark: SparkSession, d: str) -> DataFrame:
         (F.col("__n") > 0).alias("has_chunks"), "n_orphans",
         F.lit(int(n_count_viol)).cast("long").alias("n_count_viol"),
         "n_substr_viol", "n_index_viol")
+
+
+# ===========================================================================
+# Training-data pipeline extensions 2: repetition, domain caps, redaction
+# ===========================================================================
+
+@register("ta_repetition_stats", oracle=f"""
+WITH lines AS (
+  SELECT doc_id, l AS line, count(*) AS cnt
+  FROM documents, LATERAL unnest(string_split(text, chr(10))) AS t(l)
+  WHERE length(l) > 0 GROUP BY doc_id, l
+), lstats AS (
+  SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+         sum(length(line) * cnt) AS chars,
+         sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END) AS dup_chars
+  FROM lines GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({OV.tokens_sql('text')}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), tstats AS (
+  SELECT doc_id, sum(cnt) AS n_toks, max(cnt) AS top_cnt
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+       round(1.0 - coalesce(l.n_distinct, 0)
+             / greatest(l.n_lines, 1), 6) AS dup_line_frac,
+       round(coalesce(l.dup_chars, 0)
+             / greatest(l.chars, 1), 6) AS dup_line_char_frac,
+       round(coalesce(t.top_cnt, 0)
+             / greatest(t.n_toks, 1), 6) AS top_word_frac
+FROM documents d LEFT JOIN lstats l USING (doc_id)
+LEFT JOIN tstats t USING (doc_id)
+""")
+def ta_repetition_stats(spark: SparkSession, d: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-line
+    fraction by count and by character mass, most-frequent-token
+    share) — the published MassiveText repetition filters as two
+    narrow explode+agg pipelines."""
+    return textstats.repetition_stats(_t(spark, d, "documents"))
+
+
+@register("dd_domain_cap", oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, {O.quality_sql('text')} AS q FROM documents
+), ranked AS (
+  SELECT doc_id, source, round(q, 6) AS quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY round(q, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, source, quality_score, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+""")
+def dd_domain_cap(spark: SparkSession, d: str) -> DataFrame:
+    """C4-style per-domain contribution cap: top-5 documents per
+    source by T2 quality (one window shuffle on the source key) — the
+    standard pre-training guard against one domain flooding the
+    corpus."""
+    from ..functions import text as X
+    docs = X.with_quality(_t(spark, d, "documents"))
+    out = textstats.source_cap(docs, cap=5)
+    return out.select("doc_id", "source", "quality_score",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+@register("ta_redact", oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, {sql_str(textstats.EMAIL_RE)}))::INT
+         AS n_emails,
+       len(regexp_extract_all(text, {sql_str(_URL_RE_FOR_ORACLE)}, 1))::INT
+         AS n_urls,
+       length(regexp_replace(regexp_replace(text,
+           {sql_str(textstats.EMAIL_RE)}, '[EMAIL]', 'g'),
+           {sql_str(_URL_RE_FOR_ORACLE)}, '[URL]', 'g'))::INT
+         AS redacted_len
+FROM documents
+""")
+def ta_redact(spark: SparkSession, d: str) -> DataFrame:
+    """PII/URL scrub pass: count and mask emails and URLs per document
+    (map-only, codegen-fused) — the standard pre-training redaction
+    step, value-oracled end to end including the rewritten lengths."""
+    return textstats.redact(_t(spark, d, "documents"))
