@@ -447,3 +447,64 @@ def lsh_similar_pairs(corpus: DataFrame, threshold: float,
                     (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("score"))
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.round("score", 6).alias("score")))
+
+
+def sq_bounds(corpus: DataFrame, vec_col: str = "embedding") -> tuple:
+    """Per-dimension (lo, hi) bounds for 8-bit scalar quantization:
+    one posexplode + groupBy(pos) pass — dim rows collected (metadata
+    scale, like the IVF centroid table)."""
+    rows = (corpus.select(F.posexplode(to_double_array(F.col(vec_col)))
+                          .alias("pos", "v"))
+            .groupBy("pos").agg(F.min("v").alias("lo"),
+                                F.max("v").alias("hi"))
+            .orderBy("pos").collect())
+    return ([float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows])
+
+
+def sq_encode(corpus: DataFrame, los: list, his: list,
+              vec_col: str = "embedding",
+              code_col: str = "codes") -> DataFrame:
+    """8-bit scalar quantization: code_i = round((x_i - lo_i) /
+    (hi_i - lo_i) * 255), clamped.  A 64-dim float64 vector becomes 64
+    small ints — at 100 TB the quantized table is what scans read
+    (4-8x narrower), with originals kept only for rescoring.  Pure
+    column expressions; constant-dim bound arrays are literals."""
+    lo = F.array(*[F.lit(v) for v in los])
+    span = F.array(*[F.lit(max(h - l, 1e-12)) for l, h in zip(los, his)])
+    vec = to_double_array(F.col(vec_col))
+    codes = F.transform(
+        vec, lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(F.lit(0), F.round(
+                (x - F.element_at(lo, i + 1))
+                / F.element_at(span, i + 1) * 255).cast("int"))))
+    return corpus.withColumn(code_col, codes)
+
+
+def sq_topk(encoded: DataFrame, corpus: DataFrame, query_vec: list[float],
+            los: list, his: list, k: int = 10, rescore: int = 4,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            code_col: str = "codes") -> DataFrame:
+    """Approximate top-k over the quantized table with exact rescoring:
+    decode codes to cell midpoints, cosine against the query, take
+    k*rescore candidates (TakeOrderedAndProject over the NARROW
+    table), then join the originals back for the k*rescore rows only
+    and rank by exact score.  The full-width vectors are touched for
+    k*rescore rows regardless of corpus size."""
+    lo = F.array(*[F.lit(v) for v in los])
+    span = F.array(*[F.lit(max(h - l, 1e-12)) for l, h in zip(los, his)])
+    decoded = F.transform(
+        F.col(code_col),
+        lambda c, i: F.element_at(lo, i + 1)
+        + c.cast("double") / 255.0 * F.element_at(span, i + 1))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (encoded
+            .withColumn("__approx", _score("cosine", decoded, q))
+            .orderBy(F.desc("__approx"), F.col(id_col))
+            .limit(k * rescore)
+            .select(id_col, "__approx"))
+    exact = corpus.join(F.broadcast(cand), id_col) \
+        .withColumn("score",
+                    _score("cosine", to_double_array(F.col(vec_col)), q))
+    return (exact.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+                 .drop("__approx"))

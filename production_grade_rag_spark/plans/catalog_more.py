@@ -1561,3 +1561,52 @@ def ta_redact(spark: SparkSession, d: str) -> DataFrame:
     (map-only, codegen-fused) — the standard pre-training redaction
     step, value-oracled end to end including the rewritten lengths."""
     return textstats.redact(_t(spark, d, "documents"))
+
+
+@register("r4_sq_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def r4_sq_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Recall gate for 8-bit scalar-quantized search with 4x exact
+    rescoring vs exact top-k.  SQ is the third ANN scale path next to
+    IVF and LSH: the quantized table is 4-8x narrower than the float
+    corpus (what a 100 TB scan actually reads), and full-width vectors
+    are touched only for the k*rescore candidate rows.  8-bit cells
+    with rescoring should recover essentially everything — floor 0.9,
+    above the IVF/LSH gates."""
+    emb = _t(spark, d, "embeddings")
+    los, his = similarity.sq_bounds(emb)
+    enc = similarity.sq_encode(emb, los, his).drop("embedding")
+    exact = similarity.knn_topk(emb, QUERY_VEC, k=10)
+    approx = similarity.sq_topk(enc, emb, QUERY_VEC, los, his,
+                                k=10, rescore=4)
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.9)
+
+
+@register("a5_approx_gate", oracle="""
+SELECT TRUE AS users_within_5pct, TRUE AS p50_within_5pct,
+       TRUE AS p99_within_5pct
+""")
+def a5_approx_gate(spark: SparkSession, d: str) -> DataFrame:
+    """Error gate for the sketch-based aggregation forms the 100 TB
+    notes promise (approx_count_distinct / percentile_approx replacing
+    their exact twins): HLL distinct users and t-digest value
+    percentiles over events must land within 5% of exact, computed
+    in-plan so the driver would catch a sketch-parameter regression."""
+    ev = _t(spark, d, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("__u"),
+        F.approx_count_distinct("user_id").alias("__ua"),
+        F.expr("percentile(value, 0.5)").alias("__p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__p50a"),
+        F.expr("percentile(value, 0.99)").alias("__p99"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("__p99a"))
+
+    def within(a, b):
+        return (F.abs(F.col(a) - F.col(b))
+                / F.greatest(F.abs(F.col(a)), F.lit(1e-12))) <= 0.05
+
+    return agg.select(
+        within("__u", "__ua").alias("users_within_5pct"),
+        within("__p50", "__p50a").alias("p50_within_5pct"),
+        within("__p99", "__p99a").alias("p99_within_5pct"))

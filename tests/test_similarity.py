@@ -217,3 +217,34 @@ def test_ivf_drift_rebuild_loop(spark, tmp_path):
     # rebuild kept every row and reset the baseline
     assert spark.read.parquet(f"{path}/data").count() == emb.count() + 300
     assert similarity.ivf_maybe_rebuild(spark, path) is False
+
+
+def test_sq_quantization_error_and_recall(spark):
+    """8-bit scalar quantization: codes stay in [0,255], decode error
+    per dimension is bounded by one cell (span/255), and SQ top-k with
+    4x rescoring recovers >=0.9 of the exact top-10."""
+    emb = load_table(spark, SF001, "embeddings")
+    los, his = similarity.sq_bounds(emb)
+    assert len(los) == 64 and all(l <= h for l, h in zip(los, his))
+    enc = similarity.sq_encode(emb, los, his)
+    row = enc.select("codes", "embedding").first()
+    assert all(0 <= c <= 255 for c in row["codes"])
+    for i, (c, x) in enumerate(zip(row["codes"], row["embedding"])):
+        span = max(his[i] - los[i], 1e-12)
+        decoded = los[i] + c / 255.0 * span
+        assert abs(decoded - float(x)) <= span / 255.0 + 1e-9
+
+    exact = [r["vec_id"] for r in
+             similarity.knn_topk(emb, QUERY_VEC, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.sq_topk(enc.drop("embedding"), emb, QUERY_VEC,
+                                 los, his, k=10, rescore=4).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.9, f"SQ recall@10 too low: {recall}"
+    # rescored scores are EXACT: overlap rows carry identical scores
+    ex = {r["vec_id"]: r["score"] for r in
+          similarity.knn_topk(emb, QUERY_VEC, k=500).collect()}
+    for r in similarity.sq_topk(enc.drop("embedding"), emb, QUERY_VEC,
+                                los, his, k=10, rescore=4).collect():
+        if r["vec_id"] in ex:
+            assert abs(r["score"] - ex[r["vec_id"]]) < 1e-9
