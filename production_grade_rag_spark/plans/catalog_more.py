@@ -1610,3 +1610,82 @@ def a5_approx_gate(spark: SparkSession, d: str) -> DataFrame:
         within("__u", "__ua").alias("users_within_5pct"),
         within("__p50", "__p50a").alias("p50_within_5pct"),
         within("__p99", "__p99a").alias("p99_within_5pct"))
+
+
+@register("ev_asof_join", oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+), filled AS (
+  SELECT *,
+         last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts,
+         last_value(click_id IGNORE NULLS) OVER w AS asof_click_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       round(value, 4) AS purchase_value,
+       asof_click_id, asof_click_ts,
+       CASE WHEN asof_click_ts IS NOT NULL THEN
+         date_diff('second', asof_click_ts, ts)::BIGINT END AS lag_seconds
+FROM filled WHERE event_type = 'purchase'
+""")
+def ev_asof_join(spark: SparkSession, d: str) -> DataFrame:
+    """As-of join — an operator Spark has no native form of: attach to
+    every purchase the most recent PRECEDING click by the same user
+    (time-series attribution; kdb aj / DuckDB ASOF JOIN semantics,
+    backward direction).  Implemented as the union-window plan: tag
+    both streams, one window partitioned on user_id ordered by (ts,
+    event_id), last_value(ignorenulls) carries the latest click
+    forward.  ONE shuffle on user_id total — no per-row probe, no
+    range crossJoin; at 100 TB this is the canonical sort-merge as-of
+    shape and skew only follows hot users (salt like operators.skew).
+    The oracle replays the same window (ASOF JOIN itself would also
+    work in DuckDB — the window replay keeps tie semantics explicit)."""
+    from pyspark.sql import Window
+    ev = _t(spark, d, "events").filter(
+        F.col("event_type").isin("click", "purchase"))
+    tagged = (ev.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts")))
+        .withColumn(
+        "click_id", F.when(F.col("event_type") == "click",
+                           F.col("event_id"))))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (tagged
+              .withColumn("asof_click_ts",
+                          F.last("click_ts", ignorenulls=True).over(w))
+              .withColumn("asof_click_id",
+                          F.last("click_id", ignorenulls=True).over(w)))
+    lag = (F.col("ts").cast("timestamp").cast("long")
+           - F.col("asof_click_ts").cast("timestamp").cast("long"))
+    return (filled.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.col("ts").alias("purchase_ts"),
+                    F.round("value", 4).alias("purchase_value"),
+                    "asof_click_id", "asof_click_ts",
+                    F.when(F.col("asof_click_ts").isNotNull(), lag)
+                     .alias("lag_seconds")))
+
+
+@register("t9_hash_sample", oracle="""
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))::BIGINT
+      % 100 < 10
+""")
+def t9_hash_sample(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic hash sampling (the pipeline staple `sample()`
+    can't give you: reproducible across runs, engines, and partition
+    layouts — the same ~10% of doc_ids every time, so train/eval
+    splits are stable).  md5(id || salt) % 100 < rate, shared verbatim
+    with the oracle; map-only, codegen-fused."""
+    docs = _t(spark, d, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":sample"))), 1, 8),
+               16, 10).cast("long"), F.lit(100))
+    return docs.filter(bucket < 10).select("doc_id", "source")
