@@ -1689,3 +1689,86 @@ def t9_hash_sample(spark: SparkSession, d: str) -> DataFrame:
                                           F.lit(":sample"))), 1, 8),
                16, 10).cast("long"), F.lit(100))
     return docs.filter(bucket < 10).select("doc_id", "source")
+
+
+@register("ev_funnel", oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM numbered GROUP BY user_id, session_id
+), staged AS (
+  SELECT p.user_id, p.session_id, p.first_view,
+         min(CASE WHEN n.event_type = 'click'
+                   AND n.ts >= p.first_view THEN n.ts END) AS first_click
+  FROM per_session p
+  JOIN numbered n USING (user_id, session_id)
+  GROUP BY p.user_id, p.session_id, p.first_view
+), staged2 AS (
+  SELECT s.user_id, s.session_id, s.first_view, s.first_click,
+         min(CASE WHEN n.event_type = 'purchase'
+                   AND n.ts >= s.first_click THEN n.ts END) AS first_purchase
+  FROM staged s
+  JOIN numbered n USING (user_id, session_id)
+  GROUP BY s.user_id, s.session_id, s.first_view, s.first_click
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       sum((first_view IS NOT NULL)::INT)::BIGINT AS n_view,
+       sum((first_click IS NOT NULL)::INT)::BIGINT AS n_view_click,
+       sum((first_purchase IS NOT NULL)::INT)::BIGINT AS n_view_click_purchase
+FROM staged2
+""")
+def ev_funnel(spark: SparkSession, d: str) -> DataFrame:
+    """Session funnel (view -> click -> purchase, in order, within a
+    30-min session): the classic event-analytics composite over the
+    same lag+prefix-sum sessionization as ev_sessionize.  Stages are
+    order-constrained conditional MIN aggregations — first view, first
+    click at-or-after it, first purchase at-or-after that — so the
+    whole funnel is two grouped aggs on the (user, session) key after
+    ONE window shuffle on user_id.  At 100 TB stage state is bounded
+    by sessions, not events."""
+    from pyspark.sql import Window
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    numbered = (ev
+                .withColumn("new_session",
+                            F.when(gap.isNull() | (gap > 1800), 1)
+                             .otherwise(0))
+                .withColumn("session_id", F.sum("new_session").over(run)))
+    per = (numbered.groupBy("user_id", "session_id")
+           .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+                 .alias("first_view")))
+    staged = (numbered.join(per, ["user_id", "session_id"])
+              .groupBy("user_id", "session_id", "first_view")
+              .agg(F.min(F.when((F.col("event_type") == "click")
+                                & (F.col("ts") >= F.col("first_view")),
+                                F.col("ts"))).alias("first_click")))
+    staged2 = (numbered.join(staged, ["user_id", "session_id"])
+               .groupBy("user_id", "session_id", "first_view",
+                        "first_click")
+               .agg(F.min(F.when((F.col("event_type") == "purchase")
+                                 & (F.col("ts") >= F.col("first_click")),
+                                 F.col("ts"))).alias("first_purchase")))
+    return staged2.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("first_view").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("first_click").isNotNull().cast("long"))
+         .alias("n_view_click"),
+        F.sum(F.col("first_purchase").isNotNull().cast("long"))
+         .alias("n_view_click_purchase"))
