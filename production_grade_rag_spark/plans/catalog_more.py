@@ -1751,21 +1751,31 @@ def ev_funnel(spark: SparkSession, d: str) -> DataFrame:
                             F.when(gap.isNull() | (gap > 1800), 1)
                              .otherwise(0))
                 .withColumn("session_id", F.sum("new_session").over(run)))
-    per = (numbered.groupBy("user_id", "session_id")
-           .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-                 .alias("first_view")))
-    staged = (numbered.join(per, ["user_id", "session_id"])
-              .groupBy("user_id", "session_id", "first_view")
-              .agg(F.min(F.when((F.col("event_type") == "click")
-                                & (F.col("ts") >= F.col("first_view")),
-                                F.col("ts"))).alias("first_click")))
-    staged2 = (numbered.join(staged, ["user_id", "session_id"])
-               .groupBy("user_id", "session_id", "first_view",
-                        "first_click")
-               .agg(F.min(F.when((F.col("event_type") == "purchase")
-                                 & (F.col("ts") >= F.col("first_click")),
-                                 F.col("ts"))).alias("first_purchase")))
-    return staged2.agg(
+    # stage times as CHAINED session-window mins (no joins): the
+    # (user_id, session_id) windows reuse the user_id exchange —
+    # HashPartitioning(user_id) satisfies the clustered distribution of
+    # the superset key — so the whole funnel is ONE shuffle plus the
+    # final tiny agg; nothing fact-scaled is ever broadcast.
+    ws = Window.partitionBy("user_id", "session_id")
+    wr = Window.partitionBy("user_id", "session_id") \
+               .orderBy("ts", "event_id")
+    staged = (numbered
+              .withColumn("first_view",
+                          F.min(F.when(F.col("event_type") == "view",
+                                       F.col("ts"))).over(ws))
+              .withColumn("first_click",
+                          F.min(F.when((F.col("event_type") == "click")
+                                       & (F.col("ts")
+                                          >= F.col("first_view")),
+                                       F.col("ts"))).over(ws))
+              .withColumn("first_purchase",
+                          F.min(F.when((F.col("event_type") == "purchase")
+                                       & (F.col("ts")
+                                          >= F.col("first_click")),
+                                       F.col("ts"))).over(ws))
+              .withColumn("__rn", F.row_number().over(wr))
+              .filter(F.col("__rn") == 1))
+    return staged.agg(
         F.count("*").alias("n_sessions"),
         F.sum(F.col("first_view").isNotNull().cast("long")).alias("n_view"),
         F.sum(F.col("first_click").isNotNull().cast("long"))
