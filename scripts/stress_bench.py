@@ -88,6 +88,18 @@ def synthesize(spark) -> None:
                        F.col("vec_id") + F.col("rep") * F.lit(10_000_000))
            .drop("rep"))
     e10.write.mode("overwrite").parquet(f"{STRESS_DIR}/embeddings.parquet")
+
+    # events: replicate with disjoint user/event id spaces — 10x the
+    # users, same per-user session structure (what the window-keyed
+    # event operators shard on).
+    ev = load_table(spark, SF_DIR, "events")
+    ev10 = (ev.select("*", rep)
+            .withColumn("event_id",
+                        F.col("event_id") + F.col("rep") * F.lit(100_000_000))
+            .withColumn("user_id",
+                        F.col("user_id") + F.col("rep") * F.lit(10_000_000))
+            .drop("rep"))
+    ev10.write.mode("overwrite").parquet(f"{STRESS_DIR}/events.parquet")
     done.touch()
 
 
@@ -135,6 +147,26 @@ def main() -> None:
         probes[str(p)] = t
         print(f"# ivf probe {p}/64: {t}s", file=sys.stderr)
     T["ivf_probe_sweep"] = probes
+
+    # --- window-keyed event operators: 1x vs 10x -----------------------
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    for q in ("ev_asof_join", "ev_funnel", "ev_sessionize"):
+        for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+            n, t = _timed(lambda q=q, d=d: CATALOG[q].build(spark, d).count())
+            T[f"{q}_{tag}"] = t
+            print(f"# {q} {tag}: {t}s ({n} rows)", file=sys.stderr)
+        res[f"{q}_scale_ratio"] = round(T[f"{q}_10x"] / T[f"{q}_1x"], 2)
+
+    # --- scalar-quantized search at 10x --------------------------------
+    _, t = _timed(lambda: similarity.sq_bounds(emb10))
+    T["sq_bounds_10x"] = t
+    los, his = similarity.sq_bounds(emb10)
+    enc = similarity.sq_encode(emb10, los, his).drop("embedding")
+    _, t = _timed(lambda: similarity.sq_topk(
+        enc, emb10, QUERY_VEC, los, his, k=10, rescore=4).count())
+    T["sq_topk_10x"] = t
+    print(f"# sq_topk 10x: {t}s (exact scan was "
+          f"{T['knn_exact_10x']}s)", file=sys.stderr)
 
     # --- flagship at dim 384: 1x vs 10x --------------------------------
     for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
