@@ -1782,3 +1782,37 @@ def ev_funnel(spark: SparkSession, d: str) -> DataFrame:
          .alias("n_view_click"),
         F.sum(F.col("first_purchase").isNotNull().cast("long"))
          .alias("n_view_click_purchase"))
+
+
+_MM_QUERY_VEC8 = [0.9, 0.1, 0.5, 0.3, 0.7, 0.2, 0.8, 0.4]
+
+
+def _mm_knn_oracle() -> str:
+    feats = ", ".join(
+        f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT / 255.0"
+        for i in range(8))
+    qlit = OV.vec_lit_sql(_MM_QUERY_VEC8)
+    cos = OV.cosine_sql("f.features", qlit)
+    return f"""
+WITH f AS (SELECT doc_id, [{feats}] AS features FROM documents)
+SELECT doc_id, round({cos}, 6) AS score
+FROM f ORDER BY {cos} DESC, doc_id LIMIT 10
+"""
+
+
+@register("mm_feature_knn", oracle=_mm_knn_oracle())
+def mm_feature_knn(spark: SparkSession, d: str) -> DataFrame:
+    """Multimodal decode -> ANN, end to end: binary payloads through
+    the mapInPandas feature extractor, then exact cosine top-k over
+    the extracted feature vectors — the image-similarity query a
+    multimodal corpus runs, value-oracled the whole way because the
+    fake decoder is md5-deterministic.  A real decoder slots into the
+    same iterator and the search half is unchanged (same plan as
+    r4_knn_topk: literal query column + TakeOrderedAndProject)."""
+    from ..operators import multimodal
+    docs = _t(spark, d, "documents")
+    media = multimodal.attach_binary(docs)
+    feats = multimodal.decode_features(media)
+    out = similarity.knn_topk(feats, _MM_QUERY_VEC8, k=10,
+                              vec_col="features", id_col="doc_id")
+    return out.select("doc_id", F.round("score", 6).alias("score"))
