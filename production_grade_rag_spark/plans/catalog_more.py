@@ -1816,3 +1816,53 @@ def mm_feature_knn(spark: SparkSession, d: str) -> DataFrame:
     out = similarity.knn_topk(feats, _MM_QUERY_VEC8, k=10,
                               vec_col="features", id_col="doc_id")
     return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@register("pk_sequence_pack", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS bucket,
+         greatest(length(text) // 4, 1)::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens)::BIGINT AS start_token
+  FROM toks
+)
+SELECT doc_id, bucket, n_tokens, start_token,
+       (start_token // 2048)::BIGINT AS first_seq,
+       ((start_token + n_tokens - 1) // 2048)::BIGINT AS last_seq
+FROM packed
+""")
+def pk_sequence_pack(spark: SparkSession, d: str) -> DataFrame:
+    """GPT-style sequence packing (the final step of every pre-training
+    data pipeline): concatenate the token stream per shard bucket and
+    cut it into fixed 2048-token training sequences, documents
+    crossing boundaries as they do in practice.  Each document gets
+    its stream offset and the [first_seq, last_seq] span it occupies.
+
+    Plan: token estimate (F8) -> md5 shard bucket -> ONE prefix-sum
+    window per bucket.  Buckets are the parallelism unit (at 100 TB:
+    date/shard partitions), so packing is embarrassingly parallel
+    across shards and deterministic within them — the same property
+    the hash sample (t9) gives train/eval splits."""
+    docs = _t(spark, d, "documents")
+    from pyspark.sql import Window
+    n_tokens = F.greatest(F.floor(F.length("text") / 4), F.lit(1)) \
+        .cast("long")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long"), F.lit(8))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = docs.select("doc_id", bucket.alias("bucket"),
+                       n_tokens.alias("n_tokens"))
+    packed = base.withColumn(
+        "start_token", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return packed.select(
+        "doc_id", "bucket", "n_tokens", "start_token",
+        F.floor(F.col("start_token") / 2048).cast("long").alias("first_seq"),
+        F.floor((F.col("start_token") + F.col("n_tokens") - 1) / 2048)
+         .cast("long").alias("last_seq"))
