@@ -1866,3 +1866,41 @@ def pk_sequence_pack(spark: SparkSession, d: str) -> DataFrame:
         F.floor(F.col("start_token") / 2048).cast("long").alias("first_seq"),
         F.floor((F.col("start_token") + F.col("n_tokens") - 1) / 2048)
          .cast("long").alias("last_seq"))
+
+
+@register("ta_unigram_logprob", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OV.tokens_sql('text')}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*)::DOUBLE AS freq FROM toks GROUP BY tok
+), total AS (
+  SELECT sum(freq) AS n FROM vocab
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(v.freq / total.n)), 6) AS avg_logprob
+FROM toks t JOIN vocab v USING (tok), total
+GROUP BY t.doc_id
+""")
+def ta_unigram_logprob(spark: SparkSession, d: str) -> DataFrame:
+    """Corpus-unigram log-probability per document — the classic
+    LM-based quality signal (CCNet/Gopher use a KenLM 5-gram; the
+    unigram form is its library-free floor): rare-token-heavy
+    documents (gibberish, encoding damage) score low, stopword-heavy
+    boilerplate scores high.  Plan: explode tokens -> vocab count
+    (one shuffle on token) -> broadcast the 1-row total -> join freqs
+    back (vocab-bounded shuffle) -> per-doc avg.  At 100 TB the vocab
+    table is the only corpus-level state and it's vocabulary-sized,
+    not corpus-sized."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("double")
+                                    .alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("n"))
+    return (toks.join(vocab, "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg(F.log(F.col("freq") / F.col("n"))), 6)
+                  .alias("avg_logprob")))
