@@ -1904,3 +1904,76 @@ def ta_unigram_logprob(spark: SparkSession, d: str) -> DataFrame:
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.avg(F.log(F.col("freq") / F.col("n"))), 6)
                   .alias("avg_logprob")))
+
+
+@register("ta_ngram_repetition", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {OV.tokens_sql('text')} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i + 1, i + 2), ' ') AS bg,
+         array_to_string(list_slice(t, i + 1, i + 3), ' ') AS tg,
+         (i + 3 <= len(t)) AS has_tg
+  FROM toks, LATERAL unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
+), bstats AS (
+  SELECT doc_id, sum(cnt) AS n_bg, max(cnt) AS top_bg
+  FROM (SELECT doc_id, bg, count(*) AS cnt FROM grams GROUP BY doc_id, bg)
+  GROUP BY doc_id
+), tstats AS (
+  SELECT doc_id, sum(cnt) AS n_tg, count(*) AS d_tg
+  FROM (SELECT doc_id, tg, count(*) AS cnt FROM grams
+        WHERE has_tg GROUP BY doc_id, tg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(b.n_bg, 0)::BIGINT AS n_bigrams,
+       round(coalesce(b.top_bg, 0) / greatest(b.n_bg, 1), 6)
+         AS top_bigram_frac,
+       round(CASE WHEN t.n_tg >= 1 THEN 1.0 - t.d_tg / t.n_tg
+                  ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM documents d LEFT JOIN bstats b USING (doc_id)
+LEFT JOIN tstats t USING (doc_id)
+""")
+def ta_ngram_repetition(spark: SparkSession, d: str) -> DataFrame:
+    """Gopher's n-gram repetition filters, word form: the share of the
+    single most frequent bigram and the duplicate-trigram fraction —
+    catches loops and templated spam that single-token stats miss.
+    One explode of (position -> bigram/trigram) then two grouped aggs
+    on doc_id; same narrow map-side-combined shape as
+    ta_repetition_stats."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    t = tokens(F.col("text"))
+    base = docs.select("doc_id", t.alias("__t"))
+    # guard: Spark's sequence(0, -1) is DESCENDING [0, -1], so sub-2-
+    # token docs must get an empty index array, not a negative index
+    idx = F.when(F.size("__t") >= 2,
+                 F.sequence(F.lit(0), F.size("__t") - 2)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = (base
+             .withColumn("__i", F.explode(idx))
+             .select("doc_id",
+                     F.array_join(F.slice("__t", F.col("__i") + 1, 2), " ")
+                      .alias("bg"),
+                     F.array_join(F.slice("__t", F.col("__i") + 1, 3), " ")
+                      .alias("tg"),
+                     (F.col("__i") + 3 <= F.size("__t")).alias("has_tg")))
+    bstats = (grams.groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+              .groupBy("doc_id")
+              .agg(F.sum("cnt").alias("n_bg"), F.max("cnt").alias("top_bg")))
+    tstats = (grams.filter("has_tg")
+              .groupBy("doc_id", "tg").agg(F.count("*").alias("cnt"))
+              .groupBy("doc_id")
+              .agg(F.sum("cnt").alias("n_tg"), F.count("*").alias("d_tg")))
+    return (docs.select("doc_id")
+            .join(bstats, "doc_id", "left").join(tstats, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bg", F.lit(0)).alias("n_bigrams"),
+                F.round(F.coalesce("top_bg", F.lit(0))
+                        / F.greatest(F.col("n_bg"), F.lit(1)), 6)
+                 .alias("top_bigram_frac"),
+                F.round(F.when(F.col("n_tg") >= 1,
+                               F.lit(1.0) - F.col("d_tg") / F.col("n_tg"))
+                         .otherwise(F.lit(0.0)), 6)
+                 .alias("dup_trigram_frac")))
