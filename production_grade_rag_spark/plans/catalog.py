@@ -482,3 +482,4 @@ def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # bottom so `register` and `_t` exist when catalog_ext imports back.
 from . import catalog_ext  # noqa: E402,F401  (registration side effects)
 from . import catalog_more  # noqa: E402,F401  (registration side effects)
+from . import catalog_r6  # noqa: E402,F401  (registration side effects)

@@ -1,0 +1,185 @@
+"""Catalog extension 3 (round 6): corpus-curation pipeline composition,
+stratified sampling, and bounded-range event joins.
+
+Registered into the same CATALOG as catalog.py / catalog_ext.py /
+catalog_more.py; every entry carries a DuckDB oracle.  Reference scope:
+these are the training-data-pipeline operators the reference's feature
+pipeline (src/pipelines/rag_pipeline.py:40-210) implies but runs
+driver-side one document at a time — here each is a distributed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators import textstats
+from . import oracle_sql as O
+from . import oracle_vec as OV
+from .catalog import _t, register
+
+
+# ===========================================================================
+# End-to-end corpus curation (clean -> quality gate -> lang gate ->
+# exact dedup -> token count), the composed form of t1/t3/ta/dd_exact
+# ===========================================================================
+
+@register("cc_curate", oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         {O.clean_sql('text')} AS clean_text,
+         {O.quality_sql('text')} AS q,
+         {OV.detect_language_sql('text')} AS detected_lang
+  FROM documents
+), gated AS (
+  SELECT * FROM scored
+  WHERE (q IS NULL OR q >= 0.2) AND detected_lang = 'en'
+), keyed AS (
+  SELECT *, md5(lower({O.pystrip_sql('clean_text')})) AS content_hash
+  FROM gated
+), grouped AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keeper_id,
+            count(*) OVER (PARTITION BY content_hash) AS group_size
+  FROM keyed
+)
+SELECT doc_id, detected_lang, round(q, 6) AS quality_score,
+       (length(clean_text) // 4)::BIGINT AS est_tokens, group_size
+FROM grouped WHERE doc_id = keeper_id
+""")
+def cc_curate(spark: SparkSession, d: str) -> DataFrame:
+    """End-to-end corpus curation as ONE declarative plan: clean (T1,
+    document_processor.py:20-33) -> quality gate, NULL passes (T3,
+    rag_pipeline.py:45-68; 0.2 here — the reference's 0.5/0.3 keep <=1
+    synthetic doc, which would make the composition vacuous) -> language gate
+    (stopword-profile argmax, keep 'en') -> exact near-identical dedup
+    on the normalized cleaned text (min-id keeper) -> token estimate
+    (F8, rag_engine.py:243).
+
+    The reference runs these stages driver-side per document; composing
+    them as columns lets Catalyst fuse every scalar stage into one
+    codegen'd projection over the scan, so the whole curation front-end
+    is ONE pass over the corpus plus ONE shuffle (on content_hash) for
+    the dedup.  At 100 TB: the map side is embarrassingly parallel and
+    the hash shuffle is uniform by construction (crypto hash keys, no
+    skew); the filters cut volume BEFORE the shuffle, which is the
+    right order — gate cheap, shuffle small."""
+    docs = _t(spark, d, "documents")
+    scored = docs.select(
+        "doc_id",
+        X.clean_text(F.col("text")).alias("clean_text"),
+        X.quality_components(F.col("text"))["quality_score"].alias("q"),
+        textstats.detect_language(F.col("text")).alias("detected_lang"))
+    gated = scored.filter(
+        (F.col("q").isNull() | (F.col("q") >= 0.2))
+        & (F.col("detected_lang") == "en"))
+    keyed = gated.withColumn(
+        "content_hash", F.md5(F.lower(X.pystrip(F.col("clean_text")))))
+    w = Window.partitionBy("content_hash")
+    grouped = (keyed
+               .withColumn("keeper_id", F.min("doc_id").over(w))
+               .withColumn("group_size", F.count("*").over(w)))
+    return (grouped.filter(F.col("doc_id") == F.col("keeper_id"))
+            .select("doc_id", "detected_lang",
+                    F.round("q", 6).alias("quality_score"),
+                    X.token_estimate(F.col("clean_text")).alias("est_tokens"),
+                    "group_size"))
+
+
+# ===========================================================================
+# Stratified sampling: exact per-stratum quota, deterministic hash order
+# ===========================================================================
+
+@register("t10_stratified_sample", oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR || ':strat'), doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_stratum
+  FROM documents
+)
+SELECT doc_id, lang, source, rk, n_stratum
+FROM ranked WHERE rk <= ceil(n_stratum * 0.2)
+""")
+def t10_stratified_sample(spark: SparkSession, d: str) -> DataFrame:
+    """Stratified sampling with an EXACT 20% quota per lang stratum
+    (t9_hash_sample is Bernoulli — per-stratum counts drift; training
+    mixes need exact ratios).  Deterministic: rank within stratum by
+    md5(doc_id||salt) — same ~ordering every run/engine/partitioning —
+    keep rank <= ceil(0.2 * |stratum|).
+
+    Scale note: row_number per stratum sorts each stratum through one
+    window task chain — fine while strata stay executor-sized.  At
+    100 TB with few huge strata, swap the exact rank for a sampled
+    hash-histogram cutoff (approxQuantile(0.2) of the hash per
+    stratum, then a map-only filter hash <= cutoff): the hash is
+    uniform so the quota error is O(1/sqrt(sample)), and no global
+    per-stratum sort is needed.  The exact form here IS the oracle
+    semantics; the cutoff form is the approximate twin."""
+    docs = _t(spark, d, "documents").select("doc_id", "lang", "source")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    ranked = (docs
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("n_stratum", F.count("*").over(wc)))
+    return ranked.filter(F.col("rk") <= F.ceil(F.col("n_stratum") * 0.2))
+
+
+# ===========================================================================
+# Bounded-range event join (point-in-window), bucketed strategy
+# ===========================================================================
+
+@register("ev_window_join", oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       count(v.ts) AS n_prior_views,
+       round(coalesce(sum(v.value), 0), 4) AS view_value_sum
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY 1, 2, 3
+""")
+def ev_window_join(spark: SparkSession, d: str) -> DataFrame:
+    """Bounded-range join: for every purchase, count/sum the same
+    user's 'view' events in the preceding 30 minutes (the fixed-window
+    companion of ev_asof_join's unbounded last-before).
+
+    Naive SQL is an inequality join — Spark would fall back to
+    broadcast-nested-loop.  The scale strategy is BUCKETING: floor
+    timestamps into gap-sized epochs; a view at bucket b can only
+    serve purchases in buckets b or b+1, so the purchase side explodes
+    to its 2 candidate buckets and the join becomes an EQUI-join on
+    (user_id, bucket) with the exact range check as a residual filter.
+    One hash shuffle each side, probe fan-out exactly 2x — at 100 TB
+    this stays a plain shuffled hash join however wide the data is
+    (hot users are the only skew; salt like operators.skew if needed).
+    LEFT join keeps zero-view purchases; count(v.ts) is null-safe."""
+    gap_us = 1800 * 1_000_000
+    ev = _t(spark, d, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us")))
+    p = p.withColumn(
+        "bucket", F.explode(F.array(F.floor(F.col("p_us") / gap_us),
+                                    F.floor(F.col("p_us") / gap_us) - 1)))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("v_us"),
+                 F.col("value").alias("v_value")))
+    v = v.withColumn("bucket", F.floor(F.col("v_us") / gap_us))
+    joined = p.join(
+        v,
+        (p["user_id"] == v["v_user"]) & (p["bucket"] == v["bucket"])
+        & (F.col("v_us") < F.col("p_us"))
+        & (F.col("v_us") >= F.col("p_us") - gap_us),
+        "left")
+    return (joined
+            .groupBy("purchase_id", "user_id", "purchase_ts")
+            .agg(F.count("v_us").alias("n_prior_views"),
+                 F.round(F.coalesce(F.sum("v_value"), F.lit(0.0)), 4)
+                 .alias("view_value_sum")))
