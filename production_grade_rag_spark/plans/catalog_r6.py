@@ -14,10 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ..operators import textstats
+from ..operators import pq, textstats
 from . import oracle_sql as O
 from . import oracle_vec as OV
 from .catalog import _t, register
+from .oracle_vec import QUERY_VEC
 
 
 # ===========================================================================
@@ -183,3 +184,22 @@ def ev_window_join(spark: SparkSession, d: str) -> DataFrame:
             .agg(F.count("v_us").alias("n_prior_views"),
                  F.round(F.coalesce(F.sum("v_value"), F.lit(0.0)), 4)
                  .alias("view_value_sum")))
+
+
+# ===========================================================================
+# Product-quantization ANN (R4 compressed-index scale path)
+# ===========================================================================
+
+@register("r4_pq_topk")   # rows-only: PQ is approximate by design
+def r4_pq_topk(spark: SparkSession, d: str) -> DataFrame:
+    """R4 approximate, compressed-index form: PQ (8 subspaces x 16
+    codewords over the 64-dim corpus) with ADC candidate scoring over
+    the narrow code table and exact cosine rescoring of k*8
+    candidates.  Deterministic end to end (hash-ordered training
+    sample, seeded k-means, id tiebreaks); recall vs the exact
+    r4_knn_topk is asserted in tests/test_pq.py — the driver records a
+    rows-only check because ANN misses are semantic, like r4_ivf_topk."""
+    emb = _t(spark, d, "embeddings")
+    books = pq.pq_train(emb)
+    encoded = pq.pq_encode(emb, books).select("vec_id", "pq_codes")
+    return pq.pq_topk(encoded, emb, QUERY_VEC, books, k=10)

@@ -1,0 +1,69 @@
+"""PQ ANN must trade recall, not correctness: returned rows carry
+EXACT cosine scores (rescoring), recall against the exact search stays
+above a floor, and the whole path (sample -> k-means -> encode ->
+ADC -> rescore) is deterministic run to run."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from production_grade_rag_spark.operators import pq, similarity
+from production_grade_rag_spark.plans.catalog_ext import QUERY_VEC
+from production_grade_rag_spark.sources import load_table
+
+from conftest import SF001
+
+
+def _pq_ids_scores(spark, rescore=8):
+    emb = load_table(spark, SF001, "embeddings")
+    books = pq.pq_train(emb)
+    enc = pq.pq_encode(emb, books).select("vec_id", "pq_codes")
+    rows = pq.pq_topk(enc, emb, QUERY_VEC, books, k=10,
+                      rescore=rescore).collect()
+    return [(r["vec_id"], r["score"]) for r in rows]
+
+
+def test_pq_recall_and_exact_scores(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    exact = [r["vec_id"] for r in
+             similarity.knn_topk(emb, QUERY_VEC, k=10).collect()]
+    got = _pq_ids_scores(spark)
+    recall = len(set(exact) & {i for i, _ in got}) / len(exact)
+    assert recall >= 0.5, f"PQ recall@10 too low: {recall}"
+    # rescored scores are exact cosine (to the same 1e-6 rounding)
+    ex = {r["vec_id"]: round(r["score"], 6) for r in
+          similarity.knn_topk(emb, QUERY_VEC, k=500).collect()}
+    for vid, score in got:
+        assert abs(ex[vid] - score) < 1e-9
+
+
+def test_pq_deterministic(spark):
+    assert _pq_ids_scores(spark) == _pq_ids_scores(spark)
+
+
+def test_pq_train_encode_shapes(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    books = pq.pq_train(emb, m=8, k_codes=16)
+    assert len(books) == 8
+    assert all(b.shape == (16, 8) for b in books)
+    enc = pq.pq_encode(emb, books)
+    row = enc.select("pq_codes").first()
+    codes = row["pq_codes"]
+    assert len(codes) == 8
+    assert all(0 <= c < 16 for c in codes)
+    # encoding matches a driver-side numpy argmin for one vector
+    v = np.asarray(emb.select("embedding").first()["embedding"], float)
+    first = enc.select("embedding", "pq_codes").first()
+    v = np.asarray(first["embedding"], float)
+    want = [int(((v[j * 8:(j + 1) * 8] - books[j]) ** 2).sum(1).argmin())
+            for j in range(8)]
+    assert list(first["pq_codes"]) == want
+
+
+def test_pq_full_rescore_equals_exact(spark):
+    """rescore wide enough to cover the corpus -> exact top-k."""
+    emb = load_table(spark, SF001, "embeddings")
+    exact = [r["vec_id"] for r in
+             similarity.knn_topk(emb, QUERY_VEC, k=10).collect()]
+    got = [i for i, _ in _pq_ids_scores(spark, rescore=100)]
+    assert got == exact
