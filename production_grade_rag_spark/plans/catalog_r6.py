@@ -203,3 +203,28 @@ def r4_pq_topk(spark: SparkSession, d: str) -> DataFrame:
     books = pq.pq_train(emb)
     encoded = pq.pq_encode(emb, books).select("vec_id", "pq_codes")
     return pq.pq_topk(encoded, emb, QUERY_VEC, books, k=10)
+
+
+# ===========================================================================
+# Streaming: stream-static dimension enrichment (§2.10 extension)
+# ===========================================================================
+
+@register("st_enrich_join", oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+""")
+def st_enrich_join(spark: SparkSession, d: str) -> DataFrame:
+    """Stream-static join drained with availableNow: the event stream
+    broadcast-joins the static customer dim per micro-batch (map-side,
+    stateless, append mode — no watermark needed for enrichment).  The
+    result must equal the batch LEFT JOIN exactly, which is the oracle:
+    this is the streaming counterpart of r1_attribution_join's
+    dimension lookup."""
+    from ..streaming import pipeline as SP
+    ev = SP.read_event_stream(spark, d)
+    cust = _t(spark, d, "customer")
+    out = SP.run_available_now(
+        SP.enrich_with_customer(ev, cust)
+        .select("event_id", "user_id", "c_name", "c_nationkey"),
+        "st_enrich_join", output_mode="append")
+    return out

@@ -100,6 +100,21 @@ def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
                     "n_events", "sum_value"))
 
 
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach customer dimension columns
+    to the event stream (user_id == c_custkey in the synthetic star
+    schema).  The static side is broadcast — each micro-batch does a
+    map-side hash join, NO shuffle of the stream and no state: this is
+    the canonical dimension-enrichment shape.  At 100 TB/day of events
+    the dim stays broadcastable (customers are metadata-scale); if it
+    ever isn't, pre-bucket both sides on the key and let the join be
+    storage-co-located instead.  LEFT join keeps events with no
+    matching customer (fact streams outlive dim snapshots)."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          "c_name", "c_nationkey")
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
 def user_running_state(events: DataFrame) -> DataFrame:
     """A8 rolling metrics as a CUSTOM STATEFUL operator
     (applyInPandasWithState): per-user running event count and value
