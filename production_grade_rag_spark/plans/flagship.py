@@ -36,14 +36,20 @@ def flagship_search(spark: SparkSession, sf_dir: str, k: int = 10,
                      id_col="chunk_id", dim=dim)                # M3
     qv = embed_text_py(FLAGSHIP_QUERY, dim=dim)
     top = knn_topk(emb, qv, k=k, id_col="chunk_id")             # R4+T5+W1
-    # R1: attribution join.  The attribution side is the full scored
-    # documents projection — corpus-scaled, NOT a fixed dimension — and
-    # the stream side is only k rows, so no forced broadcast: AQE
+    # R1: attribution join.  The attribution side is the full documents
+    # projection — corpus-scaled, NOT a fixed dimension — and the
+    # stream side is only k rows, so no forced broadcast: AQE
     # broadcasts the attrs while they fit and shuffle-joins beyond
-    # (same policy as q3/s11).
-    attrib = scored.select("doc_id", F.col("source").alias("source_type"),
-                           F.col("lang").alias("doc_lang"), "quality_score")
+    # (same policy as q3/s11).  quality_score is recomputed AFTER the
+    # join, on the k surviving rows only — scoring is a regex-heavy
+    # projection, and computing it on the attribution branch too would
+    # mean a second full-corpus scoring pass (DAG branches don't share
+    # subtree results without caching); post-join it costs k rows.
+    attrib = docs.select("doc_id", F.col("source").alias("source_type"),
+                         F.col("lang").alias("doc_lang"), "text")
     return (top.join(attrib, "doc_id", "left")
+               .withColumn("quality_score",
+                           X.quality_components(F.col("text"))["quality_score"])
                .select("chunk_id", "doc_id", "content",
                        F.round("score", 6).alias("score"),
                        "source_type", "doc_lang", "quality_score"))
