@@ -228,3 +228,107 @@ def st_enrich_join(spark: SparkSession, d: str) -> DataFrame:
         .select("event_id", "user_id", "c_name", "c_nationkey"),
         "st_enrich_join", output_mode="append")
     return out
+
+
+# ===========================================================================
+# Warehouse-style event ops: SCD2 islands, multi-granularity rollup
+# ===========================================================================
+
+@register("ev_scd2_islands", oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM ordered
+), numbered AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id, island, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+         AS valid_to,
+       n_events
+FROM islands
+""")
+def ev_scd2_islands(spark: SparkSession, d: str) -> DataFrame:
+    """SCD-type-2 interval build (gaps-and-islands): collapse each
+    user's consecutive same-type events into one validity interval
+    [valid_from, valid_to), valid_to = next island's start, NULL while
+    current — the standard warehouse pattern for turning an event log
+    into a slowly-changing dimension.
+
+    Plan: change-flag via lag -> island id via prefix-sum -> one
+    groupBy -> lead for the closing edge.  Every window and the agg
+    key off user_id, so the work is ONE logical repartition by user
+    re-used across four operators (Spark re-shuffles for the
+    (user_id, island) agg since the hash differs; at 100 TB pin it
+    with repartition(user_id) + groupBy-within-partitions or accept
+    the second small exchange — both beat any self-join formulation)."""
+    from pyspark.sql import Window
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")), 1)
+        .otherwise(0))
+    numbered = flagged.withColumn("island", F.sum("chg").over(run))
+    islands = (numbered.groupBy("user_id", "island")
+               .agg(F.min("event_type").alias("event_type"),
+                    F.min("ts").alias("valid_from"),
+                    F.count("*").alias("n_events")))
+    wl = Window.partitionBy("user_id").orderBy("island")
+    return islands.withColumn("valid_to",
+                              F.lead("valid_from").over(wl)) \
+                  .select("user_id", "island", "event_type", "valid_from",
+                          "valid_to", "n_events")
+
+
+@register("ev_rollup_sets", oracle="""
+SELECT CASE WHEN GROUPING(d) = 1 THEN 'ALL' ELSE d::VARCHAR END AS day,
+       CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4) AS sum_value
+FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, value
+      FROM events) t
+GROUP BY GROUPING SETS ((d, event_type), (d), ())
+""")
+def ev_rollup_sets(spark: SparkSession, d: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE aggregation:
+    GROUPING SETS (day x type, day, grand total), disambiguated with
+    GROUPING() markers — the continuous-aggregate shape (day page +
+    day totals + corpus total) without three scans.  Spark expands the
+    sets map-side and partial-aggregates each, so it stays one scan +
+    one exchange.  value sums are integer-scaled before summing (the
+    ev_rolling_metrics convention) so the grand total is FP-order
+    independent and oracle-exact.  At 100 TB: identical shape; the
+    rollup output is tiny relative to input, which is exactly when
+    grouping sets beat re-aggregating a materialized day level."""
+    ev = _t(spark, d, "events")
+    ev.createOrReplaceTempView("__pgrs_events_r6")
+    return spark.sql("""
+        SELECT CASE WHEN grouping(d) = 1 THEN 'ALL'
+                    ELSE cast(d AS STRING) END AS day,
+               CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+                    ELSE event_type END AS event_type,
+               count(*) AS n_events,
+               round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0D, 4)
+                 AS sum_value
+        FROM (SELECT cast(date_trunc('DAY', ts) AS DATE) AS d,
+                     event_type, value
+              FROM __pgrs_events_r6) t
+        GROUP BY GROUPING SETS ((d, event_type), (d), ())
+    """)
