@@ -332,3 +332,49 @@ def ev_rollup_sets(spark: SparkSession, d: str) -> DataFrame:
               FROM __pgrs_events_r6) t
         GROUP BY GROUPING SETS ((d, event_type), (d), ())
     """)
+
+
+# ===========================================================================
+# Incremental ingest: dedup the incoming batch against the stored corpus
+# ===========================================================================
+
+@register("s15_incremental_ingest", oracle="""
+WITH store AS (
+  SELECT md5(coalesce(text, '')) AS h FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 2 = 1
+), fresh AS (
+  SELECT * FROM batch WHERE h NOT IN (SELECT h FROM store)
+), keep AS (
+  SELECT h, min(doc_id) AS keeper FROM fresh GROUP BY h
+)
+SELECT f.doc_id, f.h AS content_hash, (f.doc_id = k.keeper) AS is_keeper
+FROM fresh f JOIN keep k USING (h)
+""")
+def s15_incremental_ingest(spark: SparkSession, d: str) -> DataFrame:
+    """Ingest-time dedup against the EXISTING store (the reference's
+    store-with-retry path re-checks per document,
+    vector_store.py:125-178; here it's one set operation): hash the
+    incoming batch, LEFT ANTI join against the stored hash set, then
+    resolve in-batch duplicates with a min-id keeper.  Even doc_ids
+    play the store, odd the incoming batch.
+
+    At 100 TB the anti-join is the scaling decision: the stored hash
+    set is corpus-sized, so no broadcast — it becomes a shuffled
+    anti-join on the uniform crypto hash (no skew).  The cheap upgrade
+    is a bloom filter built from the store's hashes applied map-side
+    to the batch BEFORE the shuffle (false positives re-checked by the
+    join); Spark's AQE does this automatically for inner joins
+    (runtime row-level filtering), anti-joins get it manually."""
+    docs = _t(spark, d, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    store = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select(h.alias("content_hash")))
+    batch = (docs.filter(F.col("doc_id") % 2 == 1)
+             .select("doc_id", h.alias("content_hash")))
+    fresh = batch.join(store, "content_hash", "left_anti")
+    w = Window.partitionBy("content_hash")
+    return (fresh.withColumn("__keeper", F.min("doc_id").over(w))
+            .select("doc_id", "content_hash",
+                    (F.col("doc_id") == F.col("__keeper")).alias("is_keeper")))
