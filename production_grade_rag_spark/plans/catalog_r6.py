@@ -252,6 +252,31 @@ def st_enrich_join(spark: SparkSession, d: str) -> DataFrame:
     return out
 
 
+@register("st_stream_join", oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       p.ts AS purchase_ts, v.ts AS view_ts
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""")
+def st_stream_join(spark: SparkSession, d: str) -> DataFrame:
+    """STREAM-STREAM interval join drained with availableNow: purchases
+    joined to the same user's views within the preceding 30 minutes,
+    with event-time watermarks on both sides bounding the join state.
+    The drained result must equal the batch interval self-join exactly
+    — that equality is the oracle.  Companion of st_enrich_join
+    (stream-static) and ev_window_join (the batch aggregated form)."""
+    from ..streaming import pipeline as SP
+    views = SP.read_event_stream(spark, d).filter(
+        F.col("event_type") == "view")
+    purchases = SP.read_event_stream(spark, d).filter(
+        F.col("event_type") == "purchase")
+    return SP.run_available_now(
+        SP.view_purchase_join(views, purchases),
+        "st_stream_join", output_mode="append")
+
+
 # ===========================================================================
 # Warehouse-style event ops: SCD2 islands, multi-granularity rollup
 # ===========================================================================

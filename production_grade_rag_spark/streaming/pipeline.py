@@ -115,6 +115,36 @@ def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id", "left")
 
 
+def view_purchase_join(views: DataFrame, purchases: DataFrame,
+                       gap: str = "30 minutes") -> DataFrame:
+    """STREAM-STREAM interval join: each purchase matches the same
+    user's view events from the preceding ``gap`` — the streaming twin
+    of the batch ev_window_join (pre-aggregation form: the matched
+    PAIRS, which are deterministic; per-purchase counts would depend
+    on micro-batch boundaries under update mode).
+
+    Both inputs carry event-time watermarks (read_event_stream), and
+    the join condition bounds view_ts to a closed interval around
+    purchase_ts, so Spark can expire buffered state on BOTH sides once
+    the watermark passes purchase_ts (left) / purchase_ts + gap
+    (right): state is O(events within watermark+gap horizon), not
+    O(stream).  Inner join + append mode is the supported, exactly-once
+    shape.  At 100 TB/day both sides hash-partition on user_id — the
+    same single-shuffle layout as the batch bucketed form."""
+    v = views.select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts"))
+    p = purchases.select(F.col("event_id").alias("purchase_id"),
+                         "user_id",
+                         F.col("ts").alias("purchase_ts"))
+    cond = ((p["user_id"] == v["v_user"])
+            & (v["view_ts"] < p["purchase_ts"])
+            & (v["view_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {gap}")))
+    return (p.join(v, cond, "inner")
+            .select("purchase_id", "view_id", "user_id",
+                    "purchase_ts", "view_ts"))
+
+
 def user_running_state(events: DataFrame) -> DataFrame:
     """A8 rolling metrics as a CUSTOM STATEFUL operator
     (applyInPandasWithState): per-user running event count and value
