@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ..operators import pq, textstats
+from ..operators import dedup, pq, textstats
 from . import oracle_sql as O
 from . import oracle_vec as OV
 from .catalog import _t, register
@@ -379,6 +379,110 @@ def ev_rollup_sets(spark: SparkSession, d: str) -> DataFrame:
               FROM __pgrs_events_r6) t
         GROUP BY GROUPING SETS ((d, event_type), (d), ())
     """)
+
+
+# ===========================================================================
+# Training-data hygiene: benchmark decontamination, domain-mix weights
+# ===========================================================================
+
+@register("dd_decontaminate", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {OV.tokens_sql('text')} AS w FROM documents
+), grams AS (
+  SELECT doc_id, unnest({OV.word_shingles_sql('w', 5)}) AS g FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+), corpus AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 17 <> 0
+), agg AS (
+  SELECT c.doc_id, count(*) AS n_grams, count(b.g) AS n_hits
+  FROM corpus c LEFT JOIN bench b ON c.g = b.g
+  GROUP BY 1
+)
+SELECT doc_id, n_hits, n_grams,
+       round(n_hits * 1.0 / n_grams, 6) AS contamination
+FROM agg WHERE n_hits > 0
+""")
+def dd_decontaminate(spark: SparkSession, d: str) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene twin of
+    dedup: flag corpus documents that share any word 5-gram with a
+    held-out evaluation set (docs with doc_id % 17 == 0 play the
+    benchmark), reporting hit count and contamination fraction per
+    flagged doc.  Same shingle definition as dd_minhash_lsh
+    (dedup.word_shingles; short docs fall back to whole-text), so both
+    hygiene passes share one gram extraction at ingest.
+
+    Plan: one narrow gram-explode pass over the corpus; the benchmark
+    gram set is eval-scale (thousands of docs, not billions), so the
+    membership join BROADCASTS it and the contamination scan is
+    map-side — one shuffle total, for the per-doc count aggregation.
+    If the benchmark ever outgrows broadcast, the join keys on the
+    uniform gram hash, skew-free by construction.  The LEFT join keeps
+    every corpus gram so n_grams is computed in the same pass as
+    n_hits (no second aggregation over the corpus)."""
+    docs = _t(spark, d, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(dedup.word_shingles(F.col("text"), k=5)).alias("g"))
+    bench = (grams.filter(F.col("doc_id") % 17 == 0)
+             .select("g").distinct())
+    corpus = grams.filter(F.col("doc_id") % 17 != 0)
+    marked = corpus.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "g", "left")
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.count("__hit").alias("n_hits"))
+            .filter(F.col("n_hits") > 0)
+            .select("doc_id", "n_hits", "n_grams",
+                    F.round(F.col("n_hits") / F.col("n_grams"), 6)
+                    .alias("contamination")))
+
+
+@register("t11_source_mix", oracle="""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CAST(n_chars AS BIGINT) // 4) AS BIGINT) AS est_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(est_tokens) AS all_tokens,
+         count(*) AS n_sources FROM per
+)
+SELECT source, n_docs, est_tokens,
+       round(est_tokens * 1.0 / all_tokens, 6) AS actual_share,
+       round(1.0 / n_sources, 6) AS target_share,
+       round((1.0 / n_sources) / (est_tokens * 1.0 / all_tokens), 6)
+         AS sampling_weight
+FROM per, tot
+""")
+def t11_source_mix(spark: SparkSession, d: str) -> DataFrame:
+    """Domain-mix reweighting for training-data assembly: per source,
+    the corpus' actual token share vs a uniform target mix, and the
+    sampling multiplier (target/actual) a downstream sampler applies
+    to hit the target — the static form of DoReMi-style domain
+    reweighting, and the input t9_hash_sample/t10_stratified_sample
+    consume as per-stratum rates.
+
+    Plan shape: one partial-agg pass to per-source totals (map-side
+    combine collapses everything before the shuffle; #sources rows
+    survive), then a broadcast of the 1-row grand total back across
+    the source rows.  At 100 TB this is the cheapest possible scan:
+    two tiny exchanges, no wide rows, no skew (aggregation key
+    cardinality == #sources)."""
+    per = (_t(spark, d, "documents")
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum((F.col("n_chars").cast("long") / 4)
+                      .cast("long")).alias("est_tokens")))
+    tot = per.agg(F.sum("est_tokens").alias("all_tokens"),
+                  F.count("*").alias("n_sources"))
+    j = per.crossJoin(F.broadcast(tot))
+    actual = F.col("est_tokens") / F.col("all_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return j.select(
+        "source", "n_docs", "est_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("sampling_weight"))
 
 
 # ===========================================================================
