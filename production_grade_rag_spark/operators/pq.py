@@ -94,6 +94,128 @@ def pq_encode(corpus: DataFrame, codebooks: list[np.ndarray],
     return corpus.withColumn(code_col, enc(to_double_array(F.col(vec_col))))
 
 
+def _adc_terms(codebooks: list[np.ndarray], q: np.ndarray,
+               code_col: str):
+    """ADC lookup expression: sum_j lut_j[code_j] where
+    lut_j = codebook_j @ q_sub_j — literal arrays + element_at, pure
+    whole-stage-codegen column arithmetic."""
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    terms = []
+    for j in range(m):
+        lut = codebooks[j] @ q[j * dsub:(j + 1) * dsub]
+        lut_col = F.array(*[F.lit(float(x)) for x in lut])
+        terms.append(F.element_at(
+            lut_col, F.element_at(F.col(code_col), j + 1) + F.lit(1)))
+    approx = terms[0]
+    for t in terms[1:]:
+        approx = approx + t
+    return approx
+
+
+def ivfpq_build_store(corpus: DataFrame, path: str, n_lists: int = 8,
+                      m: int = 8, k_codes: int = 32,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> None:
+    """IVF x PQ composed store — the production ANN layout (FAISS
+    IVFPQ shape): KMeans cells give PARTITION pruning, residual PQ
+    codes give COLUMN-narrow candidate scoring, and the full vector
+    rides the same row for exact rescoring.
+
+    Offline: fit cells (seeded KMeans), compute each vector's RESIDUAL
+    against its cell centroid (<q,x> = <q,c> + <q,r>, so codes encode
+    r — the classic variance reduction vs raw-vector PQ), fit
+    per-subspace codebooks on a deterministic residual sample, encode,
+    and write ``{path}/data/cell=N/*.parquet`` with columns
+    (id, pq_codes, vec) plus ``centroids`` and ``codebooks`` metadata
+    tables.
+
+    Why this scales where either half alone doesn't: probes prune
+    whole directories (IVF), and WITHIN a probed cell the ADC scan
+    reads only the codes column — parquet column pruning means the
+    wide float vectors are fetched for the k*rescore candidates alone.
+    At 100 TB the scan cost is (n_probe/n_lists) x (m bytes/row), not
+    the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    feats = corpus.withColumn(
+        "__features", array_to_vector(to_double_array(F.col(vec_col))))
+    km = KMeans(k=n_lists, seed=42, featuresCol="__features",
+                predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    cents = [(i, [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())]
+    cent_df = spark.createDataFrame(cents, ["cell_id", "centroid"])
+    resid = (assigned
+             .join(F.broadcast(cent_df),
+                   assigned.cell == cent_df.cell_id)
+             .withColumn("__resid",
+                         F.zip_with(to_double_array(F.col(vec_col)),
+                                    "centroid", lambda a, b: a - b)))
+    books = pq_train(resid, m=m, k_codes=k_codes, vec_col="__resid",
+                     id_col=id_col)
+    encoded = pq_encode(resid, books, vec_col="__resid",
+                        code_col="pq_codes")
+    (encoded.select(id_col, "pq_codes", vec_col, "cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/data"))
+    cent_df.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{path}/centroids")
+    book_rows = [(j, c, [float(x) for x in books[j][c]])
+                 for j in range(len(books))
+                 for c in range(books[j].shape[0])]
+    spark.createDataFrame(book_rows, ["subspace", "codeword", "center"]) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_search_store(spark, path: str, query_vec: list[float],
+                       k: int = 10, n_probe: int = 4, rescore: int = 16,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Online IVFPQ: probe the ``n_probe`` nearest cells (partition
+    filter — pruned directories never open), score candidates as
+    <q,centroid_cell> + ADC(residual codes) reading ONLY the codes
+    column, then exact-cosine rescore the k*rescore survivors from the
+    full vectors in the probed partitions.  Deterministic id
+    tiebreaks throughout."""
+    from .similarity import _probe_cells
+    from ..functions.vector import cosine
+
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    cells = _probe_cells(cent_df, query_vec, n_probe)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = {int(r["cell_id"]): np.asarray(r["centroid"], dtype=np.float64)
+             for r in cent_df.collect()}
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    k_codes = 1 + max(r["codeword"] for r in rows)
+    books = [np.empty((k_codes, len(rows[0]["center"]))) for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]][r["codeword"]] = r["center"]
+
+    data = (spark.read.parquet(f"{path}/data")
+            .filter(F.col("cell").isin(cells)))
+    # per-cell constant <q, centroid>: n_probe literals in a when-chain
+    qc_expr = None
+    for c in cells:
+        branch = F.when(F.col("cell") == c, F.lit(float(cents[c] @ q)))
+        qc_expr = branch if qc_expr is None else \
+            qc_expr.when(F.col("cell") == c, F.lit(float(cents[c] @ q)))
+    approx = qc_expr + _adc_terms(books, q, "pq_codes")
+    cand = (data.withColumn("__approx", approx)
+            .orderBy(F.desc("__approx"), F.col(id_col))
+            .limit(k * rescore)
+            .select(id_col))
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    exact = (data.join(F.broadcast(cand), id_col)
+             .withColumn("score",
+                         cosine(to_double_array(F.col(vec_col)), qlit)))
+    return (exact.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+            .select(id_col, F.round("score", 6).alias("score")))
+
+
 def pq_topk(encoded: DataFrame, corpus: DataFrame, query_vec: list[float],
             codebooks: list[np.ndarray], k: int = 10, rescore: int = 8,
             vec_col: str = "embedding", id_col: str = "vec_id",

@@ -206,6 +206,41 @@ def r4_pq_topk(spark: SparkSession, d: str) -> DataFrame:
     return pq.pq_topk(encoded, emb, QUERY_VEC, books, k=10, rescore=16)
 
 
+@register("r4_ivfpq_store")   # rows-only: approximate by design
+def r4_ivfpq_store(spark: SparkSession, d: str) -> DataFrame:
+    """IVF x PQ composed ANN over a cell-partitioned store: probes
+    prune partition directories, residual PQ codes make the candidate
+    scan column-narrow, full vectors are read only for the rescored
+    candidates.  The production-shaped endpoint of the ANN family
+    (exact < SQ < IVF | PQ < IVFPQ); recall gated by
+    r4_ivfpq_recall and tests/test_pq.py."""
+    from .catalog_more import _scratch
+    emb = _t(spark, d, "embeddings")
+    path = _scratch("ivfpq_store")
+    pq.ivfpq_build_store(emb, path, n_lists=8, m=8, k_codes=32)
+    return pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
+                                 n_probe=4, rescore=16)
+
+
+@register("r4_ivfpq_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def r4_ivfpq_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Recall gate for the composed IVFPQ store vs exact top-k,
+    in-plan like the other ANN gates.  Floor 0.5 (IVF probing is the
+    binding miss source — same floor as r4_ivf_recall; PQ's residual
+    coding + 16x exact rescore loses little on top)."""
+    from ..operators import similarity
+    from .catalog_more import _recall_summary, _scratch
+    emb = _t(spark, d, "embeddings")
+    path = _scratch("ivfpq_recall")
+    pq.ivfpq_build_store(emb, path, n_lists=8, m=8, k_codes=32)
+    exact = similarity.knn_topk(emb, QUERY_VEC, k=10)
+    approx = pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
+                                   n_probe=4, rescore=16)
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
+
+
 @register("r4_pq_recall", oracle="""
 SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
 """)

@@ -67,3 +67,47 @@ def test_pq_full_rescore_equals_exact(spark):
              similarity.knn_topk(emb, QUERY_VEC, k=10).collect()]
     got = [i for i, _ in _pq_ids_scores(spark, rescore=100)]
     assert got == exact
+
+
+def test_ivfpq_store_recall_pruning_and_exact_scores(spark, tmp_path):
+    """The composed IVFPQ store must (a) prune unprobed cells at the
+    PARTITION level, (b) keep recall above the gate floor, (c) return
+    EXACT cosine scores (rescoring), and (d) recover the exact top-k
+    when probing every cell with corpus-wide rescore."""
+    emb = load_table(spark, SF001, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    pq.ivfpq_build_store(emb, path, n_lists=8, m=8, k_codes=32)
+
+    out = pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
+                                n_probe=4, rescore=16)
+    rows = out.collect()
+    assert len(rows) == 10
+    exact = similarity.knn_topk(emb, QUERY_VEC, k=500).collect()
+    exact_ids = [r["vec_id"] for r in exact[:10]]
+    recall = len(set(exact_ids) & {r["vec_id"] for r in rows}) / 10
+    assert recall >= 0.5, f"IVFPQ recall@10 too low: {recall}"
+    # rescored scores are exact cosine
+    escore = {r["vec_id"]: round(r["score"], 6) for r in exact}
+    for r in rows:
+        assert abs(escore[r["vec_id"]] - r["score"]) < 1e-9
+    # candidate scan carries cell IN (...) as a partition filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0] and "IN" in pf[0].upper()
+    # probe everything + corpus-wide rescore -> exact top-k
+    full = [r["vec_id"] for r in
+            pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
+                                  n_probe=8, rescore=100).collect()]
+    assert full == exact_ids
+
+
+def test_ivfpq_deterministic(spark, tmp_path):
+    emb = load_table(spark, SF001, "embeddings")
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    got = []
+    for p in (a_path, b_path):
+        pq.ivfpq_build_store(emb, p, n_lists=8, m=8, k_codes=32)
+        got.append([(r["vec_id"], r["score"]) for r in
+                    pq.ivfpq_search_store(spark, p, QUERY_VEC,
+                                          k=10).collect()])
+    assert got[0] == got[1]
