@@ -642,6 +642,47 @@ def q18_large_volume_customers(spark: SparkSession, d: str) -> DataFrame:
         .limit(100))
 
 
+@register("ev_retention_cohorts", oracle="""
+WITH acts AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+), firsts AS (
+  SELECT user_id, min(act_week) AS cohort_week FROM acts GROUP BY user_id
+)
+SELECT CAST(CAST(f.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+       CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS INT)
+         AS week_offset,
+       count(*) AS n_active
+FROM acts a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def ev_retention_cohorts(spark: SparkSession, d: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week
+    (the cohort), counted in each later week they were active —
+    the standard product-analytics retention triangle, over the event
+    log.
+
+    Plan: distinct (user, week) pairs FIRST (collapses the event
+    volume to |users| x |weeks| before anything else), then the
+    cohort assignment is a self-aggregation on user_id — the distinct,
+    the min-agg, and the join all share the user_id hash partitioning,
+    so AQE/exchange-reuse keeps it to one fact-sized shuffle plus
+    metadata-sized ones.  The final (cohort, offset) agg outputs at
+    most weeks^2 rows.  At 100 TB: identical shape; the distinct is
+    the only pass that sees raw events."""
+    ev = _t(spark, d, "events")
+    wk = F.date_trunc("WEEK", F.col("ts").cast("timestamp"))
+    acts = ev.select("user_id", wk.alias("act_week")).distinct()
+    firsts = (acts.groupBy("user_id")
+              .agg(F.min("act_week").alias("cohort_week")))
+    j = acts.join(firsts, "user_id")
+    return (j.groupBy(
+                F.col("cohort_week").cast("date").cast("string")
+                .alias("cohort_week"),
+                F.floor(F.datediff(F.col("act_week"), F.col("cohort_week"))
+                        / 7).cast("int").alias("week_offset"))
+            .agg(F.count("*").alias("n_active")))
+
+
 # ===========================================================================
 # Incremental ingest: dedup the incoming batch against the stored corpus
 # ===========================================================================
