@@ -63,6 +63,17 @@ class EngineConfig:
     # $search index declares, index_manager.py:117-152; applied to
     # both the document side and the query terms).
     text_analyzer: str = "whitespace"
+    # vector-branch ANN backend: "exact" (reference semantics — the
+    # default; $vectorSearch with numCandidates >= corpus) or "ivf"
+    # (inline cell-probe approximation for corpus sizes where an exact
+    # scan per query is wrong; n_probe is the recall knob, the
+    # reference's numCandidates analog, vector_search.py:67).  The
+    # index lifecycle the reference manages in index_manager.py:32-113
+    # maps to ann_n_lists/ann_n_probe + the ivf/ivfpq stores in
+    # operators.similarity / operators.pq.
+    ann_backend: str = "exact"
+    ann_n_lists: int = 16
+    ann_n_probe: int = 4
     strategy_weights: dict = field(default_factory=lambda: {
         "similarity": 0.6, "parent_child": 0.4, "hybrid": 0.5,
     })

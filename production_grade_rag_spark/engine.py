@@ -142,6 +142,25 @@ class SparkRagEngine:
 
     # -- retrieval ----------------------------------------------------------
 
+    def _vector_topk(self, index: DataFrame, query_vector: list[float],
+                     k: int, id_col: str) -> DataFrame:
+        """Vector-branch top-k behind the ANN-backend dispatch — the
+        engine's analog of the reference's index choice + numCandidates
+        knob (index_manager.py:63-76, vector_search.py:67).  "exact"
+        (default) preserves the reference's semantics; "ivf" probes
+        ann_n_probe of ann_n_lists KMeans cells inline — the approximate
+        path for corpus sizes where a full scan per query is wrong.
+        Both return the index columns + raw cosine ``score`` with id
+        tiebreaks, so every downstream strategy is backend-agnostic."""
+        c = self.config
+        if c.ann_backend == "exact":
+            return knn_topk(index, query_vector, k=k, id_col=id_col)
+        if c.ann_backend == "ivf":
+            from .operators.similarity import ivf_topk
+            return ivf_topk(index, query_vector, k=k, id_col=id_col,
+                            n_lists=c.ann_n_lists, n_probe=c.ann_n_probe)
+        raise ValueError(f"unknown ann_backend {c.ann_backend!r}")
+
     def search(self, index: DataFrame, query_text: str | None = None,
                query_vector: list[float] | None = None,
                search_type: str = "semantic", limit: int | None = None,
@@ -178,13 +197,13 @@ class SparkRagEngine:
 
         if search_type == "semantic":
             # top-k over the unfiltered index, THEN $match (post-limit).
-            out = knn_topk(index, query_vector, k=k, id_col=id_col)
+            out = self._vector_topk(index, query_vector, k, id_col)
             out = eq_filters(out)
             if min_score is not None:
                 out = out.filter(F.col("score") >= min_score)
         elif search_type == "filtered":
             # retrieve 2k candidates, threshold, filter, final limit.
-            cand = knn_topk(index, query_vector, k=2 * k, id_col=id_col)
+            cand = self._vector_topk(index, query_vector, 2 * k, id_col)
             cand = cand.filter(
                 F.col("score") >= (min_score if min_score is not None
                                    else c.similarity_threshold))
@@ -285,7 +304,7 @@ class SparkRagEngine:
                 # .get with the reference defaults (advanced_search.py:
                 # 53-66) so a user-supplied partial dict doesn't KeyError.
                 m = c.strategy_max_results.get("similarity", 15)
-                b = (knn_topk(index, qv, k=m, id_col=id_col)
+                b = (self._vector_topk(index, qv, m, id_col)
                      .select(F.col(id_col).alias("id"), "score")
                      .filter(F.col("score") >= c.similarity_threshold)
                      .orderBy(F.desc("score"), "id").limit(k))
@@ -297,7 +316,7 @@ class SparkRagEngine:
                 # filtered-search retrieval: 2m candidates -> 0.75
                 # threshold -> limit m (vector_search.py:234-275), then
                 # the orchestrator's 0.65 threshold + caller truncation.
-                b = (knn_topk(index, qv, k=2 * m, id_col=id_col)
+                b = (self._vector_topk(index, qv, 2 * m, id_col)
                      .select(F.col(id_col).alias("id"), "score")
                      .filter(F.col("score") >= c.parent_child_search_threshold)
                      .orderBy(F.desc("score"), "id").limit(m)

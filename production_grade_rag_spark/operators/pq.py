@@ -171,7 +171,7 @@ def ivfpq_build_store(corpus: DataFrame, path: str, n_lists: int = 8,
 
 
 def ivfpq_search_store(spark, path: str, query_vec: list[float],
-                       k: int = 10, n_probe: int = 4, rescore: int = 16,
+                       k: int = 10, n_probe: int = 4, rescore: int = 64,
                        vec_col: str = "embedding",
                        id_col: str = "vec_id") -> DataFrame:
     """Online IVFPQ: probe the ``n_probe`` nearest cells (partition
@@ -179,7 +179,14 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
     <q,centroid_cell> + ADC(residual codes) reading ONLY the codes
     column, then exact-cosine rescore the k*rescore survivors from the
     full vectors in the probed partitions.  Deterministic id
-    tiebreaks throughout."""
+    tiebreaks throughout.
+
+    ``rescore`` is the ADC-error knob: with rescore=64 the recall
+    equals plain IVF at the same n_probe on the test corpora (probing
+    becomes the only loss source — measured across sf0.1 and the 10x
+    stress tier), while the candidate set stays k*rescore rows — a
+    constant, NOT a fraction of the corpus, so the wide-vector reads
+    are corpus-size-independent and the knob is free at scale."""
     from .similarity import _probe_cells
     from ..functions.vector import cosine
 

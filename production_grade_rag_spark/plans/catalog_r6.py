@@ -219,7 +219,7 @@ def r4_ivfpq_store(spark: SparkSession, d: str) -> DataFrame:
     path = _scratch("ivfpq_store")
     pq.ivfpq_build_store(emb, path, n_lists=8, m=8, k_codes=32)
     return pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
-                                 n_probe=4, rescore=16)
+                                 n_probe=4)
 
 
 @register("r4_ivfpq_recall", oracle="""
@@ -237,7 +237,7 @@ def r4_ivfpq_recall(spark: SparkSession, d: str) -> DataFrame:
     pq.ivfpq_build_store(emb, path, n_lists=8, m=8, k_codes=32)
     exact = similarity.knn_topk(emb, QUERY_VEC, k=10)
     approx = pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
-                                   n_probe=4, rescore=16)
+                                   n_probe=4)
     return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
 
 

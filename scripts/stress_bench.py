@@ -168,6 +168,24 @@ def main() -> None:
     print(f"# sq_topk 10x: {t}s (exact scan was "
           f"{T['knn_exact_10x']}s)", file=sys.stderr)
 
+    # --- IVFPQ composed store at 10x -----------------------------------
+    from production_grade_rag_spark.operators import pq as pqm
+    pstore = f"{STRESS_DIR}/ivfpq64"
+    _, t = _timed(lambda: pqm.ivfpq_build_store(
+        emb10, pstore, n_lists=64, m=8, k_codes=32))
+    T["ivfpq_build_64"] = t
+    print(f"# ivfpq build (64 lists, {n_emb10} rows): {t}s", file=sys.stderr)
+    exact_ids = {r["vec_id"] for r in similarity.knn_topk(
+        emb10, QUERY_VEC, k=10).collect()}
+    for p in (1, 4, 16):
+        rows, t = _timed(lambda p=p: pqm.ivfpq_search_store(
+            spark, pstore, QUERY_VEC, k=10, n_probe=p).collect())
+        T[f"ivfpq_probe_{p}"] = t
+        res[f"ivfpq_recall_p{p}"] = round(
+            len(exact_ids & {r["vec_id"] for r in rows}) / 10, 2)
+        print(f"# ivfpq probe {p}/64: {t}s recall "
+              f"{res[f'ivfpq_recall_p{p}']}", file=sys.stderr)
+
     # --- flagship at dim 384: 1x vs 10x --------------------------------
     for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
         n, t = _timed(lambda d=d: flagship_search(

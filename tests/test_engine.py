@@ -415,3 +415,35 @@ def test_engine_standard_analyzer_dispatch(spark, index):
     assert any(v > 0 for v in std_txt.values())
     with pytest.raises(ValueError):
         EngineConfig(text_analyzer="bogus").validate()
+
+
+def test_ann_backend_ivf_dispatch(spark, index):
+    """ann_backend="ivf" must serve every search type through the same
+    API with recall >= 0.5 vs the exact backend at the same k, and an
+    unknown backend must fail loudly."""
+    exact_eng = SparkRagEngine(spark, EngineConfig(quality_threshold=0.2))
+    ivf_eng = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.2, ann_backend="ivf",
+        ann_n_lists=8, ann_n_probe=4))
+    q = "table scan filter"
+    exact = [r["chunk_id"] for r in
+             exact_eng.search(index, query_text=q, limit=10).collect()]
+    got = ivf_eng.search(index, query_text=q, limit=10).collect()
+    assert got  # same schema contract
+    assert {"chunk_id", "score"} <= set(got[0].asDict())
+    recall = len(set(exact) & {r["chunk_id"] for r in got}) / len(exact)
+    assert recall >= 0.5, f"ivf-backend recall too low: {recall}"
+    # probing every cell recovers the exact top-k (ordering included)
+    full_eng = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.2, ann_backend="ivf",
+        ann_n_lists=8, ann_n_probe=8))
+    full = [r["chunk_id"] for r in
+            full_eng.search(index, query_text=q, limit=10).collect()]
+    assert full == exact
+    # filtered search also routes through the backend
+    out = ivf_eng.search(index, query_text=q, search_type="filtered",
+                         limit=20, min_score=0.05)
+    assert all(r["score"] >= 0.05 for r in out.collect())
+    with pytest.raises(ValueError, match="ann_backend"):
+        SparkRagEngine(spark, EngineConfig(ann_backend="nope")).search(
+            index, query_text=q)

@@ -79,7 +79,7 @@ def test_ivfpq_store_recall_pruning_and_exact_scores(spark, tmp_path):
     pq.ivfpq_build_store(emb, path, n_lists=8, m=8, k_codes=32)
 
     out = pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
-                                n_probe=4, rescore=16)
+                                n_probe=4)
     rows = out.collect()
     assert len(rows) == 10
     exact = similarity.knn_topk(emb, QUERY_VEC, k=500).collect()
