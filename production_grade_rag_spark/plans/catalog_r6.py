@@ -312,6 +312,60 @@ def st_stream_join(spark: SparkSession, d: str) -> DataFrame:
         "st_stream_join", output_mode="append")
 
 
+@register("st_foreach_sink", oracle="""
+SELECT event_id, user_id, event_type FROM events
+""")
+def st_foreach_sink(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming -> parquet via foreachBatch, then read the sink back:
+    the drained directory must contain exactly the batch table's rows
+    (the oracle).  Exercises the production sink path (checkpointed
+    epochs, append-per-batch) rather than the in-memory test sink the
+    other st_* entries use."""
+    import shutil
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+    out = _scratch("st_foreach_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = SP.read_event_stream(spark, d) \
+        .select("event_id", "user_id", "event_type")
+    SP.run_foreach_parquet(ev, out)
+    return spark.read.parquet(out)
+
+
+@register("s17_compact", oracle="""
+SELECT count(*) AS n_docs, TRUE AS compacted, 2 AS files_after
+FROM documents
+""")
+def s17_compact(spark: SparkSession, d: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance op every
+    streaming ingest needs (micro-batch appends leave thousands of
+    KB-sized files; scan cost at 100 TB is dominated by file-open
+    overhead until they're rewritten).  Shatter documents into a
+    many-files layout, compact with repartition(target), and
+    value-check in-plan that (a) zero rows were lost (n_docs) and
+    (b) the file count actually dropped (compacted flag from real
+    directory listings).  In production the target is
+    size-based — repartition(ceil(bytes / 128MB)) with
+    maxRecordsPerFile as the guard — and the rewrite is per-partition
+    so compaction never touches cold data."""
+    import glob
+    import shutil
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    small_dir, packed = _scratch("s17_small"), _scratch("s17_packed")
+    shutil.rmtree(small_dir, ignore_errors=True)
+    shutil.rmtree(packed, ignore_errors=True)
+    docs.repartition(64).write.parquet(small_dir)
+    spark.read.parquet(small_dir).repartition(2).write.parquet(packed)
+    n_before = len(glob.glob(f"{small_dir}/part-*.parquet"))
+    n_after = len(glob.glob(f"{packed}/part-*.parquet"))
+    return (spark.read.parquet(packed)
+            .agg(F.count("*").alias("n_docs"))
+            .select("n_docs",
+                    F.lit(n_after < n_before).alias("compacted"),
+                    F.lit(n_after).alias("files_after")))
+
+
 # ===========================================================================
 # Warehouse-style event ops: SCD2 islands, multi-granularity rollup
 # ===========================================================================
@@ -596,6 +650,105 @@ def q10_returned_items(spark: SparkSession, d: str) -> DataFrame:
                 F.round("c_acctbal", 2).alias("acctbal"), "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20))
+
+
+@register("q4_priority_semijoin", oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""")
+def q4_priority_semijoin(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS -> LEFT SEMI join (the
+    reference schema lacks commit/receipt dates, so the late-shipment
+    predicate is shipdate > orderdate + 60d — same correlated-semi
+    structure).  The semi join materializes NO lineitem columns and
+    stops probing an order on first match; both sides hash-partition
+    on the order key and the date filter prunes the orders scan before
+    the shuffle.  Output is 5 rows — the agg is free."""
+    orders = _t(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01"))))
+    li = _t(spark, d, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate
+               > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")))
+    return (orders.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@register("q12_priority_by_linestatus", oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""")
+def q12_priority_by_linestatus(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join + conditional aggregation
+    (CASE inside sum — one pass, no per-branch scans; the schema has
+    no shipmode, so linestatus plays the grouping column).  The
+    lineitem date filter cuts the probe side before the shuffle;
+    orders carries only (key, priority) into the join — two columns
+    survive ReadSchema.  Partial aggregation collapses to 2 groups
+    map-side."""
+    orders = _t(spark, d, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))) \
+        .select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0))
+                 .alias("low_line_count")))
+
+
+@register("q14_promo_revenue", oracle="""
+SELECT round(
+  100.0 * (CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 10000) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 10000.0)
+        / (CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * 10000) AS BIGINT)) AS DOUBLE) / 10000.0),
+  4) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+""")
+def q14_promo_revenue(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one-month lineitem slice
+    joined to part, a conditional revenue ratio in a single global
+    agg.  Revenue terms are integer-scaled (the q6 convention) so the
+    ratio is FP-order independent.  part scales with sf, so its join
+    side is AQE's choice (broadcast while it fits); the month filter
+    makes the probe side tiny long before the join."""
+    li = _t(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01"))))
+    part = _t(spark, d, "part").select("p_partkey", "p_type")
+    scaled = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * 10000).cast("long")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", scaled)
+                  .otherwise(F.lit(0))) / 10000.0
+    total = F.sum(scaled) / 10000.0
+    return j.agg(
+        F.round(100.0 * promo / total, 4).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"))
 
 
 @register("q18_large_volume_customers", oracle="""

@@ -217,6 +217,29 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     return hashed.dropDuplicates(["content_hash"])
 
 
+def run_foreach_parquet(result: DataFrame, out_path: str,
+                        timeout_s: int = 120) -> None:
+    """Drain the streaming plan into a parquet directory via
+    foreachBatch — the production sink shape: each micro-batch appends
+    atomically, and the checkpoint ties batch ids to committed writes
+    so a restart never double-writes a batch (exactly-once per epoch
+    as long as the batch write itself is idempotent-or-transactional;
+    plain parquet append gives at-least-once on a crash INSIDE a
+    batch, which Delta/Iceberg sinks close).  At 100 TB/day the
+    foreachBatch body is where per-batch routing (partitioned dirs,
+    MERGE upserts, multi-sink fanout) lives."""
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(out_path)
+
+    with tempfile.TemporaryDirectory(prefix="pgrs_ckpt_") as ckpt:
+        q = (result.writeStream.foreachBatch(write_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(timeout_s)
+        q.stop()
+
+
 def run_available_now(result: DataFrame, table_name: str,
                       timeout_s: int = 120,
                       output_mode: str = "complete") -> DataFrame:
