@@ -795,6 +795,61 @@ def q18_large_volume_customers(spark: SparkSession, d: str) -> DataFrame:
         .limit(100))
 
 
+@register("ev_type_pivot", oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view
+FROM events GROUP BY 1
+""")
+def ev_type_pivot(spark: SparkSession, d: str) -> DataFrame:
+    """PIVOT: events long->wide, one count column per event type per
+    day.  The pivot VALUES ARE SPECIFIED explicitly — without the
+    list, Spark first runs a whole-table distinct to discover the
+    columns (an extra job + a schema that changes with the data);
+    with it, the pivot compiles to one conditional-count hash
+    aggregation, exactly the CASE-sum oracle.  At 100 TB: one scan,
+    one partial-agged exchange keyed by day — and a bounded, stable
+    output schema, which is the production requirement for anything
+    downstream of a pivot."""
+    ev = _t(spark, d, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy(F.date_trunc("DAY", F.col("ts").cast("timestamp"))
+                       .cast("date").cast("string").alias("day"))
+            .pivot("event_type", types)
+            .count()
+            .na.fill(0, types))
+
+
+@register("ev_heavy_hitters", oracle="""
+WITH exact AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+  ORDER BY n DESC, user_id LIMIT 10
+)
+SELECT user_id, n FROM exact
+""")
+def ev_heavy_hitters(spark: SparkSession, d: str) -> DataFrame:
+    """Heavy hitters: exact top-10 users by event count (deterministic
+    id tiebreak) — one partial-agged shuffle + TakeOrderedAndProject.
+    At 100 TB with millions of keys this exact form stays cheap
+    (per-key counts partial-aggregate map-side; only |users| rows
+    shuffle); when even that is too much — unbounded key spaces,
+    streaming — swap in a count-min sketch / space-saving summary per
+    partition and merge, trading exactness for O(sketch) state.  The
+    exact form IS the oracle; the approximate twin's error gate
+    pattern is a5_approx_gate."""
+    ev = _t(spark, d, "events")
+    return (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "user_id").limit(10))
+
+
 @register("ev_retention_cohorts", oracle="""
 WITH acts AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
