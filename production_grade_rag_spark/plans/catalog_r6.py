@@ -332,6 +332,40 @@ def st_foreach_sink(spark: SparkSession, d: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+@register("s18_custom_source", oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS page_id,
+       substr(text, 1, 32) AS title, lang,
+       CAST(n_chars AS BIGINT) AS n_chars, FALSE AS malformed
+FROM documents
+UNION ALL
+SELECT NULL, NULL, NULL, NULL, TRUE
+""")
+def s18_custom_source(spark: SparkSession, d: str) -> DataFrame:
+    """S1/S2 through the CUSTOM Python DataSource (paged_source.py):
+    build a page dump from documents (Spark-written JSON-lines parts =
+    the page batches, plus one malformed line), register the source,
+    and read it back with spark.read.format("paged_dump").  The oracle
+    is the documents projection plus exactly one malformed-marker row
+    — proving executor-side page reads, the fixed no-inference schema,
+    and record-level error tolerance in one pass."""
+    import os
+    import shutil
+    from ..sources.paged_source import PagedDumpDataSource
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    dump = _scratch("s18_page_dump")
+    shutil.rmtree(dump, ignore_errors=True)
+    (docs.select(F.to_json(F.struct(
+            F.col("doc_id").alias("page_id"),
+            F.substring("text", 1, 32).alias("title"),
+            "lang", "n_chars")).alias("value"))
+     .repartition(4).write.text(dump))
+    with open(os.path.join(dump, "part-zz-corrupt.txt"), "w") as fh:
+        fh.write('{"page_id": broken json\n')
+    spark.dataSource.register(PagedDumpDataSource)
+    return spark.read.format("paged_dump").option("path", dump).load()
+
+
 @register("s17_compact", oracle="""
 SELECT count(*) AS n_docs, TRUE AS compacted, 2 AS files_after
 FROM documents

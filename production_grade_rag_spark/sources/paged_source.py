@@ -1,0 +1,80 @@
+"""S1/S2 as a CUSTOM PySpark DataSource (Spark 4 Python data-source
+API): the reference's paginated Notion scans are a driver-side cursor
+loop (`has_more`/`next_cursor`, notion_collector.py:56-144) — every
+page fetched sequentially through one client.  Re-expressed as a
+DataSource, the page space becomes ``partitions()`` and each page batch
+is fetched INSIDE an executor task: pagination parallelizes, task
+retries give per-page fault tolerance (the collector's try/except,
+web_crawler.py:72-184), and the result is a plain DataFrame any
+catalog operator can consume.
+
+The "REST backend" here is a local page-dump directory (one JSON-lines
+file per page batch) — the same deterministic-fake pattern as the
+multimodal decoder: a live HTTP fetch would drop into ``read()``
+unchanged (one session per task, yield per record), which is exactly
+where a production connector puts it.
+
+100 TB notes: partition granularity is the file/page batch, so
+parallelism scales with the dump, not the driver; the fixed schema
+avoids an inference pass; malformed lines yield a ``_corrupt``-style
+null row rather than failing the task (error tolerance at the record
+level, task retry at the page level).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+
+PAGE_SCHEMA = ("page_id string, title string, lang string, "
+               "n_chars bigint, malformed boolean")
+
+
+class PagedDumpDataSource(DataSource):
+    """``spark.read.format("paged_dump").option("path", dir)`` over a
+    page-dump directory of JSON-lines files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_dump"
+
+    def schema(self) -> str:
+        return PAGE_SCHEMA
+
+    def reader(self, schema) -> "PagedDumpReader":
+        return PagedDumpReader(self.options)
+
+
+class PagedDumpReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("paged_dump requires option 'path'")
+        self._path = path
+
+    def partitions(self):
+        # driver-side metadata listing only (file NAMES, not contents);
+        # one InputPartition per page-batch file -> executor-side reads
+        files = sorted(glob.glob(f"{self._path}/part-*"))
+        if not files:
+            raise FileNotFoundError(f"no page files under {self._path}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition):
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                    yield (str(rec["page_id"]), rec.get("title"),
+                           rec.get("lang"),
+                           int(rec["n_chars"]), False)
+                except (ValueError, KeyError, TypeError):
+                    # record-level tolerance: malformed line -> marker
+                    # row (the PERMISSIVE _corrupt_record convention)
+                    yield (None, None, None, None, True)

@@ -326,3 +326,38 @@ def test_merge_rows_partition_grained_upsert(spark, tmp_path):
     after = sorted((str(p), p.stat().st_mtime_ns)
                    for p in Path(path, "day=day2").glob("part-*"))
     assert after == untouched, "day2 had no updates: files must not move"
+
+
+def test_paged_dump_custom_datasource(spark, tmp_path):
+    """The custom Python DataSource must read page batches in
+    EXECUTOR-side partitions (one per dump file), apply its fixed
+    schema without inference, and yield a marker row per malformed
+    line instead of failing the task."""
+    import json as _json
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.sources.paged_source import (
+        PagedDumpDataSource)
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    rows = [{"page_id": i, "title": f"t{i}", "lang": "en", "n_chars": i * 3}
+            for i in range(20)]
+    for part in range(4):
+        with open(dump / f"part-{part:04d}.txt", "w") as fh:
+            for r in rows[part * 5:(part + 1) * 5]:
+                fh.write(_json.dumps(r) + "\n")
+    with open(dump / "part-zz.txt", "w") as fh:
+        fh.write("not json at all\n")
+
+    spark.dataSource.register(PagedDumpDataSource)
+    df = spark.read.format("paged_dump").option("path", str(dump)).load()
+    assert df.schema.simpleString() == (
+        "struct<page_id:string,title:string,lang:string,"
+        "n_chars:bigint,malformed:boolean>")
+    # 5 files -> 5 input partitions (executor-side pagination)
+    assert df.rdd.getNumPartitions() == 5
+    good = df.filter(~F.col("malformed"))
+    assert good.count() == 20
+    assert df.filter(F.col("malformed")).count() == 1
+    got = {(r["page_id"], r["n_chars"]) for r in good.collect()}
+    assert got == {(str(i), i * 3) for i in range(20)}
