@@ -26,7 +26,7 @@ from .oracle_vec import QUERY_VEC
 # exact dedup -> token count), the composed form of t1/t3/ta/dd_exact
 # ===========================================================================
 
-@register("cc_curate", oracle=f"""
+@register("cc_curate", headline=True, oracle=f"""
 WITH scored AS (
   SELECT doc_id,
          {O.clean_sql('text')} AS clean_text,
@@ -612,7 +612,7 @@ def t11_source_mix(spark: SparkSession, d: str) -> DataFrame:
 # Relational-core widening: TPC-H Q6 / Q10 / Q18 shapes
 # ===========================================================================
 
-@register("q6_forecast_revenue", oracle="""
+@register("q6_forecast_revenue", headline=True, oracle="""
 SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
                       AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
        count(*) AS n_lines
