@@ -362,6 +362,10 @@ def s18_custom_source(spark: SparkSession, d: str) -> DataFrame:
      .repartition(4).write.text(dump))
     with open(os.path.join(dump, "part-zz-corrupt.txt"), "w") as fh:
         fh.write('{"page_id": broken json\n')
+    # runtime-settable; reader implements pushFilters, which Spark
+    # refuses to plan while this conf is off (sessions built outside
+    # session.get_spark — e.g. the driver's — default it to false)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedDumpDataSource)
     return spark.read.format("paged_dump").option("path", dump).load()
 

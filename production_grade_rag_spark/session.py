@@ -40,6 +40,9 @@ def get_spark(app_name: str = "production_grade_rag_spark",
         # microsecond timestamp in sources.tables; a timestamp[us]
         # encoding ignores this conf
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let custom Python data sources (sources/paged_source.py)
+        # consume pushed filters in pushFilters()
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

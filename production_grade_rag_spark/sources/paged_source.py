@@ -27,7 +27,7 @@ import glob
 import json
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    EqualTo, InputPartition)
 
 PAGE_SCHEMA = ("page_id string, title string, lang string, "
                "n_chars bigint, malformed boolean")
@@ -54,6 +54,24 @@ class PagedDumpReader(DataSourceReader):
         if not path:
             raise ValueError("paged_dump requires option 'path'")
         self._path = path
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """FILTER PUSHDOWN into the source: top-level ``col = value``
+        conjuncts on lang/title/page_id are applied inside ``read()``
+        — a REST backend would put them in the request (the Notion
+        /search filter object, notion_collector.py:72-76), so rows the
+        query will drop never cross the wire.  Everything else is
+        yielded back for Spark to evaluate post-scan (the contract:
+        returned filters run post-scan, consumed ones must hold on
+        every yielded row)."""
+        for f in filters:
+            if (isinstance(f, EqualTo)
+                    and f.attribute in (("lang",), ("title",),
+                                        ("page_id",))):
+                self._pushed.append((f.attribute[0], f.value))
+            else:
+                yield f
 
     def partitions(self):
         # driver-side metadata listing only (file NAMES, not contents);
@@ -71,10 +89,18 @@ class PagedDumpReader(DataSourceReader):
                     continue
                 try:
                     rec = json.loads(line)
-                    yield (str(rec["page_id"]), rec.get("title"),
+                    row = (str(rec["page_id"]), rec.get("title"),
                            rec.get("lang"),
                            int(rec["n_chars"]), False)
                 except (ValueError, KeyError, TypeError):
                     # record-level tolerance: malformed line -> marker
-                    # row (the PERMISSIVE _corrupt_record convention)
+                    # row (the PERMISSIVE _corrupt_record convention).
+                    # Marker rows honor pushed filters too (a pushed
+                    # lang='en' can't emit a NULL-lang row).
+                    if self._pushed:
+                        continue
                     yield (None, None, None, None, True)
+                    continue
+                keyed = dict(zip(("page_id", "title", "lang"), row[:3]))
+                if all(keyed.get(a) == v for a, v in self._pushed):
+                    yield row

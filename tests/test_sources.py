@@ -361,3 +361,44 @@ def test_paged_dump_custom_datasource(spark, tmp_path):
     assert df.filter(F.col("malformed")).count() == 1
     got = {(r["page_id"], r["n_chars"]) for r in good.collect()}
     assert got == {(str(i), i * 3) for i in range(20)}
+
+
+def test_paged_dump_filter_pushdown(spark, tmp_path):
+    """pushFilters contract: equality conjuncts on lang/title/page_id
+    are consumed (applied inside read(), like a REST request filter),
+    everything else is yielded back as residual; end-to-end results
+    must equal Spark-side filtering."""
+    import json as _json
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from production_grade_rag_spark.sources.paged_source import (
+        PagedDumpDataSource, PagedDumpReader)
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    with open(dump / "part-0000.txt", "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps(
+                {"page_id": i, "title": f"t{i}",
+                 "lang": "en" if i % 2 == 0 else "zh",
+                 "n_chars": i}) + "\n")
+        fh.write("broken line\n")
+
+    # unit contract: supported filters consumed, others residual
+    r = PagedDumpReader({"path": str(dump)})
+    eq = EqualTo(("lang",), "en")
+    ge = GreaterThanOrEqual(("n_chars",), 4)
+    residual = list(r.pushFilters([eq, ge]))
+    assert residual == [ge]
+    assert r._pushed == [("lang", "en")]
+    [part] = r.partitions()
+    rows = list(r.read(part))
+    assert rows and all(t[2] == "en" for t in rows)
+    assert not any(t[4] for t in rows)   # no malformed markers leak
+
+    # end-to-end: pushed read == unpushed read + Spark filter
+    spark.dataSource.register(PagedDumpDataSource)
+    df = spark.read.format("paged_dump").option("path", str(dump)).load()
+    pushed = df.filter(F.col("lang") == "en").collect()
+    assert sorted(r["page_id"] for r in pushed) == \
+        [str(i) for i in range(0, 10, 2)]
