@@ -1,9 +1,16 @@
-"""Catalog extension 3 (round 6): corpus-curation pipeline composition,
-stratified sampling, and bounded-range event joins.
+"""Catalog extension 3+ (round 6): curation-pipeline composition,
+sampling/mix/decontamination hygiene, TPC-H relational widening
+(Q4/Q6/Q10/Q12/Q14/Q18 shapes), warehouse event ops (SCD2 islands,
+grouping-sets rollup, cohort retention, pivot, heavy hitters),
+compressed-ANN composition (PQ, IVFPQ + recall gates), streaming
+extensions (stream-stream join, watermarked dedup, foreachBatch sink),
+and storage-layout ops (compaction, partitioned+sorted ingest, the
+custom paged-dump DataSource round trip).
 
 Registered into the same CATALOG as catalog.py / catalog_ext.py /
-catalog_more.py; every entry carries a DuckDB oracle.  Reference scope:
-these are the training-data-pipeline operators the reference's feature
+catalog_more.py; entries carry DuckDB oracles unless approximate by
+design (then a paired in-plan gate is oracle-backed).  Reference
+scope: the training-data-pipeline operators the reference's feature
 pipeline (src/pipelines/rag_pipeline.py:40-210) implies but runs
 driver-side one document at a time — here each is a distributed plan.
 """
@@ -287,6 +294,26 @@ def st_enrich_join(spark: SparkSession, d: str) -> DataFrame:
     return out
 
 
+@register("st_dedup_watermarked", oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def st_dedup_watermarked(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark on (user_id, event_type) — the
+    watermark expires seen-key state, which is what makes streaming
+    dedup survivable on an unbounded feed (plain dropDuplicates holds
+    every key forever; st_dedup_stream documents that trade-off).
+    Which row survives is arrival-dependent; the KEY SET is the
+    deterministic contract and equals the batch DISTINCT for a full
+    availableNow drain — that equality is the oracle."""
+    from ..streaming import pipeline as SP
+    ev = SP.read_event_stream(spark, d)
+    out = SP.run_available_now(
+        SP.dedup_stream_watermarked(ev).select("user_id", "event_type"),
+        "st_dedup_watermarked", output_mode="append")
+    return out
+
+
 @register("st_stream_join", oracle="""
 SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
        p.ts AS purchase_ts, v.ts AS view_ts
@@ -368,6 +395,42 @@ def s18_custom_source(spark: SparkSession, d: str) -> DataFrame:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedDumpDataSource)
     return spark.read.format("paged_dump").option("path", dump).load()
+
+
+@register("s19_sorted_ingest", oracle="""
+SELECT count(*) AS n_in_day, TRUE AS pruned
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04'
+""")
+def s19_sorted_ingest(spark: SparkSession, d: str) -> DataFrame:
+    """Ingest LAYOUT for the event log — the choice that decides scan
+    cost at 100 TB: write events PARTITIONED BY event date and SORTED
+    WITHIN partitions by ts (partition pruning skips whole days;
+    within a day, the ts sort tightens parquet row-group min/max so
+    point/range reads skip pages).  The entry writes the layout, runs
+    a one-day query against it, and value-checks (a) the day's row
+    count against the flat table and (b) that the physical scan
+    carried a PartitionFilters entry — i.e. pruning actually planned,
+    not just hoped for."""
+    import shutil
+    from .catalog_more import _scratch
+    ev = _t(spark, d, "events")
+    path = _scratch("s19_events_bydate")
+    shutil.rmtree(path, ignore_errors=True)
+    (ev.withColumn("event_date",
+                   F.date_trunc("DAY", F.col("ts").cast("timestamp"))
+                   .cast("date"))
+     .repartition("event_date")
+     .sortWithinPartitions("ts")
+     .write.partitionBy("event_date").parquet(path))
+    day = (spark.read.parquet(path)
+           .filter((F.col("event_date") >= F.lit("2024-01-03"))
+                   & (F.col("event_date") < F.lit("2024-01-04"))))
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    pruned = any("PartitionFilters" in ln and "event_date" in ln
+                 for ln in plan.splitlines())
+    return day.agg(F.count("*").alias("n_in_day")) \
+              .select("n_in_day", F.lit(pruned).alias("pruned"))
 
 
 @register("s17_compact", oracle="""

@@ -217,6 +217,20 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     return hashed.dropDuplicates(["content_hash"])
 
 
+def dedup_stream_watermarked(events: DataFrame) -> DataFrame:
+    """Bounded-state streaming dedup — the unbounded-feed form the
+    dedup_stream docstring promises: dropDuplicatesWithinWatermark
+    keyed on (user_id, event_type), with the event-time watermark
+    EXPIRING seen-key state once late duplicates can no longer arrive.
+    Contract differences from plain dropDuplicates: a key can re-emit
+    after its state expires (cross-horizon dedup belongs to the
+    periodic batch dd_exact sweep), and which duplicate survives is
+    arrival-order dependent — so the deterministic, checkable output
+    is the KEY SET, which for a single availableNow drain equals the
+    batch DISTINCT."""
+    return events.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+
+
 def run_foreach_parquet(result: DataFrame, out_path: str,
                         timeout_s: int = 120) -> None:
     """Drain the streaming plan into a parquet directory via
