@@ -433,6 +433,39 @@ def s19_sorted_ingest(spark: SparkSession, d: str) -> DataFrame:
               .select("n_in_day", F.lit(pruned).alias("pruned"))
 
 
+@register("st_custom_source_stream", oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS page_id,
+       substr(text, 1, 32) AS title, lang,
+       CAST(n_chars AS BIGINT) AS n_chars, FALSE AS malformed
+FROM documents
+""")
+def st_custom_source_stream(spark: SparkSession, d: str) -> DataFrame:
+    """The custom DataSource's STREAMING reader: page-batch files are
+    the feed, the sorted-file index is the checkpointable offset (the
+    reference's has_more cursor as an exactly-once stream —
+    paged_source.PagedDumpStreamReader; offset resume pinned in
+    tests/test_sources.py).  A full availableNow drain must equal the
+    batch projection — the oracle."""
+    import shutil
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    dump = _scratch("st_page_dump")
+    shutil.rmtree(dump, ignore_errors=True)
+    (docs.select(F.to_json(F.struct(
+            F.col("doc_id").alias("page_id"),
+            F.substring("text", 1, 32).alias("title"),
+            "lang", "n_chars")).alias("value"))
+     .repartition(4).write.text(dump))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+    stream = (spark.readStream.format("paged_dump")
+              .option("path", dump).load())
+    return SP.run_available_now(stream, "st_custom_source_stream",
+                                output_mode="append")
+
+
 @register("s17_compact", oracle="""
 SELECT count(*) AS n_docs, TRUE AS compacted, 2 AS files_after
 FROM documents

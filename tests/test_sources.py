@@ -402,3 +402,51 @@ def test_paged_dump_filter_pushdown(spark, tmp_path):
     pushed = df.filter(F.col("lang") == "en").collect()
     assert sorted(r["page_id"] for r in pushed) == \
         [str(i) for i in range(0, 10, 2)]
+
+
+def test_paged_dump_stream_reader_exactly_once(spark, tmp_path):
+    """The streaming reader's offsets must checkpoint per file batch:
+    a second drain with the SAME checkpoint emits only files that
+    appeared after the first drain — no re-emission (exactly-once per
+    page batch), and new files are picked up."""
+    import json as _json
+    from production_grade_rag_spark.sources.paged_source import (
+        PagedDumpDataSource)
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(part: int, ids: list[int]) -> None:
+        with open(dump / f"part-{part:04d}.txt", "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps(
+                    {"page_id": i, "title": f"t{i}", "lang": "en",
+                     "n_chars": i}) + "\n")
+
+    out = str(tmp_path / "out")
+
+    def drain() -> set[str]:
+        # parquet sink: supports checkpoint RECOVERY (memory sink does
+        # not), so the second drain resumes from the committed offset
+        df = (spark.readStream.format("paged_dump")
+              .option("path", str(dump)).load())
+        q = (df.writeStream.format("parquet")
+             .option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        return {r["page_id"] for r in spark.read.parquet(out).collect()}
+
+    spark.dataSource.register(PagedDumpDataSource)
+    add_file(0, [1, 2])
+    add_file(1, [3])
+    assert drain() == {"1", "2", "3"}
+
+    add_file(2, [4, 5])
+    # same checkpoint -> resumed offset -> only the new file appended,
+    # nothing re-emitted (total stays 5 rows, not 8)
+    assert drain() == {"1", "2", "3", "4", "5"}
+    assert spark.read.parquet(out).count() == 5
