@@ -466,6 +466,38 @@ def st_custom_source_stream(spark: SparkSession, d: str) -> DataFrame:
                                 output_mode="append")
 
 
+@register("s20_custom_sink", oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS page_id,
+       substr(text, 1, 32) AS title, lang,
+       CAST(n_chars AS BIGINT) AS n_chars, FALSE AS malformed
+FROM documents
+""")
+def s20_custom_sink(spark: SparkSession, d: str) -> DataFrame:
+    """The custom DataSource's WRITE side: documents -> paged_dump
+    writer (per-task staged page files + driver-side _MANIFEST commit,
+    paged_source.PagedDumpWriter) -> read back through the
+    manifest-honoring reader.  Round-trip equality with the source
+    projection is the oracle; the abort/stray-file invisibility half
+    of the protocol is pinned in tests/test_sources.py."""
+    import shutil
+    from ..sources.paged_source import PagedDumpDataSource
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    dump = _scratch("s20_sink_dump")
+    shutil.rmtree(dump, ignore_errors=True)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+    (docs.select(
+        F.col("doc_id").cast("string").alias("page_id"),
+        F.substring("text", 1, 32).alias("title"),
+        "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(False).alias("malformed"))
+     .repartition(4)
+     .write.format("paged_dump").option("path", dump)
+     .mode("append").save())
+    return spark.read.format("paged_dump").option("path", dump).load()
+
+
 @register("s17_compact", oracle="""
 SELECT count(*) AS n_docs, TRUE AS compacted, 2 AS files_after
 FROM documents

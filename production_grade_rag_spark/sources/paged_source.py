@@ -25,10 +25,15 @@ from __future__ import annotations
 
 import glob
 import json
+import os
+import uuid
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    EqualTo, InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    DataSourceWriter, EqualTo,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 
 PAGE_SCHEMA = ("page_id string, title string, lang string, "
                "n_chars bigint, malformed boolean")
@@ -50,6 +55,9 @@ class PagedDumpDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "PagedDumpStreamReader":
         return PagedDumpStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "PagedDumpWriter":
+        return PagedDumpWriter(self.options, overwrite)
 
 
 class PagedDumpReader(DataSourceReader):
@@ -79,8 +87,11 @@ class PagedDumpReader(DataSourceReader):
 
     def partitions(self):
         # driver-side metadata listing only (file NAMES, not contents);
-        # one InputPartition per page-batch file -> executor-side reads
-        files = sorted(glob.glob(f"{self._path}/part-*"))
+        # one InputPartition per page-batch file -> executor-side reads.
+        # A _MANIFEST (written by PagedDumpWriter.commit) pins the
+        # visible file set — stray uncommitted/aborted files are
+        # invisible, the commit-protocol read side.
+        files = _list_page_files(self._path)
         if not files:
             raise FileNotFoundError(f"no page files under {self._path}")
         return [InputPartition(f) for f in files]
@@ -110,6 +121,18 @@ class PagedDumpReader(DataSourceReader):
                     yield row
 
 
+def _list_page_files(path: str) -> list[str]:
+    """Visible page files: the committed set from _MANIFEST when
+    present (writer-produced dumps), else every part-* file
+    (externally-produced dumps)."""
+    manifest = os.path.join(path, "_MANIFEST")
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as fh:
+            names = json.load(fh)["files"]
+        return [os.path.join(path, n) for n in names]
+    return sorted(glob.glob(f"{path}/part-*"))
+
+
 def _parse_line(line: str):
     """One dump line -> schema tuple (malformed -> marker row)."""
     try:
@@ -137,7 +160,7 @@ class PagedDumpStreamReader(SimpleDataSourceStreamReader):
         self._path = path
 
     def _files(self) -> list[str]:
-        return sorted(glob.glob(f"{self._path}/part-*"))
+        return _list_page_files(self._path)
 
     def initialOffset(self) -> dict:
         return {"file_idx": 0}
@@ -163,3 +186,67 @@ class PagedDumpStreamReader(SimpleDataSourceStreamReader):
                 for line in fh:
                     if line.strip():
                         yield _parse_line(line.strip())
+
+
+@dataclass
+class PageFileCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class PagedDumpWriter(DataSourceWriter):
+    """WRITE side of the connector, with a manifest commit protocol:
+    each task writes its partition to a uniquely-named staging file and
+    returns a commit message; ``commit()`` (driver, after ALL tasks
+    succeed) writes ``_MANIFEST`` listing exactly the committed files;
+    ``abort()`` deletes staged files.  Readers that honor the manifest
+    never see a half-written job — the same visibility rule a
+    _SUCCESS/table-format commit gives parquet jobs, here made explicit
+    (the reference's store-with-retry + status-mark dance,
+    vector_store.py:103-181, collapsed into one atomic rename-free
+    commit)."""
+
+    def __init__(self, options: dict, overwrite: bool = False):
+        path = options.get("path")
+        if not path:
+            raise ValueError("paged_dump requires option 'path'")
+        self._path = path
+        self._overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, it) -> "PageFileCommit":
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.txt"
+        full = os.path.join(self._path, fname)
+        n = 0
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in it:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return PageFileCommit(path=fname, n_rows=n)
+
+    def commit(self, messages) -> None:
+        files = sorted(m.path for m in messages if m)
+        n_rows = sum(m.n_rows for m in messages if m)
+        mpath = os.path.join(self._path, "_MANIFEST")
+        # append mode MERGES with the committed set (new page batches
+        # become visible after older ones — offsets in the stream
+        # reader stay monotonic); overwrite replaces it, atomically
+        # hiding the old files without deleting bytes
+        if not self._overwrite and os.path.exists(mpath):
+            with open(mpath, encoding="utf-8") as fh:
+                old = json.load(fh)
+            files = old["files"] + [f for f in files
+                                    if f not in old["files"]]
+            n_rows += old["n_rows"]
+        with open(mpath, "w") as fh:
+            json.dump({"files": files, "n_rows": n_rows}, fh)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self._path, m.path))
+                except OSError:
+                    pass

@@ -450,3 +450,47 @@ def test_paged_dump_stream_reader_exactly_once(spark, tmp_path):
     # nothing re-emitted (total stays 5 rows, not 8)
     assert drain() == {"1", "2", "3", "4", "5"}
     assert spark.read.parquet(out).count() == 5
+
+
+def test_paged_dump_writer_commit_protocol(spark, tmp_path):
+    """The write side: each task stages a uniquely-named page file and
+    the driver-side commit publishes a _MANIFEST of exactly the
+    committed files; readers honor the manifest, so stray/aborted
+    files are invisible; append merges the committed set."""
+    import json as _json
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.sources.paged_source import (
+        PagedDumpDataSource)
+
+    spark.dataSource.register(PagedDumpDataSource)
+    out = str(tmp_path / "dump")
+    df = spark.createDataFrame(
+        [(str(i), f"t{i}", "en", i, False) for i in range(12)],
+        "page_id string, title string, lang string, n_chars bigint, "
+        "malformed boolean")
+    df.repartition(3).write.format("paged_dump") \
+        .option("path", out).mode("append").save()
+
+    import glob as _glob
+    import os as _os
+    man = _json.load(open(_os.path.join(out, "_MANIFEST")))
+    assert man["n_rows"] == 12 and len(man["files"]) == 3
+
+    # a stray uncommitted file must be invisible to the reader
+    with open(_os.path.join(out, "part-99999-stray.txt"), "w") as fh:
+        fh.write(_json.dumps({"page_id": 999, "title": "x",
+                              "lang": "en", "n_chars": 1}) + "\n")
+    back = spark.read.format("paged_dump").option("path", out).load()
+    assert back.count() == 12
+    assert back.filter(F.col("page_id") == "999").count() == 0
+
+    # append merges: a second write adds rows without hiding the first
+    df2 = spark.createDataFrame(
+        [("100", "t100", "zh", 5, False)], df.schema)
+    df2.coalesce(1).write.format("paged_dump") \
+        .option("path", out).mode("append").save()
+    back2 = spark.read.format("paged_dump").option("path", out).load()
+    assert back2.count() == 13
+    # round trip preserves values
+    got = {(r["page_id"], r["n_chars"]) for r in back2.collect()}
+    assert ("100", 5) in got and ("5", 5) in got
