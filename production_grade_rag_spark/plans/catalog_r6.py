@@ -1057,6 +1057,60 @@ def ev_retention_cohorts(spark: SparkSession, d: str) -> DataFrame:
             .agg(F.count("*").alias("n_active")))
 
 
+@register("s21_bucketed_join", oracle="""
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines, TRUE AS no_exchange
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def s21_bucketed_join(spark: SparkSession, d: str) -> DataFrame:
+    """Bucketed CO-LOCATED join, driver-visible: write lineitem and
+    orders bucketed+sorted by the order key (the reference's btree
+    index re-expressed as storage layout, index_manager.py:345-407 ->
+    SURVEY §2.11), then join WITHOUT any Exchange — verified in-plan
+    (broadcast disabled so bucketing, not broadcasting, is what's
+    proven) and emitted as the no_exchange column the oracle pins to
+    TRUE.  At 100 TB this is the difference between shuffling the
+    fact table on every join and a local zip of pre-sorted buckets;
+    the one-off bucketed write is amortized across every downstream
+    join on the same key."""
+    import shutil
+    from .catalog_more import _scratch
+    wh = _scratch("s21_bucketed")
+    shutil.rmtree(wh, ignore_errors=True)
+    li = _t(spark, d, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, d, "orders").select("o_orderkey", "o_orderpriority")
+    spark.sql("DROP TABLE IF EXISTS s21_li")
+    spark.sql("DROP TABLE IF EXISTS s21_orders")
+    (li.write.mode("overwrite").option("path", f"{wh}/li")
+       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .saveAsTable("s21_li"))
+    (orders.write.mode("overwrite").option("path", f"{wh}/orders")
+       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .saveAsTable("s21_orders"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (spark.table("s21_li")
+                  .join(spark.table("s21_orders"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                  .groupBy("o_orderpriority")
+                  .agg(F.round(F.sum(F.col("l_extendedprice")
+                                     * (1 - F.col("l_discount"))), 2)
+                       .alias("revenue"),
+                       F.count("*").alias("n_lines")))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_part = plan.split("HashAggregate")[-1]
+    no_exchange = ("Exchange" not in join_part
+                   and "Bucketed: true" in plan)
+    return joined.select("o_orderpriority", "revenue", "n_lines",
+                         F.lit(no_exchange).alias("no_exchange"))
+
+
 # ===========================================================================
 # Incremental ingest: dedup the incoming batch against the stored corpus
 # ===========================================================================
