@@ -961,6 +961,54 @@ def q18_large_volume_customers(spark: SparkSession, d: str) -> DataFrame:
         .limit(100))
 
 
+@register("ev_incremental_rollup", oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS value_scaled
+FROM events GROUP BY 1, 2
+""")
+def ev_incremental_rollup(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance (the hypertable
+    continuous-aggregate loop): a day x type rollup store is built
+    from the historical half of the event log, then the 'new' half
+    arrives as a batch and is folded in by merging PARTIAL aggregates
+    — union the stored partials with the increment's partials and
+    re-aggregate — NOT by recomputing over all events.  The oracle is
+    the full recompute, so the merge is proven lossless.
+
+    Why this is the 100 TB shape: count and integer-scaled sum are
+    algebraic — partials merge associatively, so maintenance cost is
+    O(increment + touched rollup rows), independent of history size
+    (avg/stddev ride along as (sum, count) / (sum, sum2, count)).  The
+    rollup store is day-partitioned parquet; only days present in the
+    increment are rewritten (dynamic partition overwrite — the
+    sources.tables upsert pattern)."""
+    import shutil
+    from .catalog_more import _scratch
+    ev = _t(spark, d, "events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts").cast("timestamp"))
+        .cast("date").cast("string"))
+    scaled = F.round(F.col("value") * 10000).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (df.groupBy("day", "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum(scaled).alias("value_scaled")))
+
+    cut = "2024-01-15"
+    store = _scratch("ev_rollup_store")
+    shutil.rmtree(store, ignore_errors=True)
+    rollup(ev.filter(F.col("day") < cut)).write.parquet(store)
+    increment = rollup(ev.filter(F.col("day") >= cut))
+    merged = (spark.read.parquet(store)
+              .unionByName(increment)
+              .groupBy("day", "event_type")
+              .agg(F.sum("n_events").alias("n_events"),
+                   F.sum("value_scaled").alias("value_scaled")))
+    return merged
+
+
 @register("ev_type_pivot", oracle="""
 SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
