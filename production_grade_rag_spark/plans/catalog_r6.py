@@ -134,6 +134,47 @@ def t10_stratified_sample(spark: SparkSession, d: str) -> DataFrame:
     return ranked.filter(F.col("rk") <= F.ceil(F.col("n_stratum") * 0.2))
 
 
+@register("t10_stratified_cutoff", oracle="""
+WITH strata AS (
+  SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang
+)
+SELECT lang, n_stratum, TRUE AS quota_ok FROM strata
+""")
+def t10_stratified_cutoff(spark: SparkSession, d: str) -> DataFrame:
+    """The approximate twin t10_stratified_sample's docstring promises
+    — the form that survives executor-dwarfing strata: instead of an
+    exact per-stratum rank (a window sort through every stratum), take
+    the ~20th percentile of a uniform per-doc hash PER STRATUM with
+    approx_percentile (t-digest, mergeable, one partial-agged pass),
+    then keep rows with hash <= cutoff — a MAP-ONLY filter, no
+    per-stratum sort anywhere.
+
+    Quota error is the sketch's percentile error on a uniform hash —
+    small and bounded; the in-plan gate asserts each stratum's kept
+    fraction lands within 5 points of the 20% target (quota_ok, value-
+    pinned by the oracle).  Exact per-stratum counts are value-checked
+    too.  At 100 TB this is the production form; the exact window form
+    remains the oracle-semantics twin."""
+    docs = _t(spark, d, "documents").select("doc_id", "lang")
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 8), 16, 10) \
+        .cast("double")
+    hashed = docs.withColumn("__h", h)
+    cuts = (hashed.groupBy("lang")
+            .agg(F.expr("approx_percentile(__h, 0.2, 10000)")
+                 .alias("__cut"),
+                 F.count("*").alias("n_stratum")))
+    kept = (hashed.join(F.broadcast(cuts), "lang")
+            .filter(F.col("__h") <= F.col("__cut")))
+    frac = (kept.groupBy("lang")
+            .agg(F.count("*").alias("__kept"))
+            .join(F.broadcast(cuts), "lang")
+            .select("lang", "n_stratum",
+                    ((F.col("__kept") / F.col("n_stratum") - 0.2)
+                     .between(-0.05, 0.05)).alias("quota_ok")))
+    return frac
+
+
 # ===========================================================================
 # Bounded-range event join (point-in-window), bucketed strategy
 # ===========================================================================
