@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ..operators import dedup, pq, textstats
+from ..operators import dedup, embedding, pq, textstats
 from . import oracle_sql as O
 from . import oracle_vec as OV
 from .catalog import _t, register
@@ -779,6 +779,63 @@ def t11_source_mix(spark: SparkSession, d: str) -> DataFrame:
         F.round(actual, 6).alias("actual_share"),
         F.round(target, 6).alias("target_share"),
         F.round(target / actual, 6).alias("sampling_weight"))
+
+
+@register("m3_incremental_embed", oracle="""
+WITH store AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN md5(coalesce(text, '')) IN (SELECT h FROM store)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_cached,
+       CAST(sum(CASE WHEN md5(coalesce(text, '')) IN (SELECT h FROM store)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_embedded,
+       TRUE AS all_embedded
+FROM documents
+""")
+def m3_incremental_embed(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental EMBEDDING CACHE — the biggest cost lever in a real
+    feature pipeline (model inference dwarfs everything else; the
+    reference re-embeds every fetched doc per run,
+    document_processor.py:125-150): embeddings are stored keyed by
+    CONTENT HASH, and an incoming batch joins against the store so
+    only cache MISSES go through the embedder.  Even doc_ids play the
+    warm store, the full corpus plays the incoming batch.
+
+    Proof in-plan: per-batch cached/embedded counts (value-pinned —
+    a broken cache join shows up as n_cached=0) and an all_embedded
+    flag (every row left with a non-null vector).  Determinism of the
+    hash embedder makes cached and recomputed vectors identical —
+    asserted in tests for the operator family.  At 100 TB: the store
+    join keys on the uniform crypto hash (no skew), and the embed
+    UDF — the expensive stage — runs on the miss minority only."""
+    docs = _t(spark, d, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    store = (embedding.hash_embed(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id"), F.col("text"),
+                h.alias("content_hash")),
+        text_col="text", id_col="doc_id")
+        .select("content_hash", F.col("embedding").alias("__cached"))
+        .dropDuplicates(["content_hash"]))
+    batch = docs.select("doc_id", "text", h.alias("content_hash"))
+    joined = batch.join(store, "content_hash", "left")
+    misses = (joined.filter(F.col("__cached").isNull())
+              .drop("__cached"))
+    fresh = embedding.hash_embed(misses, text_col="text",
+                                 id_col="doc_id")
+    hits = (joined.filter(F.col("__cached").isNotNull())
+            .withColumn("embedding", F.col("__cached"))
+            .select("doc_id", "embedding", F.lit(1).alias("__hit")))
+    out = hits.unionByName(
+        fresh.select("doc_id", "embedding", F.lit(0).alias("__hit")))
+    return out.agg(
+        F.count("*").alias("n_total"),
+        F.sum("__hit").cast("long").alias("n_cached"),
+        F.sum(1 - F.col("__hit")).cast("long").alias("n_embedded"),
+        (F.sum(F.when(F.col("embedding").isNull(), 1).otherwise(0)) == 0)
+        .alias("all_embedded"))
 
 
 # ===========================================================================
