@@ -1059,6 +1059,60 @@ def q18_large_volume_customers(spark: SparkSession, d: str) -> DataFrame:
         .limit(100))
 
 
+@register("ev_anomaly_zscore", oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sigma,
+         count(*) OVER w AS n_baseline
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n, round(mu, 4) AS baseline_mean,
+       CASE WHEN sigma IS NULL OR sigma = 0 THEN FALSE
+            ELSE abs(n - mu) / sigma > 2 END AS is_anomaly
+FROM scored WHERE n_baseline >= 3
+""")
+def ev_anomaly_zscore(spark: SparkSession, d: str) -> DataFrame:
+    """Trailing-baseline anomaly detection: each (event_type, day)
+    count is z-scored against ITS OWN preceding 7 days (frame ends at
+    -1 PRECEDING, so today never contaminates its baseline — the
+    classic monitoring-pipeline subtlety), flagged when |z| > 2; days
+    with under 3 baseline points are suppressed (cold start).
+
+    The z-score itself stays out of the output (stddev is the one
+    aggregate whose FP path differs across engines); the DECISION
+    |z|>2 and the 4-rounded mean are the stable contract.  Plan: one
+    partial-agged daily rollup (the only pass over raw events), then
+    per-type windows over day-count rows — weeks x types rows,
+    metadata-scale at any corpus size."""
+    ev = _t(spark, d, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts").cast("timestamp"))
+        .cast("date").alias("day"))
+        .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-7, -1))
+    scored = (daily
+              .withColumn("mu", F.avg("n").over(w))
+              .withColumn("sigma", F.stddev_samp("n").over(w))
+              .withColumn("n_baseline", F.count("*").over(w)))
+    return (scored.filter(F.col("n_baseline") >= 3)
+            .select("event_type", F.col("day").cast("string").alias("day"),
+                    "n", F.round("mu", 4).alias("baseline_mean"),
+                    F.when(F.col("sigma").isNull() | (F.col("sigma") == 0),
+                           F.lit(False))
+                    .otherwise(F.abs(F.col("n") - F.col("mu"))
+                               / F.col("sigma") > 2)
+                    .alias("is_anomaly")))
+
+
 @register("ev_incremental_rollup", oracle="""
 SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
        event_type, count(*) AS n_events,
