@@ -494,3 +494,34 @@ def test_paged_dump_writer_commit_protocol(spark, tmp_path):
     # round trip preserves values
     got = {(r["page_id"], r["n_chars"]) for r in back2.collect()}
     assert ("100", 5) in got and ("5", 5) in got
+
+
+def test_paged_dump_writer_abort_leaves_no_manifest(spark, tmp_path):
+    """Commit protocol failure half: when a task fails the job, no
+    _MANIFEST is published, abort unlinks the staged files it was told
+    about, and a subsequent manifest-less read of the dir sees only
+    what actually exists — nothing committed."""
+    import os as _os
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.sources.paged_source import (
+        PagedDumpDataSource)
+
+    spark.dataSource.register(PagedDumpDataSource)
+    out = str(tmp_path / "dump_abort")
+
+    @F.udf("string")
+    def boom(v):
+        if v == "die":
+            raise RuntimeError("injected task failure")
+        return v
+
+    df = spark.createDataFrame(
+        [("1", "ok", "en", 1, False), ("2", "die", "en", 2, False)],
+        "page_id string, title string, lang string, n_chars bigint, "
+        "malformed boolean").repartition(2)
+    bad = df.withColumn("title", boom(F.col("title")))
+    with _pytest.raises(Exception):
+        bad.write.format("paged_dump").option("path", out) \
+            .mode("append").save()
+    assert not _os.path.exists(_os.path.join(out, "_MANIFEST"))
