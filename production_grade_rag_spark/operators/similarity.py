@@ -73,6 +73,62 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def ivf_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                 n_lists: int = 16, n_probe: int = 4,
+                 q_vec: str = "embedding", q_id: str = "query_id",
+                 c_vec: str = "embedding", c_id: str = "vec_id",
+                 metric: str = "cosine") -> DataFrame:
+    """R4 batched AT SCALE: the IVF form of ``knn_join``.  knn_join's
+    crossJoin reads every (query, corpus-row) pair — fine for a
+    broadcastable query set, quadratic wall-clock once the query batch
+    grows.  Here both sides meet on an EQUI-join instead: the corpus
+    is assigned to KMeans cells once (at ingest this is the stored
+    partition layout, ivf_build_store), each query explodes to its
+    ``n_probe`` nearest cells, and the join key is ``cell`` — every
+    query scores n_probe/n_lists of the corpus, not all of it.
+
+    Shuffle ledger at 100 TB: corpus one hash exchange on cell (zero
+    if the store is already cell-partitioned), queries n_probe-fold
+    explode then the same exchange, one per-query window for top-k.
+    Recall knob is n_probe, exactly like the single-query IVF path;
+    gate: r4_ivf_join_recall."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn(
+        "__features", array_to_vector(to_double_array(F.col(c_vec))))
+    km = KMeans(k=n_lists, seed=42, featuresCol="__features",
+                predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    cents = [(i, [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())]
+    cent_df = corpus.sparkSession.createDataFrame(
+        cents, ["cell_id", "centroid"])
+
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       to_double_array(F.col(q_vec)).alias("__qv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(),
+                                                F.col("cell_id").asc())
+    probes = (q.crossJoin(F.broadcast(cent_df))
+              .withColumn("__d", _sqdist_to_centroid("__qv"))
+              .withColumn("__r", F.row_number().over(wq))
+              .filter(F.col("__r") <= n_probe)
+              .select("query_id", "__qv",
+                      F.col("cell_id").alias("cell")))
+    c = assigned.select(F.col(c_id).alias("result_id"),
+                        to_double_array(F.col(c_vec)).alias("__cv"),
+                        "cell")
+    scored = (c.join(probes, "cell")
+              .withColumn("score",
+                          _score(metric, F.col("__cv"), F.col("__qv")))
+              .drop("__qv", "__cv", "cell"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.col("result_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def self_similar(corpus: DataFrame, query_id, k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  exclude_same_doc: str | None = None,
