@@ -289,6 +289,28 @@ def r4_ivfpq_recall(spark: SparkSession, d: str) -> DataFrame:
     return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
 
 
+@register("eng_ann_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def eng_ann_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Engine-LEVEL ANN gate: the same SparkRagEngine.search call with
+    config.ann_backend='ivf' must keep recall >= 0.5 vs the exact
+    backend — proving the backend dispatch (engine._vector_topk)
+    drives the production path end to end, not just the operator in
+    isolation.  Companion of tests/test_engine.py's dispatch test,
+    made driver-visible."""
+    from ..config import EngineConfig
+    from ..engine import SparkRagEngine
+    from .catalog_more import _recall_summary
+    emb = _t(spark, d, "embeddings")
+    exact = SparkRagEngine(spark).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    approx = SparkRagEngine(spark, EngineConfig(
+        ann_backend="ivf", ann_n_lists=8, ann_n_probe=4)).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
+
+
 @register("r4_ivf_join")   # rows-only: approximate by design
 def r4_ivf_join(spark: SparkSession, d: str) -> DataFrame:
     """Batch ANN join: every query meets the corpus on an equi-join on
