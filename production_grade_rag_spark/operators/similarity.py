@@ -73,11 +73,31 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def fit_centroids(corpus: DataFrame, n_lists: int = 16,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Seeded KMeans centroid table (cell_id, centroid) — the one-off
+    offline fit every IVF path shares; at ingest this is part of
+    ivf_build_store and amortized across all queries."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn(
+        "__features", array_to_vector(to_double_array(F.col(vec_col))))
+    km = KMeans(k=n_lists, seed=42, featuresCol="__features",
+                predictionCol="__cell")
+    model = km.fit(feats)
+    cents = [(i, [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        cents, ["cell_id", "centroid"])
+
+
 def ivf_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                  n_lists: int = 16, n_probe: int = 4,
                  q_vec: str = "embedding", q_id: str = "query_id",
                  c_vec: str = "embedding", c_id: str = "vec_id",
-                 metric: str = "cosine") -> DataFrame:
+                 metric: str = "cosine",
+                 centroids: DataFrame | None = None) -> DataFrame:
     """R4 batched AT SCALE: the IVF form of ``knn_join``.  knn_join's
     crossJoin reads every (query, corpus-row) pair — fine for a
     broadcastable query set, quadratic wall-clock once the query batch
@@ -91,20 +111,12 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     if the store is already cell-partitioned), queries n_probe-fold
     explode then the same exchange, one per-query window for top-k.
     Recall knob is n_probe, exactly like the single-query IVF path;
-    gate: r4_ivf_join_recall."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = corpus.withColumn(
-        "__features", array_to_vector(to_double_array(F.col(c_vec))))
-    km = KMeans(k=n_lists, seed=42, featuresCol="__features",
-                predictionCol="cell")
-    model = km.fit(feats)
-    assigned = model.transform(feats).drop("__features")
-    cents = [(i, [float(x) for x in c])
-             for i, c in enumerate(model.clusterCenters())]
-    cent_df = corpus.sparkSession.createDataFrame(
-        cents, ["cell_id", "centroid"])
+    gate: r4_ivf_join_recall.  ``centroids`` accepts a precomputed
+    (cell_id, centroid) table — the stored-layout path that skips the
+    one-off KMeans fit (fit_centroids / ivf_build_store)."""
+    cent_df = centroids if centroids is not None \
+        else fit_centroids(corpus, n_lists, vec_col=c_vec)
+    assigned = assign_cells(corpus, cent_df, vec_col=c_vec, id_col=c_id)
 
     q = queries.select(F.col(q_id).alias("query_id"),
                        to_double_array(F.col(q_vec)).alias("__qv"))

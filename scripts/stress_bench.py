@@ -186,6 +186,23 @@ def main() -> None:
         print(f"# ivfpq probe {p}/64: {t}s recall "
               f"{res[f'ivfpq_recall_p{p}']}", file=sys.stderr)
 
+    # --- batch ANN join at 10x: crossJoin vs IVF-cell equi-join --------
+    qs = emb10.filter(F.col("vec_id") % 199 == 7).limit(100)
+    n_q = qs.count()
+    _, t = _timed(lambda: similarity.knn_join(
+        qs, emb10, k=10, q_id="vec_id").count())
+    T["knn_join_exact_100q_10x"] = t
+    print(f"# knn_join exact ({n_q} queries): {t}s", file=sys.stderr)
+    cents, t = _timed(lambda: similarity.fit_centroids(emb10, n_lists=64))
+    T["ivf_join_fit_64"] = t
+    print(f"# ivf_knn_join centroid fit (one-off): {t}s", file=sys.stderr)
+    _, t = _timed(lambda: similarity.ivf_knn_join(
+        qs, emb10, k=10, n_lists=64, n_probe=4, q_id="vec_id",
+        centroids=cents).count())
+    T["ivf_knn_join_100q_10x"] = t
+    print(f"# ivf_knn_join ({n_q} queries, precomputed centroids): "
+          f"{t}s", file=sys.stderr)
+
     # --- flagship at dim 384: 1x vs 10x --------------------------------
     for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
         n, t = _timed(lambda d=d: flagship_search(
