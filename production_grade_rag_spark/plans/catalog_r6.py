@@ -736,6 +736,64 @@ def ev_rollup_sets(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("t12_quality_deciles", oracle=f"""
+WITH scored AS (
+  SELECT doc_id, {O.quality_sql('text')} AS q FROM documents
+), tiled AS (
+  SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile
+  FROM scored WHERE q IS NOT NULL
+)
+SELECT decile, count(*) AS n_docs,
+       round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+FROM tiled GROUP BY decile
+""")
+def t12_quality_deciles(spark: SparkSession, d: str) -> DataFrame:
+    """Quality DECILE bucketing via ntile — the curriculum/mix-bucket
+    assignment step (rank documents by T2 quality, cut into 10
+    equal-count buckets, report per-bucket bounds).  Deterministic:
+    the ntile ordering carries a doc_id tiebreak, so equal scores
+    split identically on both engines.  Scale note: a single global
+    ntile is one total sort — at 100 TB swap to the approx-percentile
+    cutoff pattern (t10_stratified_cutoff) for map-only bucketing; the
+    exact global form IS the oracle semantics."""
+    docs = _t(spark, d, "documents")
+    scored = docs.select(
+        "doc_id",
+        X.quality_components(F.col("text"))["quality_score"].alias("q")) \
+        .filter(F.col("q").isNotNull())
+    w = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    tiled = scored.withColumn("decile", F.ntile(10).over(w))
+    return (tiled.groupBy("decile")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.min("q"), 6).alias("min_q"),
+                 F.round(F.max("q"), 6).alias("max_q")))
+
+
+@register("u6_except_intersect", oracle="""
+WITH en_docs AS (SELECT source FROM documents WHERE lang = 'en'),
+     zh_docs AS (SELECT source FROM documents WHERE lang = 'zh')
+SELECT 'both' AS side, source FROM
+  (SELECT source FROM en_docs INTERSECT SELECT source FROM zh_docs)
+UNION ALL
+SELECT 'en_only' AS side, source FROM
+  (SELECT source FROM en_docs EXCEPT SELECT source FROM zh_docs)
+""")
+def u6_except_intersect(spark: SparkSession, d: str) -> DataFrame:
+    """INTERSECT / EXCEPT — the two set operators the reference never
+    uses (SURVEY §2.6 notes their absence) but a complete engine
+    exposes: sources that publish in BOTH en and zh, and en-only
+    sources.  Spark compiles both to aggregate + semi/anti join under
+    the hood — same scale behavior as the dedup family's distinct
+    (one hash shuffle per branch on the compared columns)."""
+    docs = _t(spark, d, "documents")
+    en = docs.filter(F.col("lang") == "en").select("source")
+    zh = docs.filter(F.col("lang") == "zh").select("source")
+    both = en.intersect(zh).select(F.lit("both").alias("side"), "source")
+    only = en.subtract(zh) \
+        .select(F.lit("en_only").alias("side"), "source")
+    return both.unionByName(only)
+
+
 # ===========================================================================
 # Training-data hygiene: benchmark decontamination, domain-mix weights
 # ===========================================================================
