@@ -794,6 +794,39 @@ def u6_except_intersect(spark: SparkSession, d: str) -> DataFrame:
     return both.unionByName(only)
 
 
+@register("f19_sql_udfs", oracle=f"""
+SELECT doc_id,
+       {O.word_count_sql('text')}::INT AS n_words,
+       (length(text) // 4)::BIGINT AS est_tokens,
+       (CASE WHEN length(text) > 50 THEN 53
+             ELSE length(text) END)::INT AS trunc_len,
+       round(least(greatest(n_chars / 1000.0, 0.0), 1.0), 6)
+         AS clamped_kchars
+FROM documents
+""")
+def f19_sql_udfs(spark: SparkSession, d: str) -> DataFrame:
+    """The scalar-function surface as SPARK SQL UDFs
+    (functions/sql_udfs.py: CREATE TEMPORARY FUNCTION ... RETURN expr)
+    — a pure-SQL user calls pgrs_word_count / pgrs_token_estimate /
+    pgrs_truncate / pgrs_clamp01 with the SAME semantics the
+    DataFrame API gets from functions/text.py, checked here against
+    the DuckDB oracle.  SQL UDF bodies inline into Catalyst (no
+    Python in the row path), so this costs exactly what the Column
+    forms cost."""
+    from ..functions.sql_udfs import register_sql_udfs
+    register_sql_udfs(spark)
+    docs = _t(spark, d, "documents")
+    docs.createOrReplaceTempView("__pgrs_docs_f19")
+    return spark.sql("""
+        SELECT doc_id,
+               pgrs_word_count(text) AS n_words,
+               pgrs_token_estimate(text) AS est_tokens,
+               CAST(length(pgrs_truncate(text, 50)) AS INT) AS trunc_len,
+               round(pgrs_clamp01(n_chars / 1000.0D), 6) AS clamped_kchars
+        FROM __pgrs_docs_f19
+    """)
+
+
 # ===========================================================================
 # Training-data hygiene: benchmark decontamination, domain-mix weights
 # ===========================================================================
