@@ -36,3 +36,33 @@ def test_sql_join_star_schema(spark):
     """).collect()
     assert len(rows) == 5
     assert all(r["rev"] is not None for r in rows)
+
+
+def test_sql_udfs_match_column_forms(spark):
+    """The pgrs_* SQL UDFs must agree with the Column builders in
+    functions/text.py on the same inputs (one definition of 'word
+    count' across SQL and DataFrame users)."""
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.functions import text as X
+    from production_grade_rag_spark.functions.sql_udfs import (
+        register_sql_udfs)
+
+    register_sql_udfs(spark)
+    df = spark.createDataFrame(
+        [(" hello  world \n",), ("",), ("   ",), ("abcd" * 30,)],
+        "s string")
+    df.createOrReplaceTempView("__t_sqludf")
+    got = spark.sql("""
+        SELECT pgrs_word_count(s) AS wc, pgrs_token_estimate(s) AS tok,
+               pgrs_truncate(s, 20) AS tr
+        FROM __t_sqludf""").collect()
+    want = df.select(
+        X.word_count(F.col("s")).alias("wc"),
+        X.token_estimate(F.col("s")).alias("tok"),
+        X.truncate_ellipsis(F.col("s"), 20).alias("tr")).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # jaccard agrees with the fusion-family expression (F14)
+    j = spark.sql("""
+        SELECT pgrs_jaccard(array('a','b','c'), array('b','c','d')) AS j,
+               pgrs_jaccard(array(), array()) AS z""").first()
+    assert abs(j["j"] - 0.5) < 1e-12 and j["z"] == 0.0
