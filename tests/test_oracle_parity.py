@@ -70,3 +70,11 @@ def test_rows_only_runs(spark, name):
     df = spec.build(spark, SF01)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_every_catalog_entry_documents_itself():
+    """Each entry's docstring is the parity-audit surface (reference
+    citations + scale notes) — an empty one is a regression."""
+    undocumented = [n for n, s in CATALOG.items()
+                    if not (s.build.__doc__ or "").strip()]
+    assert not undocumented, f"undocumented entries: {undocumented}"

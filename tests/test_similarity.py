@@ -248,3 +248,20 @@ def test_sq_quantization_error_and_recall(spark):
                                 los, his, k=10, rescore=4).collect():
         if r["vec_id"] in ex:
             assert abs(r["score"] - ex[r["vec_id"]]) < 1e-9
+
+
+def test_recall_summary_gate_actually_trips(spark):
+    """The in-plan recall gates guard the ANN family — prove the gate
+    itself works: a degraded approx set must flip floor_met to False,
+    a healthy one must pass, and n_exact must be the exact-side count
+    (what the oracles value-check)."""
+    from production_grade_rag_spark.plans.catalog_more import (
+        _recall_summary)
+    exact = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    good = spark.createDataFrame([(i,) for i in range(6)], "vec_id long")
+    bad = spark.createDataFrame([(i,) for i in range(100, 103)],
+                                "vec_id long")
+    ok = _recall_summary(exact, good, ["vec_id"], floor=0.5).first()
+    assert ok["n_exact"] == 10 and ok["floor_met"] is True
+    trip = _recall_summary(exact, bad, ["vec_id"], floor=0.5).first()
+    assert trip["n_exact"] == 10 and trip["floor_met"] is False
