@@ -827,6 +827,99 @@ def f19_sql_udfs(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("ta_token_entropy", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OV.tokens_sql('text')}) AS t FROM documents
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+)
+SELECT c.doc_id, t.n AS n_tokens,
+       round(-sum((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)), 6)
+         AS token_entropy
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY 1, 2
+""")
+def ta_token_entropy(spark: SparkSession, d: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the corpus
+    filter that catches keyboard-mash / single-token-loop / template
+    garbage that length and stopword ratios miss (low entropy = few
+    distinct tokens dominate; the Gopher/C4-family pipelines cut on
+    exactly this).  Same tokenizer as the dedup family
+    (dedup.tokens).
+
+    Plan: explode tokens -> (doc, token) partial-agged counts -> one
+    more partial agg to per-doc totals folded back with a same-key
+    join -> entropy as column math.  Everything keys on doc_id (or
+    (doc_id, token)) so the shuffles are uniform; at 100 TB the
+    explode is the only row multiplier and it feeds straight into a
+    map-side combine."""
+    docs = _t(spark, d, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(dedup.tokens(F.col("text"))).alias("t"))
+    cnt = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (cnt.join(tot, "doc_id")
+            .groupBy("doc_id", F.col("n").alias("n_tokens"))
+            .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy")))
+
+
+@register("t13_mix_oversample", oracle="""
+WITH per AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_docs) AS n_all, count(*) AS n_src FROM per
+), w AS (
+  SELECT source,
+         (1.0 / n_src) / (n_docs * 1.0 / n_all) AS weight
+  FROM per, tot
+), expanded AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(w.weight) AS INT)
+           + (CASE WHEN (CAST(CAST('0x' ||
+                substr(md5(d.doc_id::VARCHAR || ':ovs'), 1, 8) AS VARCHAR)
+                AS BIGINT) % 1000000) / 1000000.0
+               < w.weight - floor(w.weight) THEN 1 ELSE 0 END) AS n_copies
+  FROM documents d JOIN w ON d.source = w.source
+)
+SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_after
+FROM expanded GROUP BY source
+""")
+def t13_mix_oversample(spark: SparkSession, d: str) -> DataFrame:
+    """Materialize the t11_source_mix weights: each document is
+    repeated floor(w) times plus one more with probability frac(w),
+    decided by a DETERMINISTIC per-doc hash — so the resampled corpus
+    hits the uniform target mix in expectation, reproducibly (same
+    doc set every run, no RNG state).  Output: per-source post-sample
+    counts, which the oracle recomputes exactly.
+
+    Plan: weights are #sources rows (broadcast); the expansion is a
+    map-only explode by n_copies — no shuffle until the reporting
+    agg.  At 100 TB this IS the training-mix materialization job, and
+    its cost is output-proportional."""
+    docs = _t(spark, d, "documents").select("doc_id", "source")
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_all"),
+                  F.count("*").alias("n_src"))
+    w = (per.crossJoin(F.broadcast(tot))
+         .select("source",
+                 ((F.lit(1.0) / F.col("n_src"))
+                  / (F.col("n_docs") / F.col("n_all"))).alias("weight")))
+    frac_hash = (F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":ovs"))), 1, 8), 16, 10)
+        .cast("long") % 1000000) / 1000000.0
+    expanded = (docs.join(F.broadcast(w), "source")
+                .withColumn(
+                    "n_copies",
+                    F.floor(F.col("weight")).cast("int")
+                    + F.when(frac_hash < F.col("weight")
+                             - F.floor(F.col("weight")), 1).otherwise(0)))
+    return (expanded.groupBy("source")
+            .agg(F.sum("n_copies").cast("long").alias("n_after")))
+
+
 # ===========================================================================
 # Training-data hygiene: benchmark decontamination, domain-mix weights
 # ===========================================================================
