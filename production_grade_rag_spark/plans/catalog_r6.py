@@ -769,6 +769,110 @@ def t12_quality_deciles(spark: SparkSession, d: str) -> DataFrame:
                  F.round(F.max("q"), 6).alias("max_q")))
 
 
+@register("w7_quality_percentile", oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, {O.quality_sql('text')} AS q FROM documents
+)
+SELECT doc_id, source,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY q, doc_id), 6) AS q_pctile
+FROM scored WHERE q IS NOT NULL
+""")
+def w7_quality_percentile(spark: SparkSession, d: str) -> DataFrame:
+    """percent_rank: each document's quality standing WITHIN its
+    source (0 = worst, 1 = best) — the per-domain normalization that
+    makes one global quality threshold fair across sources with
+    different score distributions (a crawl domain that always scores
+    low still keeps its best docs).  Per-source window with doc_id
+    tiebreak; one shuffle on source."""
+    docs = _t(spark, d, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        X.quality_components(F.col("text"))["quality_score"].alias("q")) \
+        .filter(F.col("q").isNotNull())
+    w = Window.partitionBy("source").orderBy(F.col("q").asc(),
+                                             F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "source",
+        F.round(F.percent_rank().over(w), 6).alias("q_pctile"))
+
+
+@register("ev_gap_distribution", oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         datediff('second',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) AS gap_s
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       CAST(floor(median(gap_s)) AS BIGINT) AS median_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id HAVING count(*) >= 20
+""")
+def ev_gap_distribution(spark: SparkSession, d: str) -> DataFrame:
+    """Inter-event gap distribution per user (median + max seconds
+    between consecutive events) — the statistic that calibrates the
+    sessionization gap (ev_sessionize's 30 min is a point on THIS
+    distribution).  lag over the user window, exact median per user
+    (integer seconds -> engine-identical), thin users (<20 gaps)
+    suppressed.  Same single user_id shuffle as the session family;
+    at 100 TB swap exact median for approx_percentile and gate like
+    a5_approx_gate."""
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp")
+    gap = (F.unix_timestamp(ts)
+           - F.unix_timestamp(F.lag(ts).over(w.orderBy(
+               F.col("ts"), F.col("event_id")))))
+    gaps = ev.withColumn("gap_s", gap).filter(F.col("gap_s").isNotNull())
+    return (gaps.groupBy("user_id")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.floor(F.expr("percentile(gap_s, 0.5)")).cast("long")
+                 .alias("median_gap_s"),
+                 F.max("gap_s").cast("long").alias("max_gap_s"))
+            .filter(F.col("n_gaps") >= 20))
+
+
+@register("s22_schema_evolution", oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_quality,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_quality
+FROM documents
+""")
+def s22_schema_evolution(spark: SparkSession, d: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the lake: an old batch written WITHOUT the
+    quality column and a new batch WITH it must read back as one
+    table under mergeSchema, old rows surfacing NULL — the
+    add-a-column migration every long-lived ingest performs.  The
+    oracle pins exact row counts on both sides of the evolution.
+    At 100 TB: mergeSchema costs a footer read per file — fine for
+    one migration read, but production pins the merged schema in the
+    table catalog afterwards so scans go back to single-schema."""
+    import shutil
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    path = _scratch("s22_evolving")
+    shutil.rmtree(path, ignore_errors=True)
+    old = docs.filter(F.col("doc_id") % 2 == 1) \
+        .select("doc_id", "source")
+    new = docs.filter(F.col("doc_id") % 2 == 0) \
+        .select("doc_id", "source", F.lit(0.5).alias("quality"))
+    old.write.parquet(f"{path}/b=1")
+    new.write.parquet(f"{path}/b=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/b=1", f"{path}/b=2")
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("quality").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_with_quality"),
+        F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_null_quality"))
+
+
 @register("u6_except_intersect", oracle="""
 WITH en_docs AS (SELECT source FROM documents WHERE lang = 'en'),
      zh_docs AS (SELECT source FROM documents WHERE lang = 'zh')
