@@ -636,6 +636,113 @@ def s17_compact(spark: SparkSession, d: str) -> DataFrame:
 # Warehouse-style event ops: SCD2 islands, multi-granularity rollup
 # ===========================================================================
 
+@register("ev_multitouch_attribution", oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     t AS (SELECT user_id, event_id, event_type, ts FROM events
+           WHERE event_type IN ('view', 'click')),
+matched AS (
+  SELECT p.event_id AS purchase_id, t.event_id AS touch_id,
+         t.event_type, p.ts AS p_ts, t.ts AS t_ts
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 60 MINUTE
+), credited AS (
+  SELECT purchase_id, touch_id, event_type,
+         1.0 / count(*) OVER (PARTITION BY purchase_id) AS linear_w,
+         CAST(floor(epoch(p_ts) - epoch(t_ts)) AS BIGINT) AS age_s
+  FROM matched
+)
+SELECT event_type,
+       round(sum(linear_w), 4) AS linear_credit,
+       round(sum(exp(-age_s / 1800.0)), 4) AS decay_credit,
+       count(*) AS n_touches
+FROM credited GROUP BY event_type
+""")
+def ev_multitouch_attribution(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-touch marketing attribution: every view/click in the hour
+    before a purchase shares that purchase's credit — LINEAR (1/n per
+    touch) and TIME-DECAY (exp(-age/30min)) models side by side,
+    rolled up by channel (event_type).  The single-touch as-of join
+    (ev_asof_join) is the k=1 special case.
+
+    Plan: the same gap-bucketed equi-join strategy as ev_window_join
+    (no inequality-join fallback), then a per-purchase window for the
+    1/n weights and one small rollup.  Shuffles: (user, bucket) for
+    the match, purchase_id for the credit split — both uniform.  At
+    100 TB the credited rows are touches-within-window, output-
+    proportional, never |events| x |events|."""
+    gap_us = 3600 * 1_000_000
+    ev = _t(spark, d, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id"),
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                 .alias("p_us")))
+    p = p.withColumn(
+        "bucket", F.explode(F.array(F.floor(F.col("p_us") / gap_us),
+                                    F.floor(F.col("p_us") / gap_us) - 1)))
+    t = (ev.filter(F.col("event_type").isin("view", "click"))
+         .select(F.col("user_id").alias("t_user"),
+                 F.col("event_id").alias("touch_id"),
+                 F.col("event_type"),
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                 .alias("t_us")))
+    t = t.withColumn("bucket", F.floor(F.col("t_us") / gap_us))
+    matched = p.join(
+        t, (p["user_id"] == t["t_user"]) & (p["bucket"] == t["bucket"])
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - gap_us), "inner")
+    wp = Window.partitionBy("purchase_id")
+    credited = (matched
+                .select("purchase_id", "touch_id", "event_type",
+                        ((F.col("p_us") - F.col("t_us"))
+                         / 1_000_000).cast("long").alias("age_s"))
+                .withColumn("linear_w", F.lit(1.0) / F.count("*").over(wp)))
+    return (credited.groupBy("event_type")
+            .agg(F.round(F.sum("linear_w"), 4).alias("linear_credit"),
+                 F.round(F.sum(F.exp(-F.col("age_s") / 1800.0)), 4)
+                 .alias("decay_credit"),
+                 F.count("*").alias("n_touches")))
+
+
+@register("ta_zipf_slope", oracle=f"""
+WITH toks AS (
+  SELECT unnest({OV.tokens_sql('text')}) AS t FROM documents
+), freq AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY t
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM freq
+), logs AS (
+  SELECT ln(r) AS lr, ln(c) AS lc FROM ranked
+)
+SELECT count(*) AS n_types,
+       round(regr_slope(lc, lr), 4) AS zipf_slope
+FROM logs
+""")
+def ta_zipf_slope(spark: SparkSession, d: str) -> DataFrame:
+    """Zipf-law fit over the corpus token frequencies: the OLS slope
+    of ln(freq) on ln(rank) — natural text sits near -1; template
+    spam, id dumps, and synthetic word soup drift far from it, making
+    the slope a one-number corpus-health diagnostic (and this corpus
+    IS synthetic word soup, which the value shows).  Slope computed
+    from covariance/variance aggregates (regr_slope's definition), so
+    the whole fit is one pass over the type table after the frequency
+    count — no driver-side regression.  Rank ties break on token for
+    engine-identical ordering."""
+    docs = _t(spark, d, "documents")
+    freq = (docs.select(F.explode(dedup.tokens(F.col("text"))).alias("t"))
+            .groupBy("t").agg(F.count("*").alias("c")))
+    w = Window.orderBy(F.desc("c"), F.col("t"))
+    logs = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("c").cast("double")).alias("lc"))
+    return logs.agg(
+        F.count("*").alias("n_types"),
+        F.round(F.covar_pop("lc", "lr") / F.var_pop("lr"), 4)
+        .alias("zipf_slope"))
+
+
 @register("ev_scd2_islands", oracle="""
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
