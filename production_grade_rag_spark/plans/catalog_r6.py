@@ -1135,6 +1135,42 @@ def t13_mix_oversample(spark: SparkSession, d: str) -> DataFrame:
 # Training-data hygiene: benchmark decontamination, domain-mix weights
 # ===========================================================================
 
+@register("dd_impact_report", oracle=f"""
+WITH g AS (
+  SELECT md5(coalesce(text, '')) AS h, count(*) AS cnt,
+         min(length(text) // 4) AS tok
+  FROM documents GROUP BY 1
+)
+SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM g) AS n_docs,
+       (SELECT CAST(sum(cnt - 1) AS BIGINT) FROM g) AS n_exact_redundant,
+       (SELECT CAST(sum((cnt - 1) * tok) AS BIGINT) FROM g)
+         AS tokens_saved,
+       (SELECT count(*) FROM ({OV.minhash_pairs_sql()}) p) AS n_near_pairs
+""")
+def dd_impact_report(spark: SparkSession, d: str) -> DataFrame:
+    """The dedup family composed into the report a data-curation run
+    actually publishes: corpus size, exact-duplicate redundancy (docs
+    beyond each group's keeper), training tokens that redundancy
+    wastes, and verified near-dup pair count (MinHash 16/4 @ 0.8,
+    identical banding to dd_minhash_lsh so the number is the same one
+    that query reports).  Four aggregates meeting in one row via
+    1-row crossJoins — each input aggregation is the already-audited
+    plan shape of its family member."""
+    docs = _t(spark, d, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    g = (docs.groupBy(h.alias("h"))
+         .agg(F.count("*").alias("cnt"),
+              F.min(F.floor(F.length("text") / 4)).alias("tok")))
+    exact = g.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_exact_redundant"),
+        F.sum((F.col("cnt") - 1) * F.col("tok")).cast("long")
+        .alias("tokens_saved"))
+    near = (dedup.minhash_dedup_pairs(docs)
+            .agg(F.count("*").alias("n_near_pairs")))
+    return exact.crossJoin(F.broadcast(near))
+
+
 @register("dd_decontaminate", oracle=f"""
 WITH toks AS (
   SELECT doc_id, {OV.tokens_sql('text')} AS w FROM documents
