@@ -598,6 +598,68 @@ def s20_custom_sink(spark: SparkSession, d: str) -> DataFrame:
     return spark.read.format("paged_dump").option("path", dump).load()
 
 
+@register("ev_value_histogram", oracle="""
+SELECT CAST(floor(value / 50) AS INT) AS bucket,
+       count(*) AS n,
+       round(CAST(floor(value / 50) AS INT) * 50.0, 1) AS bucket_low
+FROM events GROUP BY 1
+""")
+def ev_value_histogram(spark: SparkSession, d: str) -> DataFrame:
+    """Fixed-width histogram of the event value column (bin width 50)
+    — the profiling aggregate behind every dashboard distribution
+    panel.  Pure map-side bucketing + one partial-agged count shuffle;
+    bucket count is data-range/width regardless of corpus size.  For
+    unknown ranges at 100 TB, derive the width from approx
+    min/max percentiles first (one sketch pass), then this exact
+    bucketed count."""
+    ev = _t(spark, d, "events")
+    b = F.floor(F.col("value") / 50).cast("int")
+    return (ev.groupBy(b.alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.first(b) * 50.0, 1).alias("bucket_low")))
+
+
+@register("s23_csv_source", oracle="""
+SELECT count(*) AS n_good, CAST(1 AS BIGINT) AS n_bad,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM documents
+""")
+def s23_csv_source(spark: SparkSession, d: str) -> DataFrame:
+    """CSV round trip with PERMISSIVE corrupt capture — the third
+    mainstream landing format next to parquet (native) and JSON-lines
+    (sources/json_dump.py).  Documents are written as quoted CSV, a
+    malformed line is appended, and the read-back uses an EXPLICIT
+    schema (no inference pass) with _corrupt_record capture: good
+    rows and their n_chars sum must equal the source table, the bad
+    line must land in the corrupt channel, not fail the scan.  At
+    100 TB: explicit schema + multiLine=false keeps CSV splittable by
+    newline; the quote/escape options are the correctness surface."""
+    import os
+    import shutil
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    path = _scratch("s23_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    (docs.select("doc_id", "text", "lang", "n_chars")
+     .write.option("header", "false").option("quoteAll", "true")
+     .csv(path))
+    with open(os.path.join(path, "part-zz-bad.csv"), "w") as fh:
+        fh.write('"not,a,number","x","en","NaNope"\n')
+    schema = ("doc_id long, text string, lang string, n_chars long, "
+              "_corrupt_record string")
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)).cache()
+    good = back.filter(F.col("_corrupt_record").isNull()
+                       & F.col("doc_id").isNotNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    return good.agg(F.count("*").alias("n_good")) \
+        .crossJoin(F.broadcast(bad.agg(F.count("*").alias("n_bad")))) \
+        .crossJoin(F.broadcast(good.agg(
+            F.sum("n_chars").cast("long").alias("sum_chars"))))
+
+
 @register("s17_compact", oracle="""
 SELECT count(*) AS n_docs, TRUE AS compacted, 2 AS files_after
 FROM documents
