@@ -805,6 +805,98 @@ def ta_zipf_slope(spark: SparkSession, d: str) -> DataFrame:
         .alias("zipf_slope"))
 
 
+@register("ev_path_transitions", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT prev_type, sum(n) AS n_from FROM pairs GROUP BY 1
+)
+SELECT p.prev_type AS from_type, p.event_type AS to_type, p.n,
+       round(p.n * 1.0 / t.n_from, 6) AS p_transition
+FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+""")
+def ev_path_transitions(spark: SparkSession, d: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count and probability of each (from_type -> to_type)
+    step — the path-analysis aggregate behind funnel discovery
+    (ev_funnel checks ONE ordained path; this surfaces which paths
+    exist).  lag over the user_id window (the session family's one
+    shuffle), then two metadata-scale aggs: the matrix is
+    |types|^2 rows at any corpus size."""
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    pairs = (seq.filter(F.col("prev_type").isNotNull())
+             .groupBy(F.col("prev_type").alias("from_type"),
+                      F.col("event_type").alias("to_type"))
+             .agg(F.count("*").alias("n")))
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6)
+        .alias("p_transition"))
+
+
+@register("ta_keywords_tfidf", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OV.tokens_sql('text')}) AS t FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.t,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS s
+  FROM tf JOIN df ON tf.t = df.t, n
+), ranked AS (
+  SELECT doc_id, t, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, t) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, t AS keyword, round(s, 6) AS tfidf
+FROM ranked WHERE rk <= 3
+""")
+def ta_keywords_tfidf(spark: SparkSession, d: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (smoothed IDF ln((N+1)/(df+1)), deterministic term tiebreak) —
+    the tagging/labeling step of a curation pipeline, and the
+    document-side complement of the query-side TF-IDF relevance in
+    operators/textscore.py.
+
+    Plan: one token explode feeds BOTH the per-doc TF agg and the
+    corpus DF agg; the DF table is vocabulary-sized (broadcastable at
+    most scales — here AQE's call), the per-doc rank window keys on
+    doc_id.  At 100 TB the vocabulary table is the only global
+    artifact, exactly like the BM25 stats."""
+    docs = _t(spark, d, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(dedup.tokens(F.col("text"))).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df_t = toks.groupBy("t").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (tf.join(df_t, "t")
+              .select("doc_id", "t",
+                      (F.col("tf")
+                       * F.log((n_docs + 1.0) / (F.col("df") + 1.0)))
+                      .alias("s")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.col("t"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "rk", F.col("t").alias("keyword"),
+                    F.round("s", 6).alias("tfidf")))
+
+
 @register("ev_scd2_islands", oracle="""
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
