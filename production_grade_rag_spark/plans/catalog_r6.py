@@ -805,6 +805,53 @@ def ta_zipf_slope(spark: SparkSession, d: str) -> DataFrame:
         .alias("zipf_slope"))
 
 
+@register("ev_active_users", oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+), dau AS (
+  SELECT day, count(*) AS dau FROM days GROUP BY day
+), mau AS (
+  SELECT d.day, count(DISTINCT e.user_id) AS mau
+  FROM (SELECT DISTINCT day FROM days) d
+  JOIN days e ON e.day > d.day - INTERVAL 28 DAY AND e.day <= d.day
+  GROUP BY d.day
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, mau.mau,
+       round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+""")
+def ev_active_users(spark: SparkSession, d: str) -> DataFrame:
+    """DAU / trailing-28-day MAU / stickiness per day — the
+    engagement dashboard's headline numbers.  The MAU needs distinct
+    users over a SLIDING window, which doesn't decompose into daily
+    partials (distinct isn't algebraic) — the scale-correct plan
+    collapses events to distinct (day, user) FIRST (the only pass
+    over raw events), then the day-range self-join runs on
+    days x users rows, and each day counts its trailing window.  At
+    100 TB swap the exact distinct for per-day HLL sketches, which DO
+    merge across the window (a5_approx_gate pins that error
+    pattern)."""
+    ev = _t(spark, d, "events")
+    days = (ev.select(
+        F.date_trunc("DAY", F.col("ts").cast("timestamp"))
+        .cast("date").alias("day"), "user_id").distinct())
+    dau = days.groupBy("day").agg(F.count("*").alias("dau"))
+    day_list = days.select("day").distinct() \
+        .select(F.col("day").alias("ref_day"))
+    mau = (day_list.join(
+        days,
+        (F.col("day") > F.date_sub(F.col("ref_day"), 28))
+        & (F.col("day") <= F.col("ref_day")))
+        .groupBy("ref_day")
+        .agg(F.countDistinct("user_id").alias("mau")))
+    return (dau.join(mau, dau.day == mau.ref_day)
+            .select(F.col("day").cast("string").alias("day"),
+                    "dau", "mau",
+                    F.round(F.col("dau") / F.col("mau"), 6)
+                    .alias("stickiness")))
+
+
 @register("ev_path_transitions", oracle="""
 WITH seq AS (
   SELECT user_id, event_type,
