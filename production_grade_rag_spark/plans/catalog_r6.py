@@ -805,6 +805,56 @@ def ta_zipf_slope(spark: SparkSession, d: str) -> DataFrame:
         .alias("zipf_slope"))
 
 
+@register("mm_modality_router", oracle="""
+SELECT 'audio' AS modality, count(*) AS n_items,
+       CAST(sum(1 + greatest(0, ((n_chars * 100) - 16000 + 7999) // 8000))
+            AS BIGINT) AS n_units
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 'image', count(*), CAST(count(*) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'video', count(*),
+       CAST(sum(least(5, greatest(ceil(n_chars / 100.0)::INT, 1)))
+            AS BIGINT)
+FROM documents WHERE doc_id % 3 = 2
+""")
+def mm_modality_router(spark: SparkSession, d: str) -> DataFrame:
+    """MIXED-modality ingestion routing: one corpus fans out to
+    per-modality processing branches — images through the mapInPandas
+    decoder, audio through the window planner, video through the
+    frame sampler — and the branch outputs union into one per-modality
+    work summary (items in, processing units out).  This is the shape
+    a real multimodal landing zone runs every batch; each branch is
+    the already-oracled operator (mm_decode_features /
+    mm_audio_windows / mm_frame_sample), so the router adds routing,
+    not new semantics.  Branch filters push into the shared scan; no
+    branch shuffles until its own summary agg."""
+    from ..operators import multimodal
+    docs = _t(spark, d, "documents")
+    img = multimodal.decode_features(
+        multimodal.attach_binary(docs.filter(F.col("doc_id") % 3 == 0)))
+    aud = multimodal.audio_windows(
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", (F.col("n_chars") * 100).cast("long")
+                .alias("n_samples")))
+    vid = multimodal.frame_sample(
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", (F.col("n_chars") / 100.0).alias("duration_s")))
+
+    def summary(df: DataFrame, modality: str) -> DataFrame:
+        return df.agg(
+            F.countDistinct("doc_id").alias("n_items"),
+            F.count("*").alias("n_units")) \
+            .select(F.lit(modality).alias("modality"),
+                    F.col("n_items").cast("long").alias("n_items"),
+                    F.col("n_units").cast("long").alias("n_units"))
+
+    return (summary(img, "image")
+            .unionByName(summary(aud, "audio"))
+            .unionByName(summary(vid, "video")))
+
+
 @register("ev_active_users", oracle="""
 WITH days AS (
   SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
