@@ -805,6 +805,35 @@ def ta_zipf_slope(spark: SparkSession, d: str) -> DataFrame:
         .alias("zipf_slope"))
 
 
+@register("s14_storage_stats", oracle="""
+SELECT (SELECT count(*) FROM documents) AS document_count,
+       (SELECT count(*) FROM documents) AS chunk_count,
+       (SELECT count(*) FROM events) AS event_count,
+       (SELECT count(*) FROM embeddings) AS embedding_count,
+       TRUE AS healthy
+""")
+def s14_storage_stats(spark: SparkSession, d: str) -> DataFrame:
+    """S14 storage stats driver-visible (reference
+    vector_store.py:344-379: collection counts + index list + health
+    ping): row counts per store plus a health flag (every table
+    readable and non-empty).  One count job per table — in production
+    these read catalog/table-metadata statistics instead of scanning
+    (parquet footers carry row counts; the counts here ARE
+    footer-served by Spark's count optimization)."""
+    from ..sources import tables as TB
+    docs = _t(spark, d, "documents")
+    stats = TB.storage_stats(docs, docs)   # chunks table == docs here
+    ev = _t(spark, d, "events").agg(
+        F.count("*").alias("event_count"))
+    emb = _t(spark, d, "embeddings").agg(
+        F.count("*").alias("embedding_count"))
+    out = stats.crossJoin(F.broadcast(ev)).crossJoin(F.broadcast(emb))
+    return out.select(
+        "*",
+        ((F.col("document_count") > 0) & (F.col("event_count") > 0)
+         & (F.col("embedding_count") > 0)).alias("healthy"))
+
+
 @register("mm_modality_router", oracle="""
 SELECT 'audio' AS modality, count(*) AS n_items,
        CAST(sum(1 + greatest(0, ((n_chars * 100) - 16000 + 7999) // 8000))
