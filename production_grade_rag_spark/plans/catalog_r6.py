@@ -601,7 +601,8 @@ def s20_custom_sink(spark: SparkSession, d: str) -> DataFrame:
 @register("ev_value_histogram", oracle="""
 SELECT CAST(floor(value / 50) AS INT) AS bucket,
        count(*) AS n,
-       round(CAST(floor(value / 50) AS INT) * 50.0, 1) AS bucket_low
+       round(CAST(floor(value / 50) AS INT) * CAST(50.0 AS DOUBLE), 1)
+         AS bucket_low
 FROM events GROUP BY 1
 """)
 def ev_value_histogram(spark: SparkSession, d: str) -> DataFrame:
