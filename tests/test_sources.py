@@ -525,3 +525,35 @@ def test_paged_dump_writer_abort_leaves_no_manifest(spark, tmp_path):
         bad.write.format("paged_dump").option("path", out) \
             .mode("append").save()
     assert not _os.path.exists(_os.path.join(out, "_MANIFEST"))
+
+
+def test_paged_dump_roundtrip_fuzz(spark, tmp_path):
+    """Property: ANY unicode title (newlines, quotes, CJK, emoji)
+    survives the write->manifest->read round trip byte-exact —
+    JSON-lines escaping is the load-bearing detail."""
+    from hypothesis import given, settings, strategies as st
+    from production_grade_rag_spark.sources.paged_source import (
+        PagedDumpDataSource)
+
+    spark.dataSource.register(PagedDumpDataSource)
+    box = {"n": 0}
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=6))
+    def prop(titles):
+        box["n"] += 1
+        out = str(tmp_path / f"fuzz_{box['n']}")
+        rows = [(str(i), t, "en", len(t), False)
+                for i, t in enumerate(titles)]
+        df = spark.createDataFrame(
+            rows, "page_id string, title string, lang string, "
+                  "n_chars bigint, malformed boolean")
+        df.coalesce(1).write.format("paged_dump") \
+            .option("path", out).mode("append").save()
+        back = spark.read.format("paged_dump") \
+            .option("path", out).load().collect()
+        assert sorted((r["page_id"], r["title"]) for r in back) == \
+            sorted((str(i), t) for i, t in enumerate(titles))
+        assert not any(r["malformed"] for r in back)
+
+    prop()

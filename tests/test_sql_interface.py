@@ -66,3 +66,32 @@ def test_sql_udfs_match_column_forms(spark):
         SELECT pgrs_jaccard(array('a','b','c'), array('b','c','d')) AS j,
                pgrs_jaccard(array(), array()) AS z""").first()
     assert abs(j["j"] - 0.5) < 1e-12 and j["z"] == 0.0
+
+
+def test_sql_udf_fuzz_parity(spark):
+    """Property: pgrs_word_count / pgrs_token_estimate agree with the
+    Column builders on arbitrary unicode text (whitespace runs, CJK,
+    control chars)."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.functions import text as X
+    from production_grade_rag_spark.functions.sql_udfs import (
+        register_sql_udfs)
+
+    register_sql_udfs(spark)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.text(max_size=60), min_size=1, max_size=8))
+    def prop(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "s string")
+        df.createOrReplaceTempView("__t_sqludf_fuzz")
+        got = spark.sql(
+            "SELECT pgrs_word_count(s) AS wc, "
+            "pgrs_token_estimate(s) AS tok FROM __t_sqludf_fuzz"
+        ).collect()
+        want = df.select(
+            X.word_count(F.col("s")).alias("wc"),
+            X.token_estimate(F.col("s")).alias("tok")).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    prop()
