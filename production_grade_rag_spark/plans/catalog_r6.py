@@ -932,6 +932,62 @@ def ev_active_users(spark: SparkSession, d: str) -> DataFrame:
                     .alias("stickiness")))
 
 
+@register("ev_active_users_hll", oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+), dau AS (
+  SELECT day, count(*) AS dau FROM days GROUP BY day
+), mau AS (
+  SELECT d.day, count(DISTINCT e.user_id) AS mau_exact
+  FROM (SELECT DISTINCT day FROM days) d
+  JOIN days e ON e.day > d.day - INTERVAL 28 DAY AND e.day <= d.day
+  GROUP BY d.day
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, mau.mau_exact,
+       TRUE AS mau_within_5pct
+FROM dau JOIN mau ON dau.day = mau.day
+""")
+def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
+    """The sliding-MAU at ACTUAL scale: per-day DataSketches HLL
+    sketches (hll_sketch_agg — ONE pass over events), then
+    hll_union_agg as a WINDOW over the trailing 28 day-rows and an
+    estimate — sketches merge where exact distinct cannot, so the
+    sliding distinct costs days x sketch-bytes instead of a day-range
+    self-join over users (ev_active_users' exact form, which is this
+    entry's in-plan truth).  The 5% error gate is value-pinned by the
+    oracle, a la a5_approx_gate; exact DAU and exact MAU ride along
+    value-checked."""
+    ev = _t(spark, d, "events")
+    days = (ev.select(
+        F.date_trunc("DAY", F.col("ts").cast("timestamp"))
+        .cast("date").alias("day"), "user_id").distinct())
+    days.createOrReplaceTempView("__pgrs_days_hll")
+    return spark.sql("""
+        WITH daily AS (
+          SELECT day, count(*) AS dau,
+                 hll_sketch_agg(user_id) AS sk
+          FROM __pgrs_days_hll GROUP BY day
+        ), est AS (
+          SELECT day, dau,
+                 hll_sketch_estimate(hll_union_agg(sk) OVER
+                   (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+                   AS mau_est
+          FROM daily
+        ), exact AS (
+          SELECT d.day, count(DISTINCT e.user_id) AS mau_exact
+          FROM (SELECT DISTINCT day FROM __pgrs_days_hll) d
+          JOIN __pgrs_days_hll e
+            ON e.day > d.day - INTERVAL 28 DAY AND e.day <= d.day
+          GROUP BY d.day
+        )
+        SELECT CAST(est.day AS STRING) AS day, est.dau, exact.mau_exact,
+               (abs(est.mau_est - exact.mau_exact) / exact.mau_exact)
+                 <= 0.05 AS mau_within_5pct
+        FROM est JOIN exact ON est.day = exact.day
+    """)
+
+
 @register("ev_path_transitions", oracle="""
 WITH seq AS (
   SELECT user_id, event_type,
