@@ -123,13 +123,15 @@ def links_sql(expr: str) -> str:
 
 
 def chunk_fixed_sql(chunk_size: int = 1000, overlap: int = 200,
-                    min_chars: int = 50) -> str:
+                    min_chars: int = 50, src: str = "documents") -> str:
     """M1-lite fixed-stride chunking over cleaned documents, mirroring
-    chunking.chunk_fixed (enumerate-then-filter, md5 of unstripped)."""
+    chunking.chunk_fixed (enumerate-then-filter, md5 of unstripped).
+    ``src`` lets a caller chunk a CTE (e.g. a quality-filtered doc
+    set) instead of the raw view."""
     stride = chunk_size - overlap
     return f"""
 WITH cleaned AS (
-  SELECT doc_id, {clean_sql('text')} AS clean FROM documents
+  SELECT doc_id, {clean_sql('text')} AS clean FROM {src}
 ), seq AS (
   SELECT doc_id, clean,
          unnest(range(0, CASE WHEN length(clean) = 0 THEN 0
