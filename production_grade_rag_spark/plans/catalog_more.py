@@ -13,6 +13,7 @@ from ..operators import chunking, dedup, embedding, similarity, textstats
 from ..functions.text import URL_RE as _URL_RE_FOR_ORACLE
 from . import oracle_sql as O
 from . import oracle_vec as OV
+from .flagship import flagship_oracle_sql
 from .catalog import _t, register
 from .oracle_vec import QUERY_VEC
 from .oracle_sql import sql_str
@@ -1021,18 +1022,22 @@ def ta_length_quantiles(spark: SparkSession, d: str) -> DataFrame:
         F.expr("round(percentile(n_chars, 0.99), 6)").alias("p99"))
 
 
-@register("flagship_dim384", headline=True)
+@register("flagship_dim384", headline=True,
+          oracle=flagship_oracle_sql(dim=384))
 def flagship_dim384(spark: SparkSession, d: str) -> DataFrame:
     """Flagship pipeline at the reference's production embedding width
     (384-dim all-MiniLM, settings.py:40) — the bench-honesty variant
     the round-3 verdict asked for: clean -> chunk -> hash-embed at
     dim=384 -> knn -> attribution, same DAG as entry()'s dim-64 run,
-    6x the embedding assembly and cosine width.  Rows-only by design
-    (the value math is pinned by the dim-64 oracle entries; this one
-    exists so the bench would catch a superlinear blowup in the dense
-    assembly or the zip_with cosine at real dimensionality)."""
+    6x the embedding assembly and cosine width.  Since round 6 it is
+    also VALUE-checked end to end by the shared flagship oracle
+    (plans/flagship.flagship_oracle_sql at dim=384), so the bench
+    entry and the correctness entry are the same plan."""
     from .flagship import flagship_search
-    return flagship_search(spark, d, k=10, dim=384)
+    out = flagship_search(spark, d, k=10, dim=384)
+    return out.select("chunk_id", "doc_id", "content", "score",
+                      "source_type", "doc_lang",
+                      F.round("quality_score", 6).alias("quality_score"))
 
 
 def _eng_hybrid_oracle() -> str:

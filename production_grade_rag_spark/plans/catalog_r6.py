@@ -24,6 +24,7 @@ from ..functions import text as X
 from ..operators import dedup, embedding, pq, textstats
 from . import oracle_sql as O
 from . import oracle_vec as OV
+from . import flagship as FL
 from .catalog import _t, register
 from .oracle_vec import QUERY_VEC
 
@@ -806,63 +807,7 @@ def ta_zipf_slope(spark: SparkSession, d: str) -> DataFrame:
         .alias("zipf_slope"))
 
 
-def _flagship_oracle() -> str:
-    """End-to-end flagship oracle: quality gate -> fixed chunking ->
-    hash-embed components -> cosine top-k -> attribution, entirely in
-    DuckDB SQL.  Query-side components computed here in Python with
-    the same md5 bucket/sign rule the engine uses (embed_text_py)."""
-    import hashlib
-    import math
-    from .flagship import FLAGSHIP_QUERY
-    comps: dict[int, int] = {}
-    for tok in FLAGSHIP_QUERY.strip().lower().split():
-        h = hashlib.md5(tok.encode()).hexdigest()
-        b = int(h[:8], 16) % 64
-        comps[b] = comps.get(b, 0) + (1 if int(h[8], 16) % 2 == 0 else -1)
-    comps = {b: v for b, v in comps.items() if v != 0}
-    qnorm = math.sqrt(sum(v * v for v in comps.values()))
-    qvals = ", ".join(f"({b}, {v})" for b, v in sorted(comps.items()))
-    return f"""
-WITH kept_docs AS (
-  SELECT * FROM (
-    SELECT doc_id, text, lang, source, n_chars,
-           {O.quality_sql('text')} AS __q
-    FROM documents
-  ) WHERE __q IS NULL OR __q >= 0.3
-), chunks AS (
-  SELECT * FROM ({O.chunk_fixed_sql(400, 80, src="kept_docs")})
-), toks AS (
-  SELECT chunk_id, unnest({OV.tokens_sql('content')}) AS tok FROM chunks
-), comps AS (
-  SELECT chunk_id,
-         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
-         sum(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
-                  THEN 1 ELSE -1 END) AS val
-  FROM toks GROUP BY 1, 2
-), q(bucket, qval) AS (VALUES {qvals}),
-dots AS (
-  SELECT c.chunk_id, sum(c.val * q.qval) AS dot
-  FROM comps c JOIN q USING (bucket) GROUP BY 1
-), norms AS (
-  SELECT chunk_id, sqrt(sum(val * val)) AS nrm FROM comps GROUP BY 1
-), scored AS (
-  SELECT ch.chunk_id, ch.doc_id, ch.content,
-         CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN 0.0::DOUBLE
-              ELSE coalesce(d.dot, 0) / (n.nrm * {qnorm!r}) END AS score
-  FROM chunks ch
-  LEFT JOIN norms n USING (chunk_id)
-  LEFT JOIN dots d USING (chunk_id)
-), topk AS (
-  SELECT * FROM scored ORDER BY score DESC, chunk_id LIMIT 10
-)
-SELECT t.chunk_id, t.doc_id, t.content, round(t.score, 6) AS score,
-       doc.source AS source_type, doc.lang AS doc_lang,
-       round(doc.__q, 6) AS quality_score
-FROM topk t LEFT JOIN kept_docs doc USING (doc_id)
-"""
-
-
-@register("flagship_valuecheck", oracle=_flagship_oracle())
+@register("flagship_valuecheck", oracle=FL.flagship_oracle_sql())
 def flagship_valuecheck(spark: SparkSession, d: str) -> DataFrame:
     """The FLAGSHIP pipeline value-checked end to end: the same
     clean -> quality gate -> chunk -> hash-embed -> cosine top-k ->
