@@ -903,6 +903,62 @@ def mm_modality_router(spark: SparkSession, d: str) -> DataFrame:
             .unionByName(summary(vid, "video")))
 
 
+@register("ev_seasonality", oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour_of_day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""")
+def ev_seasonality(spark: SparkSession, d: str) -> DataFrame:
+    """Seasonality profile: the day-of-week x hour-of-day activity
+    matrix (events + distinct users per cell) — capacity planning and
+    anomaly-baseline input (ev_anomaly_zscore's daily baseline is this
+    matrix's row sums).  One partial-agged shuffle; output is a fixed
+    7x24 grid at any scale.  DOW convention: Sunday=1 in both engines
+    (Spark dayofweek == DuckDB dayofweek+... pinned by the oracle
+    hash, which is the point of checking it)."""
+    ev = _t(spark, d, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (ev.groupBy(
+        F.dayofweek(ts).cast("int").alias("dow"),
+        F.hour(ts).cast("int").alias("hour_of_day"))
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users")))
+
+
+@register("t14_dedup_aware_sample", oracle=f"""
+WITH pairs AS ({{NGRAM_PAIRS}}),
+dups AS (
+  SELECT DISTINCT greatest(id_a, id_b) AS doc_id FROM pairs
+), keepers AS (
+  SELECT d.doc_id, d.source FROM documents d
+  LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
+)
+SELECT doc_id, source FROM keepers
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))::BIGINT
+      % 100 < 10
+""".replace("{NGRAM_PAIRS}", OV.ngram_pairs_sql(0.5).strip()))
+def t14_dedup_aware_sample(spark: SparkSession, d: str) -> DataFrame:
+    """Pipeline chaining the way a curation run actually orders it:
+    DEDUP FIRST, THEN SAMPLE — sampling before dedup biases the
+    sample toward duplicated content (a doc with 5 near-copies is 5x
+    as likely to survive).  Composition of dd_keepers (min-id-wins
+    drop set) and t9_hash_sample's deterministic 10% hash gate, both
+    already oracled alone; the composition pins the anti-join + gate
+    ordering."""
+    docs = _t(spark, d, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    flagged = dedup.dedup_keepers(pairs, docs)
+    keepers = flagged.filter(~F.col("is_near_dup")) \
+        .select("doc_id").join(docs, "doc_id")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":sample"))), 1, 8),
+               16, 10).cast("long"), F.lit(100))
+    return keepers.filter(bucket < 10).select("doc_id", "source")
+
+
 @register("ev_active_users", oracle="""
 WITH days AS (
   SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
