@@ -415,6 +415,30 @@ def st_dedup_watermarked(spark: SparkSession, d: str) -> DataFrame:
     return out
 
 
+@register("st_incremental_rollup", oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS value_scaled
+FROM events GROUP BY 1, 2
+""")
+def st_incremental_rollup(spark: SparkSession, d: str) -> DataFrame:
+    """The STREAMING half of ev_incremental_rollup: micro-batches fold
+    algebraic partials into the day x type rollup store via
+    foreachBatch merge-and-swap (streaming/pipeline.run_rollup_merge)
+    — the continuous-aggregate maintenance loop.  A full drain must
+    equal the one-shot batch rollup (the oracle); multi-epoch folding
+    is pinned in tests/test_streaming.py with a 3-file source."""
+    import shutil
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+    store = _scratch("st_rollup_store")
+    shutil.rmtree(store, ignore_errors=True)
+    ev = SP.read_event_stream(spark, d)
+    SP.run_rollup_merge(ev, store)
+    return spark.read.parquet(store)
+
+
 @register("st_stream_join", oracle="""
 SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
        p.ts AS purchase_ts, v.ts AS view_ts

@@ -254,6 +254,56 @@ def run_foreach_parquet(result: DataFrame, out_path: str,
         q.stop()
 
 
+def run_rollup_merge(events: DataFrame, store_path: str,
+                     timeout_s: int = 120) -> None:
+    """STREAMING materialized-view maintenance: each micro-batch is
+    partial-aggregated to (day, event_type) counts/scaled-sums and
+    MERGED into the rollup store by re-aggregating store + increment
+    (algebraic partials — the ev_incremental_rollup math, driven by
+    foreachBatch).  The store rewrite goes through a temp dir + swap
+    so a crash mid-write never leaves a half store; with a
+    Delta/Iceberg sink the swap becomes a real MERGE and the
+    checkpoint's epoch ids make the whole loop exactly-once.
+    Maintenance cost per batch: O(batch + store rows), never
+    O(history of raw events)."""
+    import shutil
+
+    def rollup(df: DataFrame) -> DataFrame:
+        scaled = F.round(F.col("value") * 10000).cast("long")
+        return (df.withColumn(
+                    "day",
+                    F.date_trunc("DAY", F.col("ts").cast("timestamp"))
+                    .cast("date").cast("string"))
+                .groupBy("day", "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum(scaled).alias("value_scaled")))
+
+    def merge_batch(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        inc = rollup(df)
+        import os
+        if os.path.exists(store_path):
+            merged = (spark.read.parquet(store_path)
+                      .unionByName(inc)
+                      .groupBy("day", "event_type")
+                      .agg(F.sum("n_events").alias("n_events"),
+                           F.sum("value_scaled").alias("value_scaled")))
+        else:
+            merged = inc
+        tmp = store_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(store_path, ignore_errors=True)
+        os.rename(tmp, store_path)
+
+    with tempfile.TemporaryDirectory(prefix="pgrs_ckpt_") as ckpt:
+        q = (events.writeStream.foreachBatch(merge_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(timeout_s)
+        q.stop()
+
+
 def run_available_now(result: DataFrame, table_name: str,
                       timeout_s: int = 120,
                       output_mode: str = "complete") -> DataFrame:

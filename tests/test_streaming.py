@@ -192,3 +192,30 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
             sp.hourly_counts(sp.read_event_stream(spark, d)),
             f"t_enc_{d.rsplit('/', 1)[-1]}")
         assert out.count() > 0
+
+
+def test_streaming_rollup_merge_across_batches(spark, tmp_path):
+    """run_rollup_merge must fold each micro-batch's partials into the
+    store (3 files -> 3 merge epochs) and end exactly equal to the
+    one-shot batch rollup — the streaming materialized-view loop."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ev_split")
+    events = spark.read.parquet(f"{SF001}/events.parquet")
+    events.repartition(3).write.parquet(src)
+    store = str(tmp_path / "rollup_store")
+
+    raw = (spark.readStream.schema(events.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sp.run_rollup_merge(sp.normalize_event_ts(raw), store)
+
+    got = spark.read.parquet(store)
+    scaled = F.round(F.col("value") * 10000).cast("long")
+    want = (sp.normalize_event_ts(spark.read.parquet(src))
+            .withColumn("day", F.date_trunc("DAY", F.col("ts"))
+                        .cast("date").cast("string"))
+            .groupBy("day", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(scaled).alias("value_scaled")))
+    cols = ["day", "event_type", "n_events", "value_scaled"]
+    assert _rows(got, cols) == _rows(want, cols)
