@@ -2141,6 +2141,40 @@ def ev_heavy_hitters(spark: SparkSession, d: str) -> DataFrame:
             .orderBy(F.desc("n"), "user_id").limit(10))
 
 
+@register("ev_heavy_hitters_approx", oracle="""
+SELECT CAST(10 AS INT) AS n_items, TRUE AS counts_match_exact,
+       TRUE AS min_count_ok
+""")
+def ev_heavy_hitters_approx(spark: SparkSession, d: str) -> DataFrame:
+    """Sketch twin of ev_heavy_hitters: approx_top_k (frequent-items
+    sketch) with an in-plan gate built to be TIE-ROBUST — among equal
+    counts the sketch may legitimately pick different ids than the
+    exact query's id-tiebreak, so the gate checks what IS contractual:
+    (a) every reported count equals that key's exact count (the
+    sketch's capacity exceeds the key cardinality here, so counts are
+    exact), and (b) every reported item's count reaches the exact
+    10th-place count.  At 100 TB with unbounded keys this sketch IS
+    the heavy-hitters plan; the counts become approximate and gate (a)
+    relaxes to an epsilon band."""
+    ev = _t(spark, d, "events")
+    ev.createOrReplaceTempView("__pgrs_ev_hh")
+    approx = spark.sql("""
+        SELECT explode(approx_top_k(user_id, 10, 16384)) AS it
+        FROM __pgrs_ev_hh
+    """).select(F.col("it.item").alias("user_id"),
+                F.col("it.count").alias("approx_n"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tenth = (exact.orderBy(F.desc("n"), "user_id").limit(10)
+             .agg(F.min("n").alias("__t")))
+    j = approx.join(exact, "user_id", "left").crossJoin(F.broadcast(tenth))
+    return j.agg(
+        F.count("*").cast("int").alias("n_items"),
+        (F.sum(F.when(F.col("approx_n") == F.col("n"), 0).otherwise(1))
+         == 0).alias("counts_match_exact"),
+        (F.sum(F.when(F.col("approx_n") >= F.col("__t"), 0).otherwise(1))
+         == 0).alias("min_count_ok"))
+
+
 @register("ev_retention_cohorts", oracle="""
 WITH acts AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
