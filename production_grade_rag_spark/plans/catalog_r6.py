@@ -1940,6 +1940,42 @@ def q14_promo_revenue(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").alias("n_lines"))
 
 
+@register("q17_small_quantity_revenue", oracle="""
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""")
+def q17_small_quantity_revenue(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q17 shape: CORRELATED SCALAR SUBQUERY — each lineitem
+    compared against its own part's average quantity (threshold 0.5x;
+    the classic 0.2x catches nothing on uniform 1-50 quantities).
+    Catalyst de-correlates this into a per-partkey aggregate joined
+    back to the fact table — written here AS the subquery via
+    spark.sql so the optimizer's rewrite is what's exercised, exactly
+    the q4-EXISTS treatment.  The per-part average table is
+    |parts|-sized; the brand filter prunes the probe side first.
+    Revenue integer-scaled (q6 convention) for the one-row ratio."""
+    _t(spark, d, "lineitem").createOrReplaceTempView("__pgrs_li_q17")
+    _t(spark, d, "part").createOrReplaceTempView("__pgrs_p_q17")
+    return spark.sql("""
+        SELECT round(CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                       AS DOUBLE) / 10000.0 / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM __pgrs_li_q17 l
+        JOIN __pgrs_p_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM __pgrs_li_q17 l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """)
+
+
 @register("q18_large_volume_customers", oracle="""
 WITH big AS (
   SELECT l_orderkey FROM lineitem
