@@ -175,3 +175,62 @@ def confidence_score(results: DataFrame, query_col: str | None = None,
         + 0.2 * F.least(F.col("__n_sources") / 2.0, F.lit(1.0)))
     return agg.withColumn("confidence", conf) \
               .drop("__max_score", "__n", "__n_sources")
+
+
+def mmr_rerank(results: DataFrame, query_col: str = "query_id",
+               score_col: str = "score", text_col: str = "content",
+               lam: float = 0.7, k: int = 5,
+               id_col: str | None = None) -> DataFrame:
+    """Full Maximal-Marginal-Relevance reranking — the complete form of
+    the reference's "MMR-lite" threshold filter (advanced_search.py:
+    275-311 drops items above a Jaccard cutoff; true MMR re-SCORES
+    every step: pick argmax of lam*relevance - (1-lam)*max_sim_to_
+    selected, so diversity trades off against relevance continuously).
+
+    Similarity is token-set Jaccard (same token definition as
+    greedy_diversity, so both diversity operators share one notion of
+    "near-duplicate result").  Sequential per query like W5 ->
+    applyInPandas over k-bounded groups; deterministic total order
+    (score desc, content, id) breaks all ties, including equal MMR
+    scores (first-in-order wins).  Output: the selected rows plus
+    mmr_rank (1-based pick order)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(results.schema.fields
+                          + [T.StructField("mmr_rank", T.IntegerType())])
+    sort_cols = [score_col, text_col] + ([id_col] if id_col else [])
+    ascending = [False, True] + ([True] if id_col else [])
+
+    def _jac(a: set, b: set) -> float:
+        if not a and not b:
+            return 1.0
+        if not a or not b:
+            return 0.0
+        return len(a & b) / len(a | b)
+
+    def _rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, ascending=ascending,
+                              kind="mergesort").reset_index(drop=True)
+        toks = [set((t or "").lower().split()) for t in pdf[text_col]]
+        scores = list(pdf[score_col])
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            best, best_val = None, None
+            for i in remaining:
+                pen = max((_jac(toks[i], toks[j]) for j in selected),
+                          default=0.0)
+                val = lam * scores[i] - (1 - lam) * pen
+                # strict > : equal MMR resolves to the earlier row in
+                # the deterministic order
+                if best is None or val > best_val:
+                    best, best_val = i, val
+            selected.append(best)
+            remaining.remove(best)
+        out = pdf.iloc[selected].copy()
+        out["mmr_rank"] = range(1, len(selected) + 1)
+        return out
+
+    return results.groupBy(query_col).applyInPandas(_rerank, schema=schema)

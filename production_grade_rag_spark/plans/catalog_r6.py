@@ -2177,6 +2177,82 @@ def ev_heavy_hitters(spark: SparkSession, d: str) -> DataFrame:
             .orderBy(F.desc("n"), "user_id").limit(10))
 
 
+def _mmr_oracle(lam: float = 0.7, k: int = 5) -> str:
+    """Unrolled-step SQL replay of full MMR over the top-10 overlap
+    candidates: per step, remaining candidates score
+    lam*rel - (1-lam)*max_sim_to_selected and the argmax joins the
+    selected set (ties -> lowest rank index, matching the operator's
+    strict-> first-in-order rule).  Float literals carry Python's
+    exact repr so both engines compute bit-identical MMR values."""
+    from .catalog_ext import QUERY_TERMS
+    ov = OV.overlap_score_sql("text", QUERY_TERMS)
+    toks = OV.tokens_sql("text")
+    one_minus = repr(1 - lam)
+    parts = [f"""
+WITH cand0 AS (
+  SELECT doc_id, {ov} AS score, text
+  FROM documents ORDER BY score DESC, doc_id LIMIT 10
+), cand AS (
+  SELECT doc_id, score, list_distinct({toks}) AS toks,
+         row_number() OVER (ORDER BY score DESC, text, doc_id) - 1 AS rn
+  FROM cand0
+), simj AS (
+  SELECT a.rn AS rn_a, b.rn AS rn_b,
+         CASE WHEN len(a.toks) = 0 AND len(b.toks) = 0 THEN 1.0
+              WHEN len(a.toks) = 0 OR len(b.toks) = 0 THEN 0.0
+              ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / len(list_distinct(a.toks || b.toks)) END AS j
+  FROM cand a JOIN cand b ON a.rn <> b.rn
+), sel1 AS (
+  SELECT rn, 1 AS pick FROM cand ORDER BY score DESC, rn LIMIT 1
+)"""]
+    for i in range(2, k + 1):
+        parts.append(f""", m{i} AS (
+  SELECT c.rn, {lam!r} * c.score
+           - {one_minus} * coalesce(max(s.j), 0.0::DOUBLE) AS mmr
+  FROM cand c
+  LEFT JOIN simj s ON s.rn_b = c.rn
+       AND s.rn_a IN (SELECT rn FROM sel{i - 1})
+  WHERE c.rn NOT IN (SELECT rn FROM sel{i - 1})
+  GROUP BY c.rn, c.score
+), sel{i} AS (
+  SELECT * FROM sel{i - 1}
+  UNION ALL
+  SELECT rn, {i} AS pick FROM
+    (SELECT rn FROM m{i} ORDER BY mmr DESC, rn LIMIT 1) t
+)""")
+    parts.append(f"""
+SELECT 'q1' AS query_id, c.doc_id, round(c.score, 6) AS score,
+       s.pick AS mmr_rank
+FROM sel{k} s JOIN cand c ON c.rn = s.rn
+""")
+    return "".join(parts)
+
+
+@register("w8_mmr_rerank", oracle=_mmr_oracle())
+def w8_mmr_rerank(spark: SparkSession, d: str) -> DataFrame:
+    """Full MMR reranking (fusion.mmr_rerank) over the same top-10
+    overlap candidates w5_greedy_diversity filters: true MMR
+    re-scores every step (lam*relevance - (1-lam)*max-sim-to-
+    selected) instead of a hard Jaccard cutoff, so diversity trades
+    continuously against relevance.  The sequential loop is
+    SQL-replayed step by step (unrolled argmax CTEs, bit-identical
+    float literals) — the strongest determinism claim a greedy
+    reranker can make."""
+    from ..operators import fusion
+    from .catalog_ext import _overlap_score
+    docs = _t(spark, d, "documents")
+    results = (docs.select(
+        F.lit("q1").alias("query_id"),
+        F.col("doc_id"),
+        _overlap_score(F.col("text")).alias("score"),
+        F.col("text").alias("content"))
+        .orderBy(F.desc("score"), "doc_id").limit(10))
+    out = fusion.mmr_rerank(results, id_col="doc_id")
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "mmr_rank")
+
+
 @register("ev_heavy_hitters_approx", oracle="""
 SELECT CAST(10 AS INT) AS n_items, TRUE AS counts_match_exact,
        TRUE AS min_count_ok
