@@ -86,6 +86,11 @@ class EngineConfig:
         "similarity": 15, "parent_child": 8,
     })
     diversity_jaccard_cutoff: float = 0.85   # advanced_search.py:275-311
+    # diversity pass: "threshold" = the reference's MMR-lite hard
+    # cutoff (default, reference parity); "mmr" = full MMR reranking
+    # (fusion.mmr_rerank, lam balances relevance vs redundancy)
+    diversity_mode: str = "threshold"
+    mmr_lambda: float = 0.7
     quality_threshold: float = 0.5           # rag_pipeline.py:49
 
     # token budget (reference: rag_engine.py:36-37)

@@ -335,8 +335,18 @@ class SparkRagEngine:
                   .select(F.lit("q").alias("query_id"), "id",
                           F.col("fused_score").alias("score"),
                           "strategies_used", "content"))
-        diverse = fusion.greedy_diversity(
-            ranked, threshold=c.diversity_jaccard_cutoff, id_col="id")
+        # diversity pass: the reference's threshold filter ("MMR-lite",
+        # advanced_search.py:275-311) by default; config.diversity_mode
+        # = "mmr" swaps in the full continuous trade-off
+        # (fusion.mmr_rerank) — same token-Jaccard similarity, so the
+        # two modes agree on what "near-duplicate" means.
+        if c.diversity_mode == "mmr":
+            diverse = fusion.mmr_rerank(
+                ranked, lam=c.mmr_lambda, k=k, id_col="id") \
+                .drop("mmr_rank")
+        else:
+            diverse = fusion.greedy_diversity(
+                ranked, threshold=c.diversity_jaccard_cutoff, id_col="id")
         out = (diverse.orderBy(F.desc("score"), "id").limit(k)
                       .withColumnRenamed("id", id_col)
                       .drop("query_id"))

@@ -447,3 +447,24 @@ def test_ann_backend_ivf_dispatch(spark, index):
     with pytest.raises(ValueError, match="ann_backend"):
         SparkRagEngine(spark, EngineConfig(ann_backend="nope")).search(
             index, query_text=q)
+
+
+def test_mmr_diversity_mode(spark, index):
+    """diversity_mode='mmr' must run the full MMR pass inside
+    multi_strategy_search: results come back (<= k, mmr-selected),
+    rank-1 equals the threshold mode's top result (both start from the
+    fused argmax), and the default mode is unchanged reference
+    parity."""
+    common = dict(quality_threshold=0.2, similarity_threshold=0.0,
+                  parent_child_threshold=0.0,
+                  parent_child_search_threshold=0.0,
+                  enable_hybrid_search=True)
+    base = SparkRagEngine(spark, EngineConfig(**common))
+    mmr = SparkRagEngine(spark, EngineConfig(
+        diversity_mode="mmr", mmr_lambda=0.7, **common))
+    q = "table scan filter"
+    a = base.multi_strategy_search(index, q, limit=5).collect()
+    b = mmr.multi_strategy_search(index, q, limit=5).collect()
+    assert a and b and len(b) <= 5
+    assert b[0]["chunk_id"] == a[0]["chunk_id"]
+    assert {"chunk_id", "score"} <= set(b[0].asDict())
