@@ -2177,6 +2177,66 @@ def ev_heavy_hitters(spark: SparkSession, d: str) -> DataFrame:
             .orderBy(F.desc("n"), "user_id").limit(10))
 
 
+def _rrf_oracle() -> str:
+    from .catalog_ext import QUERY_TERMS
+    cos = OV.cosine_sql("embedding", OV.vec_lit_sql(QUERY_VEC))
+    ovlp = OV.overlap_score_sql("text", QUERY_TERMS)
+    return f"""
+WITH vec AS (
+  SELECT id, rnk FROM (
+    SELECT vec_id AS id,
+           row_number() OVER (ORDER BY {cos} DESC, vec_id) AS rnk
+    FROM embeddings) WHERE rnk <= 40
+), txt AS (
+  SELECT id, rnk FROM (
+    SELECT doc_id AS id,
+           row_number() OVER (ORDER BY {ovlp} DESC, doc_id) AS rnk
+    FROM documents) WHERE rnk <= 40
+), unioned AS (
+  SELECT id, rnk FROM vec UNION ALL SELECT id, rnk FROM txt
+), fused AS (
+  SELECT id, round(sum(1.0 / (60 + rnk)), 6) AS rrf_score,
+         count(*) AS n_branches
+  FROM unioned GROUP BY id
+)
+SELECT id, rrf_score, CAST(n_branches AS INT) AS n_branches
+FROM fused ORDER BY rrf_score DESC, id LIMIT 20
+"""
+
+
+@register("r7_hybrid_rrf", oracle=_rrf_oracle())
+def r7_hybrid_rrf(spark: SparkSession, d: str) -> DataFrame:
+    """Hybrid fusion by RECIPROCAL RANK (RRF, k=60) — the fusion Atlas
+    $rankFusion and Elastic standardize on, next to the reference's
+    weighted-score fusion (r7_hybrid_fusion): each branch contributes
+    1/(60+rank), so fusion is SCALE-FREE — no score-normalization
+    problem between cosine in [-1,1] and unbounded overlap counts,
+    the exact mismatch A2's 0.7/0.3 weights paper over.  Ranks carry
+    id tiebreaks, making the fusion integer-deterministic; the only
+    float is the final reciprocal sum, rounded on both sides.  Same
+    two branch scans and k-bounded shuffles as r7_hybrid_fusion."""
+    from ..functions.vector import cosine, to_double_array
+    from .catalog_ext import _overlap_score, _qvec_col
+    emb = _t(spark, d, "embeddings")
+    docs = _t(spark, d, "documents")
+    vscore = cosine(to_double_array(F.col("embedding")), _qvec_col())
+    wv = Window.orderBy(F.desc(vscore), F.col("vec_id"))
+    vec = (emb.select(F.col("vec_id").alias("id"),
+                      F.row_number().over(wv).alias("rnk"))
+           .filter(F.col("rnk") <= 40))
+    wt = Window.orderBy(F.desc(_overlap_score(F.col("text"))),
+                        F.col("doc_id"))
+    txt = (docs.select(F.col("doc_id").alias("id"),
+                       F.row_number().over(wt).alias("rnk"))
+           .filter(F.col("rnk") <= 40))
+    unioned = vec.unionByName(txt)
+    return (unioned.groupBy("id")
+            .agg(F.round(F.sum(1.0 / (60 + F.col("rnk"))), 6)
+                 .alias("rrf_score"),
+                 F.count("*").cast("int").alias("n_branches"))
+            .orderBy(F.desc("rrf_score"), "id").limit(20))
+
+
 def _mmr_oracle(lam: float = 0.7, k: int = 5) -> str:
     """Unrolled-step SQL replay of full MMR over the top-10 overlap
     candidates: per step, remaining candidates score
