@@ -56,6 +56,10 @@ class EngineConfig:
     # (smoothed TF-IDF, the lighter fallback without saturation or
     # length norm).  Both are pure column expressions.
     text_relevance: str = "bm25"
+    # hybrid fusion: "weighted" (the reference's 0.7/0.3 score mix —
+    # default, reference parity) or "rrf" (reciprocal-rank fusion,
+    # k=60 — scale-free across branch score ranges)
+    hybrid_fusion: str = "weighted"
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
     # text-branch analyzer: "whitespace" (the repo's F3 tokenizer) or

@@ -16,7 +16,7 @@ the caller.  The LLM generation layer is out of scope (BASELINE.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, EngineConfig
@@ -254,9 +254,36 @@ class SparkRagEngine:
             raise ValueError(f"unknown text_relevance {c.text_relevance!r}")
         txt = (txt.select(F.col(id_col).alias("id"), "text_score")
                .orderBy(F.desc("text_score"), "id").limit(2 * k))
-        merged = fusion.hybrid_union(vec, txt)
-        fused = fusion.weighted_fusion(merged, c.hybrid_vector_weight,
-                                       c.hybrid_text_weight)
+        if c.hybrid_fusion == "rrf":
+            # reciprocal-rank fusion (the Atlas $rankFusion / Elastic
+            # standard; scale-free across branch score ranges): rank
+            # WITHIN each branch before merging, each membership
+            # contributes 1/(60+rank); branch scores ride along for
+            # the API's vector_score/text_score columns.
+            wv = Window.orderBy(F.desc("vector_score"), "id")
+            wt = Window.orderBy(F.desc("text_score"), "id")
+            contrib = (vec.withColumn("__r", F.row_number().over(wv))
+                       .select("id", "vector_score",
+                               F.lit(None).cast("double")
+                               .alias("text_score"),
+                               (1.0 / (60 + F.col("__r"))).alias("__c"))
+                       .unionByName(
+                           txt.withColumn("__r",
+                                          F.row_number().over(wt))
+                           .select("id",
+                                   F.lit(None).cast("double")
+                                   .alias("vector_score"),
+                                   "text_score",
+                                   (1.0 / (60 + F.col("__r")))
+                                   .alias("__c"))))
+            fused = (contrib.groupBy("id")
+                     .agg(F.max("vector_score").alias("vector_score"),
+                          F.max("text_score").alias("text_score"),
+                          F.sum("__c").alias("score")))
+        else:
+            merged = fusion.hybrid_union(vec, txt)
+            fused = fusion.weighted_fusion(merged, c.hybrid_vector_weight,
+                                           c.hybrid_text_weight)
         # post-fusion $match (vector_search.py:193-205): attribute
         # filters need the index columns back — join only the filtered
         # attributes (broadcast-sized: <= 4k fused candidate ids).

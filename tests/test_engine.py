@@ -468,3 +468,33 @@ def test_mmr_diversity_mode(spark, index):
     assert a and b and len(b) <= 5
     assert b[0]["chunk_id"] == a[0]["chunk_id"]
     assert {"chunk_id", "score"} <= set(b[0].asDict())
+
+
+def test_rrf_hybrid_fusion_mode(spark, index):
+    """hybrid_fusion='rrf' must serve the same hybrid API (score +
+    branch columns), with scores equal to the reciprocal-rank sums of
+    branch membership; the default stays the reference's weighted
+    mix."""
+    rrf = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.2, hybrid_fusion="rrf"))
+    out = rrf.search(index, query_text="table scan filter",
+                     search_type="hybrid", limit=5).collect()
+    assert out and len(out) <= 5
+    cols = set(out[0].asDict())
+    assert {"chunk_id", "score", "vector_score", "text_score"} <= cols
+    # rrf scores live in (0, 2/61]; a doc in both branches at rank 1
+    # would score 2/61, a single-branch rank-1 doc 1/61
+    assert all(0 < r["score"] <= 2 / 61 + 1e-12 for r in out)
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # default (weighted) unchanged: equals the explicit weighted config
+    w1 = SparkRagEngine(spark, EngineConfig(quality_threshold=0.2))
+    w2 = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.2, hybrid_fusion="weighted"))
+    q = "table scan filter"
+    assert [tuple(r) for r in w1.search(index, query_text=q,
+                                        search_type="hybrid",
+                                        limit=5).collect()] == \
+           [tuple(r) for r in w2.search(index, query_text=q,
+                                        search_type="hybrid",
+                                        limit=5).collect()]
