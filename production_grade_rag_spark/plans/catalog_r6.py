@@ -848,6 +848,95 @@ def flagship_valuecheck(spark: SparkSession, d: str) -> DataFrame:
                       F.round("quality_score", 6).alias("quality_score"))
 
 
+@register("m1_chunk_udtf", oracle=O.chunk_fixed_sql())
+def m1_chunk_udtf(spark: SparkSession, d: str) -> DataFrame:
+    """The fixed-stride chunker as a PYTHON UDTF (Spark 4
+    user-defined table function): one input row lateral-joins to N
+    chunk rows produced by plain Python — the API for row-expanding
+    logic too imperative for expressions but too row-local for
+    applyInPandas.  Same semantics (and the SAME oracle) as
+    m1_chunk_fixed's pure-expression form, so the two execution
+    strategies are pinned to one contract; the expression form stays
+    the production path (codegen, no Python workers), the UDTF is
+    the extensibility point a user plugs custom splitters into."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+    from ..functions.text import CLEAN_RULES
+
+    rules = tuple(CLEAN_RULES)
+
+    @udtf(returnType="chunk_id string, doc_id long, content string, "
+                     "chunk_index int, start_char int, end_char int, "
+                     "word_count int")
+    class ChunkFixed:
+        def eval(self, doc_id, text):
+            s = text or ""
+            for pat, rep in rules:
+                s = re.sub(pat, rep, s)
+            size, stride, min_chars = 1000, 800, 50
+            n = 0 if not s else (len(s) - 1) // stride + 1
+            for i in range(n):
+                raw = s[i * stride: i * stride + size]
+                content = re.sub(r"^\s+|\s+$", "", raw)
+                if len(content) < min_chars:
+                    continue
+                cid = hashlib.md5(
+                    f"{doc_id}_{i}_{raw[:100]}".encode()).hexdigest()
+                yield (cid, doc_id, content, i, i * stride,
+                       i * stride + len(raw), len(content.split()))
+
+    spark.udtf.register("pgrs_chunk_fixed", ChunkFixed)
+    _t(spark, d, "documents").createOrReplaceTempView("__pgrs_docs_udtf")
+    return spark.sql("""
+        SELECT c.* FROM __pgrs_docs_udtf d,
+        LATERAL pgrs_chunk_fixed(d.doc_id, d.text) c
+    """)
+
+
+@register("obs_pipeline_metrics", oracle=f"""
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       (SELECT count(*) FROM (
+          SELECT 1 FROM documents
+          WHERE ({O.quality_sql('text')}) >= 0.3)) AS n_quality_pass
+FROM documents
+""")
+def obs_pipeline_metrics(spark: SparkSession, d: str) -> DataFrame:
+    """DATA-QUALITY OBSERVERS via df.observe/Observation: pipeline
+    health metrics (row count, empty-text count, char volume, quality
+    pass count) collected AS A SIDE EFFECT of the job that processes
+    the data — zero extra scans, the accumulator-based pattern
+    production pipelines attach to every ingest.  The observed values
+    are returned as a one-row frame and value-checked against direct
+    SQL aggregation — proving the observer sees every row exactly
+    once (observe() metrics are task-retry-safe, unlike raw
+    accumulators)."""
+    from pyspark.sql import Observation
+    docs = _t(spark, d, "documents")
+    q = X.quality_components(F.col("text"))["quality_score"]
+    obs = Observation()
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull()
+                     | (F.length("text") == 0), 1).otherwise(0))
+        .cast("long").alias("n_empty"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.sum(F.when(q >= 0.3, 1).otherwise(0)).cast("long")
+        .alias("n_quality_pass"))
+    observed.count()   # the "real job" the metrics piggyback on
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_docs"], m["n_empty"], m["total_chars"],
+          m["n_quality_pass"])],
+        "n_docs long, n_empty long, total_chars long, "
+        "n_quality_pass long")
+
+
 @register("s14_storage_stats", oracle="""
 SELECT (SELECT count(*) FROM documents) AS document_count,
        (SELECT count(*) FROM documents) AS chunk_count,
