@@ -2065,6 +2065,41 @@ def q17_small_quantity_revenue(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("q22_active_without_errors", oracle="""
+SELECT c.c_mktsegment, count(*) AS n_customers,
+       round(avg(c.c_acctbal), 4) AS avg_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = c.c_custkey
+                    AND e.event_type = 'error')
+GROUP BY c.c_mktsegment
+""")
+def q22_active_without_errors(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q22 flavor: EXISTS + NOT EXISTS on one query — customers
+    WITH orders but WITHOUT error events, per segment.  Catalyst plans
+    the pair as a left-SEMI join chained with a left-ANTI join (both
+    key-only probes, no subquery re-execution per row); the cross-
+    domain anti side (events) shows the same rewrite holds across
+    tables of different grain.  avg over sub-penny acctbal values is
+    rounded; counts exact."""
+    cust = _t(spark, d, "customer")
+    cust.createOrReplaceTempView("__pgrs_c_q22")
+    _t(spark, d, "orders").createOrReplaceTempView("__pgrs_o_q22")
+    _t(spark, d, "events").createOrReplaceTempView("__pgrs_e_q22")
+    return spark.sql("""
+        SELECT c.c_mktsegment, count(*) AS n_customers,
+               round(avg(c.c_acctbal), 4) AS avg_acctbal
+        FROM __pgrs_c_q22 c
+        WHERE EXISTS (SELECT 1 FROM __pgrs_o_q22 o
+                      WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM __pgrs_e_q22 e
+                          WHERE e.user_id = c.c_custkey
+                            AND e.event_type = 'error')
+        GROUP BY c.c_mktsegment
+    """)
+
+
 @register("q18_large_volume_customers", oracle="""
 WITH big AS (
   SELECT l_orderkey FROM lineitem
