@@ -1367,6 +1367,29 @@ def ev_rollup_sets(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("ta_langid_confusion", oracle=f"""
+WITH pred AS (
+  SELECT lang AS labeled, {OV.detect_language_sql('text')} AS detected
+  FROM documents
+)
+SELECT labeled, detected, count(*) AS n
+FROM pred GROUP BY 1, 2
+""")
+def ta_langid_confusion(spark: SparkSession, d: str) -> DataFrame:
+    """Classifier-quality reporting for the heuristic language
+    detector: the full confusion matrix of detected vs labeled lang —
+    the evaluation artifact any corpus-filter model ships with
+    (ta_language_id reports predictions; this reports how good they
+    are, and the driver value-checks every cell).  One scan + one
+    |langs|^2-bounded agg."""
+    docs = _t(spark, d, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled"),
+        textstats.detect_language(F.col("text")).alias("detected"))
+    return (pred.groupBy("labeled", "detected")
+            .agg(F.count("*").alias("n")))
+
+
 @register("t12_quality_deciles", oracle=f"""
 WITH scored AS (
   SELECT doc_id, {O.quality_sql('text')} AS q FROM documents
