@@ -216,8 +216,12 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
 
     Each round is one broadcast-able join + one groupBy on the id key;
     localCheckpoint every round truncates the lineage so plans stay
-    flat at scale.  Output: (id, component) with component = min id of
-    the cluster; singletons keep their own id.
+    flat at scale, and a changed-label probe EXITS EARLY once the
+    labeling reaches its fixed point — near-dup clusters are shallow,
+    so most corpora converge in 2-3 rounds and the remaining budget
+    costs one limit(1) probe instead of full propagation rounds.
+    Output: (id, component) with component = min id of the cluster;
+    singletons keep their own id.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.union(
@@ -228,9 +232,18 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .select(F.col("src").alias("id"), "component"))
-        labels = (labels.union(neigh)
-                  .groupBy("id").agg(F.min("component").alias("component"))
-                  .localCheckpoint())
+        new_labels = (labels.union(neigh)
+                      .groupBy("id")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint())
+        progressed = (new_labels.select("id",
+                                        F.col("component").alias("__n"))
+                      .join(labels, "id")
+                      .filter(F.col("__n") != F.col("component"))
+                      .limit(1).count() > 0)
+        labels = new_labels
+        if not progressed:
+            break
     return labels.withColumnRenamed("id", id_col)
 
 
