@@ -1367,6 +1367,64 @@ def ev_rollup_sets(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("pk_pack_stats", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS bucket,
+         greatest(length(text) // 4, 1)::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens)::BIGINT AS start_token
+  FROM toks
+)
+SELECT bucket,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_sequences,
+       round(sum(n_tokens) * 1.0
+             / (((sum(n_tokens) + 2047) // 2048) * 2048), 6) AS fill_rate,
+       CAST(sum(CASE WHEN (start_token // 2048)
+                       <> ((start_token + n_tokens - 1) // 2048)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_crossers
+FROM packed GROUP BY bucket
+""")
+def pk_pack_stats(spark: SparkSession, d: str) -> DataFrame:
+    """Packing-efficiency report for pk_sequence_pack: per shard
+    bucket, total tokens, 2048-token sequences consumed, fill rate
+    (waste lives only in each bucket's final partial sequence — the
+    property that makes stream packing strictly better than
+    pad-per-document), and how many documents straddle a sequence
+    boundary (the attention-mask bookkeeping the trainer needs).
+    Same single prefix-sum window as the packer, then a bucket-level
+    agg."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, d, "documents")
+    n_tokens = F.greatest(F.floor(F.length("text") / 4), F.lit(1)) \
+        .cast("long")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long"), F.lit(8))
+    w = (W.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    base = docs.select("doc_id", bucket.alias("bucket"),
+                       n_tokens.alias("n_tokens"))
+    packed = base.withColumn(
+        "start_token", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    crosser = (F.floor(F.col("start_token") / 2048)
+               != F.floor((F.col("start_token") + F.col("n_tokens") - 1)
+                          / 2048))
+    nseq = F.floor((F.sum("n_tokens") + 2047) / 2048).cast("long")
+    return (packed.groupBy("bucket")
+            .agg(F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 nseq.alias("n_sequences"),
+                 F.round(F.sum("n_tokens")
+                         / (nseq * 2048.0), 6).alias("fill_rate"),
+                 F.sum(F.when(crosser, 1).otherwise(0)).cast("long")
+                 .alias("n_boundary_crossers")))
+
+
 @register("ta_langid_confusion", oracle=f"""
 WITH pred AS (
   SELECT lang AS labeled, {OV.detect_language_sql('text')} AS detected
