@@ -895,6 +895,61 @@ def m1_chunk_udtf(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("dq_rules", oracle="""
+SELECT 'documents.lang_in_domain' AS rule,
+       (SELECT count(*) FROM documents) AS n_checked,
+       (SELECT count(*) FROM documents
+        WHERE lang NOT IN ('en', 'zh', 'de', 'fr', 'es')) AS n_violations
+UNION ALL
+SELECT 'documents.n_chars_consistent',
+       (SELECT count(*) FROM documents),
+       (SELECT count(*) FROM documents WHERE n_chars <> length(text))
+UNION ALL
+SELECT 'events.user_fk_in_customer',
+       (SELECT count(*) FROM events),
+       (SELECT count(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id))
+UNION ALL
+SELECT 'events.value_non_negative',
+       (SELECT count(*) FROM events),
+       (SELECT count(*) FROM events WHERE value < 0)
+""")
+def dq_rules(spark: SparkSession, d: str) -> DataFrame:
+    """Declarative DATA-QUALITY rules (the dbt-test / Deequ
+    constraint-suite pattern): domain checks, derived-column
+    consistency, non-negativity, and a CROSS-TABLE referential check
+    (every event's user_id must exist in customer — an anti-join, so
+    the FK validation scales like the delete path, not like a
+    per-row lookup).  Per-rule checked/violation counts, every number
+    value-pinned; a clean corpus proves zeros, and the rules-fire
+    direction is pinned in tests with injected violations.  In
+    production the violations frame (not just counts) routes to a
+    quarantine table — same plans minus the final agg."""
+    docs = _t(spark, d, "documents")
+    ev = _t(spark, d, "events")
+    cust = _t(spark, d, "customer").select(
+        F.col("c_custkey").alias("user_id"))
+
+    def rule(name: str, checked: DataFrame, violated: DataFrame):
+        return (checked.agg(F.count("*").alias("n_checked"))
+                .crossJoin(F.broadcast(
+                    violated.agg(F.count("*").alias("n_violations"))))
+                .select(F.lit(name).alias("rule"), "n_checked",
+                        "n_violations"))
+
+    langs = ["en", "zh", "de", "fr", "es"]
+    r1 = rule("documents.lang_in_domain", docs,
+              docs.filter(~F.col("lang").isin(langs)))
+    r2 = rule("documents.n_chars_consistent", docs,
+              docs.filter(F.col("n_chars") != F.length("text")))
+    r3 = rule("events.user_fk_in_customer", ev,
+              ev.join(cust, "user_id", "left_anti"))
+    r4 = rule("events.value_non_negative", ev,
+              ev.filter(F.col("value") < 0))
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)
+
+
 @register("obs_pipeline_metrics", oracle=f"""
 SELECT count(*) AS n_docs,
        CAST(sum(CASE WHEN text IS NULL OR length(text) = 0

@@ -557,3 +557,36 @@ def test_paged_dump_roundtrip_fuzz(spark, tmp_path):
         assert not any(r["malformed"] for r in back)
 
     prop()
+
+
+def test_dq_rules_fire_on_injected_violations(spark, tmp_path):
+    """The data-quality rules must actually FIRE: a corpus with
+    injected violations (bad lang, inconsistent n_chars, orphan user,
+    negative value) reports exactly those counts."""
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.plans.catalog import CATALOG
+
+    d = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", 11),
+         (2, "bad lang", "xx", 8),          # lang violation
+         (3, "mismatch", "en", 999)],       # n_chars violation
+        "doc_id long, text string, lang string, n_chars long")
+    docs.write.parquet(f"{d}/documents.parquet")
+    ev = spark.createDataFrame(
+        [(1, 10, "click", 1.0), (2, 10, "view", -5.0),   # negative value
+         (3, 999, "click", 2.0)],                        # orphan user
+        "event_id long, user_id long, event_type string, value double") \
+        .withColumn("ts", F.to_timestamp(F.lit("2024-01-01")))
+    ev.write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame([(10, "c", 0, 1.0, "B")],
+                          "c_custkey long, c_name string, c_nationkey long,"
+                          " c_acctbal double, c_mktsegment string") \
+        .write.parquet(f"{d}/customer.parquet")
+
+    got = {r["rule"]: (r["n_checked"], r["n_violations"])
+           for r in CATALOG["dq_rules"].build(spark, d).collect()}
+    assert got["documents.lang_in_domain"] == (3, 1)
+    assert got["documents.n_chars_consistent"] == (3, 1)
+    assert got["events.user_fk_in_customer"] == (3, 1)
+    assert got["events.value_non_negative"] == (3, 1)
