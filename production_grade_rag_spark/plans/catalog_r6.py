@@ -895,6 +895,43 @@ def m1_chunk_udtf(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("s24_versioned_read", oracle="""
+SELECT 'v1_asof' AS which,
+       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_rows,
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+        WHERE doc_id % 2 = 0) AS id_sum
+UNION ALL
+SELECT 'v2_latest',
+       (SELECT count(*) FROM documents),
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents)
+""")
+def s24_versioned_read(spark: SparkSession, d: str) -> DataFrame:
+    """SNAPSHOT VERSIONING + time travel on plain parquet
+    (sources.tables.write_version/read_version): v1 = the even-doc
+    snapshot, v2 = the full corpus; an as-of-1 read must return
+    exactly v1 and the default read exactly v2 — both pinned by row
+    count and id checksum.  Writers land immutable ``v=N`` snapshot
+    dirs, so readers are never torn; a table format swaps the
+    directory convention for commit logs with the same read API."""
+    import shutil
+    from ..sources import tables as TB
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    store = _scratch("s24_versions")
+    shutil.rmtree(store, ignore_errors=True)
+    TB.write_version(docs.filter(F.col("doc_id") % 2 == 0), store, 1)
+    TB.write_version(docs, store, 2)
+
+    def summarize(df: DataFrame, which: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_rows"),
+                      F.sum("doc_id").cast("long").alias("id_sum")) \
+            .select(F.lit(which).alias("which"), "n_rows", "id_sum")
+
+    asof = summarize(TB.read_version(spark, store, as_of=1), "v1_asof")
+    latest = summarize(TB.read_version(spark, store), "v2_latest")
+    return asof.unionByName(latest)
+
+
 @register("dq_rules", oracle="""
 SELECT 'documents.lang_in_domain' AS rule,
        (SELECT count(*) FROM documents) AS n_checked,

@@ -243,3 +243,42 @@ def compact_parquet(spark: SparkSession, path: str,
     os.rename(tmp, local)
     shutil.rmtree(old)
     return n_files
+
+
+def write_version(df: DataFrame, path: str, version: int) -> None:
+    """SNAPSHOT-VERSIONED table on plain parquet: each write lands a
+    complete immutable snapshot under ``v=<n>/`` — the poor-parquet's
+    time travel (a Delta/Iceberg backend replaces the directory
+    convention with real commit logs; the READ API below stays
+    identical).  Writers never touch prior versions, so readers are
+    never torn and an as-of read is just directory selection."""
+    df.write.mode("overwrite").parquet(f"{path}/v={int(version)}")
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    import os
+    import re
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, path: str,
+                 as_of: int | None = None) -> DataFrame:
+    """Read a snapshot table: latest version by default, or the
+    newest version <= ``as_of`` (time-travel read).  Metadata-only
+    version resolution (one directory listing), then a plain scan of
+    exactly one snapshot — no merge, no tombstones."""
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no versions under {path}")
+    pick = versions[-1] if as_of is None else max(
+        (v for v in versions if v <= as_of), default=None)
+    if pick is None:
+        raise ValueError(f"no version <= {as_of} under {path}")
+    return spark.read.parquet(f"{path}/v={pick}")
