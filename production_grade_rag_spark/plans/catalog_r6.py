@@ -895,6 +895,57 @@ def m1_chunk_udtf(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("s25_user_erasure", oracle="""
+WITH victims AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+)
+SELECT 'customer' AS tbl,
+       (SELECT count(*) FROM customer) AS n_before,
+       (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT user_id FROM victims)) AS n_removed,
+       CAST(0 AS BIGINT) AS n_residue
+UNION ALL
+SELECT 'events',
+       (SELECT count(*) FROM events),
+       (SELECT count(*) FROM events
+        WHERE user_id IN (SELECT user_id FROM victims)),
+       CAST(0 AS BIGINT)
+""")
+def s25_user_erasure(spark: SparkSession, d: str) -> DataFrame:
+    """Right-to-be-forgotten erasure across tables: a deterministic
+    victim set (user_id % 97 == 0) is removed from every table that
+    references it (customer by key, events by FK) via LEFT ANTI joins
+    — the cascading-delete pattern (S11) generalized cross-table —
+    and the RESIDUE CHECK re-scans the survivors for any victim row,
+    pinned to zero.  Per-table before/removed/residue counts are all
+    value-checked.  At 100 TB the anti-join is the only correct shape
+    (per-row deletes don't exist on immutable files); with partition/
+    bucket layout on the key the rewrite touches only victim
+    partitions (upsert_partitions), and a table format turns it into
+    DELETE WHERE."""
+    ev = _t(spark, d, "events")
+    cust = _t(spark, d, "customer")
+    victims = (ev.filter(F.col("user_id") % 97 == 0)
+               .select("user_id").distinct())
+
+    def erase(df: DataFrame, key: str, tbl: str) -> DataFrame:
+        keyed = df.withColumn("__k", F.col(key))
+        vic = victims.select(F.col("user_id").alias("__k"))
+        survivors = keyed.join(vic, "__k", "left_anti")
+        residue = survivors.join(vic, "__k", "left_semi")
+        return (df.agg(F.count("*").alias("n_before"))
+                .crossJoin(F.broadcast(
+                    keyed.join(vic, "__k", "left_semi")
+                    .agg(F.count("*").alias("n_removed"))))
+                .crossJoin(F.broadcast(
+                    residue.agg(F.count("*").alias("n_residue"))))
+                .select(F.lit(tbl).alias("tbl"), "n_before",
+                        "n_removed", "n_residue"))
+
+    return erase(cust, "c_custkey", "customer") \
+        .unionByName(erase(ev, "user_id", "events"))
+
+
 @register("s24_versioned_read", oracle="""
 SELECT 'v1_asof' AS which,
        (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_rows,
