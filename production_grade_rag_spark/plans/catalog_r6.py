@@ -1318,6 +1318,55 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("ev_week_overlap_hll", oracle="""
+WITH days AS (
+  SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events
+), pairs AS (
+  SELECT x.wk AS wk_a, count(*) AS inter_exact
+  FROM days x JOIN days y
+    ON y.user_id = x.user_id AND y.wk = x.wk + INTERVAL 7 DAY
+  GROUP BY x.wk
+)
+SELECT CAST(CAST(wk_a AS DATE) AS VARCHAR) AS week,
+       CAST(inter_exact AS BIGINT) AS inter_exact,
+       TRUE AS est_within_10pct
+FROM pairs
+""")
+def ev_week_overlap_hll(spark: SparkSession, d: str) -> DataFrame:
+    """SKETCH SET ALGEBRA: week-over-week returning-user overlap via
+    HLL inclusion-exclusion — |A∩B| ≈ |A| + |B| - |A∪B| with
+    hll_union on the per-week sketches, the only way to intersect
+    distinct-sets whose raw membership is too big to keep (sketches
+    union losslessly; intersection comes from the identity).  Exact
+    intersection (from the distinct day-user table) is computed
+    alongside and the estimate is gated within 10% — the value oracle
+    pins the exact counts AND the gate."""
+    ev = _t(spark, d, "events")
+    (ev.select(F.date_trunc("WEEK", F.col("ts").cast("timestamp"))
+               .alias("wk"), "user_id").distinct()
+     .createOrReplaceTempView("__pgrs_wk_hll"))
+    return spark.sql("""
+        WITH wsk AS (
+          SELECT wk, hll_sketch_agg(user_id) AS sk, count(*) AS n
+          FROM __pgrs_wk_hll GROUP BY wk
+        ), pairs AS (
+          SELECT a.wk AS wk_a, a.n + b.n
+                 - hll_sketch_estimate(hll_union(a.sk, b.sk)) AS est
+          FROM wsk a JOIN wsk b ON b.wk = a.wk + INTERVAL 7 DAY
+        ), exact AS (
+          SELECT x.wk AS wk_a, count(*) AS inter_exact
+          FROM __pgrs_wk_hll x JOIN __pgrs_wk_hll y
+            ON y.user_id = x.user_id AND y.wk = x.wk + INTERVAL 7 DAY
+          GROUP BY x.wk
+        )
+        SELECT CAST(CAST(p.wk_a AS DATE) AS STRING) AS week,
+               e.inter_exact,
+               (abs(p.est - e.inter_exact) / e.inter_exact) <= 0.10
+                 AS est_within_10pct
+        FROM pairs p JOIN exact e ON e.wk_a = p.wk_a
+    """)
+
+
 @register("ev_path_transitions", oracle="""
 WITH seq AS (
   SELECT user_id, event_type,
