@@ -1318,6 +1318,71 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("ev_session_stats", oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id,
+         CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+              AS BIGINT) AS dur_s,
+         count(*) AS n_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT count(*) AS n_sessions,
+       CAST(floor(median(dur_s)) AS BIGINT) AS median_dur_s,
+       CAST(max(dur_s) AS BIGINT) AS max_dur_s,
+       round(avg(n_events), 4) AS avg_events,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces
+FROM sessions
+""")
+def ev_session_stats(spark: SparkSession, d: str) -> DataFrame:
+    """Session-quality summary over the sessionized event log:
+    session count, median/max duration, events per session, and
+    BOUNCE count (single-event sessions — the engagement metric the
+    duration median hides).  Gap test via epoch differences on both
+    engines (sub-second-safe, the ev_multitouch lesson); durations
+    floored to integer seconds so the median is engine-exact.  Same
+    single user_id shuffle as ev_sessionize + a one-row agg."""
+    ev = _t(spark, d, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts).over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag(ts).over(w).isNull() | (gap > 1800), 1).otherwise(0))
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(run))
+    sessions = (numbered.groupBy("user_id", "session_id")
+                .agg((F.unix_timestamp(F.max(ts))
+                      - F.unix_timestamp(F.min(ts))).cast("long")
+                     .alias("dur_s"),
+                     F.count("*").alias("n_events")))
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.floor(F.expr("percentile(dur_s, 0.5)")).cast("long")
+        .alias("median_dur_s"),
+        F.max("dur_s").cast("long").alias("max_dur_s"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long").alias("n_bounces"))
+
+
 @register("ev_week_overlap_hll", oracle="""
 WITH days AS (
   SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events
