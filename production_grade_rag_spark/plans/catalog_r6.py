@@ -1318,6 +1318,52 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("ev_activity_concentration", oracle="""
+WITH per AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+), ranked AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+         sum(n) OVER (ORDER BY n DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         (SELECT sum(n) FROM per) AS total,
+         (SELECT count(*) FROM per) AS n_users
+  FROM per
+)
+SELECT CAST(max(n_users) AS BIGINT) AS n_users,
+       round(max(CASE WHEN rk = ceil(n_users * 0.1) THEN cum END)
+             * 1.0 / max(total), 6) AS top10_share,
+       round(max(CASE WHEN rk = ceil(n_users * 0.5) THEN cum END)
+             * 1.0 / max(total), 6) AS top50_share
+FROM ranked
+""")
+def ev_activity_concentration(spark: SparkSession, d: str) -> DataFrame:
+    """Activity concentration (Pareto read on the event log): the
+    share of all events generated by the top 10% / 50% most active
+    users — THE skew statistic that decides whether the per-user
+    operators need salting (operators/skew.py) before they need
+    anything else.  Per-user counts -> one global rank window over
+    |users| rows (metadata-scale after the first agg) -> shares at
+    the decile cut ranks.  Integer cumulative sums; only the final
+    two ratios are floats, rounded."""
+    ev = _t(spark, d, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), "user_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per.agg(F.sum("n").alias("total"),
+                  F.count("*").alias("n_users"))
+    ranked = (per.withColumn("rk", F.row_number().over(w))
+              .withColumn("cum", F.sum("n").over(run))
+              .crossJoin(F.broadcast(tot)))
+    at = lambda q: F.max(F.when(  # noqa: E731
+        F.col("rk") == F.ceil(F.col("n_users") * q), F.col("cum")))
+    return ranked.agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.round(at(0.1) / F.max("total"), 6).alias("top10_share"),
+        F.round(at(0.5) / F.max("total"), 6).alias("top50_share"))
+
+
 @register("ev_session_stats", oracle="""
 WITH ordered AS (
   SELECT user_id, ts, event_id,
