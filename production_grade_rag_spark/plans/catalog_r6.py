@@ -1318,6 +1318,42 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("ev_new_vs_returning", oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+), firsts AS (
+  SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id
+)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM days d JOIN firsts f ON f.user_id = d.user_id
+GROUP BY d.day
+""")
+def ev_new_vs_returning(spark: SparkSession, d: str) -> DataFrame:
+    """Growth accounting: each day's active users split into NEW
+    (first-ever active day) vs RETURNING — the decomposition that
+    tells acquisition from retention (the cohort matrix's diagonal
+    vs everything below it).  Same distinct-first collapse and
+    user_id-keyed self-aggregation as ev_retention_cohorts; output is
+    |days| rows."""
+    ev = _t(spark, d, "events")
+    days = (ev.select(
+        F.date_trunc("DAY", F.col("ts").cast("timestamp"))
+        .cast("date").alias("day"), "user_id").distinct())
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = days.join(firsts, "user_id")
+    return (j.groupBy(F.col("day").cast("string").alias("day"))
+            .agg(F.sum(F.when(F.col("day") == F.col("first_day"), 1)
+                       .otherwise(0)).cast("long").alias("new_users"),
+                 F.sum(F.when(F.col("day") > F.col("first_day"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("returning_users")))
+
+
 @register("ev_activity_concentration", oracle="""
 WITH per AS (
   SELECT user_id, count(*) AS n FROM events GROUP BY user_id
