@@ -1318,6 +1318,57 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("t17_winsorize", oracle="""
+WITH scaled AS (
+  SELECT event_type,
+         CAST(round(value * 10000) AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT event_type, v,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY v) AS cd
+  FROM scaled
+), caps AS (
+  SELECT event_type, max(CASE WHEN cd <= 0.99 THEN v END) AS cap
+  FROM ranked GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(c.cap) AS BIGINT) AS cap_scaled,
+       CAST(sum(CASE WHEN s.v > c.cap THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped,
+       CAST(sum(least(s.v, c.cap)) AS BIGINT) AS winsorized_sum_scaled
+FROM scaled s JOIN caps c ON c.event_type = s.event_type
+GROUP BY s.event_type
+""")
+def t17_winsorize(spark: SparkSession, d: str) -> DataFrame:
+    """Winsorization — outlier capping at the per-type p99 before any
+    mean-based statistic (heavy-tailed `value` distributions make raw
+    means meaningless; every feature pipeline clips first).  The cap
+    is the DISCRETE p99 (largest value with cume_dist <= 0.99):
+    interpolation-free, so both engines agree bit-exactly on integer-
+    scaled values — the percentile-parity trap (interpolated
+    quantiles differ in the last ulp) designed out rather than
+    tolerated.  One window per type for ranks + one agg; capped sums
+    stay integer."""
+    ev = _t(spark, d, "events")
+    scaled = ev.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = scaled.withColumn("cd", F.cume_dist().over(w))
+    caps = (ranked.groupBy("event_type")
+            .agg(F.max(F.when(F.col("cd") <= 0.99, F.col("v")))
+                 .alias("cap")))
+    j = scaled.join(caps, "event_type")
+    return (j.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.max("cap").cast("long").alias("cap_scaled"),
+                 F.sum(F.when(F.col("v") > F.col("cap"), 1).otherwise(0))
+                 .cast("long").alias("n_capped"),
+                 F.sum(F.least(F.col("v"), F.col("cap"))).cast("long")
+                 .alias("winsorized_sum_scaled")))
+
+
 @register("ev_new_vs_returning", oracle="""
 WITH days AS (
   SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
