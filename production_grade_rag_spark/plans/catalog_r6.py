@@ -1318,6 +1318,37 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("ta_source_vocab", oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({{TOKS}}) AS t FROM documents
+), cnt AS (
+  SELECT source, t, count(*) AS n FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT source, t, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, t) AS rk
+  FROM cnt
+)
+SELECT source, rk, t AS token, n
+FROM ranked WHERE rk <= 3
+""".replace("{TOKS}", OV.tokens_sql("text")))
+def ta_source_vocab(spark: SparkSession, d: str) -> DataFrame:
+    """Per-source vocabulary profile: each source's top-3 tokens by
+    raw count — the domain-characterization read that catches a
+    source drifting off-topic (or a scraper pulling boilerplate)
+    before quality scores move.  Grouped top-k over the exploded
+    token table: one (source, token) partial-agged count, one
+    source-partitioned rank window.  Deterministic token tiebreak."""
+    docs = _t(spark, d, "documents")
+    toks = docs.select(
+        "source", F.explode(dedup.tokens(F.col("text"))).alias("t"))
+    cnt = toks.groupBy("source", "t").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.col("t"))
+    return (cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("source", "rk", F.col("t").alias("token"), "n"))
+
+
 @register("t17_winsorize", oracle="""
 WITH scaled AS (
   SELECT event_type,
