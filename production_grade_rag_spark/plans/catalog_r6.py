@@ -1318,6 +1318,47 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("t18_minmax_normalize", oracle="""
+WITH scaled AS (
+  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+  FROM events
+), bounds AS (
+  SELECT event_type, min(v) AS lo, max(v) AS hi FROM scaled
+  GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(min(b.lo) AS BIGINT) AS lo_scaled,
+       CAST(max(b.hi) AS BIGINT) AS hi_scaled,
+       round(avg(CASE WHEN b.hi = b.lo THEN 0.0
+                      ELSE (s.v - b.lo) * 1.0 / (b.hi - b.lo) END), 6)
+         AS mean_normalized
+FROM scaled s JOIN bounds b ON b.event_type = s.event_type
+GROUP BY s.event_type
+""")
+def t18_minmax_normalize(spark: SparkSession, d: str) -> DataFrame:
+    """Min-max feature normalization per event type — the scaling
+    step before any distance-based model consumes the value column
+    (cosine/knn treat unscaled features as implicit weights).  Bounds
+    on integer-scaled values (exact, like sq_bounds for vectors), the
+    degenerate zero-range group guarded to 0; output pins the bounds
+    and the normalized mean per type.  One partial-agged bounds pass +
+    one broadcast join back — the classic two-pass scaler."""
+    ev = _t(spark, d, "events")
+    scaled = ev.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v"))
+    bounds = (scaled.groupBy("event_type")
+              .agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    j = scaled.join(F.broadcast(bounds), "event_type")
+    norm = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)) \
+        .otherwise((F.col("v") - F.col("lo"))
+                   / (F.col("hi") - F.col("lo")))
+    return (j.groupBy("event_type")
+            .agg(F.min("lo").cast("long").alias("lo_scaled"),
+                 F.max("hi").cast("long").alias("hi_scaled"),
+                 F.round(F.avg(norm), 6).alias("mean_normalized")))
+
+
 @register("ta_source_vocab", oracle=f"""
 WITH toks AS (
   SELECT source, unnest({{TOKS}}) AS t FROM documents
