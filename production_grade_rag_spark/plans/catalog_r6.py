@@ -1318,6 +1318,41 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("a14_null_profile", oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_text,
+       CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) = ''
+                THEN 1 ELSE 0 END) AS BIGINT) AS blank_text,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_lang,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_source,
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_n_chars
+FROM documents
+""")
+def a14_null_profile(spark: SparkSession, d: str) -> DataFrame:
+    """Column completeness profile (the df.summary()-style read every
+    ingest dashboard starts with): null counts per column plus the
+    blank-but-not-null text count that null rates hide.  One
+    conditional-sum pass — at 100 TB this is the cheapest full-table
+    statement possible, and its numbers calibrate the dq_rules
+    thresholds."""
+    docs = _t(spark, d, "documents")
+    nul = lambda c: F.sum(  # noqa: E731
+        F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        nul("text").alias("null_text"),
+        F.sum(F.when(F.col("text").isNotNull()
+                     & (F.trim("text") == ""), 1).otherwise(0))
+        .cast("long").alias("blank_text"),
+        nul("lang").alias("null_lang"),
+        nul("source").alias("null_source"),
+        nul("n_chars").alias("null_n_chars"))
+
+
 @register("t18_minmax_normalize", oracle="""
 WITH scaled AS (
   SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
