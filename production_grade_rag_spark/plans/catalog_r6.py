@@ -1318,6 +1318,49 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("dd_cluster_sizes", oracle=f"""
+WITH RECURSIVE pairs AS ({{PAIRS}}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT CAST(cluster_size AS INT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""".replace("{PAIRS}", OV.ngram_pairs_sql(0.5).strip()))
+def dd_cluster_sizes(spark: SparkSession, d: str) -> DataFrame:
+    """Near-dup CLUSTER SIZE histogram over the exact components
+    (dd_components' output aggregated): how much of the corpus sits
+    in singletons vs 2-clusters vs boilerplate blobs — the
+    distribution that decides dedup policy (drop-all-but-one is safe
+    for pairs, but a 10k-doc cluster is template spam needing its own
+    treatment).  Two metadata-scale aggs on top of the converged
+    labels."""
+    docs = _t(spark, d, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    comp = dedup.connected_components(pairs, docs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return (sizes.groupBy(F.col("cluster_size").cast("int")
+                          .alias("cluster_size"))
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("cluster_size").cast("long").alias("n_docs")))
+
+
 @register("a14_null_profile", oracle="""
 SELECT count(*) AS n_rows,
        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
