@@ -1318,6 +1318,53 @@ def ev_active_users_hll(spark: SparkSession, d: str) -> DataFrame:
     """)
 
 
+@register("ev_error_bursts", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         row_number() OVER (PARTITION BY user_id,
+                            CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END
+                            ORDER BY ts, event_id) AS rn_in_kind
+  FROM events
+), runs AS (
+  SELECT user_id, rn - rn_in_kind AS grp, count(*) AS streak
+  FROM flagged WHERE is_err = 1
+  GROUP BY user_id, rn - rn_in_kind
+)
+SELECT CAST(streak AS INT) AS streak_len,
+       count(*) AS n_bursts,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM runs GROUP BY streak
+""")
+def ev_error_bursts(spark: SparkSession, d: str) -> DataFrame:
+    """Error-burst detection: lengths of CONSECUTIVE error runs per
+    user via the classic rn-difference gaps-and-islands trick (two
+    row_numbers, no lag state) — the SRE read that separates isolated
+    failures from cascades.  Output: burst-length histogram with
+    affected-user counts.  Both window ranks key on user_id; one
+    shuffle, metadata-scale output."""
+    ev = _t(spark, d, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("is_err", is_err) \
+        .withColumn("rn", F.row_number().over(w_all))
+    w_kind = Window.partitionBy("user_id", "is_err") \
+        .orderBy("ts", "event_id")
+    flagged = flagged.withColumn("rn_in_kind",
+                                 F.row_number().over(w_kind))
+    runs = (flagged.filter(F.col("is_err") == 1)
+            .groupBy("user_id",
+                     (F.col("rn") - F.col("rn_in_kind")).alias("grp"))
+            .agg(F.count("*").alias("streak")))
+    return (runs.groupBy(F.col("streak").cast("int").alias("streak_len"))
+            .agg(F.count("*").alias("n_bursts"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"))
+            .orderBy("streak_len"))
+
+
 @register("dd_cluster_sizes", oracle=f"""
 WITH RECURSIVE pairs AS ({{PAIRS}}),
 edges AS (
