@@ -3278,3 +3278,276 @@ def s15_incremental_ingest(spark: SparkSession, d: str) -> DataFrame:
     return (fresh.withColumn("__keeper", F.min("doc_id").over(w))
             .select("doc_id", "content_hash",
                     (F.col("doc_id") == F.col("__keeper")).alias("is_keeper")))
+
+
+# ===========================================================================
+# TPC-H relational widening, part 2: Q7/Q8/Q13/Q19/Q21 shapes
+# (partsupp-free adaptations; the testdata has no partsupp table, so
+# Q2/Q11/Q16/Q20 are out of reach by construction)
+# ===========================================================================
+
+@register("q7_volume_shipping", oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(scaled) AS DOUBLE) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS scaled
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional nation-pair
+    trade volume by ship year.  Scale play: the nation-pair predicate
+    is pushed to BOTH dimension legs before the fact joins —
+    s_nationkey/c_nationkey are each filtered to the two-key set
+    {1, 2} (broadcast-sized dims), so only ~(2/25)^2 of
+    customer x supplier survive to meet the fact table; the asymmetric
+    pair-direction predicate runs post-join on the already-shrunk
+    rows.  Revenue integer-scaled (q6 convention) so the 4-group sums
+    are FP-order independent."""
+    li = _t(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01"))))
+    orders = _t(spark, d, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, d, "nation")
+    n1 = (nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+          .select(F.col("n_nationkey").alias("__snk"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+          .select(F.col("n_nationkey").alias("__cnk"),
+                  F.col("n_name").alias("cust_nation")))
+    supp = (_t(spark, d, "supplier").select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__snk")))
+    cust = (_t(spark, d, "customer").select("c_custkey", "c_nationkey")
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cnk")))
+    scaled = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 10000).cast("long"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(supp, li.l_suppkey == supp.s_suppkey)
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(scaled).cast("double") / 10000.0, 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q8_market_share", oracle="""
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                           THEN scaled ELSE 0 END) AS DOUBLE)
+             / CAST(sum(scaled) AS DOUBLE), 4) AS mkt_share,
+       count(*) AS n_lines
+FROM (
+  SELECT year(o.o_orderdate) AS o_year, n1.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS scaled
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n2.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY o_year
+""")
+def q8_market_share(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7's share of
+    ECONOMY-part revenue sold into ASIA, by order year.  The
+    snowflake leg (customer -> nation -> region = 'ASIA') is resolved
+    dim-side first: region filters nation to 5 keys, that broadcast
+    filters customer before it ever meets orders.  The p_type filter
+    prunes part the same way.  The share is a conditional-sum ratio
+    over integer-scaled revenue in one agg pass — no second join, the
+    numerator rides the same rows with a CASE."""
+    li = _t(spark, d, "lineitem")
+    part = (_t(spark, d, "part").filter(F.col("p_type") == "ECONOMY")
+            .select("p_partkey"))
+    orders = _t(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    nation = _t(spark, d, "nation")
+    region = _t(spark, d, "region").filter(F.col("r_name") == "ASIA")
+    asia_nk = (nation.join(F.broadcast(region),
+                           nation.n_regionkey == region.r_regionkey)
+               .select(F.col("n_nationkey").alias("__ank")))
+    cust = (_t(spark, d, "customer").select("c_custkey", "c_nationkey")
+            .join(F.broadcast(asia_nk),
+                  F.col("c_nationkey") == F.col("__ank")))
+    n1 = nation.select(F.col("n_nationkey").alias("__snk"),
+                       F.col("n_name").alias("supp_nation"))
+    supp = (_t(spark, d, "supplier").select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__snk")))
+    scaled = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 10000).cast("long"))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(supp, li.l_suppkey == supp.s_suppkey))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_7", scaled)
+                .otherwise(F.lit(0))).cast("double")
+    den = F.sum(scaled).cast("double")
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(num / den, 4).alias("mkt_share"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q13_order_count_distribution", oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""")
+def q13_order_count_distribution(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT
+    OUTER join with a predicate INSIDE the join condition (the
+    original's NOT LIKE on o_comment, adapted to o_orderpriority
+    since the testdata carries no comments), so customers whose only
+    orders are urgent still appear with c_count = 0.  Two-level agg:
+    count per customer (shuffle on c_custkey, the fact side
+    pre-filtered map-side), then the histogram over counts (25-ish
+    groups, trivially small).  count(o_orderkey) over the null-
+    extended rows gives the 0 bucket for free."""
+    cust = _t(spark, d, "customer").select("c_custkey")
+    orders = (_t(spark, d, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@register("q19_disjunctive_revenue", oracle="""
+SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 15 AND 30
+       AND l.l_quantity BETWEEN 20 AND 35)
+""")
+def q19_disjunctive_revenue(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    brand/size/quantity branches OR'd across a part join.  The
+    classic optimization is written explicitly: the disjunction
+    IMPLIES coarse single-table prefilters (p_brand IN the 3 brands,
+    p_size/l_quantity in the branch envelopes), which are added as
+    redundant conjuncts so each scan prunes BEFORE the join — the OR
+    itself can't push down, its implied envelope can.  Semantically a
+    no-op (implied predicates), so the oracle omits them; at scale
+    they turn an all-parts join into a 3-brand join."""
+    li = (_t(spark, d, "lineitem")
+          .filter(F.col("l_quantity").between(1, 35)))
+    part = (_t(spark, d, "part")
+            .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+                    & F.col("p_size").between(1, 30))
+            .select("p_partkey", "p_brand", "p_size"))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(15, 30)
+           & F.col("l_quantity").between(20, 35)))
+    scaled = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 10000).cast("long"))
+    return (j.filter(branch)
+            .agg(F.round(F.sum(scaled).cast("double") / 10000.0, 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q21_waiting_supplier", oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_3'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 50
+""")
+def q21_waiting_supplier(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    supplier was LATE on a finished multi-supplier order and every
+    OTHER supplier on that order was on time.  Lateness is adapted to
+    l_shipdate > o_orderdate + 60 days (the testdata has no
+    commit/receipt dates).  Written as EXISTS + correlated NOT EXISTS
+    over the same fact table via spark.sql — Catalyst rewrites the
+    pair into a left-semi + left-anti join on l_orderkey (the q22
+    treatment), so the fact table is scanned three times but joined
+    key-only, never re-executed per row; all three legs hash-
+    partition on l_orderkey so at 100 TB the semi/anti probes
+    co-locate with the driving scan.  Deterministic s_name tiebreak
+    under the top-50."""
+    _t(spark, d, "supplier").createOrReplaceTempView("__pgrs_s_q21")
+    _t(spark, d, "lineitem").createOrReplaceTempView("__pgrs_l_q21")
+    _t(spark, d, "orders").createOrReplaceTempView("__pgrs_o_q21")
+    _t(spark, d, "nation").createOrReplaceTempView("__pgrs_n_q21")
+    return spark.sql("""
+        SELECT s.s_name, count(*) AS numwait
+        FROM __pgrs_s_q21 s
+        JOIN __pgrs_l_q21 l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN __pgrs_o_q21 o  ON o.o_orderkey = l1.l_orderkey
+        JOIN __pgrs_n_q21 n  ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name = 'NATION_3'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT 1 FROM __pgrs_l_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM __pgrs_l_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate
+                                                + INTERVAL 60 DAYS)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 50
+    """)
