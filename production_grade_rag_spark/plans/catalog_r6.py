@@ -3551,3 +3551,131 @@ def q21_waiting_supplier(spark: SparkSession, d: str) -> DataFrame:
         ORDER BY numwait DESC, s.s_name
         LIMIT 50
     """)
+
+
+@register("ev_rfm_segments", oracle="""
+WITH pur AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), anchor AS (SELECT max(day) AS max_day FROM pur),
+per_user AS (
+  SELECT p.user_id,
+         date_diff('day', max(p.day), a.max_day) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(p.cents) AS BIGINT) AS monetary_cents
+  FROM pur p CROSS JOIN anchor a
+  GROUP BY p.user_id, a.max_day
+), scored AS (
+  SELECT user_id, monetary_cents,
+         ntile(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, user_id)
+           AS m_quartile
+  FROM per_user
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       count(*) AS n_users,
+       round(CAST(sum(monetary_cents) AS DOUBLE) / 100.0, 2)
+         AS total_monetary
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+""")
+def ev_rfm_segments(spark: SparkSession, d: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (days since
+    last purchase vs the corpus max day), frequency (purchase
+    count), monetary (integer-scaled cents so the sum is FP-order
+    independent), each cut into ntile(4) quartiles with a user_id
+    tiebreak for determinism, then rolled up to segment counts.  The
+    per-user agg shuffles once on user_id; the anchor date is a
+    1-row broadcast cross join (the repo's scalar pattern).  The
+    three global ntiles sort the USER dimension (not the fact
+    table) — fine to ~1e8 users; past that, swap the exact ntile
+    for approx_percentile cut points applied map-side, same output
+    contract."""
+    ev = _t(spark, d, "events").filter(F.col("event_type") == "purchase")
+    pur = ev.select("user_id", F.to_date("ts").alias("day"),
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("cents"))
+    anchor = pur.agg(F.max("day").alias("max_day"))
+    per_user = (pur.crossJoin(F.broadcast(anchor))
+                .groupBy("user_id", "max_day")
+                .agg(F.max("day").alias("last_day"),
+                     F.count("*").alias("frequency"),
+                     F.sum("cents").alias("monetary_cents"))
+                .select("user_id", "frequency", "monetary_cents",
+                        F.datediff("max_day", "last_day")
+                        .alias("recency_days")))
+    scored = per_user.select(
+        "user_id", "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
+        .alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"),
+                                       "user_id"))
+        .alias("m_quartile"))
+    return (scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+            .agg(F.count("*").alias("n_users"),
+                 F.round(F.sum("monetary_cents").cast("double") / 100.0,
+                         2).alias("total_monetary")))
+
+
+@register("q_basket_lift", oracle="""
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey, p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM basket),
+support AS (
+  SELECT p_type, count(*) AS n_type FROM basket GROUP BY p_type
+), pairs AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+  GROUP BY a.p_type, b.p_type
+)
+SELECT pr.type_a, pr.type_b, pr.n_ab,
+       round(CAST(pr.n_ab AS DOUBLE) * no.n
+             / (CAST(sa.n_type AS DOUBLE) * sb.n_type), 4) AS lift
+FROM pairs pr
+JOIN support sa ON sa.p_type = pr.type_a
+JOIN support sb ON sb.p_type = pr.type_b
+CROSS JOIN n_orders no
+""")
+def q_basket_lift(spark: SparkSession, d: str) -> DataFrame:
+    """Market-basket co-occurrence lift over part types: which part
+    types appear in the same ORDER more often than independence
+    predicts (lift = P(a,b) / (P(a)P(b))).  The scale discipline is
+    the DISTINCT-first collapse: lineitem drops to at most
+    |orders| x |types| rows (6 types here) BEFORE the pair
+    self-join, and that join co-partitions both legs on l_orderkey —
+    the shuffle carries the collapsed basket table, never the fact
+    table, and the pair space is bounded by types^2, not rows.
+    Support counts and the order total are broadcast-sized decorators
+    on the 15-row pair frame."""
+    li = _t(spark, d, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, d, "part").select("p_partkey", "p_type")
+    basket = (li.join(part, li.l_partkey == part.p_partkey)
+              .select("l_orderkey", "p_type").distinct())
+    n_orders = (basket.select("l_orderkey").distinct()
+                .agg(F.count("*").alias("n")))
+    support = basket.groupBy("p_type").agg(F.count("*").alias("n_type"))
+    a = basket.select(F.col("l_orderkey").alias("__ok"),
+                      F.col("p_type").alias("type_a"))
+    b = basket.select(F.col("l_orderkey").alias("__ok2"),
+                      F.col("p_type").alias("type_b"))
+    pairs = (a.join(b, (F.col("__ok") == F.col("__ok2"))
+                    & (F.col("type_a") < F.col("type_b")))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").alias("n_ab")))
+    sa = support.select(F.col("p_type").alias("type_a"),
+                        F.col("n_type").alias("__na"))
+    sb = support.select(F.col("p_type").alias("type_b"),
+                        F.col("n_type").alias("__nb"))
+    return (pairs.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("type_a", "type_b", "n_ab",
+                    F.round(F.col("n_ab").cast("double") * F.col("n")
+                            / (F.col("__na").cast("double")
+                               * F.col("__nb")), 4).alias("lift")))
