@@ -101,3 +101,65 @@ def test_minhash_candidates_shuffle_on_band_hash(spark):
 def test_flagship_ends_in_take_ordered(spark):
     plan = _plan(spark, "flagship_dim384")
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q7_volume_shipping", "q8_market_share",
+    "q13_order_count_distribution", "q19_disjunctive_revenue",
+    "q21_waiting_supplier", "q_basket_lift", "ev_rfm_segments",
+])
+def test_new_tpch_shapes_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
+def test_q7_filters_both_dim_legs_before_fact_join(spark):
+    plan = _plan(spark, "q7_volume_shipping")
+    # the 2-nation predicate reaches both nation scans (pushed filter)
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "n_name" in ln]
+    assert len(scans) >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q8_snowflake_dims_broadcast(spark):
+    plan = _plan(spark, "q8_market_share")
+    # region/nation/part legs all ride broadcasts, never nested-loop
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the orderdate window reaches the orders scan
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "o_orderdate" in ln]
+    assert scans
+
+
+def test_q13_is_outer_join_plus_two_phase_agg(spark):
+    plan = _plan(spark, "q13_order_count_distribution")
+    assert "LeftOuter" in plan
+    # per-customer count then histogram: both aggs partial+final
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q19_implied_prefilters_reach_part_scan(spark):
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    # the brand IN-list (implied by the disjunction) prunes the part
+    # scan BEFORE the join — the point of writing it explicitly
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "p_brand" in ln]
+    assert scan, "brand prefilter did not reach the part scan"
+
+
+def test_q21_rewrites_exists_pair_to_semi_anti(spark):
+    plan = _plan(spark, "q21_waiting_supplier")
+    # Catalyst de-correlates EXISTS/NOT EXISTS into semi + anti joins
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_basket_lift_joins_on_orderkey_not_nested_loop(spark):
+    plan = _plan(spark, "q_basket_lift")
+    # the pair self-join is an equi-join on the collapsed basket
+    assert any("l_orderkey" in ln or "__ok" in ln
+               for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln
+               or "SortMergeJoin" in ln or "BroadcastHashJoin" in ln)
