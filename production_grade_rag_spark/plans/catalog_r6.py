@@ -3679,3 +3679,105 @@ def q_basket_lift(spark: SparkSession, d: str) -> DataFrame:
                     F.round(F.col("n_ab").cast("double") * F.col("n")
                             / (F.col("__na").cast("double")
                                * F.col("__nb")), 4).alias("lift")))
+
+
+_LINK_CANON_SUFFIX_SQL = (
+    "' link https://Example.com/Page/' || (doc_id % 37) || "
+    "'?utm=' || doc_id || '#top plus "
+    "https://example.com/page/' || (doc_id % 37) || '/'"
+)
+
+
+@register("dd_link_canon", oracle=f"""
+WITH links AS (
+  SELECT doc_id,
+         unnest({O.links_sql(f"(text || {_LINK_CANON_SUFFIX_SQL})")})
+           AS url
+  FROM documents WHERE doc_id % 7 = 0
+), canon AS (
+  SELECT DISTINCT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(lower(url),
+             '#.*$', ''), '\\?.*$', ''), '/+$', '') AS canon_url
+  FROM links
+)
+SELECT canon_url, count(*) AS n_docs
+FROM canon
+GROUP BY canon_url
+HAVING count(*) > 1
+""")
+def dd_link_canon(spark: SparkSession, d: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization: extracted links are
+    normalized (lowercase, strip fragment, strip query string, strip
+    trailing slashes) and cross-document duplicates surfaced — the
+    dedup step a crawler runs so http://Host/page?utm=x#top and
+    http://host/page schedule ONE fetch (the reference re-crawls
+    naively, crawled_urls set in crawler.py).  The corpus text
+    carries no URLs, so each doc is seeded with two VARIANTS of the
+    same page (mixed case + tracking query + fragment vs plain with
+    trailing slash, the s4_extract_links_seeded convention) — the
+    merge path is exercised non-vacuously.  Lowercasing the full URL
+    (not just the host) is a documented policy choice: it over-merges
+    case-sensitive paths but is what frontier dedup wants.  One
+    explode + one distinct + one count shuffle on the canonical key;
+    the regex chain is codegen'd JVM string work, no UDF."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") % 7 == 0)
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" link https://Example.com/Page/"),
+            F.col("doc_id") % 37,
+            F.lit("?utm="), F.col("doc_id"),
+            F.lit("#top plus https://example.com/page/"),
+            F.col("doc_id") % 37, F.lit("/"),
+        ))
+    links = (seeded
+             .select("doc_id",
+                     F.explode(X.extract_links(F.col("text")))
+                     .alias("url")))
+    canon = (links.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                "\\?.*$", ""),
+            "/+$", "").alias("canon_url"))
+        .distinct())
+    return (canon.groupBy("canon_url")
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") > 1))
+
+
+@register("a15_cardinality_profile", oracle="""
+SELECT 'user_id' AS column_name,
+       count(DISTINCT user_id) AS n_distinct, TRUE AS approx_ok
+FROM events
+UNION ALL
+SELECT 'event_type', count(DISTINCT event_type), TRUE FROM events
+UNION ALL
+SELECT 'props', count(DISTINCT props), TRUE FROM events
+""")
+def a15_cardinality_profile(spark: SparkSession, d: str) -> DataFrame:
+    """Column-cardinality profiling (the catalog statistic that
+    drives join-strategy choices: broadcast vs shuffle, salting
+    need).  Exact counts are the contract; approx_count_distinct
+    (HLL++, one pass, no expand) rides the same rows and the entry
+    GATES it within 5% of exact — the a5_approx_gate convention, so
+    the driver value-checks the approximation's quality, not its
+    noise.  At 100 TB run the approx pass alone: the exact multi-
+    column form pays one Expand (row x columns) shuffle, the sketch
+    form one narrow pass."""
+    ev = _t(spark, d, "events")
+    rows = []
+    for c in ["user_id", "event_type", "props"]:
+        rows.append(ev.agg(
+            F.lit(c).alias("column_name"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            ((F.abs(F.approx_count_distinct(c).cast("double")
+                    - F.count_distinct(F.col(c)).cast("double"))
+              / F.count_distinct(F.col(c)).cast("double")) <= 0.05)
+            .alias("approx_ok")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
