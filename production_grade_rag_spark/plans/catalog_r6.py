@@ -3781,3 +3781,51 @@ def a15_cardinality_profile(spark: SparkSession, d: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@register("ev_stickiness", oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events GROUP BY 1, 2, 3
+), dau AS (
+  SELECT week, day, count(*) AS n_dau FROM daily GROUP BY 1, 2
+), mau AS (
+  SELECT week, count(DISTINCT user_id) AS n_wau
+  FROM daily GROUP BY 1
+)
+SELECT CAST(d.week AS VARCHAR) AS week,
+       CAST(round(avg(d.n_dau)) AS BIGINT) AS avg_dau,
+       m.n_wau AS wau,
+       round(CAST(round(avg(d.n_dau)) AS DOUBLE) / m.n_wau, 4)
+         AS stickiness
+FROM dau d JOIN mau m ON m.week = d.week
+GROUP BY d.week, m.n_wau
+""")
+def ev_stickiness(spark: SparkSession, d: str) -> DataFrame:
+    """DAU/WAU stickiness per week: how much of the weekly audience
+    shows up on an average day.  The (week, day, user) DISTINCT
+    collapse happens FIRST — one shuffle on the compound key drops
+    the fact table to at most users x days rows, and both the daily
+    counts and the weekly distinct ride that collapsed frame (the
+    distinct-first discipline of ev_retention_cohorts).  avg(n_dau)
+    is rounded to an integer before the ratio so the compare is
+    FP-robust; week cast to string on both sides (the DATE
+    stringify gotcha)."""
+    daily = (_t(spark, d, "events")
+             .select(F.date_trunc("week", "ts").cast("date")
+                     .alias("week"),
+                     F.to_date("ts").alias("day"), "user_id")
+             .distinct())
+    dau = (daily.groupBy("week", "day")
+           .agg(F.count("*").alias("n_dau")))
+    mau = (daily.groupBy("week")
+           .agg(F.count_distinct("user_id").alias("n_wau")))
+    return (dau.join(mau, "week")
+            .groupBy("week", "n_wau")
+            .agg(F.round(F.avg("n_dau")).cast("long").alias("avg_dau"),
+                 F.round(F.round(F.avg("n_dau")).cast("double")
+                         / F.col("n_wau"), 4).alias("stickiness"))
+            .select(F.col("week").cast("string").alias("week"),
+                    "avg_dau", F.col("n_wau").alias("wau"),
+                    "stickiness"))
