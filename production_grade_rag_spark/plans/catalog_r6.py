@@ -3829,3 +3829,49 @@ def ev_stickiness(spark: SparkSession, d: str) -> DataFrame:
             .select(F.col("week").cast("string").alias("week"),
                     "avg_dau", F.col("n_wau").alias("wau"),
                     "stickiness"))
+
+
+@register("s26_version_diff", oracle="""
+WITH v_old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+), v_new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)
+           AS h
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM v_old o FULL JOIN v_new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+""")
+def s26_version_diff(spark: SparkSession, d: str) -> DataFrame:
+    """CDC-style snapshot diff: which rows were added, removed, or
+    changed between two table versions (the consumer of
+    s24_versioned_read's time travel — what an incremental
+    re-embedding pipeline reads instead of the full corpus,
+    reference's per-doc re-check loop in vector_store.py done as one
+    set operation).  Two deterministic slices of documents simulate
+    the versions (doc_id % 5 / % 7 membership, content mutated on
+    % 11).  One FULL OUTER join on the key, content compared by
+    md5 — at 100 TB both sides hash-partition on doc_id and the
+    comparison ships 32-byte hashes, not documents; unchanged rows
+    (the vast majority) are filtered before anything downstream."""
+    docs = _t(spark, d, "documents")
+    old = (docs.filter(F.col("doc_id") % 5 != 0)
+           .select(F.col("doc_id").alias("__oid"),
+                   F.md5("text").alias("__oh")))
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select(F.col("doc_id").alias("__nid"),
+                   F.md5(F.when(F.col("doc_id") % 11 == 0,
+                                F.upper(F.col("text")))
+                         .otherwise(F.col("text"))).alias("__nh")))
+    j = old.join(new, old.__oid == new.__nid, "full_outer")
+    return (j.filter(F.col("__oid").isNull() | F.col("__nid").isNull()
+                     | (F.col("__oh") != F.col("__nh")))
+            .select(F.coalesce("__oid", "__nid").alias("doc_id"),
+                    F.when(F.col("__oid").isNull(), F.lit("added"))
+                    .when(F.col("__nid").isNull(), F.lit("removed"))
+                    .otherwise(F.lit("changed")).alias("change_type")))
