@@ -3875,3 +3875,98 @@ def s26_version_diff(spark: SparkSession, d: str) -> DataFrame:
                     F.when(F.col("__oid").isNull(), F.lit("added"))
                     .when(F.col("__nid").isNull(), F.lit("removed"))
                     .otherwise(F.lit("changed")).alias("change_type")))
+
+
+@register("q_fulfillment_lag", oracle="""
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(min(l.l_shipdate) AS DATE)) AS first_lag,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(max(l.l_shipdate) AS DATE)) AS last_lag
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(first_lag) AS DOUBLE) / count(*), 4)
+         AS avg_first_ship_days,
+       round(CAST(sum(last_lag) AS DOUBLE) / count(*), 4)
+         AS avg_complete_days,
+       max(last_lag) AS max_complete_days
+FROM per_order
+GROUP BY o_orderpriority
+""")
+def q_fulfillment_lag(spark: SparkSession, d: str) -> DataFrame:
+    """Order-fulfillment lag by priority: days from order placement
+    to FIRST shipment (responsiveness) and to LAST shipment
+    (completion), averaged per priority class.  Two-level agg: the
+    per-order min/max collapses lineitem on l_orderkey (partial agg
+    map-side, one shuffle on the join key the join already needs —
+    AQE reuses the partitioning), then a 5-group rollup.  Averages
+    are computed as exact-integer-sum / count (day lags are ints, so
+    the double division is the only FP step and is order-independent)."""
+    orders = _t(spark, d, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.to_date("o_orderdate").alias("__odate"))
+    li = _t(spark, d, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("__sdate"))
+    per_order = (orders
+                 .join(li, orders.o_orderkey == li.l_orderkey)
+                 .groupBy("o_orderkey", "o_orderpriority", "__odate")
+                 .agg(F.datediff(F.min("__sdate"), F.col("__odate"))
+                      .alias("first_lag"),
+                      F.datediff(F.max("__sdate"), F.col("__odate"))
+                      .alias("last_lag")))
+    return (per_order.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("first_lag").cast("double")
+                         / F.count("*"), 4).alias("avg_first_ship_days"),
+                 F.round(F.sum("last_lag").cast("double")
+                         / F.count("*"), 4).alias("avg_complete_days"),
+                 F.max("last_lag").alias("max_complete_days")))
+
+
+@register("w9_interorder_gap", oracle="""
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         lag(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_day
+  FROM orders
+), gaps AS (
+  SELECT o_custkey, date_diff('day', prev_day, day) AS gap_days
+  FROM seq WHERE prev_day IS NOT NULL
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_gaps,
+       round(CAST(sum(g.gap_days) AS DOUBLE) / count(*), 4)
+         AS avg_gap_days,
+       max(g.gap_days) AS max_gap_days
+FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+GROUP BY c.c_mktsegment
+""")
+def w9_interorder_gap(spark: SparkSession, d: str) -> DataFrame:
+    """Inter-order cadence: days between a customer's consecutive
+    orders (lag window per custkey with an orderkey tiebreak),
+    rolled up to segment-level averages — the purchase-frequency
+    statistic behind reorder prediction.  One shuffle on o_custkey
+    serves the window; the segment decoration joins AFTER the gap
+    computation so the window never carries customer columns, and
+    the final agg is 5 groups.  Exact-integer-sum / count averaging
+    (the q_fulfillment_lag convention)."""
+    orders = _t(spark, d, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("day"))
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (orders
+            .withColumn("prev_day", F.lag("day").over(w))
+            .filter(F.col("prev_day").isNotNull())
+            .select("o_custkey",
+                    F.datediff("day", "prev_day").alias("gap_days")))
+    cust = _t(spark, d, "customer").select("c_custkey", "c_mktsegment")
+    return (gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.round(F.sum("gap_days").cast("double") / F.count("*"),
+                         4).alias("avg_gap_days"),
+                 F.max("gap_days").alias("max_gap_days")))
