@@ -3970,3 +3970,90 @@ def w9_interorder_gap(spark: SparkSession, d: str) -> DataFrame:
                  F.round(F.sum("gap_days").cast("double") / F.count("*"),
                          4).alias("avg_gap_days"),
                  F.max("gap_days").alias("max_gap_days")))
+
+
+@register("q9_profit_proxy", oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000) AS BIGINT)
+                - CAST(round(l.l_quantity * p.p_retailprice * 6000)
+                       AS BIGINT)) AS DOUBLE) / 10000.0 AS profit,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, year(o.o_orderdate)
+""")
+def q9_profit_proxy(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation-year): per-line
+    profit = revenue minus cost, aggregated over the supplier's
+    nation and the order year.  The testdata has no partsupp, so
+    cost is proxied as 60% of p_retailprice x quantity — the plan
+    shape (fact x 2 mid-size dims x 2 broadcast dims, full-corpus
+    agg to a small nation x year matrix) is the point, and it is
+    Q9's.  Per-line profit is integer-scaled BEFORE summing (q6
+    convention: identical IEEE doubles per line in both engines,
+    then exact BIGINT addition in any order).  part and supplier
+    scale with sf so AQE owns their join strategy; nation rides a
+    broadcast."""
+    li = _t(spark, d, "lineitem")
+    part = _t(spark, d, "part").select("p_partkey", "p_retailprice")
+    supp = _t(spark, d, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, d, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, d, "nation").select("n_nationkey",
+                                           F.col("n_name").alias("nation"))
+    scaled = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 10000).cast("long")
+              - F.round(F.col("l_quantity") * F.col("p_retailprice")
+                        * 6000).cast("long"))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(supp, li.l_suppkey == supp.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(nation),
+               supp.s_nationkey == nation.n_nationkey))
+    return (j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg((F.sum(scaled).cast("double") / 10000.0).alias("profit"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q15_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS total_sc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.total_sc AS DOUBLE) / 10000.0, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_sc = (SELECT max(total_sc) FROM revenue)
+""")
+def q15_top_supplier(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per
+    supplier (the original's VIEW, here a CTE/DataFrame), then the
+    supplier(s) whose revenue EQUALS the maximum — the scalar-
+    subquery-on-aggregate form, which keeps ties (argmax entries a4
+    pick one winner; Q15 keeps all).  The revenue table is
+    |suppliers|-sized, so the max is a 1-row broadcast and the
+    equality filter is map-side; integer-scaled revenue makes the
+    max well-defined across engines (no FP ordering at the top)."""
+    li = _t(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01"))))
+    scaled = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 10000).cast("long"))
+    revenue = (li.groupBy("l_suppkey")
+               .agg(F.sum(scaled).alias("total_sc")))
+    mx = revenue.agg(F.max("total_sc").alias("__mx"))
+    supp = _t(spark, d, "supplier").select("s_suppkey", "s_name")
+    return (revenue.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_sc") == F.col("__mx"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("total_sc").cast("double") / 10000.0,
+                            2).alias("total_revenue")))

@@ -107,6 +107,8 @@ def test_flagship_ends_in_take_ordered(spark):
     "q7_volume_shipping", "q8_market_share",
     "q13_order_count_distribution", "q19_disjunctive_revenue",
     "q21_waiting_supplier", "q_basket_lift", "ev_rfm_segments",
+    "q9_profit_proxy", "q15_top_supplier", "q_fulfillment_lag",
+    "w9_interorder_gap", "s26_version_diff",
 ])
 def test_new_tpch_shapes_no_cartesian(spark, name):
     plan = _plan(spark, name)
@@ -163,3 +165,10 @@ def test_basket_lift_joins_on_orderkey_not_nested_loop(spark):
                for ln in plan.splitlines()
                if "Exchange hashpartitioning" in ln
                or "SortMergeJoin" in ln or "BroadcastHashJoin" in ln)
+
+
+def test_q9_nation_broadcasts_fact_agg_two_phase(spark):
+    plan = _plan(spark, "q9_profit_proxy")
+    assert "BroadcastHashJoin" in plan
+    # nation x year matrix agg: partial map-side + final
+    assert plan.count("HashAggregate") >= 2
