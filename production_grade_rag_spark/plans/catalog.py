@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ..operators import chunking
+from ..operators import chunk_gates, chunking
 from ..sources import load_table
 from . import oracle_sql as O
 
@@ -454,14 +454,18 @@ def m1_chunk_fixed(spark: SparkSession, d: str) -> DataFrame:
         "start_char", "end_char", "word_count")
 
 
-@register("m1_chunk_recursive")  # rows-only: LangChain-parity splitter is not SQL
+@register("m1_chunk_recursive", oracle=chunk_gates.M1_RECURSIVE_ORACLE)
 def m1_chunk_recursive(spark: SparkSession, d: str) -> DataFrame:
-    """M1: recursive character splitter (pandas UDF path).  Property
-    tests in tests/test_chunking.py pin the semantics; the driver
-    records a rows-only check."""
+    """M1: recursive character splitter (document_processor.py:96-123)
+    — driver-visible as a constant-pinned invariant gate (the splitter
+    itself is not SQL-expressible, so the raw rows can't be
+    value-oracled; they ship as m1_chunk_recursive_rows in catalog_r7
+    plus the fuzz/property tests).  The gate verifies IN the Spark
+    plan: offset fidelity, size bound, per-doc monotonic spans, unique
+    (doc, chunk_index), and non-whitespace coverage of every document
+    — all (TRUE, 0, 0, 0, 0, 0) when the splitter is correct."""
     docs = _t(spark, d, "documents")
-    return chunking.chunk_recursive(docs).select(
-        "chunk_id", "doc_id", "content", "chunk_index", "word_count")
+    return chunk_gates.m1_recursive_invariants(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -483,3 +487,4 @@ def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from . import catalog_ext  # noqa: E402,F401  (registration side effects)
 from . import catalog_more  # noqa: E402,F401  (registration side effects)
 from . import catalog_r6  # noqa: E402,F401  (registration side effects)
+from . import catalog_r7  # noqa: E402,F401  (registration side effects)

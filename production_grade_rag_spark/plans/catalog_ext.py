@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, to_double_array
 from ..operators import attribution as attr
-from ..operators import chunking, dedup, fusion, similarity, textstats
+from ..operators import chunk_gates, chunking, dedup, fusion, similarity, textstats
 from . import oracle_vec as OV
 from .catalog import _t, register
 from .oracle_sql import sql_str
@@ -687,28 +687,32 @@ def ev_json_props(spark: SparkSession, d: str) -> DataFrame:
 # Parent-child chunking + diversity (rows-only: non-SQL semantics)
 # ===========================================================================
 
-@register("m2_parent_child")   # rows-only: recursive splitter is not SQL
+@register("m2_parent_child", oracle=chunk_gates.M2_PARENT_CHILD_ORACLE)
 def m2_parent_child(spark: SparkSession, d: str) -> DataFrame:
-    """M2: parent(2000/400) + child(400/100) hierarchy with first-class
-    chunk_type/parent_id columns (parent_child_chunker.py:40-136);
-    property tests pin containment + ordering."""
+    """M2: parent(2000/400) + child(400/100) hierarchy
+    (parent_child_chunker.py:40-136) — driver-visible as a
+    constant-pinned invariant gate (the recursive splitter is not SQL,
+    so the raw rows ship as m2_parent_child_rows in catalog_r7 plus
+    property tests).  Verified in-plan: size bounds both levels, child
+    substring-of-parent, child non-ws coverage of its parent, dense
+    child_index, no orphans, every non-empty doc chunked — all
+    (TRUE, 0 × 7) when the hierarchy is correct."""
     docs = _t(spark, d, "documents")
-    return chunking.chunk_parent_child(docs).select(
-        "chunk_id", "doc_id", "chunk_index", "chunk_type", "parent_id",
-        "child_count", "child_index", "word_count")
+    return chunk_gates.m2_parent_child_invariants(docs)
 
 
-@register("r2_parent_context_recursive")   # rows-only: recursive splitter
+@register("r2_parent_context_recursive",
+          oracle=chunk_gates.R2_PARENT_CONTEXT_ORACLE)
 def r2_parent_context_recursive(spark: SparkSession, d: str) -> DataFrame:
-    """R2 over the recursive-splitter hierarchy (rows-only — the
-    splitter is not SQL-expressible).  The oracle-checked form is
-    r2_parent_context in catalog_more, built on the fixed-stride
-    hierarchy; the join itself is identical."""
+    """R2 parent-context join over the recursive hierarchy
+    (parent_child_chunker.py:118-151) — driver-visible as a
+    constant-pinned invariant gate: the join is total (one row per
+    child), null-free, attaches exactly the parent chunk's content,
+    and that content contains the child.  The raw joined rows ship as
+    r2_parent_context_rows in catalog_r7; the fixed-stride
+    value-oracled twin is r2_parent_context in catalog_more."""
     docs = _t(spark, d, "documents")
-    chunks = chunking.chunk_parent_child(docs)
-    return chunking.parent_context(chunks).select(
-        "chunk_id", "doc_id", "parent_id",
-        F.length("parent_content").alias("parent_len"))
+    return chunk_gates.r2_parent_context_invariants(docs)
 
 
 @register("r3_parent_child_map_recursive")   # rows-only: recursive splitter
