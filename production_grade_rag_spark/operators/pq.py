@@ -172,6 +172,7 @@ def ivfpq_build_store(corpus: DataFrame, path: str, n_lists: int = 8,
 
 def ivfpq_search_store(spark, path: str, query_vec: list[float],
                        k: int = 10, n_probe: int = 4, rescore: int = 64,
+                       n_candidates: int | None = None,
                        vec_col: str = "embedding",
                        id_col: str = "vec_id") -> DataFrame:
     """Online IVFPQ: probe the ``n_probe`` nearest cells (partition
@@ -186,7 +187,15 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
     becomes the only loss source — measured across sf0.1 and the 10x
     stress tier), while the candidate set stays k*rescore rows — a
     constant, NOT a fraction of the corpus, so the wide-vector reads
-    are corpus-size-independent and the knob is free at scale."""
+    are corpus-size-independent and the knob is free at scale.
+
+    ``n_candidates`` is the reference's over-fetch-then-refine surface
+    (vector_search.py:67 ``numCandidates``): when given, it overrides
+    ``k * rescore`` as the exact-rerank shortlist size directly.
+    Measured at sf0.1 (16 lists, probe 16): widening the shortlist
+    160 -> 640 lifts recall@10 0.6 -> 1.0; past that the probe ceiling
+    (fraction of exact top-k living in probed cells) is the binding
+    loss, which no rerank can recover — raise n_probe for that."""
     from .similarity import _probe_cells
     from ..functions.vector import cosine
 
@@ -211,9 +220,10 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
         qc_expr = branch if qc_expr is None else \
             qc_expr.when(F.col("cell") == c, F.lit(float(cents[c] @ q)))
     approx = qc_expr + _adc_terms(books, q, "pq_codes")
+    shortlist = n_candidates if n_candidates is not None else k * rescore
     cand = (data.withColumn("__approx", approx)
             .orderBy(F.desc("__approx"), F.col(id_col))
-            .limit(k * rescore)
+            .limit(shortlist)
             .select(id_col))
     qlit = F.array(*[F.lit(float(x)) for x in q])
     exact = (data.join(F.broadcast(cand), id_col)
