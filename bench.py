@@ -30,6 +30,18 @@ def main() -> None:
     # query, not session startup
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    def _cal() -> float:
+        t0 = time.perf_counter()
+        CATALOG["q1_pricing_summary"].build(spark, SF_DIR).count()
+        return round(time.perf_counter() - t0, 3)
+
+    # fixed calibration probe, run first and last: cal_warm is a
+    # host-speed proxy for cross-round comparison (divide per-query
+    # times by it before calling a delta a regression — sessions on
+    # this host show 1.3-1.9x uniform noise), and cold/warm spread
+    # bounds the within-run warmup drift.
+    cal_cold = _cal()
+
     # one failing query must not lose the artifact for the healthy 14:
     # failures are recorded per-query and the JSON line is always emitted
     timings: dict[str, float] = {}
@@ -48,6 +60,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    cal_warm = _cal()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -55,6 +68,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "noise_cal": {
+            "probe": "q1_pricing_summary",
+            "cold_sec": cal_cold,
+            "warm_sec": cal_warm,
+            "cold_over_warm": round(cal_cold / cal_warm, 3)
+            if cal_warm else None,
+        },
     }
     if errors:
         out["errors"] = errors

@@ -192,6 +192,29 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def minhash_cap_report(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       num_bands: int = 4,
+                       max_bucket: int = 1000) -> DataFrame:
+    """Accounting for the ``max_bucket`` skew guard: one row summarizing
+    what the cap would drop at this operating point — capped bucket
+    count, member rows inside them, and the candidate pairs avoided
+    (sum n*(n-1)/2 over capped buckets; the quadratic blowup a
+    boilerplate megacluster would otherwise inject into the
+    bucket-local self-join).  Same signature/band plan as
+    minhash_dedup_pairs, so the report costs one extra aggregation,
+    not a second pipeline."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = minhash_band_table(sigs, id_col, num_hashes, num_bands)
+    sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("n"))
+    capped = sizes.filter(F.col("n") > max_bucket)
+    return capped.agg(
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_buckets_capped"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows_capped"),
+        F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+         .cast("long").alias("n_pairs_avoided"))
+
+
 def dedup_keepers(pairs: DataFrame, all_ids: DataFrame,
                   id_col: str = "doc_id") -> DataFrame:
     """Collapse near-dup pairs to a keep/drop decision: drop any id that

@@ -19,6 +19,14 @@ of 10 identical copies), embeddings get a per-replica circular roll
 (norm-preserving).  Parquet lands under $SPARK_GRAFT_STRESS_DIR
 (default /tmp/pgrs_stress10x) and is reused across runs.
 
+Round-7 additions: every 1x-vs-10x ratio is measured steady-state
+(warm-up run first — cold-vs-warm ordering can no longer make a 10x
+tier look faster than 1x); an adversarial-skew tier puts ~10% of the
+10x corpus on ONE boilerplate template and shows the bucket cap
+dropping the megacluster's quadratic pair set (capped-pairs accounting
+recorded) at near-uniform wall-time; and a two-stage IVFPQ rerank
+sweep records recall vs numCandidates against the probe ceiling.
+
 Prints one JSON line; the driver-style artifact is committed as
 STRESS_r{N}.json at the repo root.
 """
@@ -44,6 +52,15 @@ def _timed(fn):
     t0 = time.perf_counter()
     out = fn()
     return out, round(time.perf_counter() - t0, 3)
+
+
+def _timed_steady(fn):
+    """Warm-up run (untimed) then a timed run: every 1x-vs-10x ratio
+    compares steady state to steady state, so scan caching / JIT /
+    shuffle-service warmup can't make a tier look faster than its
+    smaller twin (the r6 ev_asof_join_10x < 1x anomaly)."""
+    fn()
+    return _timed(fn)
 
 
 def synthesize(spark) -> None:
@@ -103,6 +120,27 @@ def synthesize(spark) -> None:
     done.touch()
 
 
+def synthesize_skew(spark) -> None:
+    """Adversarial-skew twin of the 10x documents tier: every 10th doc
+    becomes the SAME boilerplate template (one ~5k-member LSH
+    megacluster — every band bucket quadratic without the cap), the
+    rest keep their permuted text.  Deterministic; idempotent."""
+    done = Path(STRESS_DIR) / "_SYNTH_SKEW_OK"
+    if done.exists():
+        return
+    from production_grade_rag_spark.sources import load_table
+    docs10 = load_table(spark, STRESS_DIR, "documents")
+    template = " ".join(f"boilerplate{i} clause{i % 7}" for i in range(120))
+    skewed = docs10.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(template))
+         .otherwise(F.col("text"))
+    ).withColumn("n_chars", F.length("text").cast("int"))
+    skewed.write.mode("overwrite").parquet(
+        f"{STRESS_DIR}/documents_skew.parquet")
+    done.touch()
+
+
 def main() -> None:
     from production_grade_rag_spark.operators import dedup, similarity
     from production_grade_rag_spark.plans.flagship import flagship_search
@@ -123,13 +161,36 @@ def main() -> None:
 
     # --- minhash at production width: 1x vs 10x ------------------------
     for tag, d in (("1x", docs1), ("10x", docs10)):
-        n, t = _timed(lambda d=d: dedup.minhash_dedup_pairs(
+        n, t = _timed_steady(lambda d=d: dedup.minhash_dedup_pairs(
             d, num_hashes=128, num_bands=32).count())
         T[f"minhash_128_32_{tag}"] = t
         res[f"minhash_pairs_{tag}"] = n
         print(f"# minhash {tag}: {t}s ({n} pairs)", file=sys.stderr)
     res["minhash_scale_ratio"] = round(
         T["minhash_128_32_10x"] / T["minhash_128_32_1x"], 2)
+
+    # --- adversarial skew: boilerplate megacluster under the cap -------
+    synthesize_skew(spark)
+    docs_skew = spark.read.parquet(f"{STRESS_DIR}/documents_skew.parquet")
+    n_boiler = docs_skew.filter(F.col("doc_id") % 10 == 0).count()
+    n, t = _timed_steady(lambda: dedup.minhash_dedup_pairs(
+        docs_skew, num_hashes=128, num_bands=32, max_bucket=1000).count())
+    T["minhash_skew_10x"] = t
+    res["minhash_skew_pairs"] = n
+    res["minhash_skew_ratio"] = round(t / T["minhash_128_32_10x"], 2)
+    cap = dedup.minhash_cap_report(
+        docs_skew, num_hashes=128, num_bands=32,
+        max_bucket=1000).collect()[0]
+    res["minhash_skew_cap"] = {
+        "n_boilerplate_docs": n_boiler,
+        "n_buckets_capped": cap["n_buckets_capped"],
+        "n_rows_capped": cap["n_rows_capped"],
+        "n_pairs_avoided": cap["n_pairs_avoided"],
+    }
+    print(f"# minhash skew 10x: {t}s ({n} pairs; megacluster "
+          f"{n_boiler} docs, {cap['n_pairs_avoided']} pairs avoided "
+          f"across {cap['n_buckets_capped']} capped buckets; ratio "
+          f"{res['minhash_skew_ratio']}x of uniform 10x)", file=sys.stderr)
 
     # --- IVF store: build + probe sweep vs exact -----------------------
     store = f"{STRESS_DIR}/ivf64"
@@ -152,7 +213,8 @@ def main() -> None:
     from production_grade_rag_spark.plans.catalog import CATALOG
     for q in ("ev_asof_join", "ev_funnel", "ev_sessionize"):
         for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
-            n, t = _timed(lambda q=q, d=d: CATALOG[q].build(spark, d).count())
+            n, t = _timed_steady(
+                lambda q=q, d=d: CATALOG[q].build(spark, d).count())
             T[f"{q}_{tag}"] = t
             print(f"# {q} {tag}: {t}s ({n} rows)", file=sys.stderr)
         res[f"{q}_scale_ratio"] = round(T[f"{q}_10x"] / T[f"{q}_1x"], 2)
@@ -186,6 +248,30 @@ def main() -> None:
         print(f"# ivfpq probe {p}/64: {t}s recall "
               f"{res[f'ivfpq_recall_p{p}']}", file=sys.stderr)
 
+    # --- two-stage rerank sweep: shortlist width vs the probe ceiling --
+    # the probe ceiling (fraction of exact top-10 whose cells are
+    # probed) is what no rerank can recover; the sweep shows the
+    # numCandidates knob closing the SHORTLIST gap up to that ceiling.
+    pdata = spark.read.parquet(f"{pstore}/data")
+    pcents = spark.read.parquet(f"{pstore}/centroids")
+    cells_of_exact = {
+        r["cell"] for r in pdata.filter(
+            F.col("vec_id").isin(list(exact_ids))).select("cell").collect()}
+    probed = set(similarity._probe_cells(pcents, QUERY_VEC, 16))
+    n_in = pdata.filter(F.col("vec_id").isin(list(exact_ids))
+                        & F.col("cell").isin(list(probed))).count()
+    res["ivfpq_probe_ceiling_p16"] = round(n_in / 10, 2)
+    for cand in (160, 640, 2560):
+        rows, t = _timed(lambda c=cand: pqm.ivfpq_search_store(
+            spark, pstore, QUERY_VEC, k=10, n_probe=16,
+            n_candidates=c).collect())
+        T[f"ivfpq_rerank_c{cand}"] = t
+        res[f"ivfpq_rerank_recall_c{cand}"] = round(
+            len(exact_ids & {r["vec_id"] for r in rows}) / 10, 2)
+        print(f"# ivfpq rerank p16 cand={cand}: {t}s recall "
+              f"{res[f'ivfpq_rerank_recall_c{cand}']} (ceiling "
+              f"{res['ivfpq_probe_ceiling_p16']})", file=sys.stderr)
+
     # --- batch ANN join at 10x: crossJoin vs IVF-cell equi-join --------
     qs = emb10.filter(F.col("vec_id") % 199 == 7).limit(100)
     n_q = qs.count()
@@ -205,7 +291,7 @@ def main() -> None:
 
     # --- flagship at dim 384: 1x vs 10x --------------------------------
     for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
-        n, t = _timed(lambda d=d: flagship_search(
+        n, t = _timed_steady(lambda d=d: flagship_search(
             spark, d, k=10, dim=384).count())
         T[f"flagship_dim384_{tag}"] = t
         print(f"# flagship {tag}: {t}s ({n} rows)", file=sys.stderr)

@@ -79,3 +79,38 @@ def test_wide_minhash_catches_all_high_jaccard_pairs(spark):
                                num_bands=16).collect()}
     assert len(exact) >= 5
     assert got == exact
+
+
+def test_bucket_cap_drops_megacluster_keeps_genuine_pairs(spark):
+    # adversarial skew: one boilerplate template shared by 40 docs (an
+    # LSH megacluster — every band bucket holds all 40) next to two
+    # genuine near-dup pairs on disjoint vocabularies.  The cap must
+    # drop the megacluster's quadratic pair set while the small
+    # buckets pair normally.
+    template = " ".join(f"boiler{i}" for i in range(60))
+    rows = [(i, template) for i in range(40)]
+    for p in range(2):
+        toks = [f"g{p}tok{i}" for i in range(60)]
+        pert = list(toks)
+        pert[0] = f"g{p}alt0"
+        rows.append((100 + 2 * p, " ".join(toks)))
+        rows.append((101 + 2 * p, " ".join(pert)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(
+        df, threshold=0.8, num_hashes=32, num_bands=8,
+        max_bucket=10).collect()}
+    assert capped == {(100, 101), (102, 103)}, \
+        "cap must drop megacluster pairs and keep genuine ones"
+
+    uncapped = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(
+        df, threshold=0.8, num_hashes=32, num_bands=8,
+        max_bucket=None).collect()}
+    assert {(a, b) for a in range(40) for b in range(40) if a < b} <= uncapped
+
+    from production_grade_rag_spark.operators.dedup import minhash_cap_report
+    rep = minhash_cap_report(df, num_hashes=32, num_bands=8,
+                             max_bucket=10).collect()[0]
+    assert rep["n_buckets_capped"] == 8          # one megabucket per band
+    assert rep["n_rows_capped"] == 8 * 40
+    assert rep["n_pairs_avoided"] == 8 * (40 * 39 // 2)
