@@ -241,6 +241,8 @@ class SparkRagEngine:
         # (Atlas $search applies the index analyzer to the query too)
         if c.text_analyzer == "standard":
             terms = X.std_analyze_py(query_text)
+        elif c.text_analyzer == "stemmed":
+            terms = X.stem_analyze_py(query_text)
         else:
             terms = [t for t in query_text.lower().split() if t]
         if c.text_relevance == "bm25":

@@ -75,6 +75,59 @@ def std_analyze_py(text: str) -> list[str]:
     import re
     return re.findall(r"[0-9a-z_]+", (text or "").lower())
 
+
+# Porter-lite stemmer: the deterministic suffix-stripping subset of the
+# reference's remaining Lucene gap (its $search index could declare
+# lucene.english = standard + stopwords + Porter, index_manager.py:
+# 117-152).  Ordered rules applied in sequence to each standard-analyzed
+# token; every pattern is RE2-safe (DuckDB) AND Java-regex-safe (Spark):
+# no lookaround, no pattern backrefs (the double-consonant collapse
+# enumerates letters instead).  Plural rules run BEFORE ed/ing so
+# "meetings" -> "meeting" -> "meet" matches query "meeting" -> "meet".
+# A lite stemmer's contract is CONSISTENCY (document and query tokens
+# map through the same chain), not linguistic perfection.
+STEM_RULES: tuple[tuple[str, str], ...] = (
+    (r"^([a-z]+)sses$", "ss"),      # classes -> class
+    (r"^([a-z]{2,})ies$", "y"),     # queries -> query
+    (r"^([a-z]*[^su])s$", ""),      # filters -> filter (keep -ss, -us)
+    (r"^([a-z]{3,})ing$", ""),      # filtering -> filter
+    (r"^([a-z]{3,})ed$", ""),       # filtered -> filter
+    (r"^([a-z]{4,})ness$", ""),     # robustness -> robust
+    (r"^([a-z]{3,})ly$", ""),       # quickly -> quick
+    (r"^([a-z]+b)b$", ""), (r"^([a-z]+d)d$", ""), (r"^([a-z]+g)g$", ""),
+    (r"^([a-z]+m)m$", ""), (r"^([a-z]+n)n$", ""), (r"^([a-z]+p)p$", ""),
+    (r"^([a-z]+r)r$", ""), (r"^([a-z]+t)t$", ""),  # runn -> run
+    (r"^([a-z]{4,})e$", ""),        # remove/removed -> remov
+)
+
+
+def stem_token(col: Column) -> Column:
+    """Porter-lite stem of one (already lowercased) token — chained
+    regexp_replace, pure codegen."""
+    out = col
+    for pat, keep in STEM_RULES:
+        out = F.regexp_replace(out, pat, "$1" + keep)
+    return out
+
+
+def stemmed_tokens(col: Column) -> Column:
+    """analyzer="stemmed": Lucene-standard tokenization then the
+    Porter-lite suffix chain per token."""
+    return F.transform(std_tokens(col), stem_token)
+
+
+def stem_py(token: str) -> str:
+    """Driver-side twin of ``stem_token`` (query analysis)."""
+    import re
+    for pat, keep in STEM_RULES:
+        token = re.sub(pat, r"\g<1>" + keep, token)
+    return token
+
+
+def stem_analyze_py(text: str) -> list[str]:
+    """Driver-side twin of ``stemmed_tokens``."""
+    return [stem_py(t) for t in std_analyze_py(text)]
+
 # intent keywords (advanced_search.py:125-146), used by F5 intent classifier
 INTENT_RULES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("technical", ("api", "code", "function", "class", "implement")),

@@ -217,9 +217,11 @@ def ivf_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    feats = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        array_to_vector(to_double_array(F.col(vec_col))).alias("__features"))
+    # carry ALL corpus columns through (content/attributes included):
+    # downstream engine strategies filter and project on them, and
+    # knn_topk preserves its input columns — the ivf path must too.
+    feats = corpus.withColumn(
+        "__features", array_to_vector(to_double_array(F.col(vec_col))))
     if centroids is None:
         km = KMeans(k=n_lists, seed=42, featuresCol="__features",
                     predictionCol="__cell")

@@ -31,19 +31,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import std_tokens
+from ..functions.text import std_tokens, stemmed_tokens
 from .dedup import tokens
 
 
 def _tokenizer(analyzer: str):
-    """Analyzer dispatch: "whitespace" (the repo's F3 tokenizer) or
+    """Analyzer dispatch: "whitespace" (the repo's F3 tokenizer),
     "standard" (the Lucene-standard twin the reference's $search index
     declares, index_manager.py:117-152 — strips punctuation, so
-    "vector," matches query term "vector")."""
+    "vector," matches query term "vector"), or "stemmed" (standard +
+    the Porter-lite suffix chain, the lucene.english-shaped variant —
+    "filtering"/"filtered"/"filters" all match query term "filter")."""
     if analyzer == "whitespace":
         return tokens
     if analyzer == "standard":
         return std_tokens
+    if analyzer == "stemmed":
+        return stemmed_tokens
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 

@@ -196,8 +196,10 @@ LIMIT 20
 _bm25_sql = OV.bm25_sql
 
 
-def _bm25_hybrid_oracle(toks: str | None = None) -> str:
-    cte, score = _bm25_sql(QUERY_TERMS, toks=toks)
+def _bm25_hybrid_oracle(toks: str | None = None,
+                        terms: list[str] | None = None) -> str:
+    cte, score = _bm25_sql(terms if terms is not None else QUERY_TERMS,
+                           toks=toks)
     return f"""
 WITH {cte},
 vec AS (

@@ -49,6 +49,61 @@ def m2_parent_child_rows(spark: SparkSession, d: str) -> DataFrame:
 
 
 # ===========================================================================
+# Stemmed-analyzer BM25 hybrid: the lucene.english-shaped twin
+# (reference $search analyzer family, index_manager.py:117-152)
+# ===========================================================================
+
+def _stem_oracle() -> str:
+    from ..functions.text import stem_py
+    from . import oracle_vec as OV
+    from .catalog_ext import _bm25_hybrid_oracle
+    return _bm25_hybrid_oracle(
+        toks=OV.stemmed_tokens_sql("text"),
+        terms=[stem_py(t) for t in OV.QUERY_TERMS])
+
+
+@register("r7_hybrid_bm25_stem", oracle=_stem_oracle())
+def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
+    """R7 BM25 under the Porter-lite stemmed analyzer — closes the
+    remaining Lucene-analyzer gap vs the reference's $search index
+    (index_manager.py:117-152): "filtering"/"filtered"/"filters" in a
+    document all match query term "filter".  Query terms go through
+    the SAME stem chain as the index side (Atlas applies the analyzer
+    to both); document-frequency, length norm, and term counts all
+    shift with the stemming; fusion pipeline unchanged.  STEM_RULES
+    are shared verbatim with the DuckDB oracle — analyzer parity is
+    value-hashed, not asserted."""
+    from ..functions.text import stem_py
+    from ..functions.vector import cosine, to_double_array
+    from ..operators import fusion, textscore
+    from . import oracle_vec as OV
+    from .catalog_ext import _qvec_col
+    emb = _t(spark, d, "embeddings")
+    docs = _t(spark, d, "documents")
+    terms = [stem_py(t) for t in OV.QUERY_TERMS]
+    vec = (emb.select(
+        F.col("vec_id").alias("id"),
+        cosine(to_double_array(F.col("embedding")), _qvec_col())
+            .alias("vector_score"))
+        .orderBy(F.desc("vector_score"), "id").limit(40))
+    txt = (textscore.bm25_score(docs, terms, text_col="text",
+                                analyzer="stemmed")
+           .select(F.col("doc_id").alias("id"), "text_score")
+           .orderBy(F.desc("text_score"), "id").limit(40))
+    merged = fusion.hybrid_union(vec, txt)
+    fused = fusion.weighted_fusion(merged)
+    return (fused
+            .select("id",
+                    F.round(F.coalesce("vector_score", F.lit(0.0)), 6)
+                     .alias("vector_score"),
+                    F.round(F.coalesce("text_score", F.lit(0.0)), 6)
+                     .alias("text_score"),
+                    F.round("score", 6).alias("score"),
+                    F.col("score").alias("__raw"))
+            .orderBy(F.desc("__raw"), "id").limit(20).drop("__raw"))
+
+
+# ===========================================================================
 # Two-stage IVFPQ retrieval: ADC shortlist -> exact rerank
 # (reference numCandidates over-fetch-then-refine, vector_search.py:67)
 # ===========================================================================

@@ -74,6 +74,19 @@ def std_tokens_sql(expr: str) -> str:
             f"{sql_str(STD_TOKEN_DELIM_RE)}), x -> x <> '')")
 
 
+def stemmed_tokens_sql(expr: str) -> str:
+    """Twin of functions.text.stemmed_tokens: standard tokens, then the
+    shared Porter-lite STEM_RULES chain per token (DuckDB replacement
+    backref is \\1 where Spark's is $1; the patterns are shared
+    verbatim — both engines' regex dialects cover them)."""
+    from ..functions.text import STEM_RULES
+    x = "x"
+    for pat, keep in STEM_RULES:
+        x = (f"regexp_replace({x}, {sql_str(pat)}, "
+             f"{sql_str(chr(92) + '1' + keep)})")
+    return f"list_transform({std_tokens_sql(expr)}, x -> {x})"
+
+
 def md5_int32_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 

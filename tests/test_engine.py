@@ -428,9 +428,21 @@ def test_ann_backend_ivf_dispatch(spark, index):
     q = "table scan filter"
     exact = [r["chunk_id"] for r in
              exact_eng.search(index, query_text=q, limit=10).collect()]
-    got = ivf_eng.search(index, query_text=q, limit=10).collect()
+    got_df = ivf_eng.search(index, query_text=q, limit=10)
+    # FULL column parity with the exact backend: the ivf path must
+    # carry content/attribute columns through (regression: ivf_topk
+    # once projected the index down to (id, embedding), breaking
+    # downstream filters and the parent-content attach)
+    exact_df = exact_eng.search(index, query_text=q, limit=10)
+    assert set(got_df.columns) == set(exact_df.columns)
+    got = got_df.collect()
     assert got  # same schema contract
-    assert {"chunk_id", "score"} <= set(got[0].asDict())
+    assert {"chunk_id", "score", "content", "doc_id"} <= set(got[0].asDict())
+    # attribute filters must resolve on the ivf path too
+    some_doc = got[0]["doc_id"]
+    filtered = ivf_eng.search(index, query_text=q, limit=10,
+                              filters={"doc_id": some_doc}).collect()
+    assert all(r["doc_id"] == some_doc for r in filtered)
     recall = len(set(exact) & {r["chunk_id"] for r in got}) / len(exact)
     assert recall >= 0.5, f"ivf-backend recall too low: {recall}"
     # probing every cell recovers the exact top-k (ordering included)
