@@ -37,11 +37,15 @@ _DDL = [
     # F17: clamp [0,1] (document_processor.py:79)
     """CREATE OR REPLACE TEMPORARY FUNCTION pgrs_clamp01(x DOUBLE)
        RETURNS DOUBLE RETURN least(greatest(x, 0.0D), 1.0D)""",
-    # F14: Jaccard over word sets (advanced_search.py:297-311)
+    # F14: Jaccard over word sets (advanced_search.py:297-311).  The
+    # reference's empty-set convention (:303-306): both empty -> 1.0
+    # (identical), one empty -> 0.0 — shared with fusion._jac /
+    # greedy_diversity so the codebase has ONE token-set Jaccard.
     """CREATE OR REPLACE TEMPORARY FUNCTION pgrs_jaccard(
          a ARRAY<STRING>, b ARRAY<STRING>)
-       RETURNS DOUBLE RETURN CASE WHEN size(array_union(a, b)) = 0
-         THEN 0.0D
+       RETURNS DOUBLE RETURN CASE
+         WHEN size(a) = 0 AND size(b) = 0 THEN 1.0D
+         WHEN size(a) = 0 OR size(b) = 0 THEN 0.0D
          ELSE CAST(size(array_intersect(a, b)) AS DOUBLE)
               / size(array_union(a, b)) END""",
 ]

@@ -436,7 +436,7 @@ def st_incremental_rollup(spark: SparkSession, d: str) -> DataFrame:
     shutil.rmtree(store, ignore_errors=True)
     ev = SP.read_event_stream(spark, d)
     SP.run_rollup_merge(ev, store)
-    return spark.read.parquet(store)
+    return SP.rollup_store_read(spark, store)
 
 
 @register("st_stream_join", oracle="""

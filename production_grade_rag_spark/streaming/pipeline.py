@@ -232,40 +232,84 @@ def dedup_stream_watermarked(events: DataFrame) -> DataFrame:
 
 
 def run_foreach_parquet(result: DataFrame, out_path: str,
-                        timeout_s: int = 120) -> None:
+                        timeout_s: int = 120,
+                        checkpoint_path: str | None = None) -> None:
     """Drain the streaming plan into a parquet directory via
-    foreachBatch — the production sink shape: each micro-batch appends
-    atomically, and the checkpoint ties batch ids to committed writes
-    so a restart never double-writes a batch (exactly-once per epoch
-    as long as the batch write itself is idempotent-or-transactional;
-    plain parquet append gives at-least-once on a crash INSIDE a
-    batch, which Delta/Iceberg sinks close).  At 100 TB/day the
-    foreachBatch body is where per-batch routing (partitioned dirs,
-    MERGE upserts, multi-sink fanout) lives."""
+    foreachBatch — the production sink shape: the checkpoint ties batch
+    ids to committed writes, and at 100 TB/day the foreachBatch body is
+    where per-batch routing (partitioned dirs, MERGE upserts,
+    multi-sink fanout) lives.
+
+    Delivery honesty: restart-skipping of completed batches requires a
+    PERSISTENT ``checkpoint_path`` — the default temp checkpoint lives
+    only for this call, so a re-run re-reads the source from scratch
+    (fine for the availableNow drain-and-exit tests, not a restart
+    story).  Even with a persistent checkpoint, plain parquet append is
+    at-least-once on a crash INSIDE a batch; exactly-once per epoch
+    needs an idempotent-or-transactional batch write (Delta/Iceberg
+    MERGE keyed on epoch_id)."""
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         df.write.mode("append").parquet(out_path)
 
+    _run_foreach(result, write_batch, timeout_s, checkpoint_path)
+
+
+def _run_foreach(result: DataFrame, batch_fn, timeout_s: int,
+                 checkpoint_path: str | None) -> None:
+    """availableNow foreachBatch drain, with a persistent checkpoint
+    when given (survives the call -> restarts skip completed batches)
+    or a per-call temp checkpoint otherwise."""
+    def _start(ckpt: str):
+        return (result.writeStream.foreachBatch(batch_fn)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start())
+
+    if checkpoint_path is not None:
+        q = _start(checkpoint_path)
+        q.awaitTermination(timeout_s)
+        q.stop()
+        return
     with tempfile.TemporaryDirectory(prefix="pgrs_ckpt_") as ckpt:
-        q = (result.writeStream.foreachBatch(write_batch)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
+        q = _start(ckpt)
         q.awaitTermination(timeout_s)
         q.stop()
 
 
+def rollup_store_read(spark, store_path: str) -> DataFrame:
+    """Read the rollup store, recovering from the ``.bak`` copy if a
+    crash landed between the two renames of the promote sequence (old
+    -> .bak, tmp -> store): at every instant at least one complete
+    store directory exists."""
+    import os
+    bak = store_path + ".bak"
+    if not os.path.exists(store_path) and os.path.exists(bak):
+        os.rename(bak, store_path)
+    return spark.read.parquet(store_path)
+
+
 def run_rollup_merge(events: DataFrame, store_path: str,
-                     timeout_s: int = 120) -> None:
+                     timeout_s: int = 120,
+                     checkpoint_path: str | None = None) -> None:
     """STREAMING materialized-view maintenance: each micro-batch is
     partial-aggregated to (day, event_type) counts/scaled-sums and
     MERGED into the rollup store by re-aggregating store + increment
     (algebraic partials — the ev_incremental_rollup math, driven by
-    foreachBatch).  The store rewrite goes through a temp dir + swap
-    so a crash mid-write never leaves a half store; with a
-    Delta/Iceberg sink the swap becomes a real MERGE and the
-    checkpoint's epoch ids make the whole loop exactly-once.
-    Maintenance cost per batch: O(batch + store rows), never
-    O(history of raw events)."""
+    foreachBatch).  Maintenance cost per batch: O(batch + store rows),
+    never O(history of raw events).
+
+    Crash safety of the local-parquet store: the rewrite promotes via
+    old -> .bak, tmp -> store, drop .bak — a complete store directory
+    exists at every instant (``rollup_store_read`` recovers from .bak
+    if the crash landed between the renames).  Delivery honesty: with
+    the default per-call temp checkpoint a re-run replays all input
+    (idempotent only because availableNow re-aggregates from scratch
+    against the store is NOT — pass a persistent ``checkpoint_path``
+    so restarts skip merged batches); and rename-promote is
+    atomic-per-directory, not transactional across readers — a
+    Delta/Iceberg sink turns this into a real MERGE with snapshot
+    isolation."""
+    import os
     import shutil
 
     def rollup(df: DataFrame) -> DataFrame:
@@ -281,9 +325,8 @@ def run_rollup_merge(events: DataFrame, store_path: str,
     def merge_batch(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
         inc = rollup(df)
-        import os
-        if os.path.exists(store_path):
-            merged = (spark.read.parquet(store_path)
+        if os.path.exists(store_path) or os.path.exists(store_path + ".bak"):
+            merged = (rollup_store_read(spark, store_path)
                       .unionByName(inc)
                       .groupBy("day", "event_type")
                       .agg(F.sum("n_events").alias("n_events"),
@@ -291,17 +334,15 @@ def run_rollup_merge(events: DataFrame, store_path: str,
         else:
             merged = inc
         tmp = store_path + ".tmp"
+        bak = store_path + ".bak"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(store_path, ignore_errors=True)
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.exists(store_path):
+            os.rename(store_path, bak)
         os.rename(tmp, store_path)
+        shutil.rmtree(bak, ignore_errors=True)
 
-    with tempfile.TemporaryDirectory(prefix="pgrs_ckpt_") as ckpt:
-        q = (events.writeStream.foreachBatch(merge_batch)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination(timeout_s)
-        q.stop()
+    _run_foreach(events, merge_batch, timeout_s, checkpoint_path)
 
 
 def run_available_now(result: DataFrame, table_name: str,

@@ -64,8 +64,12 @@ def test_sql_udfs_match_column_forms(spark):
     # jaccard agrees with the fusion-family expression (F14)
     j = spark.sql("""
         SELECT pgrs_jaccard(array('a','b','c'), array('b','c','d')) AS j,
-               pgrs_jaccard(array(), array()) AS z""").first()
-    assert abs(j["j"] - 0.5) < 1e-12 and j["z"] == 0.0
+               pgrs_jaccard(array(), array()) AS z,
+               pgrs_jaccard(array(), array('x')) AS h""").first()
+    # reference empty-set convention (advanced_search.py:303-306):
+    # both empty -> identical (1.0); one empty -> disjoint (0.0) —
+    # the same convention as fusion._jac / greedy_diversity.
+    assert abs(j["j"] - 0.5) < 1e-12 and j["z"] == 1.0 and j["h"] == 0.0
 
 
 def test_sql_udf_fuzz_parity(spark):

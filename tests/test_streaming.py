@@ -219,3 +219,44 @@ def test_streaming_rollup_merge_across_batches(spark, tmp_path):
                  F.sum(scaled).alias("value_scaled")))
     cols = ["day", "event_type", "n_events", "value_scaled"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_rollup_crash_recovery_and_restart(spark, tmp_path):
+    """The promote sequence (old -> .bak, tmp -> store, drop .bak)
+    leaves a complete store at every instant: rollup_store_read must
+    recover from .bak when a crash landed between the renames.  And
+    with a PERSISTENT checkpoint, a restarted run must skip already-
+    merged batches instead of double-counting them."""
+    import os
+    import shutil
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ev_split")
+    events = spark.read.parquet(f"{SF001}/events.parquet")
+    events.repartition(2).write.parquet(src)
+    store = str(tmp_path / "rollup_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return sp.normalize_event_ts(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+
+    sp.run_rollup_merge(stream(), store, checkpoint_path=ckpt)
+    baseline = _rows(sp.rollup_store_read(spark, store),
+                     ["day", "event_type", "n_events", "value_scaled"])
+
+    # restart with the SAME checkpoint: no new input -> store unchanged
+    # (a temp checkpoint would replay everything and double the counts)
+    sp.run_rollup_merge(stream(), store, checkpoint_path=ckpt)
+    again = _rows(sp.rollup_store_read(spark, store),
+                  ["day", "event_type", "n_events", "value_scaled"])
+    assert again == baseline
+
+    # crash between the two renames: store gone, .bak present
+    os.rename(store, store + ".bak")
+    recovered = _rows(sp.rollup_store_read(spark, store),
+                      ["day", "event_type", "n_events", "value_scaled"])
+    assert recovered == baseline
+    assert os.path.exists(store) and not os.path.exists(store + ".bak")
+    shutil.rmtree(store)
