@@ -34,6 +34,23 @@ from .oracle_vec import QUERY_VEC
 # exact dedup -> token count), the composed form of t1/t3/ta/dd_exact
 # ===========================================================================
 
+def cc_gate_keyed(docs: DataFrame) -> DataFrame:
+    """The scalar front-end of cc_curate (clean -> quality gate ->
+    language gate -> content hash), shared with the incremental
+    streaming twin st_cc_curate so batch and per-micro-batch curation
+    are the SAME fused projection, not two drifting copies."""
+    scored = docs.select(
+        "doc_id",
+        X.clean_text(F.col("text")).alias("clean_text"),
+        X.quality_components(F.col("text"))["quality_score"].alias("q"),
+        textstats.detect_language(F.col("text")).alias("detected_lang"))
+    gated = scored.filter(
+        (F.col("q").isNull() | (F.col("q") >= 0.2))
+        & (F.col("detected_lang") == "en"))
+    return gated.withColumn(
+        "content_hash", F.md5(F.lower(X.pystrip(F.col("clean_text")))))
+
+
 @register("cc_curate", headline=True, oracle=f"""
 WITH scored AS (
   SELECT doc_id,
@@ -74,16 +91,7 @@ def cc_curate(spark: SparkSession, d: str) -> DataFrame:
     skew); the filters cut volume BEFORE the shuffle, which is the
     right order — gate cheap, shuffle small."""
     docs = _t(spark, d, "documents")
-    scored = docs.select(
-        "doc_id",
-        X.clean_text(F.col("text")).alias("clean_text"),
-        X.quality_components(F.col("text"))["quality_score"].alias("q"),
-        textstats.detect_language(F.col("text")).alias("detected_lang"))
-    gated = scored.filter(
-        (F.col("q").isNull() | (F.col("q") >= 0.2))
-        & (F.col("detected_lang") == "en"))
-    keyed = gated.withColumn(
-        "content_hash", F.md5(F.lower(X.pystrip(F.col("clean_text")))))
+    keyed = cc_gate_keyed(docs)
     w = Window.partitionBy("content_hash")
     grouped = (keyed
                .withColumn("keeper_id", F.min("doc_id").over(w))

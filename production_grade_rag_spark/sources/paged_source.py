@@ -178,7 +178,13 @@ class PagedDumpStreamReader(SimpleDataSourceStreamReader):
             with open(f, encoding="utf-8") as fh:
                 rows.extend(_parse_line(ln.strip())
                             for ln in fh if ln.strip())
-        return rows, {"file_idx": len(files)}
+        # iterator over the materialized list, NOT a lazy generator:
+        # the Simple reader API prefetches the batch driver-side, and
+        # its no-advance probe (add_result_to_cache) calls next() on
+        # the return value — a bare list breaks that contract (surfaced
+        # by availableNow+foreachBatch, which polls one extra time
+        # after the last file is consumed)
+        return iter(rows), {"file_idx": len(files)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         for f in self._files()[int(start["file_idx"]):int(end["file_idx"])]:
