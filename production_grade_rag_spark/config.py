@@ -113,9 +113,10 @@ class EngineConfig:
             raise ValueError("chunk_overlap must be < chunk_size")
         if abs(self.hybrid_vector_weight + self.hybrid_text_weight - 1.0) > 1e-9:
             raise ValueError("hybrid weights must sum to 1.0")
-        if self.text_analyzer not in ("whitespace", "standard", "stemmed"):
+        if self.text_analyzer not in ("whitespace", "standard",
+                                      "stemmed", "english"):
             raise ValueError(
-                "text_analyzer must be whitespace|standard|stemmed")
+                "text_analyzer must be whitespace|standard|stemmed|english")
         if self.hybrid_fusion not in ("weighted", "rrf"):
             raise ValueError("hybrid_fusion must be weighted|rrf")
         if self.diversity_mode not in ("threshold", "mmr"):

@@ -243,6 +243,8 @@ class SparkRagEngine:
             terms = X.std_analyze_py(query_text)
         elif c.text_analyzer == "stemmed":
             terms = X.stem_analyze_py(query_text)
+        elif c.text_analyzer == "english":
+            terms = X.english_analyze_py(query_text)
         else:
             terms = [t for t in query_text.lower().split() if t]
         if c.text_relevance == "bm25":

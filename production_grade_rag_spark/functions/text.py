@@ -128,6 +128,31 @@ def stem_analyze_py(text: str) -> list[str]:
     """Driver-side twin of ``stemmed_tokens``."""
     return [stem_py(t) for t in std_analyze_py(text)]
 
+
+# Lucene EnglishAnalyzer's default stop set (public constant,
+# ENGLISH_STOP_WORDS_SET) — filtered BEFORE stemming, as Lucene chains
+# StandardTokenizer -> LowerCase -> StopFilter -> PorterStemFilter.
+EN_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with",
+)
+
+
+def english_tokens(col: Column) -> Column:
+    """analyzer="english": the lucene.english-shaped chain — standard
+    tokens, stop-word filter, Porter-lite stem."""
+    kept = F.filter(std_tokens(col),
+                    lambda x: ~x.isin(*EN_STOPWORDS))
+    return F.transform(kept, stem_token)
+
+
+def english_analyze_py(text: str) -> list[str]:
+    """Driver-side twin of ``english_tokens`` (query analysis)."""
+    return [stem_py(t) for t in std_analyze_py(text)
+            if t not in EN_STOPWORDS]
+
 # intent keywords (advanced_search.py:125-146), used by F5 intent classifier
 INTENT_RULES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("technical", ("api", "code", "function", "class", "implement")),

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import std_tokens, stemmed_tokens
+from ..functions.text import english_tokens, std_tokens, stemmed_tokens
 from .dedup import tokens
 
 
@@ -48,6 +48,8 @@ def _tokenizer(analyzer: str):
         return std_tokens
     if analyzer == "stemmed":
         return stemmed_tokens
+    if analyzer == "english":
+        return english_tokens
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 

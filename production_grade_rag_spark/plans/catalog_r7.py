@@ -234,6 +234,54 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
             .orderBy(F.desc("__raw"), "id").limit(20).drop("__raw"))
 
 
+def _en_oracle() -> str:
+    from ..functions.text import english_analyze_py
+    from . import oracle_vec as OV
+    from .catalog_ext import _bm25_hybrid_oracle
+    return _bm25_hybrid_oracle(
+        toks=OV.english_tokens_sql("text"),
+        terms=english_analyze_py(" ".join(OV.QUERY_TERMS)))
+
+
+@register("r7_hybrid_bm25_en", oracle=_en_oracle())
+def r7_hybrid_bm25_en(spark: SparkSession, d: str) -> DataFrame:
+    """R7 BM25 under the full lucene.english-shaped analyzer chain —
+    StandardTokenizer -> lowercase -> Lucene English stop set ->
+    Porter-lite stem — completing the analyzer family next to the
+    whitespace/standard/stemmed twins (reference $search index,
+    index_manager.py:117-152).  Stop-word removal changes document
+    LENGTHS, so BM25's length norm shifts too, not just the term
+    counts; the oracle value-hashes the whole chain."""
+    from ..functions.text import english_analyze_py
+    from ..functions.vector import cosine, to_double_array
+    from ..operators import fusion, textscore
+    from . import oracle_vec as OV
+    from .catalog_ext import _qvec_col
+    emb = _t(spark, d, "embeddings")
+    docs = _t(spark, d, "documents")
+    terms = english_analyze_py(" ".join(OV.QUERY_TERMS))
+    vec = (emb.select(
+        F.col("vec_id").alias("id"),
+        cosine(to_double_array(F.col("embedding")), _qvec_col())
+            .alias("vector_score"))
+        .orderBy(F.desc("vector_score"), "id").limit(40))
+    txt = (textscore.bm25_score(docs, terms, text_col="text",
+                                analyzer="english")
+           .select(F.col("doc_id").alias("id"), "text_score")
+           .orderBy(F.desc("text_score"), "id").limit(40))
+    merged = fusion.hybrid_union(vec, txt)
+    fused = fusion.weighted_fusion(merged)
+    return (fused
+            .select("id",
+                    F.round(F.coalesce("vector_score", F.lit(0.0)), 6)
+                     .alias("vector_score"),
+                    F.round(F.coalesce("text_score", F.lit(0.0)), 6)
+                     .alias("text_score"),
+                    F.round("score", 6).alias("score"),
+                    F.col("score").alias("__raw"))
+            .orderBy(F.desc("__raw"), "id").limit(20).drop("__raw"))
+
+
 # ===========================================================================
 # Two-stage IVFPQ retrieval: ADC shortlist -> exact rerank
 # (reference numCandidates over-fetch-then-refine, vector_search.py:67)

@@ -87,6 +87,19 @@ def stemmed_tokens_sql(expr: str) -> str:
     return f"list_transform({std_tokens_sql(expr)}, x -> {x})"
 
 
+def english_tokens_sql(expr: str) -> str:
+    """Twin of functions.text.english_tokens: standard tokens, Lucene
+    English stop set filter, then the shared stem chain."""
+    from ..functions.text import EN_STOPWORDS, STEM_RULES
+    stops = ", ".join(sql_str(w) for w in EN_STOPWORDS)
+    x = "x"
+    for pat, keep in STEM_RULES:
+        x = (f"regexp_replace({x}, {sql_str(pat)}, "
+             f"{sql_str(chr(92) + '1' + keep)})")
+    return (f"list_transform(list_filter({std_tokens_sql(expr)}, "
+            f"x -> x NOT IN ({stops})), x -> {x})")
+
+
 def md5_int32_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 

@@ -84,3 +84,30 @@ def test_engine_stemmed_analyzer_dispatch(spark):
         "stemmed query terms must match the stemmed document tokens"
     with pytest.raises(ValueError, match="text_analyzer"):
         EngineConfig(text_analyzer="lucene").validate()
+
+
+def test_english_analyzer_stopwords_then_stem():
+    from production_grade_rag_spark.functions.text import (
+        EN_STOPWORDS, english_analyze_py)
+    out = english_analyze_py("The filters that are in the tables will join")
+    assert "the" not in out and "that" not in out and "will" not in out
+    assert out == ["filter", "tabl", "join"]
+    # stopwords are filtered in their UNstemmed form (Lucene chains
+    # StopFilter before PorterStemFilter): "these" is stopped, while a
+    # word stemming TO a stop-like form survives
+    assert "these" in EN_STOPWORDS
+
+
+def test_spark_duckdb_english_parity(spark, duck):
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.functions.text import english_tokens
+    from production_grade_rag_spark.plans.oracle_vec import english_tokens_sql
+    got = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+           .orderBy("doc_id").limit(50)
+           .select("doc_id", english_tokens(F.col("text")).alias("toks"))
+           .collect())
+    want = duck.execute(
+        f"SELECT doc_id, {english_tokens_sql('text')} AS toks "
+        f"FROM documents ORDER BY doc_id LIMIT 50").fetchall()
+    assert [(r["doc_id"], r["toks"]) for r in got] \
+        == [(d, list(t)) for d, t in want]
