@@ -78,6 +78,12 @@ class EngineConfig:
     ann_backend: str = "exact"
     ann_n_lists: int = 16
     ann_n_probe: int = 4
+    # "ivfpq" backend: a PREBUILT store (pq.ivfpq_build_store — the
+    # offline-index-at-ingest shape) searched two-stage: ADC shortlist
+    # of ann_n_candidates rows, exact cosine rerank on those alone
+    # (the reference's numCandidates, vector_search.py:67)
+    ann_store_path: str | None = None
+    ann_n_candidates: int = 640
     strategy_weights: dict = field(default_factory=lambda: {
         "similarity": 0.6, "parent_child": 0.4, "hybrid": 0.5,
     })

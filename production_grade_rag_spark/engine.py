@@ -159,6 +159,25 @@ class SparkRagEngine:
             from .operators.similarity import ivf_topk
             return ivf_topk(index, query_vector, k=k, id_col=id_col,
                             n_lists=c.ann_n_lists, n_probe=c.ann_n_probe)
+        if c.ann_backend == "ivfpq":
+            # production shape: a PREBUILT compressed store (offline
+            # index at ingest) answers the top-k two-stage (ADC
+            # shortlist -> exact rerank); the k winners then join back
+            # to the live index so downstream strategies see the same
+            # columns as every other backend.  The join is k-row
+            # broadcast work.
+            from .operators.pq import ivfpq_search_store
+            if not c.ann_store_path:
+                raise ValueError(
+                    "ann_backend='ivfpq' requires ann_store_path "
+                    "(build one with pq.ivfpq_build_store)")
+            hits = ivfpq_search_store(
+                index.sparkSession, c.ann_store_path, query_vector,
+                k=k, n_probe=c.ann_n_probe,
+                n_candidates=c.ann_n_candidates, id_col=id_col,
+                round_to=None)
+            return (index.join(F.broadcast(hits), id_col)
+                    .orderBy(F.desc("score"), F.col(id_col)))
         raise ValueError(f"unknown ann_backend {c.ann_backend!r}")
 
     def search(self, index: DataFrame, query_text: str | None = None,

@@ -174,7 +174,8 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
                        k: int = 10, n_probe: int = 4, rescore: int = 64,
                        n_candidates: int | None = None,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
+                       id_col: str = "vec_id",
+                       round_to: int | None = 6) -> DataFrame:
     """Online IVFPQ: probe the ``n_probe`` nearest cells (partition
     filter — pruned directories never open), score candidates as
     <q,centroid_cell> + ADC(residual codes) reading ONLY the codes
@@ -229,8 +230,10 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
     exact = (data.join(F.broadcast(cand), id_col)
              .withColumn("score",
                          cosine(to_double_array(F.col(vec_col)), qlit)))
+    score = (F.round("score", round_to) if round_to is not None
+             else F.col("score"))
     return (exact.orderBy(F.desc("score"), F.col(id_col)).limit(k)
-            .select(id_col, F.round("score", 6).alias("score")))
+            .select(id_col, score.alias("score")))
 
 
 def pq_topk(encoded: DataFrame, corpus: DataFrame, query_vec: list[float],

@@ -329,6 +329,32 @@ def r4_ivfpq_rerank_recall(spark: SparkSession, d: str) -> DataFrame:
     return _recall_summary(exact, approx, ["vec_id"], floor=0.9)
 
 
+@register("eng_ivfpq_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def eng_ivfpq_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Engine-LEVEL two-stage gate: SparkRagEngine.search with
+    ann_backend='ivfpq' (prebuilt compressed store + numCandidates
+    rerank) must keep recall >= 0.9 vs the exact backend — proving the
+    production index-at-ingest shape drives the SAME search API end to
+    end, columns included (the k winners re-join the live index)."""
+    from ..config import EngineConfig
+    from ..engine import SparkRagEngine
+    from ..operators import pq
+    from .catalog_more import _recall_summary, _scratch
+    from .oracle_vec import QUERY_VEC
+    emb = _t(spark, d, "embeddings")
+    path = _scratch("eng_ivfpq_store")
+    pq.ivfpq_build_store(emb, path, n_lists=32, m=8, k_codes=32)
+    exact = SparkRagEngine(spark).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    approx = SparkRagEngine(spark, EngineConfig(
+        ann_backend="ivfpq", ann_store_path=path, ann_n_probe=16,
+        ann_n_candidates=640)).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.9)
+
+
 @register("r2_parent_context_rows")    # rows-only: splitter is not SQL
 def r2_parent_context_rows(spark: SparkSession, d: str) -> DataFrame:
     """R2 raw rows over the recursive hierarchy

@@ -510,3 +510,38 @@ def test_rrf_hybrid_fusion_mode(spark, index):
            [tuple(r) for r in w2.search(index, query_text=q,
                                         search_type="hybrid",
                                         limit=5).collect()]
+
+
+def test_ann_backend_ivfpq_store_dispatch(spark, index, tmp_path):
+    """ann_backend="ivfpq" serves search from a PREBUILT compressed
+    store (offline index at ingest) with full column parity — the k
+    winners re-join the live index — and fails loudly without a
+    store path."""
+    from production_grade_rag_spark.operators import pq
+
+    store = str(tmp_path / "eng_pq_store")
+    pq.ivfpq_build_store(index, store, n_lists=8, m=8, k_codes=16,
+                         id_col="chunk_id")
+    exact_eng = SparkRagEngine(spark, EngineConfig(quality_threshold=0.2))
+    pq_eng = SparkRagEngine(spark, EngineConfig(
+        quality_threshold=0.2, ann_backend="ivfpq", ann_store_path=store,
+        ann_n_probe=8, ann_n_candidates=640))
+    q = "table scan filter"
+    exact_df = exact_eng.search(index, query_text=q, limit=10)
+    got_df = pq_eng.search(index, query_text=q, limit=10)
+    assert set(got_df.columns) == set(exact_df.columns)
+    got = got_df.collect()
+    assert got and {"chunk_id", "score", "content"} <= set(got[0].asDict())
+    # probing ALL cells with a wide rerank shortlist recovers the
+    # exact top-k id set (scores are exact-cosine after the rerank)
+    exact_ids = {r["chunk_id"] for r in exact_df.collect()}
+    assert {r["chunk_id"] for r in got} == exact_ids
+    # attribute filters resolve on the joined-back columns
+    some_doc = got[0]["doc_id"]
+    filtered = pq_eng.search(index, query_text=q, limit=10,
+                             filters={"doc_id": some_doc}).collect()
+    assert all(r["doc_id"] == some_doc for r in filtered)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ann_store_path"):
+        SparkRagEngine(spark, EngineConfig(ann_backend="ivfpq")).search(
+            index, query_text=q)
