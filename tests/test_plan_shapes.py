@@ -172,3 +172,29 @@ def test_q9_nation_broadcasts_fact_agg_two_phase(spark):
     assert "BroadcastHashJoin" in plan
     # nation x year matrix agg: partial map-side + final
     assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", [
+    "r7_hybrid_bm25_stem", "r7_hybrid_bm25_en", "m1_chunk_recursive",
+    "m2_parent_child",
+])
+def test_r7_entries_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan, f"{name} plans a {bad}"
+
+
+def test_stemmed_bm25_branches_are_k_bounded(spark):
+    # both candidate branches TakeOrdered(40) before the union-fusion,
+    # so fusion shuffles k-bounded rows regardless of corpus size —
+    # the same shape pin the other hybrid entries rely on
+    plan = _plan(spark, "r7_hybrid_bm25_stem")
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_chunk_gate_aggregates_have_partial_phase(spark):
+    # the invariant gates reduce the whole corpus to one row: the
+    # violation counts must partial-aggregate map-side (two-phase
+    # HashAggregate), not funnel raw chunk rows to one reducer
+    plan = _plan(spark, "m1_chunk_recursive")
+    assert len(re.findall(r"HashAggregate|SortAggregate", plan)) >= 2
