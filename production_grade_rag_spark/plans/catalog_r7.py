@@ -234,6 +234,54 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
             .orderBy(F.desc("__raw"), "id").limit(20).drop("__raw"))
 
 
+# ===========================================================================
+# Published curation-rule families: Gopher quality heuristics and C4
+# line cleaning (operators/curation_rules.py) — the pretraining-corpus
+# gates a 100 TB ingest applies next to the reference's own scorer
+# ===========================================================================
+
+def _gopher_oracle() -> str:
+    from ..operators.curation_rules import gopher_sql
+    return (f"SELECT doc_id, {gopher_sql('text')} "
+            f"FROM documents ORDER BY doc_id")
+
+
+@register("ta_gopher_gate", oracle=_gopher_oracle())
+def ta_gopher_gate(spark: SparkSession, d: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1) per document: one
+    fused projection computes word/line statistics over split arrays
+    and the seven rule booleans + overall verdict — no UDF, no
+    shuffle, map-side at any scale.  Constants shared verbatim with
+    the DuckDB oracle."""
+    from ..operators.curation_rules import gopher_flags
+    docs = _t(spark, d, "documents")
+    flags = gopher_flags(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in flags.items()]
+    ).orderBy("doc_id")
+
+
+def _c4_oracle() -> str:
+    from ..operators.curation_rules import c4_sql
+    return (f"SELECT doc_id, {c4_sql('text')} "
+            f"FROM documents ORDER BY doc_id")
+
+
+@register("t14_c4_line_filter", oracle=_c4_oracle())
+def t14_c4_line_filter(spark: SparkSession, d: str) -> DataFrame:
+    """C4 line-cleaning rules (Raffel et al. 2020 §2.2) per document:
+    terminal-punctuation + >=3-words + no-'javascript' line keeps,
+    lorem-ipsum / curly-brace page drops — line filtering as array
+    expressions inside one projection (the 100 TB form: no explode,
+    no shuffle; the kept text is reassembled per row)."""
+    from ..operators.curation_rules import c4_line_stats
+    docs = _t(spark, d, "documents")
+    stats = c4_line_stats(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in stats.items()]
+    ).orderBy("doc_id")
+
+
 def _en_oracle() -> str:
     from ..functions.text import english_analyze_py
     from . import oracle_vec as OV
