@@ -240,6 +240,65 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
 
+@register("dd_line_dedup", oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, chr(10)),
+                (x, i) -> struct_pack(i := i, ln := x))) AS s
+  FROM documents
+), ls AS (
+  SELECT doc_id, s.i AS i, s.ln AS ln FROM raw
+), flagged AS (
+  SELECT doc_id, i, ln,
+         (row_number() OVER (PARTITION BY md5(ln)
+                             ORDER BY doc_id, i) = 1
+          OR regexp_replace(ln, '^\\s+|\\s+$', '') = '') AS keep
+  FROM ls
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(keep::INT)::BIGINT AS n_kept,
+       md5(coalesce(string_agg(ln, chr(10) ORDER BY i)
+                    FILTER (WHERE keep), '')) AS dedup_md5
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+""")
+def dd_line_dedup(spark: SparkSession, d: str) -> DataFrame:
+    """Corpus-WIDE exact line dedup with positional reassembly (the
+    C4-style duplicated-span removal, Raffel et al. 2020 §2.2 — their
+    unit is three-sentence spans; the line is the deterministic
+    testable unit): every non-blank line keeps only its FIRST
+    occurrence across the whole corpus (ordered by doc_id, then
+    position), blank lines always survive (they carry structure, and
+    would otherwise all collapse to one), and each document is
+    reassembled in original line order.
+
+    Scale shape: one shuffle on md5(line) for the first-occurrence
+    window, one shuffle on doc_id for reassembly — no all-pairs
+    anything; the reassembled text never moves through the dedup
+    shuffle (only hashes and positions do)."""
+    docs = _t(spark, d, "documents")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "ln"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5("ln")).orderBy("doc_id", "pos")
+    flagged = lines.withColumn(
+        "keep",
+        (F.row_number().over(w) == 1)
+        | (F.regexp_replace("ln", r"^\s+|\s+$", "") == ""))
+    assembled = (flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("keep"),
+                               F.struct("pos", "ln")))),
+                    lambda s: s["ln"]),
+                "\n"),
+            F.lit(""))).alias("dedup_md5")))
+    return assembled.orderBy("doc_id")
+
+
 def _gopher_oracle() -> str:
     from ..operators.curation_rules import gopher_sql
     return (f"SELECT doc_id, {gopher_sql('text')} "

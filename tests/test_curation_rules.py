@@ -82,3 +82,44 @@ def test_rules_spark_duckdb_parity_on_adversarial_docs(spark):
             f"SELECT doc_id, {sql_frag('text')} FROM documents "
             f"ORDER BY doc_id").fetchall()]
         assert got == want
+
+
+def test_line_dedup_first_occurrence_and_reassembly(spark, tmp_path):
+    """dd_line_dedup on a corpus the synthetic tables can't produce:
+    cross-document duplicated lines (first occurrence by (doc_id, pos)
+    survives), blank lines always kept, in-doc repeats deduped,
+    original line order preserved in the reassembled hash."""
+    import hashlib
+    import shutil
+    from production_grade_rag_spark.plans.catalog import CATALOG
+
+    rows = [
+        (1, "shared header\nunique one\n\nshared footer"),
+        (2, "shared header\nunique two\nshared footer"),
+        (3, "repeat me\nrepeat me\n\n"),
+        (4, "shared header"),                    # everything deduped
+    ]
+    d = str(tmp_path / "sf_lines")
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .write.parquet(f"{d}/documents.parquet")
+    # the entry only reads documents; satisfy the loader path
+    out = {r["doc_id"]: r
+           for r in CATALOG["dd_line_dedup"].build(spark, d).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 4
+    assert out[1]["dedup_md5"] == md5(
+        "shared header\nunique one\n\nshared footer")
+    # doc 2 loses both shared lines to doc 1
+    assert out[2]["n_kept"] == 1
+    assert out[2]["dedup_md5"] == md5("unique two")
+    # in-doc repeat deduped; blank lines survive (two of them: the
+    # explicit blank and the trailing-split empty)
+    assert out[3]["n_lines"] == 4 and out[3]["n_kept"] == 3
+    assert out[3]["dedup_md5"] == md5("repeat me\n\n")
+    # fully-deduplicated doc still appears, with the empty-text hash
+    assert out[4]["n_kept"] == 0
+    assert out[4]["dedup_md5"] == md5("")
+    shutil.rmtree(d)
