@@ -240,7 +240,7 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
 
-@register("dd_line_dedup", oracle="""
+@register("dd_line_dedup", headline=True, oracle="""
 WITH raw AS (
   SELECT doc_id,
          unnest(list_transform(string_split(text, chr(10)),

@@ -198,3 +198,31 @@ def test_chunk_gate_aggregates_have_partial_phase(spark):
     # HashAggregate), not funnel raw chunk rows to one reducer
     plan = _plan(spark, "m1_chunk_recursive")
     assert len(re.findall(r"HashAggregate|SortAggregate", plan)) >= 2
+
+
+@pytest.mark.parametrize("name", [
+    "ta_gopher_gate", "t14_c4_line_filter", "dd_line_dedup",
+])
+def test_curation_entries_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan, f"{name} plans a {bad}"
+
+
+def test_curation_rules_are_single_projection_no_exchange(spark):
+    # the Gopher/C4 rule gates are map-side: no HASH exchange anywhere
+    # (no agg/join shuffle) — only the loader's round-robin balance and
+    # the output ordering's range exchange may appear
+    for name in ("ta_gopher_gate", "t14_c4_line_filter"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in plan, \
+            f"{name}: unexpected agg/join shuffle"
+
+
+def test_line_dedup_shuffles_on_hash_then_doc(spark):
+    # exactly the two hash exchanges the docstring promises (line-hash
+    # window, doc_id reassembly) + the final sort's range exchange
+    plan = _plan(spark, "dd_line_dedup")
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 2, plan
