@@ -240,6 +240,112 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
 
+# ===========================================================================
+# Iterative graph analytics: weighted PageRank over the nation trade
+# graph — the oracle-able twin of the dd_components fixed-point family
+# ===========================================================================
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 5
+
+
+def _pr_edges_sql() -> str:
+    return """
+edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         count(*)::BIGINT AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), outw AS (
+  SELECT src, sum(w)::BIGINT AS tot FROM edges GROUP BY src
+), nodes AS (
+  SELECT n_nationkey AS node FROM nation
+)"""
+
+
+def _pr_oracle() -> str:
+    S, K = _PR_SCALE, _PR_ITERS
+    base = (f"(({S}::BIGINT * 15) // (100 * (SELECT count(*) FROM nodes)))"
+            f"::BIGINT")
+    init = (f"r0 AS (SELECT node, ({S}::BIGINT // "
+            f"(SELECT count(*) FROM nodes))::BIGINT AS r FROM nodes)")
+    its = []
+    for k in range(K):
+        its.append(f"""
+r{k + 1} AS (
+  SELECT n.node,
+         ({base} + (85 * coalesce(sum((p.r * e.w) // o.tot), 0)) // 100)
+           ::BIGINT AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{k} p ON p.node = e.src
+  LEFT JOIN outw o ON o.src = e.src
+  GROUP BY n.node
+)""")
+    return (f"WITH {_pr_edges_sql()}, {init}, {','.join(its)} "
+            f"SELECT nat.n_name AS nation, r.r AS rank_scaled "
+            f"FROM r{K} r JOIN nation nat ON nat.n_nationkey = r.node "
+            f"ORDER BY rank_scaled DESC, nation")
+
+
+@register("g1_trade_pagerank", oracle=_pr_oracle())
+def g1_trade_pagerank(spark: SparkSession, d: str) -> DataFrame:
+    """Weighted PageRank over the supplier-nation -> customer-nation
+    trade graph (edge weight = lineitem count), 5 exact iterations.
+
+    The usual blocker for value-oracling iterative rank is FP
+    accumulation order; here every quantity is exact BIGINT
+    arithmetic — ranks live in 1e-9 units, per-edge contribution is
+    (r_src * w) DIV out_weight, damping is integer 15/85 splits — so
+    Spark and DuckDB produce bit-identical trajectories (the same
+    trick as q9's integer-scaled sums, applied to a fixed-point loop).
+    Dangling-mass renormalization is deliberately omitted (documented
+    simplification; every nation has outgoing trade in TPC-H-ish
+    data).
+
+    Scale shape: the edge list aggregates once (nations x nations, at
+    most 625 rows — broadcast-sized forever); each iteration is a
+    broadcast join against the current rank vector, so K iterations
+    cost K tiny stages, not K corpus scans.  For billion-node graphs
+    the same loop runs with hash-partitioned joins + checkpointing
+    every few iterations (dd_components' lineage discipline)."""
+    li = _t(spark, d, "lineitem")
+    o = _t(spark, d, "orders")
+    c = _t(spark, d, "customer")
+    s = _t(spark, d, "supplier")
+    nat = _t(spark, d, "nation")
+    edges = (li
+             .join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(s, li.l_suppkey == s.s_suppkey)
+             .groupBy(s.s_nationkey.alias("src"),
+                      c.c_nationkey.alias("dst"))
+             .agg(F.count("*").alias("w")))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    nodes = nat.select(F.col("n_nationkey").alias("node"))
+    n_nodes = nodes.count()
+    S = _PR_SCALE
+    base = (S * 15) // (100 * n_nodes)
+    ranks = nodes.withColumn("r", F.lit(S // n_nodes).cast("long"))
+    ew = edges.join(outw, "src")
+    for _ in range(_PR_ITERS):
+        contrib = (ew.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .select("dst",
+                           F.expr("(r * w) div tot").alias("c")))
+        ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                 .groupBy("node")
+                 .agg((F.lit(base)
+                       + F.expr("(85 * coalesce(sum(c), 0)) div 100"))
+                      .cast("long").alias("r")))
+    out = (ranks.join(nat, ranks.node == nat.n_nationkey)
+           .select(F.col("n_name").alias("nation"),
+                   F.col("r").alias("rank_scaled")))
+    return out.orderBy(F.desc("rank_scaled"), "nation")
+
+
 @register("dd_line_dedup", headline=True, oracle="""
 WITH raw AS (
   SELECT doc_id,
