@@ -15,7 +15,7 @@ window is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import chunking
@@ -239,6 +239,81 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # line cleaning (operators/curation_rules.py) — the pretraining-corpus
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
+
+def _cc_modern_oracle() -> str:
+    from . import oracle_sql as O
+    from . import oracle_vec as OV
+    from ..operators.curation_rules import c4_sql, gopher_sql
+    return f"""
+WITH g AS (
+  SELECT doc_id, {gopher_sql('text')} FROM documents
+), c AS (
+  SELECT doc_id, {c4_sql('text')} FROM documents
+), scored AS (
+  SELECT d.doc_id,
+         {O.clean_sql('d.text')} AS clean_text,
+         {OV.detect_language_sql('d.text')} AS detected_lang,
+         g.gopher_pass, g.n_words, c.page_drop, c.n_kept, c.n_lines
+  FROM documents d
+  JOIN g ON g.doc_id = d.doc_id
+  JOIN c ON c.doc_id = d.doc_id
+), gated AS (
+  SELECT * FROM scored
+  WHERE gopher_pass AND NOT page_drop AND detected_lang = 'en'
+), keyed AS (
+  SELECT *, md5(lower({O.pystrip_sql('clean_text')})) AS content_hash
+  FROM gated
+), grouped AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keeper_id,
+            count(*) OVER (PARTITION BY content_hash) AS group_size
+  FROM keyed
+)
+SELECT doc_id, n_words, n_kept AS c4_lines_kept, n_lines AS c4_lines,
+       (length(clean_text) // 4)::BIGINT AS est_tokens, group_size
+FROM grouped WHERE doc_id = keeper_id
+"""
+
+
+@register("cc_curate_modern", oracle=_cc_modern_oracle())
+def cc_curate_modern(spark: SparkSession, d: str) -> DataFrame:
+    """The modern open-corpus curation recipe end to end, value-checked:
+    Gopher quality rules AND C4 page rules AND language gate -> clean
+    -> exact near-identical dedup (min-id keeper) -> token accounting.
+    Composes ta_gopher_gate / t14_c4_line_filter / cc_curate's gate
+    into ONE fused projection over the scan plus the single
+    content-hash shuffle — the published-rules twin of cc_curate
+    (whose gate is the reference's own scorer,
+    document_processor.py:36-79)."""
+    from ..functions import text as X
+    from ..operators import textstats
+    from ..operators.curation_rules import c4_line_stats, gopher_flags
+    docs = _t(spark, d, "documents")
+    gf = gopher_flags(F.col("text"))
+    cf = c4_line_stats(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        X.clean_text(F.col("text")).alias("clean_text"),
+        textstats.detect_language(F.col("text")).alias("detected_lang"),
+        gf["gopher_pass"].alias("gopher_pass"),
+        gf["n_words"].alias("n_words"),
+        cf["page_drop"].alias("page_drop"),
+        cf["n_kept"].alias("c4_lines_kept"),
+        cf["n_lines"].alias("c4_lines"))
+    gated = scored.filter(
+        F.col("gopher_pass") & ~F.col("page_drop")
+        & (F.col("detected_lang") == "en"))
+    keyed = gated.withColumn(
+        "content_hash", F.md5(F.lower(X.pystrip(F.col("clean_text")))))
+    w = Window.partitionBy("content_hash")
+    grouped = (keyed
+               .withColumn("keeper_id", F.min("doc_id").over(w))
+               .withColumn("group_size", F.count("*").over(w)))
+    return (grouped.filter(F.col("doc_id") == F.col("keeper_id"))
+            .select("doc_id", "n_words", "c4_lines_kept", "c4_lines",
+                    X.token_estimate(F.col("clean_text"))
+                     .alias("est_tokens"),
+                    "group_size"))
+
 
 # ===========================================================================
 # Iterative graph analytics: weighted PageRank over the nation trade
