@@ -97,6 +97,59 @@ def decode_features(df: DataFrame, id_col: str = "doc_id",
               .mapInPandas(_decode, schema=_FEATURE_SCHEMA))
 
 
+_RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("new_width", T.IntegerType()),
+    T.StructField("new_height", T.IntegerType()),
+    T.StructField("resized_bytes", T.BinaryType()),
+])
+
+
+def resize_fit(df: DataFrame, target: int = 224,
+               id_col: str = "doc_id",
+               bytes_col: str = "content_bytes",
+               backend: str = "fake") -> DataFrame:
+    """Aspect-preserving fit-resize plumbing (the standard 224-target
+    preprocessing step): mapInPandas over Arrow batches emits the
+    resized payload plus old/new dimensions.  The fake backend derives
+    dims via ``fake_decode_bytes`` and "resamples" by truncating the
+    payload proportionally to the pixel-count change — EXACT integer
+    arithmetic ((w*target)//max_side etc.), so the whole UDF path
+    including the output byte content is DuckDB-oracle-checked; a real
+    backend (PIL thumbnail per executor) drops into the same iterator."""
+    if backend != "fake":
+        raise NotImplementedError(
+            "resize backend %r: no media library ships in this "
+            "container; plug PIL into resize_fit's iterator" % backend)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bytes_col]):
+                payload = bytes(payload)
+                rec = fake_decode_bytes(payload)
+                w, h = rec["width"], rec["height"]
+                mx = max(w, h)
+                if mx <= target:      # thumbnail semantics: never upscale
+                    nw, nh = w, h
+                else:
+                    nw = max(1, (w * target) // mx)
+                    nh = max(1, (h * target) // mx)
+                n_out = max(1, (len(payload) * nw * nh) // (w * h))
+                rows.append({
+                    "doc_id": doc_id, "width": w, "height": h,
+                    "new_width": nw, "new_height": nh,
+                    "resized_bytes": payload[:n_out],
+                })
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in _RESIZE_SCHEMA.fields])
+
+    return (df.select(id_col, bytes_col)
+              .mapInPandas(_resize, schema=_RESIZE_SCHEMA))
+
+
 def frame_sample(df: DataFrame, id_col: str = "doc_id",
                  duration_col: str = "duration_s",
                  max_frames: int = 5) -> DataFrame:

@@ -240,6 +240,49 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
 
+@register("mm_resize", oracle="""
+WITH h AS (
+  SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS hex,
+         text FROM documents
+), dims AS (
+  SELECT doc_id, n_bytes, text,
+         (1 + ('0x' || substr(hex, 1, 4))::BIGINT % 2048) AS w,
+         (1 + ('0x' || substr(hex, 5, 4))::BIGINT % 2048) AS h
+  FROM h
+), fit AS (
+  SELECT doc_id, n_bytes, text, w, h,
+         CASE WHEN greatest(w, h) <= 224 THEN w
+              ELSE greatest(1, (w * 224) // greatest(w, h)) END AS nw,
+         CASE WHEN greatest(w, h) <= 224 THEN h
+              ELSE greatest(1, (h * 224) // greatest(w, h)) END AS nh
+  FROM dims
+)
+SELECT doc_id, w::INT AS width, h::INT AS height,
+       nw::INT AS new_width, nh::INT AS new_height,
+       greatest(1, (n_bytes * nw * nh) // (w * h))::BIGINT AS n_out_bytes,
+       md5(substr(text, 1,
+                  greatest(1, (n_bytes * nw * nh) // (w * h))::INT))
+         AS out_md5
+FROM fit
+""")
+def mm_resize(spark: SparkSession, d: str) -> DataFrame:
+    """Multimodal resize plumbing (brief mandate: decode /
+    feature-extract / RESIZE / frame-sample): aspect-preserving fit to
+    224 via mapInPandas, fake backend with exact integer resampling so
+    the ENTIRE path — Arrow batches, dimension math, and the actual
+    output BYTES (md5-checked) — is value-oracled; a real PIL
+    thumbnail drops into the same iterator (multimodal.resize_fit).
+    ASCII testdata makes utf-8 bytes == DuckDB's text functions."""
+    from ..operators import multimodal
+    docs = _t(spark, d, "documents")
+    media = multimodal.attach_binary(docs)
+    out = multimodal.resize_fit(media)
+    return out.select(
+        "doc_id", "width", "height", "new_width", "new_height",
+        F.length("resized_bytes").cast("long").alias("n_out_bytes"),
+        F.md5("resized_bytes").alias("out_md5"))
+
+
 def _cc_modern_oracle() -> str:
     from . import oracle_sql as O
     from . import oracle_vec as OV
