@@ -150,8 +150,11 @@ class SparkRagEngine:
         (default) preserves the reference's semantics; "ivf" probes
         ann_n_probe of ann_n_lists KMeans cells inline — the approximate
         path for corpus sizes where a full scan per query is wrong.
-        Both return the index columns + raw cosine ``score`` with id
-        tiebreaks, so every downstream strategy is backend-agnostic."""
+        "ivfpq" serves from a PREBUILT compressed store
+        (config.ann_store_path) with an ADC-shortlist -> exact-rerank
+        two-stage.  Every backend returns the index columns + raw
+        cosine ``score`` with id tiebreaks, so downstream strategies
+        are backend-agnostic."""
         c = self.config
         if c.ann_backend == "exact":
             return knn_topk(index, query_vector, k=k, id_col=id_col)

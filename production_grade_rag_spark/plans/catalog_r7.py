@@ -240,6 +240,46 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
 
+@register("s27_vacuum_versions", oracle="""
+SELECT 4::BIGINT AS n_before, 2::BIGINT AS n_removed,
+       2::BIGINT AS n_after, 4::BIGINT AS latest,
+       TRUE AS latest_intact, TRUE AS horizon_enforced
+""")
+def s27_vacuum_versions(spark: SparkSession, d: str) -> DataFrame:
+    """Snapshot retention for the versioned-table layer (Delta VACUUM /
+    Iceberg expire_snapshots, directory-convention form): build 4
+    snapshots of the documents table, vacuum keep_last=2, and verify
+    IN-PLAN that exactly the two oldest are gone, the latest snapshot
+    still reads back complete, and a time-travel read older than the
+    horizon now fails — the lifecycle bound that keeps st_cc_curate's
+    per-batch version history from growing without limit."""
+    import shutil
+    from ..sources.tables import (list_versions, read_version,
+                                  vacuum_versions, write_version)
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    path = _scratch("s27_versions")
+    shutil.rmtree(path, ignore_errors=True)
+    for v in range(1, 5):
+        write_version(docs.filter(F.col("doc_id") % 4 < v)
+                      .select("doc_id", "lang"), path, v)
+    n_before = len(list_versions(spark, path))
+    removed = vacuum_versions(spark, path, keep_last=2)
+    after = list_versions(spark, path)
+    latest_intact = (read_version(spark, path).count()
+                     == docs.count())
+    try:
+        read_version(spark, path, as_of=removed[-1])
+        horizon = False      # a pre-horizon read must not succeed
+    except ValueError:
+        horizon = True
+    return spark.createDataFrame(
+        [(n_before, len(removed), len(after), max(after),
+          bool(latest_intact), bool(horizon))],
+        "n_before long, n_removed long, n_after long, latest long, "
+        "latest_intact boolean, horizon_enforced boolean")
+
+
 @register("mm_resize", oracle="""
 WITH h AS (
   SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS hex,

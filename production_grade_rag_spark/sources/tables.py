@@ -268,6 +268,31 @@ def list_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
+def vacuum_versions(spark: SparkSession, path: str,
+                    keep_last: int = 2) -> list[int]:
+    """Retention for the snapshot-versioned table: drop all but the
+    newest ``keep_last`` snapshots (Delta VACUUM / Iceberg
+    expire_snapshots, directory-convention form).  Removal order is
+    oldest-first and each snapshot directory is deleted atomically
+    (rename-aside then rmtree: a reader that resolved its version
+    before the vacuum may lose a race — the documented plain-parquet
+    limit; Delta's retention window closes it).  Returns the removed
+    version numbers; time-travel reads older than the horizon now
+    raise, by design."""
+    import os
+    import shutil
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(spark, path)
+    drop = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in drop:
+        src = f"{path}/v={v}"
+        tmp = f"{path}/.vacuum-v={v}"
+        os.rename(src, tmp)      # version disappears atomically
+        shutil.rmtree(tmp, ignore_errors=True)
+    return drop
+
+
 def read_version(spark: SparkSession, path: str,
                  as_of: int | None = None) -> DataFrame:
     """Read a snapshot table: latest version by default, or the
