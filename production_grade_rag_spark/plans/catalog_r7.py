@@ -240,6 +240,29 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
 
+@register("s28_orc_roundtrip", oracle="""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+""")
+def s28_orc_roundtrip(spark: SparkSession, d: str) -> DataFrame:
+    """Columnar-format coverage beyond parquet: write the documents
+    table as ORC (Spark built-in, predicate pushdown + column pruning
+    preserved), read it back, and emit a value fingerprint per row —
+    the oracle compares against the parquet original, so any
+    encode/decode fidelity loss (strings, ints) flips the hash."""
+    import shutil
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    path = _scratch("s28_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select("doc_id", "lang",
+                       F.col("n_chars").cast("long").alias("n_chars"),
+                       F.md5("text").alias("text_md5"))
+
+
 @register("s27_vacuum_versions", oracle="""
 SELECT 4::BIGINT AS n_before, 2::BIGINT AS n_removed,
        2::BIGINT AS n_after, 4::BIGINT AS latest,
