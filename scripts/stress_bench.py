@@ -55,12 +55,16 @@ def _timed(fn):
 
 
 def _timed_steady(fn):
-    """Warm-up run (untimed) then a timed run: every 1x-vs-10x ratio
-    compares steady state to steady state, so scan caching / JIT /
-    shuffle-service warmup can't make a tier look faster than its
-    smaller twin (the r6 ev_asof_join_10x < 1x anomaly)."""
+    """Warm-up run (untimed) then min of two timed runs: every
+    1x-vs-10x ratio compares steady state to steady state (scan
+    caching / JIT / shuffle-service warmup can't make a tier look
+    faster than its smaller twin — the r6 ev_asof_join_10x < 1x
+    anomaly), and the min damps scheduler jitter on sub-second
+    operators where +-30 ms would otherwise swing the ratio."""
     fn()
-    return _timed(fn)
+    out, t1 = _timed(fn)
+    _, t2 = _timed(fn)
+    return out, min(t1, t2)
 
 
 def synthesize(spark) -> None:

@@ -226,3 +226,18 @@ def test_line_dedup_shuffles_on_hash_then_doc(spark):
     hash_ex = [ln for ln in plan.splitlines()
                if "Exchange hashpartitioning" in ln]
     assert len(hash_ex) == 2, plan
+
+
+def test_cc_curate_modern_single_gate_pass_one_hash_shuffle(spark):
+    # the composed published-rules curation must keep cc_curate's
+    # shape: all gates fused into the scan-side projection, ONE hash
+    # exchange (the content_hash dedup window) — composing Gopher/C4
+    # must not introduce extra shuffles or a second scan
+    plan = _plan(spark, "cc_curate_modern")
+    assert "CartesianProduct" not in plan
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1, plan
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "documents" in ln]
+    assert len(scans) == 1, "gates must fuse into one documents scan"
