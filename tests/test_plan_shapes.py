@@ -241,3 +241,11 @@ def test_cc_curate_modern_single_gate_pass_one_hash_shuffle(spark):
     scans = [ln for ln in plan.splitlines()
              if "FileScan parquet" in ln and "documents" in ln]
     assert len(scans) == 1, "gates must fuse into one documents scan"
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark):
+    # each of the 5 iterations joins the <=625-row edge list against
+    # the 25-row rank vector: broadcasts end to end, no cartesian
+    plan = _plan(spark, "g1_trade_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
