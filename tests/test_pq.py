@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 
 from production_grade_rag_spark.operators import pq, similarity
-from production_grade_rag_spark.plans.catalog_ext import QUERY_VEC
+from production_grade_rag_spark.plans.oracle_vec import QUERY_VEC
 from production_grade_rag_spark.sources import load_table
 
 from conftest import SF001
@@ -111,3 +111,31 @@ def test_ivfpq_deterministic(spark, tmp_path):
                     pq.ivfpq_search_store(spark, p, QUERY_VEC,
                                           k=10).collect()])
     assert got[0] == got[1]
+
+
+def test_ivfpq_n_candidates_knob(spark, tmp_path):
+    """numCandidates semantics (two-stage rerank, vector_search.py:67):
+    n_candidates overrides k*rescore as the exact-rerank shortlist;
+    wide-open shortlist at full probes recovers the exact top-k, a
+    1-row shortlist degenerates to the single best ADC candidate, and
+    round_to=None keeps raw (unrounded) cosine scores."""
+    emb = load_table(spark, SF001, "embeddings")
+    path = str(tmp_path / "ivfpq_cand")
+    pq.ivfpq_build_store(emb, path, n_lists=8, m=8, k_codes=32)
+    exact = similarity.knn_topk(emb, QUERY_VEC, k=10).collect()
+    exact_ids = [r["vec_id"] for r in exact]
+
+    full = pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
+                                 n_probe=8, n_candidates=10_000,
+                                 round_to=None).collect()
+    assert [r["vec_id"] for r in full] == exact_ids
+    # raw scores: bit-equal to the exact operator's raw cosine
+    eraw = {r["vec_id"]: r["score"] for r in
+            similarity.knn_topk(emb, QUERY_VEC, k=500).collect()}
+    for r in full:
+        assert r["score"] == round(eraw[r["vec_id"]], 6) or \
+            abs(r["score"] - eraw[r["vec_id"]]) < 1e-12
+
+    one = pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
+                                n_probe=8, n_candidates=1).collect()
+    assert len(one) == 1, "shortlist of 1 must yield exactly 1 row"

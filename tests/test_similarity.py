@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from production_grade_rag_spark.operators import similarity
-from production_grade_rag_spark.plans.catalog_ext import QUERY_VEC
+from production_grade_rag_spark.plans.oracle_vec import QUERY_VEC
 from production_grade_rag_spark.sources import load_table
 
 from conftest import SF001
