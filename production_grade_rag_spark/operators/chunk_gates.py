@@ -36,7 +36,16 @@ from pyspark.sql import functions as F
 from ..functions.text import clean_text
 from . import chunking
 
-_WS = r"\s"
+# Python str.isspace()'s exact character set as a Java regex class —
+# NOT java \s (ASCII-only) and NOT (?U)\s (Unicode White_Space, which
+# misses \x1c-\x1f).  The splitter strips with PYTHON semantics
+# (RecursiveSplitter._join -> str.strip()), so a chunk can legally
+# drop a U+00A0/U+2003/\x1c... at its boundary; coverage accounting
+# that counted those as "content" would flip the constant-pinned gate
+# red on a corpus containing them (found by tests/test_chunk_gates_
+# fuzz.py before any driver run could).
+_WS = (r"[\s\x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
+       r"\u2028\u2029\u202f\u205f\u3000]")
 
 
 def _nonws_len(c: F.Column) -> F.Column:
@@ -77,11 +86,12 @@ def m1_recursive_invariants(documents: DataFrame,
            .join(clean, "doc_id", "right")
            .filter(F.coalesce("got", F.lit(0)) < _nonws_len(F.col("__clean"))))
 
+    z = F.lit(0).cast("long")
     agg = per_chunk.agg(
         F.count("*").alias("__n"),
-        F.sum("ov").alias("n_offset_viol"),
-        F.sum("sz").alias("n_oversize"),
-        F.sum("mono").alias("n_nonmono"))
+        F.coalesce(F.sum("ov"), z).alias("n_offset_viol"),
+        F.coalesce(F.sum("sz"), z).alias("n_oversize"),
+        F.coalesce(F.sum("mono"), z).alias("n_nonmono"))
     return agg.select(
         (F.col("__n") > 0).alias("has_chunks"),
         "n_offset_viol", "n_oversize", "n_nonmono",
@@ -109,13 +119,15 @@ def m2_parent_child_invariants(documents: DataFrame,
     kids = pc.filter(F.col("chunk_type") == "child")
 
     kj = kids.join(parents, kids.parent_id == parents.pid, "left")
+    z = F.lit(0).cast("long")
     kid_agg = kj.agg(
         F.count("*").alias("n_kids"),
-        F.sum(F.col("pid").isNull().cast("long")).alias("n_orphans"),
-        F.sum((F.length("content") > child_size).cast("long"))
-         .alias("n_child_oversize"),
-        F.sum((F.instr("p_content", F.col("content")) == 0).cast("long"))
-         .alias("n_not_sub"))
+        F.coalesce(F.sum(F.col("pid").isNull().cast("long")), z)
+         .alias("n_orphans"),
+        F.coalesce(F.sum((F.length("content") > child_size).cast("long")),
+                   z).alias("n_child_oversize"),
+        F.coalesce(F.sum((F.instr("p_content", F.col("content")) == 0)
+                         .cast("long")), z).alias("n_not_sub"))
 
     # children jointly contain every non-ws char of their parent
     child_cov = (kj.groupBy("parent_id")
@@ -134,15 +146,17 @@ def m2_parent_child_invariants(documents: DataFrame,
     # every non-empty doc produced >= 1 parent; no parent oversized
     clean = documents.select(
         "doc_id", clean_text(F.col("text")).alias("__clean"))
+    # "non-empty" must mean python-strip-non-empty (_WS class): a doc
+    # of pure unicode whitespace yields no parents and must not count
     uncov = (parents.groupBy("p_doc").count()
              .withColumnRenamed("p_doc", "doc_id")
              .join(clean, "doc_id", "right")
              .filter(F.col("count").isNull()
-                     & (F.length(F.trim("__clean")) > 0)))
+                     & (_nonws_len(F.col("__clean")) > 0)))
     p_agg = parents.agg(
         F.count("*").alias("n_parents"),
-        F.sum((F.length("p_content") > parent_size).cast("long"))
-         .alias("n_parent_oversize"))
+        F.coalesce(F.sum((F.length("p_content") > parent_size)
+                         .cast("long")), z).alias("n_parent_oversize"))
 
     one = kid_agg.crossJoin(F.broadcast(p_agg))
     return one.select(
@@ -175,14 +189,15 @@ def r2_parent_context_invariants(documents: DataFrame) -> DataFrame:
         F.col("chunk_id").alias("pid"), F.col("content").alias("want"))
 
     j = ctx.join(parents, ctx.parent_id == parents.pid, "left")
+    z = F.lit(0).cast("long")
     agg = j.agg(
         F.count("*").alias("__n"),
-        F.sum(F.col("parent_content").isNull().cast("long"))
-         .alias("n_null_ctx"),
-        F.sum((~(F.col("parent_content") == F.col("want")))
-              .cast("long")).alias("n_ctx_mismatch"),
-        F.sum((F.instr("parent_content", F.col("content")) == 0)
-              .cast("long")).alias("n_child_not_in_ctx"))
+        F.coalesce(F.sum(F.col("parent_content").isNull().cast("long")),
+                   z).alias("n_null_ctx"),
+        F.coalesce(F.sum((~(F.col("parent_content") == F.col("want")))
+                         .cast("long")), z).alias("n_ctx_mismatch"),
+        F.coalesce(F.sum((F.instr("parent_content", F.col("content")) == 0)
+                         .cast("long")), z).alias("n_child_not_in_ctx"))
     return agg.select(
         (F.col("__n") > 0).alias("has_rows"),
         (F.col("__n") - F.lit(int(n_children))).cast("long")
