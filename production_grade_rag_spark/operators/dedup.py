@@ -381,6 +381,43 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def semdedup_pairs(vectors: DataFrame, n_clusters: int = 8,
+                   threshold: float = 0.95,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic near-dup pairs
+    with CLUSTER-scoped comparison — seeded KMeans cells
+    (similarity.fit_centroids, the same offline fit the IVF family
+    shares), then an EQUI-join on cell with exact cosine verification
+    inside each cell only.
+
+    Scale shape vs the exact pairwise form (embedding_near_dups): the
+    quadratic term is bounded per cluster (n/k)^2 * k instead of n^2,
+    and the join shuffles on the cell key — at 100 TB the cells are
+    the parallel unit and a skewed cell is handled like any hot join
+    key (AQE skew split).  The trade is recall: pairs straddling a
+    cluster boundary are never compared — measured and gated by
+    dd_semdedup_recall; precision stays 1.0 by construction (every
+    emitted pair is exact-cosine-verified)."""
+    from .similarity import assign_cells, fit_centroids
+    from ..functions.vector import cosine, to_double_array
+
+    cents = fit_centroids(vectors, n_lists=n_clusters, vec_col=vec_col)
+    cells = assign_cells(vectors, cents, vec_col=vec_col, id_col=id_col) \
+        .select(F.col(id_col), F.col(vec_col), F.col("cell"))
+    a = cells.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("__va"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("__vb"), "cell")
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(to_double_array(F.col("__va")),
+                                      to_double_array(F.col("__vb"))))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"),
+                    "cell"))
+
+
 def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                         vec_col: str = "embedding", id_col: str = "vec_id",
                         use_lsh: bool = False) -> DataFrame:

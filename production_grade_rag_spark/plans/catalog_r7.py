@@ -240,6 +240,54 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
 
+# ===========================================================================
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
+# ===========================================================================
+
+@register("dd_semdedup")   # rows-only: KMeans cell scoping is not SQL
+def dd_semdedup(spark: SparkSession, d: str) -> DataFrame:
+    """SemDeDup pairs at (k=4 clusters, cosine >= 0.3): the
+    cluster-scoped form of dd_embedding_neardup — quadratic work
+    bounded per cluster, shuffle on the cell key.  Precision 1.0 by
+    construction (every pair exact-cosine-verified); recall vs the
+    exact pairwise set is gated by dd_semdedup_recall."""
+    from ..operators import dedup
+    emb = _t(spark, d, "embeddings")
+    return dedup.semdedup_pairs(emb, n_clusters=4, threshold=0.3)
+
+
+def _semdedup_recall_oracle() -> str:
+    from . import oracle_vec as OV
+    return f"""
+WITH exact AS ({OV.embedding_pairs_sql(0.3)})
+SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       0::BIGINT AS n_false, TRUE AS floor_met
+"""
+
+
+@register("dd_semdedup_recall", oracle=_semdedup_recall_oracle())
+def dd_semdedup_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Quality gate for SemDeDup, with a REAL data-dependent oracle:
+    n_exact is recomputed by DuckDB's own exact pairwise cosine (not a
+    pinned constant), n_false pins precision 1.0 (cluster scoping can
+    only MISS pairs, never invent them), and floor_met gates recall
+    >= 0.3 at this operating point (measured 0.48-0.54 across
+    sf0.001/sf0.01 at k=4; cross-cluster pairs are the designed
+    loss — SemDeDup targets the high-threshold near-identical regime,
+    pinned separately in tests/test_dedup_sem.py)."""
+    from ..operators import dedup, similarity
+    emb = _t(spark, d, "embeddings")
+    exact = similarity.pairwise_similar(emb, 0.3).select("id_a", "id_b")
+    approx = dedup.semdedup_pairs(emb, n_clusters=4, threshold=0.3) \
+        .select("id_a", "id_b")
+    n_exact = exact.count()
+    n_hit = approx.join(exact, ["id_a", "id_b"], "left_semi").count()
+    n_false = approx.join(exact, ["id_a", "id_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_exact, n_false, bool(n_hit / max(1, n_exact) >= 0.3))],
+        "n_exact long, n_false long, floor_met boolean")
+
+
 @register("s28_orc_roundtrip", oracle="""
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        md5(text) AS text_md5

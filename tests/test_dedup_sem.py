@@ -1,0 +1,54 @@
+"""SemDeDup behavior in its DESIGN regime (near-identical vectors at
+high cosine): copies of a vector land in the same KMeans cell with
+overwhelming probability, so cluster scoping loses almost nothing —
+unlike the moderate-threshold regime the driver gate measures (where
+cross-cluster loss is expected and floored)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from production_grade_rag_spark.operators import dedup, similarity
+
+
+def _dup_corpus(spark, n_groups=20, copies=3, dim=16, noise=0.01):
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(n_groups):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        nb = math.sqrt(sum(x * x for x in base))
+        base = [x / nb for x in base]
+        for _ in range(copies):
+            v = [x + rng.gauss(0, noise) for x in base]
+            nv = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / nv for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semdedup_high_threshold_recall_and_precision(spark):
+    emb = _dup_corpus(spark)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             similarity.pairwise_similar(emb, 0.99).collect()}
+    assert len(exact) >= 40, "corpus must contain real near-dup groups"
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.semdedup_pairs(emb, n_clusters=6,
+                                threshold=0.99).collect()}
+    # precision 1.0 by construction
+    assert got <= exact
+    # near-identical copies share a cell: recall ~1 in the design regime
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, f"high-threshold recall too low: {recall}"
+
+
+def test_semdedup_deterministic(spark):
+    emb = _dup_corpus(spark)
+    a = sorted((r["id_a"], r["id_b"], r["cell"]) for r in
+               dedup.semdedup_pairs(emb, n_clusters=6,
+                                    threshold=0.99).collect())
+    b = sorted((r["id_a"], r["id_b"], r["cell"]) for r in
+               dedup.semdedup_pairs(emb, n_clusters=6,
+                                    threshold=0.99).collect())
+    assert a == b
