@@ -240,6 +240,71 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
 # gates a 100 TB ingest applies next to the reference's own scorer
 # ===========================================================================
 
+def _dsir_oracle() -> str:
+    from . import oracle_vec as OV
+    return f"""
+WITH toks AS (
+  SELECT d.doc_id, d.lang, unnest({OV.tokens_sql('d.text')}) AS tok
+  FROM documents d
+), src AS (
+  SELECT tok, count(*)::DOUBLE AS f_s FROM toks GROUP BY tok
+), tgt AS (
+  SELECT tok, count(*)::DOUBLE AS f_t FROM toks
+  WHERE lang = 'en' GROUP BY tok
+), consts AS (
+  SELECT (SELECT sum(f_s) FROM src) AS n_s,
+         (SELECT count(*) FROM src) AS v,
+         (SELECT coalesce(sum(f_t), 0) FROM tgt) AS n_t
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln((coalesce(g.f_t, 0) + 1.0) / (c.n_t + c.v))
+                 - ln(s.f_s / c.n_s)), 6) AS log_ratio
+FROM toks t
+JOIN src s USING (tok)
+LEFT JOIN tgt g USING (tok)
+CROSS JOIN consts c
+GROUP BY t.doc_id
+"""
+
+
+@register("t16_dsir_weight", oracle=_dsir_oracle())
+def t16_dsir_weight(spark: SparkSession, d: str) -> DataFrame:
+    """DSIR-lite importance weight (Xie et al. 2023, public: Data
+    Selection via Importance Resampling — here with the library-free
+    unigram features the ta_unigram_logprob entry establishes): per
+    document, the mean log importance ratio between a TARGET
+    distribution (the lang='en' slice's unigram LM, add-one smoothed
+    over the shared vocabulary) and the SOURCE distribution (the whole
+    corpus).  Sampling proportional to exp(log_ratio) shifts the
+    training mix toward the target domain.
+
+    Plan: one token explode, two vocabulary-sized aggregations (source
+    and target LMs), a broadcastable 1-row constants frame, one join
+    of tokens->freqs, one per-doc agg — at 100 TB the only
+    corpus-level state is the two vocab tables."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    toks = docs.select("doc_id", "lang",
+                       F.explode(tokens(F.col("text"))).alias("tok"))
+    src = toks.groupBy("tok").agg(
+        F.count("*").cast("double").alias("f_s"))
+    tgt = (toks.filter(F.col("lang") == "en")
+           .groupBy("tok").agg(F.count("*").cast("double").alias("f_t")))
+    consts = src.agg(
+        F.sum("f_s").alias("n_s"),
+        F.count("*").cast("double").alias("v")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("f_t"), F.lit(0.0)).alias("n_t")))
+    lr = (F.log((F.coalesce(F.col("f_t"), F.lit(0.0)) + 1.0)
+                / (F.col("n_t") + F.col("v")))
+          - F.log(F.col("f_s") / F.col("n_s")))
+    return (toks.join(src, "tok")
+            .join(tgt, "tok", "left")
+            .crossJoin(F.broadcast(consts))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg(lr), 6).alias("log_ratio")))
+
+
 # ===========================================================================
 # SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
 # ===========================================================================
