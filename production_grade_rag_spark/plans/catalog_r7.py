@@ -305,6 +305,61 @@ def t16_dsir_weight(spark: SparkSession, d: str) -> DataFrame:
                  F.round(F.avg(lr), 6).alias("log_ratio")))
 
 
+def _hardneg_oracle() -> str:
+    from . import oracle_vec as OV
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS negative_id, b.label AS negative_label,
+         round({cos}, 6) AS score,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({cos}, 6) DESC, b.vec_id)
+           AS rank
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND b.label <> a.label
+)
+SELECT anchor_id, negative_id, anchor_label, negative_label,
+       score, rank
+FROM scored WHERE rank <= 5
+"""
+
+
+@register("r8_hard_negatives", oracle=_hardneg_oracle())
+def r8_hard_negatives(spark: SparkSession, d: str) -> DataFrame:
+    """Hard-negative mining for embedding-model training (the standard
+    contrastive-pair recipe, e.g. DPR/SBERT practice): for each anchor
+    vector, the top-5 most-similar vectors carrying a DIFFERENT label
+    — maximally confusable negatives, the ones worth training on.
+
+    Plan: broadcast the (small) anchor set against the corpus, filter
+    label mismatch BEFORE the per-anchor top-k window (a negative must
+    be eligible, not merely ranked), one shuffle on anchor_id.  At
+    100 TB anchors are batched and the corpus side is the scan — the
+    ivf_knn_join cell-scoped form drops in when the anchor batch
+    outgrows broadcast."""
+    from ..functions.vector import cosine, to_double_array
+    emb = _t(spark, d, "embeddings")
+    anchors = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("label").alias("anchor_label"),
+                       to_double_array(F.col("embedding")).alias("__av")))
+    cand = emb.select(F.col("vec_id").alias("negative_id"),
+                      F.col("label").alias("negative_label"),
+                      to_double_array(F.col("embedding")).alias("__cv"))
+    scored = (cand.crossJoin(F.broadcast(anchors))
+              .filter((F.col("negative_id") != F.col("anchor_id"))
+                      & (F.col("negative_label") != F.col("anchor_label")))
+              .withColumn("score",
+                          F.round(cosine(F.col("__cv"), F.col("__av")), 6)))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), "negative_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("anchor_id", "negative_id", "anchor_label",
+                    "negative_label", "score", "rank"))
+
+
 # ===========================================================================
 # SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
 # ===========================================================================
