@@ -360,6 +360,68 @@ def r8_hard_negatives(spark: SparkSession, d: str) -> DataFrame:
                     "negative_label", "score", "rank"))
 
 
+def _triplet_oracle() -> str:
+    from . import oracle_vec as OV
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS other_id,
+         (b.label = a.label) AS same, round({cos}, 6) AS score
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+                               ORDER BY score DESC, other_id) AS rn
+  FROM pairs
+)
+SELECT p.anchor_id, p.other_id AS positive_id,
+       n.other_id AS negative_id, p.score AS pos_score,
+       n.score AS neg_score, round(p.score - n.score, 6) AS margin
+FROM ranked p JOIN ranked n USING (anchor_id)
+WHERE p.same AND p.rn = 1 AND NOT n.same AND n.rn = 1
+"""
+
+
+@register("r8_triplets", oracle=_triplet_oracle())
+def r8_triplets(spark: SparkSession, d: str) -> DataFrame:
+    """Contrastive training triplets: per anchor, the nearest
+    SAME-label vector (positive) and the nearest DIFFERENT-label
+    vector (hard negative), with the margin between them — the
+    (anchor, positive, negative) manifest an embedding-model trainer
+    consumes; small/negative margins are the valuable examples.  One
+    broadcast crossJoin, one (anchor, same)-keyed window, one self
+    join of the two rank-1 rows."""
+    from ..functions.vector import cosine, to_double_array
+    emb = _t(spark, d, "embeddings")
+    anchors = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("label").alias("__al"),
+                       to_double_array(F.col("embedding")).alias("__av")))
+    cand = emb.select(F.col("vec_id").alias("other_id"),
+                      F.col("label").alias("__cl"),
+                      to_double_array(F.col("embedding")).alias("__cv"))
+    pairs = (cand.crossJoin(F.broadcast(anchors))
+             .filter(F.col("other_id") != F.col("anchor_id"))
+             .select("anchor_id", "other_id",
+                     (F.col("__cl") == F.col("__al")).alias("same"),
+                     F.round(cosine(F.col("__cv"), F.col("__av")), 6)
+                      .alias("score")))
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc("score"), "other_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("same") & (F.col("rn") == 1)).select(
+        "anchor_id", F.col("other_id").alias("positive_id"),
+        F.col("score").alias("pos_score"))
+    neg = ranked.filter(~F.col("same") & (F.col("rn") == 1)).select(
+        "anchor_id", F.col("other_id").alias("negative_id"),
+        F.col("score").alias("neg_score"))
+    return (pos.join(neg, "anchor_id")
+            .select("anchor_id", "positive_id", "negative_id",
+                    "pos_score", "neg_score",
+                    F.round(F.col("pos_score") - F.col("neg_score"), 6)
+                     .alias("margin")))
+
+
 # ===========================================================================
 # SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
 # ===========================================================================
