@@ -281,7 +281,11 @@ def t16_dsir_weight(spark: SparkSession, d: str) -> DataFrame:
     Plan: one token explode, two vocabulary-sized aggregations (source
     and target LMs), a broadcastable 1-row constants frame, one join
     of tokens->freqs, one per-doc agg — at 100 TB the only
-    corpus-level state is the two vocab tables."""
+    corpus-level state is the two vocab tables.  The LM tables are
+    vocabulary-sized by construction, so they broadcast EXPLICITLY
+    (r8): the Zipf-skewed token stream ("the" alone is a hot key)
+    never shuffles on tok — both joins are map-side, pinned in
+    tests/test_plan_shapes.py."""
     from ..operators.dedup import tokens
     docs = _t(spark, d, "documents")
     toks = docs.select("doc_id", "lang",
@@ -297,8 +301,8 @@ def t16_dsir_weight(spark: SparkSession, d: str) -> DataFrame:
     lr = (F.log((F.coalesce(F.col("f_t"), F.lit(0.0)) + 1.0)
                 / (F.col("n_t") + F.col("v")))
           - F.log(F.col("f_s") / F.col("n_s")))
-    return (toks.join(src, "tok")
-            .join(tgt, "tok", "left")
+    return (toks.join(F.broadcast(src), "tok")
+            .join(F.broadcast(tgt), "tok", "left")
             .crossJoin(F.broadcast(consts))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
@@ -788,19 +792,33 @@ def dd_line_dedup(spark: SparkSession, d: str) -> DataFrame:
     would otherwise all collapse to one), and each document is
     reassembled in original line order.
 
-    Scale shape: one shuffle on md5(line) for the first-occurrence
-    window, one shuffle on doc_id for reassembly — no all-pairs
-    anything; the reassembled text never moves through the dedup
-    shuffle (only hashes and positions do)."""
+    Scale shape (skew-safe, r8): blank lines NEVER enter the dedup
+    shuffle — their keep is decided map-side (they'd otherwise all
+    funnel into the single md5('') reducer, the classic hot-key
+    scale-killer at 100 TB).  First occurrence is elected with
+    `groupBy(md5(ln)).agg(min(struct(doc_id, pos)))` — min() is
+    partial-aggregable, so even a billion-copy boilerplate line costs
+    one combiner cell per map task, not one giant window partition
+    (row_number windows cannot partially combine).  The join back on
+    md5(ln) is AQE-skew-splittable sort-merge; the reassembled text
+    never moves through the dedup shuffle (only hashes and positions
+    do).  One more shuffle on doc_id for reassembly."""
     docs = _t(spark, d, "documents")
     lines = docs.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "ln"))
-    from pyspark.sql import Window
-    w = Window.partitionBy(F.md5("ln")).orderBy("doc_id", "pos")
-    flagged = lines.withColumn(
-        "keep",
-        (F.row_number().over(w) == 1)
-        | (F.regexp_replace("ln", r"^\s+|\s+$", "") == ""))
+    blank = F.regexp_replace("ln", r"^\s+|\s+$", "") == ""
+    lines = lines.withColumn("blank", blank)
+    nonblank = lines.filter(~F.col("blank")).withColumn("h", F.md5("ln"))
+    first = (nonblank.groupBy("h")
+             .agg(F.min(F.struct("doc_id", "pos")).alias("first")))
+    kept_nb = (nonblank.join(first, "h")
+               .select("doc_id", "pos", "ln",
+                       ((F.col("first.doc_id") == F.col("doc_id"))
+                        & (F.col("first.pos") == F.col("pos")))
+                       .alias("keep")))
+    blanks = (lines.filter(F.col("blank"))
+              .select("doc_id", "pos", "ln", F.lit(True).alias("keep")))
+    flagged = kept_nb.unionByName(blanks)
     assembled = (flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_lines"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),

@@ -145,6 +145,36 @@ def synthesize_skew(spark) -> None:
     done.touch()
 
 
+_FOOTER = "\n".join((
+    "about us", "contact", "subscribe to our newsletter",
+    "privacy policy", "terms of service", "cookie notice",
+    "all rights reserved", "follow us on social media", "site map",
+    "copyright 2024"))
+
+
+def synthesize_line_skew(spark) -> None:
+    """Adversarial tier for corpus-wide line dedup: every newline in
+    the 10x corpus becomes a blank-line separator (so blank lines ~=
+    content lines, ALL sharing md5('')) and every document gains the
+    same 10-line boilerplate footer (10 hot keys with one copy per
+    document).  This is exactly the shape that melts a row_number
+    window over md5(ln); the min(struct) election must shrug it off.
+    Deterministic; idempotent."""
+    done = Path(STRESS_DIR) / "_SYNTH_LINESKEW_OK"
+    if done.exists():
+        return
+    from production_grade_rag_spark.sources import load_table
+    docs10 = load_table(spark, STRESS_DIR, "documents")
+    skewed = (docs10.withColumn(
+        "text",
+        F.concat(F.regexp_replace("text", "\n", "\n\n"),
+                 F.lit("\n\n" + _FOOTER)))
+        .withColumn("n_chars", F.length("text").cast("int")))
+    skewed.write.mode("overwrite").parquet(
+        f"{STRESS_DIR}/lineskew/documents.parquet")
+    done.touch()
+
+
 def main() -> None:
     from production_grade_rag_spark.operators import dedup, similarity
     from production_grade_rag_spark.plans.flagship import flagship_search
@@ -223,6 +253,23 @@ def main() -> None:
             T[f"{q}_{tag}"] = t
             print(f"# {q} {tag}: {t}s ({n} rows)", file=sys.stderr)
         res[f"{q}_scale_ratio"] = round(T[f"{q}_10x"] / T[f"{q}_1x"], 2)
+
+    # --- line-dedup adversarial tier: blank + boilerplate hot keys -----
+    synthesize_line_skew(spark)
+    lsdir = f"{STRESS_DIR}/lineskew"
+    lines_of = F.size(F.split("text", "\n"))
+    n_lines_unif = docs10.select(F.sum(lines_of)).first()[0]
+    n_lines_skew = (spark.read.parquet(f"{lsdir}/documents.parquet")
+                    .select(F.sum(lines_of)).first()[0])
+    n, t = _timed_steady(
+        lambda: CATALOG["dd_line_dedup"].build(spark, lsdir).count())
+    T["dd_line_dedup_lineskew_10x"] = t
+    res["line_dedup_skew_lines_x"] = round(n_lines_skew / n_lines_unif, 2)
+    res["line_dedup_skew_ratio"] = round(t / T["dd_line_dedup_10x"], 2)
+    print(f"# dd_line_dedup lineskew 10x: {t}s ({n} docs; "
+          f"{n_lines_skew} lines = {res['line_dedup_skew_lines_x']}x "
+          f"uniform; wall {res['line_dedup_skew_ratio']}x of uniform "
+          f"10x)", file=sys.stderr)
 
     # --- scalar-quantized search at 10x --------------------------------
     _, t = _timed(lambda: similarity.sq_bounds(emb10))

@@ -219,13 +219,21 @@ def test_curation_rules_are_single_projection_no_exchange(spark):
             f"{name}: unexpected agg/join shuffle"
 
 
-def test_line_dedup_shuffles_on_hash_then_doc(spark):
-    # exactly the two hash exchanges the docstring promises (line-hash
-    # window, doc_id reassembly) + the final sort's range exchange
+def test_line_dedup_partial_agg_election_no_window(spark):
+    # the r8 skew-safe shape: first-occurrence election must be a
+    # partial-aggregable min(struct) (one combiner cell per map task
+    # even for a billion-copy boilerplate line), never a row_number
+    # window over md5(ln) (which funnels every copy of a hot line —
+    # and ALL blank lines, md5('') — into a single reducer)
     plan = _plan(spark, "dd_line_dedup")
+    assert "Window" not in plan, "election regressed to a window"
+    assert "partial_min" in plan, "election must partial-aggregate"
+    # the doc_id reassembly aggregate must also be two-phase
+    assert "partial_count" in plan
+    # at most: agg-on-h, join-probe-on-h, doc_id reassembly
     hash_ex = [ln for ln in plan.splitlines()
                if "Exchange hashpartitioning" in ln]
-    assert len(hash_ex) == 2, plan
+    assert len(hash_ex) <= 3, plan
 
 
 def test_cc_curate_modern_single_gate_pass_one_hash_shuffle(spark):
@@ -241,6 +249,16 @@ def test_cc_curate_modern_single_gate_pass_one_hash_shuffle(spark):
     scans = [ln for ln in plan.splitlines()
              if "FileScan parquet" in ln and "documents" in ln]
     assert len(scans) == 1, "gates must fuse into one documents scan"
+
+
+def test_dsir_lm_tables_broadcast_no_tok_shuffle(spark):
+    # the LM tables are vocabulary-sized by construction: both
+    # tok-joins must be BroadcastHashJoin — a sort-merge join on the
+    # Zipf-skewed token stream ("the" is a hot key) would funnel
+    plan = _plan(spark, "t16_dsir_weight")
+    assert len(re.findall(r"BroadcastHashJoin.*\btok\b", plan)) >= 2
+    assert not re.search(r"SortMergeJoin.*\btok\b", plan), plan
+    assert not re.search(r"ShuffledHashJoin.*\btok\b", plan), plan
 
 
 def test_pagerank_iterations_broadcast_rank_vector(spark):
