@@ -1,0 +1,72 @@
+"""Behavior tests for the round-8 entries (oracle parity itself is
+auto-covered by test_oracle_parity.py; these pin the SEMANTICS the
+hash can't express — the lift gate actually lifting, buckets actually
+tertiling, the resample actually being ∝ exp(log_ratio))."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF01
+
+from production_grade_rag_spark.plans.catalog import CATALOG
+
+
+def test_dsir_mix_lift_holds(spark):
+    # resampling toward the 'en' target LM must raise (or keep) the
+    # en share — the gate column must be True, not merely hash-stable
+    row = CATALOG["t17_dsir_mix"].build(spark, SF01).collect()[0]
+    assert row["lift_ok"] is True
+    assert row["n_resampled"] > 0
+    assert row["resampled_en_share"] >= row["source_en_share"]
+
+
+def test_dsir_resample_probability_shape(spark):
+    res = CATALOG["t17_dsir_resample"].build(spark, SF01).collect()
+    assert res, "resample accepted nothing"
+    ps = [r["p_accept"] for r in res]
+    assert all(0.0 < p <= 1.0 for p in ps)
+    # the arg-max log_ratio doc has p = 1.0 and is always accepted
+    assert max(ps) == 1.0
+    lr = CATALOG["t16_dsir_weight"].build(spark, SF01)
+    best = lr.orderBy(F.desc("log_ratio"), "doc_id").first()
+    assert best["doc_id"] in {r["doc_id"] for r in res}
+
+
+def test_perplexity_buckets_are_ordered_tertiles(spark):
+    rows = CATALOG["ta_perplexity"].build(spark, SF01).collect()
+    assert len(rows) == 500
+    by = {}
+    for r in rows:
+        by.setdefault(r["ppl_bucket"], []).append(r["log_ppl"])
+    assert set(by) == {"head", "middle", "tail"}
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+    # tertiles: each bucket holds roughly a third of the corpus
+    for b in by.values():
+        assert 100 <= len(b) <= 250
+    # BOS makes one bigram per token
+    r0 = rows[0]
+    assert r0["n_bigrams"] > 0 and r0["ppl"] > 0
+
+
+def test_curate_modern_ppl_is_tail_dropped_subset(spark):
+    modern = {r["doc_id"] for r in
+              CATALOG["cc_curate_modern"].build(spark, SF01).collect()}
+    gated = CATALOG["cc_curate_modern_ppl"].build(spark, SF01).collect()
+    assert gated and {r["doc_id"] for r in gated} <= modern
+    assert all(r["ppl_bucket"] in ("head", "middle") for r in gated)
+
+
+def test_span_dedup_semantics(spark):
+    rows = CATALOG["dd_span_dedup"].build(spark, SF01).collect()
+    assert rows
+    import hashlib
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    total = sum(r["n_spans"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert 0 < kept <= total
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_spans"]
+        if r["n_kept"] == 0:
+            assert r["dedup_md5"] == empty_md5

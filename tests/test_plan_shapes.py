@@ -261,6 +261,32 @@ def test_dsir_lm_tables_broadcast_no_tok_shuffle(spark):
     assert not re.search(r"ShuffledHashJoin.*\btok\b", plan), plan
 
 
+def test_span_dedup_partial_agg_election_no_window(spark):
+    # same contract as dd_line_dedup: min(struct) election, no window
+    # over the span hash, degenerate spans never reach the shuffle
+    plan = _plan(spark, "dd_span_dedup")
+    assert "Window" not in plan, "election regressed to a window"
+    assert "partial_min" in plan, "election must partial-aggregate"
+
+
+def test_perplexity_context_counts_broadcast(spark):
+    # the c1 context table is vocabulary-sized: its Zipf-hot 'prev'
+    # join must broadcast (same argument as the DSIR LM tables)
+    plan = _plan(spark, "ta_perplexity")
+    assert len(re.findall(r"BroadcastHashJoin.*\bprev\b", plan)) >= 1
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "t17_dsir_resample", "t17_dsir_mix", "cc_curate_modern_ppl",
+])
+def test_r8_entries_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan, f"{name} plans a {bad}"
+
+
 def test_pagerank_iterations_broadcast_rank_vector(spark):
     # each of the 5 iterations joins the <=625-row edge list against
     # the 25-row rank vector: broadcasts end to end, no cartesian
