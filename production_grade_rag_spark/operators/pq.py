@@ -175,7 +175,9 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
                        n_candidates: int | None = None,
                        vec_col: str = "embedding",
                        id_col: str = "vec_id",
-                       round_to: int | None = 6) -> DataFrame:
+                       round_to: int | None = 6,
+                       mass_target: float | None = None,
+                       n_probe_max: int | None = None) -> DataFrame:
     """Online IVFPQ: probe the ``n_probe`` nearest cells (partition
     filter — pruned directories never open), score candidates as
     <q,centroid_cell> + ADC(residual codes) reading ONLY the codes
@@ -196,12 +198,23 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
     Measured at sf0.1 (16 lists, probe 16): widening the shortlist
     160 -> 640 lifts recall@10 0.6 -> 1.0; past that the probe ceiling
     (fraction of exact top-k living in probed cells) is the binding
-    loss, which no rerank can recover — raise n_probe for that."""
-    from .similarity import _probe_cells
+    loss, which no rerank can recover — raise n_probe for that, or
+    set ``mass_target`` to let the probe count ADAPT per query
+    (adaptive_probe_cells: probe nearest-first until the cumulative
+    inverse-squared-distance mass share passes the target; ``n_probe``
+    becomes the floor, ``n_probe_max`` the cap).  Measured at the 10x
+    stress tier this lifts recall@10 past the fixed-probe 0.8 ceiling
+    (STRESS_r08: probe counts recorded per target)."""
+    from .similarity import _probe_cells, adaptive_probe_cells
     from ..functions.vector import cosine
 
     cent_df = spark.read.parquet(f"{path}/centroids")
-    cells = _probe_cells(cent_df, query_vec, n_probe)
+    if mass_target is not None:
+        cells = adaptive_probe_cells(cent_df, query_vec, floor=n_probe,
+                                     mass_target=mass_target,
+                                     cap=n_probe_max)
+    else:
+        cells = _probe_cells(cent_df, query_vec, n_probe)
     q = np.asarray(query_vec, dtype=np.float64)
     cents = {int(r["cell_id"]): np.asarray(r["centroid"], dtype=np.float64)
              for r in cent_df.collect()}
@@ -222,6 +235,14 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
             qc_expr.when(F.col("cell") == c, F.lit(float(cents[c] @ q)))
     approx = qc_expr + _adc_terms(books, q, "pq_codes")
     shortlist = n_candidates if n_candidates is not None else k * rescore
+    if mass_target is not None:
+        # widening probes without widening the shortlist just moves
+        # the binding loss from the probe ceiling to ADC error
+        # (measured at the 10x tier: probing all 64 cells at c=640
+        # stays at recall 0.7; c=2560 reaches 1.0) — keep the
+        # candidates-per-probed-cell ratio of the requested operating
+        # point constant instead
+        shortlist = -(-shortlist * len(cells) // max(1, n_probe))
     cand = (data.withColumn("__approx", approx)
             .orderBy(F.desc("__approx"), F.col(id_col))
             .limit(shortlist)

@@ -313,6 +313,40 @@ def _probe_cells(cent_df: DataFrame, query_vec: list[float],
     ]
 
 
+def adaptive_probe_cells(cent_df: DataFrame, query_vec: list[float],
+                         floor: int = 1, mass_target: float = 0.95,
+                         cap: int | None = None) -> list[int]:
+    """Adaptive multi-probe (VERDICT r7 #2 — lift the fixed-n_probe
+    recall ceiling): probe cells nearest-first until the cumulative
+    QUERY-TO-CENTROID MASS share passes ``mass_target``, where a
+    cell's mass is the inverse of its squared centroid distance —
+    an ambiguous query sitting between cells spreads its mass and
+    automatically probes wider; a query deep inside one cell
+    concentrates its mass and stops early.  ``floor``/``cap`` bound
+    the probe count on both sides.  Deterministic (distance then
+    cell_id ordering); centroid-count work evaluated driver-side,
+    exactly like _probe_cells."""
+    import numpy as np
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    rows = cent_df.collect()
+    ds = sorted(
+        (float(((np.asarray(r["centroid"], dtype=np.float64) - q) ** 2)
+               .sum()), int(r["cell_id"]))
+        for r in rows)
+    ws = [1.0 / max(d, 1e-12) for d, _ in ds]
+    tot = sum(ws)
+    cells: list[int] = []
+    cum = 0.0
+    for (_, cid), w in zip(ds, ws):
+        cells.append(cid)
+        cum += w / tot
+        if len(cells) >= floor and cum >= mass_target:
+            break
+        if cap is not None and len(cells) >= cap:
+            break
+    return cells
+
+
 def ivf_build_store(corpus: DataFrame, path: str, n_lists: int = 16,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id") -> None:
@@ -355,14 +389,25 @@ def ivf_build_store(corpus: DataFrame, path: str, n_lists: int = 16,
 
 def ivf_search_store(spark, path: str, query_vec: list[float], k: int = 10,
                      n_probe: int = 4, vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     mass_target: float | None = None,
+                     n_probe_max: int | None = None) -> DataFrame:
     """R4 at 100 TB, online half: probe the ``n_probe`` nearest cells
     of an ``ivf_build_store`` layout.  The ``cell IN (...)`` predicate
     is a PARTITION filter — pruned directories are never opened
     (asserted in tests/test_similarity.py), so the scan cost is
-    n_probe/n_lists of the corpus regardless of corpus size."""
+    n_probe/n_lists of the corpus regardless of corpus size.
+
+    With ``mass_target`` set, the probe count becomes ADAPTIVE
+    (adaptive_probe_cells): ``n_probe`` is the floor, ``n_probe_max``
+    the cap — ambiguous queries probe wider automatically."""
     cent_df = spark.read.parquet(f"{path}/centroids")
-    cells = _probe_cells(cent_df, query_vec, n_probe)
+    if mass_target is not None:
+        cells = adaptive_probe_cells(cent_df, query_vec, floor=n_probe,
+                                     mass_target=mass_target,
+                                     cap=n_probe_max)
+    else:
+        cells = _probe_cells(cent_df, query_vec, n_probe)
     data = spark.read.parquet(f"{path}/data") \
         .filter(F.col("cell").isin(cells))
     return knn_topk(data.drop("cell"), query_vec, k=k,

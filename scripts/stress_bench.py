@@ -324,6 +324,25 @@ def main() -> None:
               f"{res[f'ivfpq_rerank_recall_c{cand}']} (ceiling "
               f"{res['ivfpq_probe_ceiling_p16']})", file=sys.stderr)
 
+    # --- adaptive multi-probe: recall past the fixed-probe ceiling -----
+    # (VERDICT r7 #2) probe until the cumulative inverse-squared-
+    # distance mass share passes the target, scaling the shortlist
+    # with the probe count — probe counts recorded per target.
+    for tgt in (0.5, 0.8, 0.95):
+        cells = similarity.adaptive_probe_cells(
+            pcents, QUERY_VEC, floor=16, mass_target=tgt)
+        rows, t = _timed(lambda tg=tgt: pqm.ivfpq_search_store(
+            spark, pstore, QUERY_VEC, k=10, n_probe=16,
+            n_candidates=640, mass_target=tg).collect())
+        T[f"ivfpq_adaptive_t{tgt}"] = t
+        res[f"ivfpq_adaptive_recall_t{tgt}"] = round(
+            len(exact_ids & {r["vec_id"] for r in rows}) / 10, 2)
+        res[f"ivfpq_adaptive_probes_t{tgt}"] = len(cells)
+        print(f"# ivfpq adaptive target={tgt}: {len(cells)}/64 probes, "
+              f"{t}s, recall {res[f'ivfpq_adaptive_recall_t{tgt}']} "
+              f"(fixed p16 ceiling {res['ivfpq_probe_ceiling_p16']})",
+              file=sys.stderr)
+
     # --- batch ANN join at 10x: crossJoin vs IVF-cell equi-join --------
     qs = emb10.filter(F.col("vec_id") % 199 == 7).limit(100)
     n_q = qs.count()

@@ -58,6 +58,28 @@ def test_curate_modern_ppl_is_tail_dropped_subset(spark):
     assert all(r["ppl_bucket"] in ("head", "middle") for r in gated)
 
 
+def test_adaptive_probe_cells_shape(spark):
+    from production_grade_rag_spark.operators.similarity import (
+        adaptive_probe_cells)
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]),
+         (2, [10.0, 0.0]), (3, [10.0, 10.0])],
+        ["cell_id", "centroid"])
+    q = [0.1, 0.0]
+    near = adaptive_probe_cells(cent, q, floor=1, mass_target=0.5)
+    assert near[0] == 0, "nearest cell probed first"
+    wide = adaptive_probe_cells(cent, q, floor=1, mass_target=0.999)
+    assert len(wide) >= len(near), "higher target never probes fewer"
+    assert wide == sorted(wide, key=lambda c: [0, 1, 2, 3].index(c))
+    assert len(adaptive_probe_cells(cent, q, floor=3,
+                                    mass_target=0.01)) == 3
+    assert len(adaptive_probe_cells(cent, q, floor=1,
+                                    mass_target=0.999, cap=2)) <= 2
+    # deterministic across calls
+    assert wide == adaptive_probe_cells(cent, q, floor=1,
+                                        mass_target=0.999)
+
+
 def test_span_dedup_semantics(spark):
     rows = CATALOG["dd_span_dedup"].build(spark, SF01).collect()
     assert rows
