@@ -78,7 +78,48 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # noise-normalized round-over-round deltas (VERDICT r7 #7): divide
+    # each per-query time by this run's warm calibration probe, the
+    # previous round's by ITS probe, and report the ratio — sessions
+    # on this host show 1.3-1.9x uniform speed noise, so raw deltas
+    # are host lottery, not signal.  Only computed against a previous
+    # artifact at the SAME scale factor.
+    prev = _latest_prev_bench(Path(__file__).resolve().parent)
+    if prev is not None and cal_warm:
+        pdata, pname = prev
+        p_warm = (pdata.get("noise_cal") or {}).get("warm_sec")
+        if pdata.get("sf") == out["sf"] and p_warm:
+            ratios = {
+                q: round((t / cal_warm) / (pdata["queries"][q] / p_warm), 3)
+                for q, t in timings.items()
+                if pdata["queries"].get(q)
+            }
+            out["vs_prev_normalized"] = {
+                "prev": pname,
+                "host_speed_now_over_prev": round(p_warm / cal_warm, 3),
+                "queries": ratios,
+            }
     print(json.dumps(out))
+
+
+def _latest_prev_bench(repo: Path):
+    """(data, name) of the newest BENCH_r*.json at the repo root, or
+    None.  Never raises — the bench artifact must survive a corrupt
+    or absent predecessor."""
+    try:
+        paths = sorted(repo.glob("BENCH_r*.json"))
+        if not paths:
+            return None
+        data = json.loads(paths[-1].read_text())
+        # the round driver wraps the emitted JSON line under "parsed"
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if not isinstance(data.get("queries"), dict):
+            return None
+        return data, paths[-1].name
+    except Exception:  # noqa: BLE001
+        return None
 
 
 if __name__ == "__main__":

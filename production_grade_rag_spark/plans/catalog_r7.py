@@ -796,41 +796,38 @@ def dd_line_dedup(spark: SparkSession, d: str) -> DataFrame:
     shuffle — their keep is decided map-side (they'd otherwise all
     funnel into the single md5('') reducer, the classic hot-key
     scale-killer at 100 TB).  First occurrence is elected with
-    `groupBy(md5(ln)).agg(min(struct(doc_id, pos)))` — min() is
+    `groupBy(md5(ln)).agg(min(struct(doc_id, pos, ln)))` — min() is
     partial-aggregable, so even a billion-copy boilerplate line costs
     one combiner cell per map task, not one giant window partition
-    (row_number windows cannot partially combine).  The join back on
-    md5(ln) is AQE-skew-splittable sort-merge; the reassembled text
-    never moves through the dedup shuffle (only hashes and positions
-    do).  One more shuffle on doc_id for reassembly."""
+    (row_number windows cannot partially combine) — and because the
+    struct CARRIES the line text, the election's output IS the kept
+    line set: no join back over the corpus at all.  Downstream, only
+    keepers + blanks (the surviving text) and doc_id-keyed counts
+    shuffle — both uniform keys, both partial-aggregated."""
     docs = _t(spark, d, "documents")
     lines = docs.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "ln"))
     blank = F.regexp_replace("ln", r"^\s+|\s+$", "") == ""
     lines = lines.withColumn("blank", blank)
-    nonblank = lines.filter(~F.col("blank")).withColumn("h", F.md5("ln"))
-    first = (nonblank.groupBy("h")
-             .agg(F.min(F.struct("doc_id", "pos")).alias("first")))
-    kept_nb = (nonblank.join(first, "h")
-               .select("doc_id", "pos", "ln",
-                       ((F.col("first.doc_id") == F.col("doc_id"))
-                        & (F.col("first.pos") == F.col("pos")))
-                       .alias("keep")))
-    blanks = (lines.filter(F.col("blank"))
-              .select("doc_id", "pos", "ln", F.lit(True).alias("keep")))
-    flagged = kept_nb.unionByName(blanks)
-    assembled = (flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_lines"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.md5(F.coalesce(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(F.col("keep"),
-                               F.struct("pos", "ln")))),
-                    lambda s: s["ln"]),
-                "\n"),
-            F.lit(""))).alias("dedup_md5")))
+    counts = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    kept_nb = (lines.filter(~F.col("blank"))
+               .groupBy(F.md5("ln").alias("h"))
+               .agg(F.min(F.struct("doc_id", "pos", "ln")).alias("f"))
+               .select("f.doc_id", "f.pos", "f.ln"))
+    blanks = lines.filter(F.col("blank")).select("doc_id", "pos", "ln")
+    keepers = kept_nb.unionByName(blanks)
+    agg = (keepers.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"]),
+            "\n")).alias("dedup_md5")))
+    assembled = (counts.join(agg, "doc_id", "left")
+                 .select("doc_id", "n_lines",
+                         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                         F.coalesce("dedup_md5", F.md5(F.lit("")))
+                          .alias("dedup_md5")))
     return assembled.orderBy("doc_id")
 
 

@@ -357,32 +357,30 @@ def dd_span_dedup(spark: SparkSession, d: str) -> DataFrame:
     Scale shape: same skew-safe election as dd_line_dedup — empty
     sentences are dropped ARRAY-SIDE (nothing degenerate enters the
     shuffle), first occurrence via groupBy(md5(span)).agg(
-    min(struct(doc_id, pos))) + join back: partial-aggregable, so a
-    corpus-wide boilerplate span costs one combiner cell per map task;
-    the join back is AQE-skew-splittable."""
+    min(struct(doc_id, pos, span))): partial-aggregable, so a
+    corpus-wide boilerplate span costs one combiner cell per map
+    task, and carrying the span text through the struct makes the
+    election output the kept-span set directly — no join back over
+    the corpus; only keepers and doc_id-keyed counts shuffle."""
     docs = _t(spark, d, "documents")
     sp = docs.select(
         "doc_id", F.posexplode(_spans_col()).alias("pos", "sp"))
-    withh = sp.withColumn("h", F.md5("sp"))
-    first = (withh.groupBy("h")
-             .agg(F.min(F.struct("doc_id", "pos")).alias("first")))
-    flagged = (withh.join(first, "h")
-               .select("doc_id", "pos", "sp",
-                       ((F.col("first.doc_id") == F.col("doc_id"))
-                        & (F.col("first.pos") == F.col("pos")))
-                       .alias("keep")))
-    return (flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.md5(F.coalesce(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(F.col("keep"),
-                               F.struct("pos", "sp")))),
-                    lambda s: s["sp"]),
-                "\n"),
-            F.lit(""))).alias("dedup_md5")))
+    counts = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    keepers = (sp.groupBy(F.md5("sp").alias("h"))
+               .agg(F.min(F.struct("doc_id", "pos", "sp")).alias("f"))
+               .select("f.doc_id", "f.pos", "f.sp"))
+    agg = (keepers.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sp"))),
+                lambda s: s["sp"]),
+            "\n")).alias("dedup_md5")))
+    return (counts.join(agg, "doc_id", "left")
+            .select("doc_id", "n_spans",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("dedup_md5", F.md5(F.lit("")))
+                     .alias("dedup_md5")))
 
 
 # ===========================================================================
