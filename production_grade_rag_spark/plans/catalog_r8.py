@@ -22,7 +22,7 @@ plans/catalog.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import _t, register
@@ -411,3 +411,298 @@ def r4_ivfpq_adaptive_recall(spark: SparkSession, d: str) -> DataFrame:
                                    n_probe=8, n_candidates=640,
                                    mass_target=0.9)
     return _recall_summary(exact, approx, ["vec_id"], floor=0.9)
+
+
+# ===========================================================================
+# Sequence packing: the step between curation and the trainer — docs
+# are concatenated per shard and cut into fixed-length sequences
+# ===========================================================================
+
+_SEQ_LEN = 2048
+_N_SHARDS = 8
+
+
+def _packing_frame(spark: SparkSession, d: str) -> DataFrame:
+    """Per-doc packing manifest: deterministic hash shard, running
+    token offset within the shard (docs in doc_id order), and the
+    first/last training sequence the doc lands in."""
+    from ..functions.text import token_estimate
+    from ..operators.dedup import md5_int32
+    docs = _t(spark, d, "documents")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.lit(1), token_estimate(F.col("text")))
+         .alias("est_tokens"),
+        F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":shard"))),
+               F.lit(_N_SHARDS)).alias("shard"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    off = (base
+           .withColumn("tok_offset",
+                       F.sum("est_tokens").over(w) - F.col("est_tokens")))
+    return off.select(
+        "doc_id", "shard", "est_tokens", "tok_offset",
+        F.expr(f"tok_offset div {_SEQ_LEN}").alias("seq_start"),
+        F.expr(f"(tok_offset + est_tokens - 1) div {_SEQ_LEN}")
+         .alias("seq_end"))
+
+
+_PACK_CTE = f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(1, (length(text) // 4))::BIGINT AS est_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 8))::BIGINT
+           % {_N_SHARDS} AS shard
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard, est_tokens,
+         (sum(est_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - est_tokens)::BIGINT AS tok_offset
+  FROM base
+), manifest AS (
+  SELECT doc_id, shard, est_tokens, tok_offset,
+         (tok_offset // {_SEQ_LEN})::BIGINT AS seq_start,
+         ((tok_offset + est_tokens - 1) // {_SEQ_LEN})::BIGINT AS seq_end
+  FROM packed
+)"""
+
+
+@register("t18_seq_packing", oracle=_PACK_CTE + """
+SELECT doc_id, shard, est_tokens, tok_offset, seq_start, seq_end
+FROM manifest
+""")
+def t18_seq_packing(spark: SparkSession, d: str) -> DataFrame:
+    """Sequence-packing manifest — the step every pretraining pipeline
+    runs between curation and the trainer (concatenate docs, cut at
+    seq_len boundaries; GPT-3/Gopher convention): deterministic hash
+    shards, doc_id order within shard, running token offset, and the
+    [seq_start, seq_end] training-sequence range each doc occupies.
+
+    Scale shape: the ONLY shuffle is the shard hash partition — the
+    running-offset window is per-shard (shards are the parallel unit,
+    uniform by construction: a hash of doc_id), and everything after
+    the cumsum is map-side integer division.  est_tokens is the F8
+    estimator (rag_engine.py:243) with a 1-token floor."""
+    return _packing_frame(spark, d)
+
+
+@register("t18_packing_stats", oracle=_PACK_CTE + f"""
+SELECT shard, count(*)::BIGINT AS n_docs,
+       sum(est_tokens)::BIGINT AS total_tokens,
+       ((sum(est_tokens) + {_SEQ_LEN - 1}) // {_SEQ_LEN})::BIGINT
+         AS n_seqs,
+       (((sum(est_tokens) + {_SEQ_LEN - 1}) // {_SEQ_LEN}) * {_SEQ_LEN}
+        - sum(est_tokens))::BIGINT AS tail_waste,
+       sum((seq_start <> seq_end)::INT)::BIGINT AS n_crossing
+FROM manifest GROUP BY shard ORDER BY shard
+""")
+def t18_packing_stats(spark: SparkSession, d: str) -> DataFrame:
+    """Packing efficiency report per shard: sequence count, tail
+    padding waste, and how many docs straddle a sequence boundary
+    (the attention-mask / document-boundary accounting a trainer
+    needs).  Pure BIGINT arithmetic — bit-identical cross-engine."""
+    m = _packing_frame(spark, d)
+    total = F.sum("est_tokens")
+    n_seqs = F.expr(f"(sum(est_tokens) + {_SEQ_LEN - 1}) div {_SEQ_LEN}")
+    return (m.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        total.alias("total_tokens"),
+        n_seqs.alias("n_seqs"),
+        (n_seqs * _SEQ_LEN - total).alias("tail_waste"),
+        F.sum((F.col("seq_start") != F.col("seq_end")).cast("int"))
+         .alias("n_crossing"))
+        .orderBy("shard"))
+
+
+# ===========================================================================
+# Domain-mix rebalancing: deterministic per-source downsampling to a
+# target mixture (uniform here), all-integer thresholds
+# ===========================================================================
+
+def _mix_cte() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+), per_src AS (
+  SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source
+), mn AS (
+  SELECT min(n_s) AS m FROM per_src
+), th AS (
+  SELECT source, n_s, ((m * 1000000) // n_s)::BIGINT AS thresh
+  FROM per_src CROSS JOIN mn
+), kept AS (
+  SELECT b.doc_id, b.source
+  FROM b JOIN th USING (source) WHERE b.bucket < th.thresh
+)"""
+
+
+@register("t19_domain_mix", oracle=_mix_cte() + """
+SELECT doc_id, source FROM kept
+""")
+def t19_domain_mix(spark: SparkSession, d: str) -> DataFrame:
+    """Domain-mix rebalancing manifest: downsample every source to a
+    UNIFORM target mixture (the equalize-domains baseline of mixture
+    tuning; any weight vector drops into the same threshold formula).
+    Feasible volume under uniform weights is min_s(n_s) per source;
+    acceptance is a deterministic integer hash threshold —
+    bucket < (min_n * 1e6) div n_s — so the manifest is reproducible
+    across runs, engines, and partitionings, with NO float anywhere.
+
+    Scale shape: one vocabulary-of-sources-sized count aggregate,
+    broadcast back; accept/reject is MAP-SIDE (no per-source rank
+    window — a window partitioned by source would funnel a 100 TB
+    source's rows into one reducer; the threshold form trades exact
+    per-source counts for expected counts, the standard production
+    trade, and the report entry shows the achieved mix)."""
+    from ..operators.dedup import md5_int32
+    docs = _t(spark, d, "documents")
+    b = docs.select(
+        "doc_id", "source",
+        F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":mix"))),
+               F.lit(1000000)).alias("bucket"))
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    mn = per_src.agg(F.min("n_s").alias("m"))
+    th = (per_src.crossJoin(F.broadcast(mn))
+          .select("source", "n_s",
+                  F.expr("(m * 1000000) div n_s").alias("thresh")))
+    return (b.join(F.broadcast(th), "source")
+            .filter(F.col("bucket") < F.col("thresh"))
+            .select("doc_id", "source"))
+
+
+@register("t19_domain_mix_report", oracle=_mix_cte() + """
+SELECT t.source, t.n_s, t.thresh,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       round(coalesce(k.n_kept, 0)::DOUBLE
+             / (SELECT count(*) FROM kept)::DOUBLE, 6)
+         AS achieved_share,
+       round(1.0::DOUBLE
+             / (SELECT count(*) FROM per_src)::DOUBLE, 6)
+         AS target_share
+FROM th t
+LEFT JOIN (SELECT source, count(*)::BIGINT AS n_kept
+           FROM kept GROUP BY source) k USING (source)
+ORDER BY t.source
+""")
+def t19_domain_mix_report(spark: SparkSession, d: str) -> DataFrame:
+    """Achieved-vs-target mix report for t19_domain_mix: per source,
+    the corpus count, the integer acceptance threshold, kept count,
+    and achieved vs target share — the drift a mixture-tuning loop
+    monitors."""
+    kept = t19_domain_mix(spark, d)
+    docs = _t(spark, d, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    mn = per_src.agg(F.min("n_s").alias("m"))
+    th = (per_src.crossJoin(F.broadcast(mn))
+          .select("source", "n_s",
+                  F.expr("(m * 1000000) div n_s").alias("thresh")))
+    k = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    totals = kept.agg(F.count("*").alias("n_total"))
+    n_src = per_src.agg(F.count("*").cast("double").alias("n_sources"))
+    return (th.join(k, "source", "left")
+            .crossJoin(F.broadcast(totals))
+            .crossJoin(F.broadcast(n_src))
+            .select("source", "n_s", "thresh",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.round(F.coalesce("n_kept", F.lit(0)).cast("double")
+                            / F.col("n_total").cast("double"), 6)
+                     .alias("achieved_share"),
+                    F.round(F.lit(1.0) / F.col("n_sources"), 6)
+                     .alias("target_share"))
+            .orderBy("source"))
+
+
+# ===========================================================================
+# Bitext mining: margin-based mutual nearest neighbors across two
+# embedding groups (Artetxe & Schwenk 2019 — the parallel-corpus miner)
+# ===========================================================================
+
+def _bitext_oracle() -> str:
+    from . import oracle_vec as OV
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, round({cos}, 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.label = 0 AND b.label = 1
+), ra AS (
+  SELECT *, row_number() OVER (PARTITION BY a_id
+                               ORDER BY cos DESC, b_id) AS rka
+  FROM pairs
+), rb AS (
+  SELECT *, row_number() OVER (PARTITION BY b_id
+                               ORDER BY cos DESC, a_id) AS rkb
+  FROM pairs
+), a4 AS (
+  SELECT a_id, avg(cos) AS avg_a FROM ra WHERE rka <= 4 GROUP BY a_id
+), b4 AS (
+  SELECT b_id, avg(cos) AS avg_b FROM rb WHERE rkb <= 4 GROUP BY b_id
+), m AS (
+  SELECT p.a_id, p.b_id, p.cos,
+         round(p.cos / ((a4.avg_a + b4.avg_b) / 2.0::DOUBLE), 6)
+           AS margin
+  FROM pairs p JOIN a4 USING (a_id) JOIN b4 USING (b_id)
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY margin DESC, b_id) AS best_a,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY margin DESC, a_id) AS best_b
+  FROM m
+)
+SELECT a_id, b_id, cos, margin
+FROM ranked WHERE best_a = 1 AND best_b = 1
+"""
+
+
+@register("r9_bitext_pairs", oracle=_bitext_oracle())
+def r9_bitext_pairs(spark: SparkSession, d: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, public —
+    the standard parallel-corpus miner behind CCMatrix/LASER): across
+    two embedding groups (labels 0 and 1 as the two 'languages'),
+    score every cross pair by the RATIO MARGIN — cosine divided by
+    the mean of both sides' top-4 neighborhood cosines (penalizing
+    hubs that are near everything) — and keep MUTUAL best pairs only.
+
+    Plan: broadcast the smaller side against the other (the
+    r8_hard_negatives shape), per-side windows for neighborhood
+    averages and mutual ranks.  At 100 TB the all-pairs stage is
+    replaced by ivf_knn_join per side (cell-pruned candidate
+    generation) — the margin/mutual logic downstream is unchanged."""
+    from ..functions.vector import cosine, to_double_array
+    emb = _t(spark, d, "embeddings")
+    A = (emb.filter(F.col("label") == 0)
+         .select(F.col("vec_id").alias("a_id"),
+                 to_double_array(F.col("embedding")).alias("__va")))
+    B = (emb.filter(F.col("label") == 1)
+         .select(F.col("vec_id").alias("b_id"),
+                 to_double_array(F.col("embedding")).alias("__vb")))
+    pairs = (B.crossJoin(F.broadcast(A))
+             .select("a_id", "b_id",
+                     F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                      .alias("cos")))
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), "a_id")
+    a4 = (pairs.withColumn("rka", F.row_number().over(wa))
+          .filter(F.col("rka") <= 4)
+          .groupBy("a_id").agg(F.avg("cos").alias("avg_a")))
+    b4 = (pairs.withColumn("rkb", F.row_number().over(wb))
+          .filter(F.col("rkb") <= 4)
+          .groupBy("b_id").agg(F.avg("cos").alias("avg_b")))
+    m = (pairs.join(F.broadcast(a4), "a_id")
+         .join(F.broadcast(b4), "b_id")
+         .withColumn("margin",
+                     F.round(F.col("cos")
+                             / ((F.col("avg_a") + F.col("avg_b"))
+                                / F.lit(2.0)), 6)))
+    wma = Window.partitionBy("a_id").orderBy(F.desc("margin"), "b_id")
+    wmb = Window.partitionBy("b_id").orderBy(F.desc("margin"), "a_id")
+    return (m.withColumn("best_a", F.row_number().over(wma))
+            .withColumn("best_b", F.row_number().over(wmb))
+            .filter((F.col("best_a") == 1) & (F.col("best_b") == 1))
+            .select("a_id", "b_id", "cos", "margin"))

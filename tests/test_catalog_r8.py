@@ -92,3 +92,55 @@ def test_span_dedup_semantics(spark):
         assert 0 <= r["n_kept"] <= r["n_spans"]
         if r["n_kept"] == 0:
             assert r["dedup_md5"] == empty_md5
+
+
+def test_seq_packing_offsets_contiguous(spark):
+    rows = CATALOG["t18_seq_packing"].build(spark, SF01).collect()
+    assert len(rows) == 500
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        expect = 0
+        for r in docs:
+            assert r["tok_offset"] == expect, "packing must be gapless"
+            assert r["est_tokens"] >= 1
+            assert r["seq_start"] == r["tok_offset"] // 2048
+            expect += r["est_tokens"]
+    stats = {r["shard"]: r for r in
+             CATALOG["t18_packing_stats"].build(spark, SF01).collect()}
+    for shard, docs in by_shard.items():
+        s = stats[shard]
+        total = sum(r["est_tokens"] for r in docs)
+        assert s["total_tokens"] == total
+        assert 0 <= s["tail_waste"] < 2048
+        assert s["n_seqs"] == -(-total // 2048)
+
+
+def test_domain_mix_is_deterministic_rebalance(spark):
+    rep = CATALOG["t19_domain_mix_report"].build(spark, SF01).collect()
+    assert len(rep) == 20
+    tot = sum(r["n_kept"] for r in rep)
+    assert tot > 0
+    assert abs(sum(r["achieved_share"] for r in rep) - 1.0) < 1e-4
+    for r in rep:
+        assert r["n_kept"] <= r["n_s"]
+        assert 0 < r["thresh"] <= 1_000_000
+        # the rarest source keeps everything (thresh == 1e6)
+    assert max(r["thresh"] for r in rep) == 1_000_000
+    # deterministic across builds
+    again = CATALOG["t19_domain_mix"].build(spark, SF01).collect()
+    assert {r["doc_id"] for r in again} == {
+        r["doc_id"] for r in CATALOG["t19_domain_mix"]
+        .build(spark, SF01).collect()}
+
+
+def test_bitext_pairs_are_mutual(spark):
+    rows = CATALOG["r9_bitext_pairs"].build(spark, SF01).collect()
+    assert rows
+    a_ids = [r["a_id"] for r in rows]
+    b_ids = [r["b_id"] for r in rows]
+    assert len(a_ids) == len(set(a_ids)), "one best pair per a"
+    assert len(b_ids) == len(set(b_ids)), "one best pair per b"
+    for r in rows:
+        assert r["margin"] > 0

@@ -287,6 +287,27 @@ def test_r8_entries_no_cartesian(spark, name):
         assert bad not in plan, f"{name} plans a {bad}"
 
 
+def test_seq_packing_single_shard_shuffle(spark):
+    # the running-offset window shards on a uniform doc_id hash: ONE
+    # hash exchange, everything after the cumsum map-side
+    plan = _plan(spark, "t18_seq_packing")
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1, plan
+    assert "shard" in hash_ex[0]
+
+
+def test_domain_mix_accept_is_map_side(spark):
+    # acceptance must be a broadcast-joined integer threshold — a
+    # rank window partitioned by source would funnel a 100 TB
+    # source's rows into one reducer
+    plan = _plan(spark, "t19_domain_mix")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
+
+
 def test_pagerank_iterations_broadcast_rank_vector(spark):
     # each of the 5 iterations joins the <=625-row edge list against
     # the 25-row rank vector: broadcasts end to end, no cartesian
