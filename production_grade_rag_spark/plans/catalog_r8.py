@@ -706,3 +706,188 @@ def r9_bitext_pairs(spark: SparkSession, d: str) -> DataFrame:
             .withColumn("best_b", F.row_number().over(wmb))
             .filter((F.col("best_a") == 1) & (F.col("best_b") == 1))
             .select("a_id", "b_id", "cos", "margin"))
+
+
+# ===========================================================================
+# BPE merge learning: tokenizer training as a value-oracled iterative
+# operator (Sennrich et al. 2016)
+# ===========================================================================
+
+_BPE_K = 4
+
+
+def _bpe_oracle() -> str:
+    from . import oracle_vec as OV
+    parts = [f"""
+WITH toks AS (
+  SELECT unnest({OV.tokens_sql('text')}) AS tok FROM documents
+), w AS (
+  SELECT tok, count(*)::BIGINT AS freq FROM toks GROUP BY tok
+), r0 AS (
+  SELECT tok, freq, string_split(tok, '') AS syms FROM w
+)"""]
+    for k in range(_BPE_K):
+        parts.append(f""", p{k} AS (
+  SELECT s.a AS a, s.b AS b, sum(freq)::BIGINT AS cnt
+  FROM (SELECT freq,
+        unnest(list_transform(range(1, len(syms)),
+               i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS s
+        FROM r{k} WHERE len(syms) >= 2)
+  GROUP BY s.a, s.b
+), m{k} AS (
+  SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+)""")
+        if k < _BPE_K - 1:
+            parts.append(f""", r{k + 1} AS (
+  SELECT tok, freq,
+         string_split(list_reduce(syms, (acc, x) ->
+           CASE WHEN (acc = m{k}.a OR ends_with(acc, ' ' || m{k}.a))
+                     AND x = m{k}.b
+                THEN left(acc, len(acc) - len(m{k}.a)) || m{k}.a || m{k}.b
+                ELSE acc || ' ' || x END), ' ') AS syms
+  FROM r{k} CROSS JOIN m{k}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k + 1}::BIGINT AS merge_rank, a AS lhs, b AS rhs, "
+        f"a || b AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(_BPE_K))
+    parts.append("\n" + sel + "\nORDER BY merge_rank")
+    return "".join(parts)
+
+
+@register("t20_bpe_merges", oracle=_bpe_oracle())
+def t20_bpe_merges(spark: SparkSession, d: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016, public — the
+    byte-pair-encoding merge loop behind GPT/Llama vocabularies),
+    first {K} merges learned from the corpus: count adjacent symbol
+    pairs weighted by word frequency, merge the arg-max pair
+    everywhere (greedy left-to-right, the canonical semantics),
+    repeat.  The merge application is a string FOLD over the symbol
+    array (F.aggregate / DuckDB list_reduce with the identical
+    accumulator expression — probed cross-engine on 'aabab' ->
+    'a ab ab'), so the learned merge TABLE is bit-identical in both
+    engines: an iterative training algorithm under a full value
+    oracle, deterministic ties broken (count DESC, pair lexicographic
+    — both engines binary collation).
+
+    Plan: pair counting is explode -> two-phase hash aggregate over
+    the VOCABULARY table (words x freq, not the corpus — the corpus
+    is touched once to build it), each iteration's arg-max is a
+    1-row collect (bounded metadata, like the PageRank rank vector),
+    and the merge rewrite is a map-side array fold.  At 100 TB the
+    vocab table is exactly the DSIR/perplexity LM-table shape."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    words = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("freq")))
+    w = words.withColumn("syms", F.split("tok", ""))
+    merges = []
+    for k in range(_BPE_K):
+        syms = F.col("syms")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(F.element_at(syms, i).alias("a"),
+                               F.element_at(syms, i + 1).alias("b")))
+        pc = (w.filter(F.size("syms") >= 2)
+              .select("freq", F.explode(pairs).alias("p"))
+              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .agg(F.sum("freq").alias("cnt")))
+        best = pc.orderBy(F.desc("cnt"), "a", "b").first()
+        a, b, cnt = best["a"], best["b"], int(best["cnt"])
+        merges.append((k + 1, a, b, a + b, cnt))
+        init = F.element_at(syms, 1)
+        rest = F.slice(syms, 2, F.size(syms) - 1)
+        folded = F.aggregate(
+            rest, init,
+            lambda acc, x:
+            F.when(((acc == F.lit(a)) | acc.endswith(" " + a))
+                   & (x == F.lit(b)),
+                   F.concat(acc.substr(F.lit(1),
+                                       F.length(acc) - F.lit(len(a))),
+                            F.lit(a + b)))
+             .otherwise(F.concat(acc, F.lit(" "), x)))
+        w = w.withColumn("syms", F.split(folded, " "))
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, lhs string, rhs string, "
+        "merged string, pair_count long")
+
+
+# ===========================================================================
+# Matryoshka-truncated retrieval (Kusupati et al. 2022): serve from a
+# dimension-truncated prefix of the embedding
+# ===========================================================================
+
+_MRL_DIM = 16
+
+
+def _mrl_q16() -> list[float]:
+    from .oracle_vec import QUERY_VEC
+    return QUERY_VEC[:_MRL_DIM]
+
+
+def _mrl_topk_oracle() -> str:
+    from . import oracle_vec as OV
+    cos = OV.cosine_sql(f"list_slice(embedding, 1, {_MRL_DIM})",
+                        OV.vec_lit_sql(_mrl_q16()))
+    return f"""
+SELECT vec_id, round({cos}, 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register("r10_matryoshka_topk", oracle=_mrl_topk_oracle())
+def r10_matryoshka_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Matryoshka-truncated retrieval (Kusupati et al. 2022, public —
+    MRL prefixes of an embedding remain usable at reduced dimension):
+    exact cosine top-10 over only the FIRST 16 of 64 dims — the 4x
+    cheaper serving path (cosine renormalizes, so truncation+renorm
+    is one expression).  Deterministic ranking, full value oracle.
+
+    Scale: same TakeOrderedAndProject scan shape as r4_knn_topk but
+    reading a quarter of the vector bytes; at 100 TB the truncated
+    prefix is materialized as its own narrow column/store."""
+    from ..functions.vector import cosine, to_double_array
+    emb = _t(spark, d, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in _mrl_q16()])
+    trunc = F.slice(to_double_array(F.col("embedding")), 1, _MRL_DIM)
+    return (emb.select("vec_id",
+                       F.round(cosine(trunc, q), 6).alias("score"))
+            .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
+def _mrl_overlap_oracle() -> str:
+    from . import oracle_vec as OV
+    cos_t = OV.cosine_sql(f"list_slice(embedding, 1, {_MRL_DIM})",
+                          OV.vec_lit_sql(_mrl_q16()))
+    cos_f = OV.cosine_sql("embedding", OV.vec_lit_sql(OV.QUERY_VEC))
+    return f"""
+WITH t AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY round({cos_t}, 6) DESC, vec_id LIMIT 10
+), f AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY round({cos_f}, 6) DESC, vec_id LIMIT 10
+)
+SELECT (SELECT count(*) FROM t JOIN f USING (vec_id))::BIGINT
+         AS n_overlap,
+       10::BIGINT AS k
+"""
+
+
+@register("r10_matryoshka_overlap", oracle=_mrl_overlap_oracle())
+def r10_matryoshka_overlap(spark: SparkSession, d: str) -> DataFrame:
+    """Quality accounting for the truncated path: overlap@10 between
+    the 16-dim and full 64-dim exact rankings — BOTH rankings are
+    deterministic, so unlike the ANN recall gates this is a full
+    value oracle, and the number is the dimension-truncation quality
+    a Matryoshka serving tier monitors."""
+    from ..operators import similarity
+    from .oracle_vec import QUERY_VEC
+    emb = _t(spark, d, "embeddings")
+    full = similarity.knn_topk(emb, QUERY_VEC, k=10).select("vec_id")
+    trunc = r10_matryoshka_topk(spark, d).select("vec_id")
+    j = trunc.join(full, "vec_id")
+    return j.agg(F.count("*").alias("n_overlap"),
+                 F.lit(10).cast("long").alias("k"))

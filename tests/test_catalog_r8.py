@@ -144,3 +144,27 @@ def test_bitext_pairs_are_mutual(spark):
     assert len(b_ids) == len(set(b_ids)), "one best pair per b"
     for r in rows:
         assert r["margin"] > 0
+
+
+def test_bpe_merges_are_valid_and_monotone(spark):
+    rows = CATALOG["t20_bpe_merges"].build(spark, SF01).collect()
+    assert [r["merge_rank"] for r in rows] == [1, 2, 3, 4]
+    counts = [r["pair_count"] for r in rows]
+    # each merge reduces or preserves the achievable max pair count
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["merged"] == r["lhs"] + r["rhs"]
+        assert r["pair_count"] > 0
+        assert " " not in r["merged"]
+    # deterministic across builds
+    again = CATALOG["t20_bpe_merges"].build(spark, SF01).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_matryoshka_overlap_bounds(spark):
+    row = CATALOG["r10_matryoshka_overlap"].build(spark, SF01).collect()[0]
+    assert 0 <= row["n_overlap"] <= row["k"] == 10
+    topk = CATALOG["r10_matryoshka_topk"].build(spark, SF01).collect()
+    assert len(topk) == 10
+    scores = [r["score"] for r in topk]
+    assert scores == sorted(scores, reverse=True)
