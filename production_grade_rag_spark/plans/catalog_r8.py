@@ -716,7 +716,10 @@ def r9_bitext_pairs(spark: SparkSession, d: str) -> DataFrame:
 _BPE_K = 4
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain(full: bool) -> str:
+    """CTE chain through the merge iterations; with ``full`` the final
+    merged representation r{_BPE_K} is included (the apply oracle
+    needs it, the learn oracle stops at the last arg-max)."""
     from . import oracle_vec as OV
     parts = [f"""
 WITH toks AS (
@@ -737,7 +740,7 @@ WITH toks AS (
 ), m{k} AS (
   SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
 )""")
-        if k < _BPE_K - 1:
+        if k < _BPE_K - 1 or full:
             parts.append(f""", r{k + 1} AS (
   SELECT tok, freq,
          string_split(list_reduce(syms, (acc, x) ->
@@ -747,6 +750,11 @@ WITH toks AS (
                 ELSE acc || ' ' || x END), ' ') AS syms
   FROM r{k} CROSS JOIN m{k}
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
+    parts = [_bpe_chain(full=False)]
     sel = "\nUNION ALL\n".join(
         f"SELECT {k + 1}::BIGINT AS merge_rank, a AS lhs, b AS rhs, "
         f"a || b AS merged, cnt AS pair_count FROM m{k}"
@@ -776,6 +784,16 @@ def t20_bpe_merges(spark: SparkSession, d: str) -> DataFrame:
     1-row collect (bounded metadata, like the PageRank rank vector),
     and the merge rewrite is a map-side array fold.  At 100 TB the
     vocab table is exactly the DSIR/perplexity LM-table shape."""
+    merges, _ = _bpe_learn(spark, d)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, lhs string, rhs string, "
+        "merged string, pair_count long")
+
+
+def _bpe_learn(spark: SparkSession, d: str):
+    """Run the merge loop; returns (merge table rows, the words frame
+    with the FULLY-merged symbol representation)."""
     from ..operators.dedup import tokens
     docs = _t(spark, d, "documents")
     words = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
@@ -807,10 +825,47 @@ def t20_bpe_merges(spark: SparkSession, d: str) -> DataFrame:
                             F.lit(a + b)))
              .otherwise(F.concat(acc, F.lit(" "), x)))
         w = w.withColumn("syms", F.split(folded, " "))
-    return spark.createDataFrame(
-        merges,
-        "merge_rank long, lhs string, rhs string, "
-        "merged string, pair_count long")
+    return merges, w
+
+
+def _bpe_apply_oracle() -> str:
+    from . import oracle_vec as OV
+    return _bpe_chain(full=True) + f"""
+, bpe_len AS (
+  SELECT tok, len(syms)::BIGINT AS n_sym FROM r{_BPE_K}
+), doc_toks AS (
+  SELECT doc_id, unnest({OV.tokens_sql('text')}) AS tok FROM documents
+)
+SELECT dt.doc_id, count(*)::BIGINT AS n_words,
+       sum(b.n_sym)::BIGINT AS n_bpe_tokens,
+       round(sum(b.n_sym)::DOUBLE / count(*)::DOUBLE, 6)
+         AS symbols_per_word
+FROM doc_toks dt JOIN bpe_len b USING (tok)
+GROUP BY dt.doc_id
+"""
+
+
+@register("t20_bpe_apply", oracle=_bpe_apply_oracle())
+def t20_bpe_apply(spark: SparkSession, d: str) -> DataFrame:
+    """Apply the learned BPE merge table back to the corpus: per
+    document, whitespace-word count vs symbol count under the
+    4-merge vocabulary — the compression accounting (symbols/word
+    falls as merges land) that tokenizer training monitors.  The
+    per-word symbol length comes from the SAME fully-merged vocabulary
+    frame the learner produced (train -> apply, one vocab-sized
+    broadcast join; the corpus token stream never re-folds)."""
+    from ..operators.dedup import tokens
+    _, w = _bpe_learn(spark, d)
+    bpe_len = w.select("tok", F.size("syms").cast("long").alias("n_sym"))
+    docs = _t(spark, d, "documents")
+    dt = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (dt.join(F.broadcast(bpe_len), "tok")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_sym").alias("n_bpe_tokens"),
+                 F.round(F.sum("n_sym").cast("double")
+                         / F.count("*").cast("double"), 6)
+                  .alias("symbols_per_word")))
 
 
 # ===========================================================================
@@ -891,3 +946,61 @@ def r10_matryoshka_overlap(spark: SparkSession, d: str) -> DataFrame:
     j = trunc.join(full, "vec_id")
     return j.agg(F.count("*").alias("n_overlap"),
                  F.lit(10).cast("long").alias("k"))
+
+
+# ===========================================================================
+# Sketch gates: HLL cardinality and quantile sketches vs their exact
+# twins — the only viable distinct/quantile tools at 100 TB
+# ===========================================================================
+
+@register("a10_hll_cardinality", oracle="""
+SELECT source, count(DISTINCT md5(text))::BIGINT AS n_exact,
+       TRUE AS within_bound
+FROM documents GROUP BY source ORDER BY source
+""")
+def a10_hll_cardinality(spark: SparkSession, d: str) -> DataFrame:
+    """Distinct-content cardinality per source via HyperLogLog++
+    (approx_count_distinct, rsd 0.05) GATED against the exact
+    count — the recall-gate pattern for sketches: the exact value is
+    driver-value-checked, the sketch must land within 3x its stated
+    relative error.  At 100 TB the sketch is the only viable form —
+    its fixed-size buffers partial-aggregate map-side, where exact
+    distinct shuffles every distinct value."""
+    docs = _t(spark, d, "documents")
+    h = F.md5("text")
+    agg = docs.groupBy("source").agg(
+        F.count_distinct(h).alias("n_exact"),
+        F.approx_count_distinct(h, 0.05).alias("__approx"))
+    return (agg.select(
+        "source", "n_exact",
+        (F.abs(F.col("__approx") - F.col("n_exact"))
+         <= 0.15 * F.col("n_exact")).alias("within_bound"))
+        .orderBy("source"))
+
+
+@register("a11_quantile_sketch", oracle="""
+SELECT lang,
+       quantile_disc(n_chars, 0.5)::BIGINT AS p50_exact,
+       TRUE AS within_bound
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def a11_quantile_sketch(spark: SparkSession, d: str) -> DataFrame:
+    """Median document length per language via the Greenwald-Khanna
+    quantile sketch (approx_percentile, accuracy 1000) gated against
+    the exact discrete median (both sides pick an actual data value,
+    so the exact twin is engine-stable).  Same scale argument as the
+    HLL gate: bounded sketch state partial-aggregates; exact
+    percentile buffers every value."""
+    docs = _t(spark, d, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.expr("percentile_approx(n_chars, 0.5, 1000)").alias("__approx"),
+        F.sort_array(F.collect_list("n_chars")).alias("__vals"))
+    # exact DISCRETE median: the value at ceil(n/2) in sorted order —
+    # matches DuckDB quantile_disc's lower-median convention
+    disc = F.element_at(F.col("__vals"),
+                        ((F.size("__vals") + 1) / 2).cast("int"))
+    return (agg.select(
+        "lang", disc.cast("long").alias("p50_exact"),
+        (F.abs(F.col("__approx").cast("double") - disc.cast("double"))
+         <= 0.2 * disc.cast("double") + 1.0).alias("within_bound"))
+        .orderBy("lang"))

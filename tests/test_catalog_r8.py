@@ -168,3 +168,20 @@ def test_matryoshka_overlap_bounds(spark):
     assert len(topk) == 10
     scores = [r["score"] for r in topk]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bpe_apply_compression(spark):
+    rows = CATALOG["t20_bpe_apply"].build(spark, SF01).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # merges only ever shrink the per-word symbol count, floor 1
+        assert r["n_words"] <= r["n_bpe_tokens"]
+        assert r["symbols_per_word"] >= 1.0
+
+
+def test_sketch_gates_hold(spark):
+    hll = CATALOG["a10_hll_cardinality"].build(spark, SF01).collect()
+    assert len(hll) == 20 and all(r["within_bound"] for r in hll)
+    q = CATALOG["a11_quantile_sketch"].build(spark, SF01).collect()
+    assert len(q) == 5 and all(r["within_bound"] for r in q)
+    assert all(r["p50_exact"] > 0 for r in q)
