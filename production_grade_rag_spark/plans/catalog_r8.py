@@ -1004,3 +1004,139 @@ def a11_quantile_sketch(spark: SparkSession, d: str) -> DataFrame:
         (F.abs(F.col("__approx").cast("double") - disc.cast("double"))
          <= 0.2 * disc.cast("double") + 1.0).alias("within_bound"))
         .orderBy("lang"))
+
+
+# ===========================================================================
+# Incremental corpus-wide line dedup: the continuous-ingest twin of
+# dd_line_dedup (same pattern as st_cc_curate — custom-source stream,
+# per-batch merge into a versioned store, stream == batch parity)
+# ===========================================================================
+
+def _line_dedup_merge(spark: SparkSession, batch_docs: DataFrame,
+                      store: str) -> None:
+    """Fold one micro-batch into the line-dedup state.  The election
+    is a MIN-SEMILATTICE (per line hash, min(struct(doc_id,pos,ln)))
+    — order-independent and incrementally mergeable, so tranches may
+    arrive in ANY doc order and the drained state still equals the
+    batch answer (a later-arriving smaller doc_id retroactively
+    steals keeper status at merge time).  Blanks and per-doc line
+    counts are append-only (each doc arrives exactly once)."""
+    import os
+    from ..sources.tables import list_versions, read_version, write_version
+
+    lines = batch_docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "ln"))
+    blank = F.regexp_replace("ln", r"^\s+|\s+$", "") == ""
+    lines = lines.withColumn("blank", blank)
+    inc = {
+        "elect": (lines.filter(~F.col("blank"))
+                  .groupBy(F.md5("ln").alias("h"))
+                  .agg(F.min(F.struct("doc_id", "pos", "ln"))
+                       .alias("f"))),
+        "blanks": lines.filter(F.col("blank"))
+                       .select("doc_id", "pos", "ln"),
+        "counts": lines.groupBy("doc_id")
+                       .agg(F.count("*").alias("n_lines")),
+    }
+    for name, frame in inc.items():
+        path = f"{store}/{name}"
+        versions = (list_versions(spark, path)
+                    if os.path.exists(path) else [])
+        if versions:
+            prior = read_version(spark, path)
+            if name == "elect":
+                merged = (prior.unionByName(frame)
+                          .groupBy("h").agg(F.min("f").alias("f")))
+            else:
+                merged = prior.unionByName(frame)
+        else:
+            merged = frame
+        write_version(merged, path,
+                      (versions[-1] + 1) if versions else 1)
+
+
+def _st_line_dedup_oracle() -> str:
+    """Stream == batch: the drained store must reproduce
+    dd_line_dedup's exact answer."""
+    from .catalog import CATALOG
+    return CATALOG["dd_line_dedup"].oracle
+
+
+@register("st_dd_line_dedup", oracle=_st_line_dedup_oracle())
+def st_dd_line_dedup(spark: SparkSession, d: str) -> DataFrame:
+    """Continuous corpus-wide line dedup — the production shape of
+    dd_line_dedup for a crawl that never stops: documents arrive
+    through the custom paged-dump STREAM in two tranches (EVEN doc
+    ids first, then odd — deliberately NOT doc_id order, proving the
+    min-semilattice election is arrival-order independent), each
+    micro-batch merges its per-hash min-structs / blanks / counts
+    into a versioned store, the second tranche resumes from the
+    persistent checkpoint, and the final reassembly over the store
+    alone (the corpus is never re-read) hash-matches batch
+    dd_line_dedup's oracle."""
+    import shutil
+    from pathlib import Path
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..sources.tables import read_version
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+
+    docs = _t(spark, d, "documents")
+    dump = _scratch("st_ld_dump")
+    store = _scratch("st_ld_store")
+    ckpt = _scratch("st_ld_ckpt")
+    for p in (dump, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(part: DataFrame) -> DataFrame:
+        return part.select(F.to_json(F.struct(
+            F.col("doc_id").cast("string").alias("page_id"),
+            F.col("text").alias("title"),
+            "lang", "n_chars")).alias("value"))
+
+    page_rows(docs.filter(F.col("doc_id") % 2 == 0)) \
+        .repartition(2).write.text(dump)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+
+        def merge(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_docs = (batch_df.filter(~F.col("malformed"))
+                          .select(F.col("page_id").cast("long")
+                                  .alias("doc_id"),
+                                  F.col("title").alias("text")))
+            _line_dedup_merge(batch_df.sparkSession, batch_docs, store)
+
+        SP._run_foreach(stream, merge, 120, ckpt)
+
+    drain()
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(docs.filter(F.col("doc_id") % 2 == 1)) \
+        .repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    elect = read_version(spark, f"{store}/elect") \
+        .select("f.doc_id", "f.pos", "f.ln")
+    blanks = read_version(spark, f"{store}/blanks")
+    counts = read_version(spark, f"{store}/counts")
+    keepers = elect.unionByName(blanks)
+    agg = (keepers.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"]),
+            "\n")).alias("dedup_md5")))
+    return (counts.join(agg, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("dedup_md5", F.md5(F.lit("")))
+                     .alias("dedup_md5"))
+            .orderBy("doc_id"))
