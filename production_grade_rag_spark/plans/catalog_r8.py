@@ -1140,3 +1140,77 @@ def st_dd_line_dedup(spark: SparkSession, d: str) -> DataFrame:
                     F.coalesce("dedup_md5", F.md5(F.lit("")))
                      .alias("dedup_md5"))
             .orderBy("doc_id"))
+
+
+# ===========================================================================
+# Duplicated n-gram profile: the fine-grained "how much of this doc is
+# corpus-duplicated text" metric (Lee et al. 2021)
+# ===========================================================================
+
+_DUPG_N = 8
+
+
+def _dupgram_oracle() -> str:
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    grams = f"""(
+  CASE WHEN len({toks}) >= {_DUPG_N}
+       THEN list_transform(range(1, len({toks}) - {_DUPG_N - 2}),
+              i -> array_to_string(
+                     list_slice({toks}, i, i + {_DUPG_N - 1}), ' '))
+       WHEN len({toks}) > 0
+       THEN [array_to_string({toks}, ' ')]
+       ELSE []::VARCHAR[] END)"""
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+), gc AS (
+  SELECT md5(gram) AS h, count(*)::BIGINT AS c FROM g GROUP BY md5(gram)
+)
+SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+       sum((gc.c > 1)::INT)::BIGINT AS n_dup_grams,
+       round(sum((gc.c > 1)::INT)::DOUBLE / count(*)::DOUBLE, 6)
+         AS dup_frac
+FROM g JOIN gc ON gc.h = md5(g.gram)
+GROUP BY g.doc_id
+"""
+
+
+@register("dd_dupgram_profile", oracle=_dupgram_oracle())
+def dd_dupgram_profile(spark: SparkSession, d: str) -> DataFrame:
+    """Duplicated-n-gram profile (Lee et al. 2021, public —
+    'Deduplicating Training Data Makes Language Models Better'): per
+    document, the fraction of its word 8-grams (sliding, WITH
+    multiplicity) that occur more than once in the WHOLE corpus — the
+    fine-grained duplication signal between exact-doc dedup (too
+    coarse) and line/span dedup (structural units); docs under 8
+    tokens contribute their whole text as one gram so short dups
+    still register.
+
+    Scale shape: one corpus-wide gram-count aggregate on md5(gram)
+    (8-gram keys are FLAT — the blank-line/stopword skew of unigram
+    keys doesn't exist at n=8; partial-aggregated) and one join back
+    on the same flat key (AQE-skew-splittable), then a per-doc
+    aggregate.  The gram text itself never shuffles twice: the join
+    carries only hashes, doc_id and the count."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    grams = (F.when(n >= _DUPG_N,
+                    F.transform(F.sequence(F.lit(1), n - (_DUPG_N - 1)),
+                                lambda i: F.array_join(
+                                    F.slice(t, i, _DUPG_N), " ")))
+             .when(n > 0, F.array(F.array_join(t, " ")))
+             .otherwise(F.array().cast("array<string>")))
+    g = (docs.select("doc_id", F.explode(grams).alias("gram"))
+         .select("doc_id", F.md5("gram").alias("h")))
+    gc = g.groupBy("h").agg(F.count("*").alias("c"))
+    return (g.join(gc, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum((F.col("c") > 1).cast("int").cast("long"))
+                  .alias("n_dup_grams"),
+                 F.round(F.sum((F.col("c") > 1).cast("int"))
+                         .cast("double") / F.count("*").cast("double"), 6)
+                  .alias("dup_frac")))

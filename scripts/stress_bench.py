@@ -343,6 +343,39 @@ def main() -> None:
               f"(fixed p16 ceiling {res['ivfpq_probe_ceiling_p16']})",
               file=sys.stderr)
 
+    # --- multi-query robustness: mean recall over 20 corpus queries ----
+    # single-query recall is lottery; the fixed-vs-adaptive comparison
+    # must hold in expectation.  Deterministic query picks.
+    qrows = (emb10.filter(F.col("vec_id") % 997 == 3)
+             .orderBy("vec_id").limit(20).collect())
+    fixed_rs, adapt_rs, probe_ns = [], [], []
+    for qr in qrows:
+        qv = [float(x) for x in qr["embedding"]]
+        ex = {r["vec_id"] for r in
+              similarity.knn_topk(emb10, qv, k=10).collect()}
+        fx = {r["vec_id"] for r in pqm.ivfpq_search_store(
+            spark, pstore, qv, k=10, n_probe=16,
+            n_candidates=640).collect()}
+        ad = {r["vec_id"] for r in pqm.ivfpq_search_store(
+            spark, pstore, qv, k=10, n_probe=16, n_candidates=640,
+            mass_target=0.8).collect()}
+        fixed_rs.append(len(ex & fx) / 10)
+        adapt_rs.append(len(ex & ad) / 10)
+        probe_ns.append(len(similarity.adaptive_probe_cells(
+            pcents, qv, floor=16, mass_target=0.8)))
+    res["ivfpq_multiq_n"] = len(qrows)
+    res["ivfpq_multiq_fixed_p16_recall"] = round(
+        sum(fixed_rs) / len(fixed_rs), 3)
+    res["ivfpq_multiq_adaptive_t08_recall"] = round(
+        sum(adapt_rs) / len(adapt_rs), 3)
+    res["ivfpq_multiq_adaptive_mean_probes"] = round(
+        sum(probe_ns) / len(probe_ns), 1)
+    print(f"# ivfpq multi-query ({len(qrows)} queries): fixed p16 "
+          f"recall {res['ivfpq_multiq_fixed_p16_recall']}, adaptive "
+          f"t0.8 recall {res['ivfpq_multiq_adaptive_t08_recall']} "
+          f"(mean {res['ivfpq_multiq_adaptive_mean_probes']} probes)",
+          file=sys.stderr)
+
     # --- batch ANN join at 10x: crossJoin vs IVF-cell equi-join --------
     qs = emb10.filter(F.col("vec_id") % 199 == 7).limit(100)
     n_q = qs.count()

@@ -185,3 +185,15 @@ def test_sketch_gates_hold(spark):
     q = CATALOG["a11_quantile_sketch"].build(spark, SF01).collect()
     assert len(q) == 5 and all(r["within_bound"] for r in q)
     assert all(r["p50_exact"] > 0 for r in q)
+
+
+def test_dupgram_profile_bounds(spark):
+    rows = CATALOG["dd_dupgram_profile"].build(spark, SF01).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+    # the synthetic corpus contains exact duplicates -> some docs are
+    # fully duplicated, most are not
+    fracs = [r["dup_frac"] for r in rows]
+    assert max(fracs) > 0.0 and min(fracs) == 0.0
