@@ -1214,3 +1214,187 @@ def dd_dupgram_profile(spark: SparkSession, d: str) -> DataFrame:
                  F.round(F.sum((F.col("c") > 1).cast("int"))
                          .cast("double") / F.count("*").cast("double"), 6)
                   .alias("dup_frac")))
+
+
+# ===========================================================================
+# Retrieval-quality evaluation harness (IR metrics) — the offline eval
+# a RAG deployment publishes next to its index build: recall@k, MRR,
+# nDCG@k against labeled relevance judgments.  The reference tunes its
+# search stack (index_manager.py analyzers, vector_search.py
+# numCandidates) but ships no measurement loop; at 100 TB the eval IS
+# the regression gate for every index/analyzer change.
+# ===========================================================================
+
+import math as _math
+
+# Integer-scaled DCG rank weights, computed ONCE here in Python and
+# injected as literals into BOTH engines (the shared-constant
+# discipline): w_r = round(1e6 / log2(r+1)).  Sums of these are exact
+# BIGINT arithmetic — no cross-engine log2/FP-fold risk anywhere in
+# the metric pipeline; the only float op is one final division.
+_IR_K = 10
+_DCG_W = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, _IR_K + 1)]
+_IDCG_CUM = [sum(_DCG_W[:i + 1]) for i in range(_IR_K)]  # ideal DCG @ 1..K
+
+
+def _ir_per_query_cte() -> str:
+    from . import oracle_vec as OV
+    cos = OV.cosine_sql("e.embedding", "q.qv")
+    dcg_case = " ".join(f"WHEN {r + 1} THEN {w}"
+                        for r, w in enumerate(_DCG_W))
+    idcg_case = " ".join(f"WHEN {i + 1} THEN {c}"
+                         for i, c in enumerate(_IDCG_CUM))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+  FROM embeddings WHERE vec_id % 50 = 7
+), cnt AS (
+  SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY label
+), scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id AS rid, e.label AS rlabel,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY round({cos}, 6) DESC, e.vec_id)
+           AS rank
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+), agg AS (
+  SELECT qid, qlabel,
+         CAST(sum((rlabel = qlabel)::INT) AS BIGINT) AS hits,
+         CAST(coalesce(min(CASE WHEN rlabel = qlabel THEN rank END), 0)
+              AS BIGINT) AS first_rank,
+         CAST(coalesce(sum((rlabel = qlabel)::INT
+                           * CASE rank {dcg_case} ELSE 0 END), 0)
+              AS BIGINT) AS dcg_s
+  FROM scored WHERE rank <= {_IR_K}
+  GROUP BY qid, qlabel
+), perq AS (
+  SELECT a.qid AS query_id, a.qlabel AS query_label,
+         (c.n - 1)::BIGINT AS n_rel, a.hits AS hits_10,
+         a.first_rank AS first_hit_rank,
+         CASE WHEN c.n - 1 = 0 THEN 0.0::DOUBLE
+              ELSE round(a.hits::DOUBLE
+                         / least({_IR_K}, c.n - 1)::DOUBLE, 6)
+         END AS recall_10,
+         CASE WHEN a.first_rank = 0 THEN 0.0::DOUBLE
+              ELSE round(1.0::DOUBLE / a.first_rank::DOUBLE, 6)
+         END AS mrr_10,
+         CASE WHEN c.n - 1 = 0 THEN 0.0::DOUBLE
+              ELSE round(a.dcg_s::DOUBLE
+                         / (CASE least({_IR_K}, c.n - 1)
+                            {idcg_case} ELSE {_IDCG_CUM[-1]} END)::DOUBLE,
+                         6)
+         END AS ndcg_10
+  FROM agg a JOIN cnt c ON c.label = a.qlabel
+)"""
+
+
+def _ir_per_query(spark: SparkSession, d: str) -> DataFrame:
+    """Shared Spark plan for the IR eval entries: label-match relevance
+    (the embeddings table's `label` column IS the judgment set), exact
+    cosine top-10 per held-out query (vec_id % 50 == 7), metrics as
+    exact integer sums of the shared _DCG_W weights."""
+    from ..functions.vector import cosine, to_double_array
+    emb = _t(spark, d, "embeddings")
+    q = (emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 7)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("label").alias("qlabel"),
+                 to_double_array(F.col("embedding")).alias("qv")))
+    cnt = emb.groupBy("label").agg(F.count("*").alias("n"))
+    pairs = (emb.select(F.col("vec_id").alias("rid"),
+                        F.col("label").alias("rlabel"),
+                        to_double_array(F.col("embedding")).alias("cv"))
+             .crossJoin(F.broadcast(q))
+             .filter(F.col("rid") != F.col("qid")))
+    w = Window.partitionBy("qid").orderBy(
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).desc(), F.col("rid"))
+    top = (pairs.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= _IR_K))
+    rel = (F.col("rlabel") == F.col("qlabel")).cast("int")
+    dcg_w = F.array(*[F.lit(x) for x in _DCG_W])
+    idcg_w = F.array(*[F.lit(x) for x in _IDCG_CUM])
+    agg = (top.groupBy("qid", "qlabel")
+           .agg(F.sum(rel).cast("long").alias("hits"),
+                F.coalesce(F.min(F.when(rel == 1, F.col("rank"))),
+                           F.lit(0)).cast("long").alias("first_rank"),
+                F.coalesce(F.sum(rel * F.element_at(dcg_w, F.col("rank"))),
+                           F.lit(0)).cast("long").alias("dcg_s")))
+    n_rel = F.col("n") - 1
+    denom = F.least(F.lit(_IR_K), n_rel)
+    return (agg.join(F.broadcast(cnt),
+                     agg["qlabel"] == cnt["label"])
+            .select(F.col("qid").alias("query_id"),
+                    F.col("qlabel").alias("query_label"),
+                    n_rel.cast("long").alias("n_rel"),
+                    F.col("hits").alias("hits_10"),
+                    F.col("first_rank").alias("first_hit_rank"),
+                    F.when(n_rel == 0, F.lit(0.0))
+                     .otherwise(F.round(F.col("hits").cast("double")
+                                        / denom.cast("double"), 6))
+                     .alias("recall_10"),
+                    F.when(F.col("first_rank") == 0, F.lit(0.0))
+                     .otherwise(F.round(F.lit(1.0)
+                                        / F.col("first_rank").cast("double"),
+                                        6))
+                     .alias("mrr_10"),
+                    F.when(n_rel == 0, F.lit(0.0))
+                     .otherwise(F.round(
+                         F.col("dcg_s").cast("double")
+                         / F.element_at(idcg_w,
+                                        F.greatest(denom, F.lit(1))
+                                        .cast("int")).cast("double"), 6))
+                     .alias("ndcg_10")))
+
+
+@register("ir1_eval_per_query", oracle=_ir_per_query_cte() + """
+SELECT * FROM perq ORDER BY query_id
+""")
+def ir1_eval_per_query(spark: SparkSession, d: str) -> DataFrame:
+    """Per-query retrieval-quality report: recall@10 (R-truncated),
+    MRR@10, binary-relevance nDCG@10 for exact-cosine search against
+    the labeled embedding corpus (relevant = same `label`, the
+    standard ANN-benchmark protocol).  This is the harness every one
+    of the r4_* recall gates samples from, promoted to a first-class
+    published eval.
+
+    FP discipline: ranks come from the round-6 cosine (identical to
+    the r8 hard-negative entry), per-rank DCG gains are the Python-
+    computed integer weights _DCG_W injected into both engines, so
+    every aggregate is an exact BIGINT sum; each metric then does ONE
+    double division — engine-stable.
+
+    Scale shape: the query set is an eval sample (tiny, broadcast);
+    candidate scoring is map-side over the corpus; the only shuffle
+    is the per-query top-k window on qid (bounded by |eval set|, and
+    swappable for ivf_knn_join's equi-join form when the corpus is
+    cell-partitioned — same metrics CTE either way)."""
+    return _ir_per_query(spark, d).orderBy("query_id")
+
+
+@register("ir2_eval_summary", oracle=_ir_per_query_cte() + """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(sum(CAST(round(recall_10 * 1000000) AS BIGINT))::DOUBLE
+             / (count(*) * 1000000)::DOUBLE, 6) AS macro_recall_10,
+       round(sum(CAST(round(mrr_10 * 1000000) AS BIGINT))::DOUBLE
+             / (count(*) * 1000000)::DOUBLE, 6) AS macro_mrr_10,
+       round(sum(CAST(round(ndcg_10 * 1000000) AS BIGINT))::DOUBLE
+             / (count(*) * 1000000)::DOUBLE, 6) AS macro_ndcg_10
+FROM perq
+""")
+def ir2_eval_summary(spark: SparkSession, d: str) -> DataFrame:
+    """Macro-averaged scoreboard over the eval queries — the single
+    row a nightly index-quality dashboard tracks.  Averaging re-scales
+    the per-query 6-decimal metrics to BIGINTs (exact, since they ARE
+    6-decimal values) and sums integers, so the mean is one division
+    regardless of row order or partitioning."""
+    perq = _ir_per_query(spark, d)
+    def s(c):  # noqa: E306
+        return F.sum(F.round(F.col(c) * 1000000).cast("long"))
+    n = F.count("*")
+    return perq.agg(
+        n.cast("long").alias("n_queries"),
+        F.round(s("recall_10").cast("double")
+                / (n * 1000000).cast("double"), 6).alias("macro_recall_10"),
+        F.round(s("mrr_10").cast("double")
+                / (n * 1000000).cast("double"), 6).alias("macro_mrr_10"),
+        F.round(s("ndcg_10").cast("double")
+                / (n * 1000000).cast("double"), 6).alias("macro_ndcg_10"))
