@@ -1398,3 +1398,197 @@ def ir2_eval_summary(spark: SparkSession, d: str) -> DataFrame:
                 / (n * 1000000).cast("double"), 6).alias("macro_mrr_10"),
         F.round(s("ndcg_10").cast("double")
                 / (n * 1000000).cast("double"), 6).alias("macro_ndcg_10"))
+
+
+# ===========================================================================
+# Quality CLASSIFIER (GPT-3 recipe) — Gopher/C4/CCNet-perplexity/DSIR
+# are rule- and LM-based; the remaining member of the published
+# curation family is the trained quality classifier (Brown et al.
+# 2020, "Language Models are Few-Shot Learners", Appendix A —
+# public): score documents against a high-quality class and keep by a
+# Pareto-thresholded score.  fastText/LR isn't SQL-expressible, so the
+# classifier here is multinomial Naive Bayes over the same unigram
+# features DSIR uses — closed-form training (two class-conditional
+# count tables), which makes BOTH training and inference pure
+# DataFrame algebra, value-oracled end to end.  Weak labels come from
+# the Gopher gate (positive class), mirroring GPT-3's use of a known
+# high-quality corpus as the positive set.
+# ===========================================================================
+
+_NB_SCALE = 1_000_000
+
+
+def _nb_doc_cte() -> str:
+    from ..operators.curation_rules import gopher_sql
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    return f"""
+WITH g AS (
+  SELECT doc_id, gopher_pass AS pos, {toks} AS toks
+  FROM (SELECT doc_id, text, {gopher_sql('text')} FROM documents)
+), tk AS (
+  SELECT doc_id, pos, unnest(toks) AS tok FROM g
+), cls AS (
+  SELECT tok, sum(pos::INT)::DOUBLE AS c_pos,
+         sum((NOT pos)::INT)::DOUBLE AS c_neg
+  FROM tk GROUP BY tok
+), consts AS (
+  SELECT (SELECT sum(c_pos) FROM cls) AS n_pos_tok,
+         (SELECT sum(c_neg) FROM cls) AS n_neg_tok,
+         (SELECT count(*)::DOUBLE FROM cls) AS v,
+         (SELECT sum(pos::INT)::DOUBLE FROM g) AS n_pos_docs,
+         (SELECT sum((NOT pos)::INT)::DOUBLE FROM g) AS n_neg_docs
+), lr AS (
+  SELECT tok,
+         CAST(round((ln((c_pos + 1.0::DOUBLE) / (c.n_pos_tok + c.v))
+                     - ln((c_neg + 1.0::DOUBLE) / (c.n_neg_tok + c.v)))
+                    * {_NB_SCALE}) AS BIGINT) AS lr_s
+  FROM cls CROSS JOIN consts c
+), pri AS (
+  SELECT CAST(round(ln((n_pos_docs + 1.0::DOUBLE)
+                       / (n_neg_docs + 1.0::DOUBLE)) * {_NB_SCALE})
+              AS BIGINT) AS prior_s
+  FROM consts
+), nb AS (
+  SELECT t.doc_id, t.pos AS gopher_pass,
+         count(*)::BIGINT AS n_tokens,
+         (p.prior_s + CAST(sum(l.lr_s) AS BIGINT)) AS score_s
+  FROM tk t JOIN lr l USING (tok) CROSS JOIN pri p
+  GROUP BY t.doc_id, t.pos, p.prior_s
+), scored AS (
+  SELECT doc_id, gopher_pass, n_tokens,
+         round(score_s::DOUBLE / {_NB_SCALE}.0, 6) AS log_odds,
+         (score_s > 0) AS nb_pass,
+         score_s
+  FROM nb
+)"""
+
+
+def _nb_doc_scores(spark: SparkSession, d: str) -> DataFrame:
+    """Shared Spark plan: weak-label projection (map-side Gopher gate),
+    token explode, class-conditional count tables (vocabulary-sized,
+    BROADCAST back like t16's LM tables — the Zipf-hot token stream
+    never shuffles on tok), per-doc integer score sum.  Per-token
+    log-ratios quantize to round(lr * 1e6) BIGINT before summing, so
+    the per-doc reduction is exact integer arithmetic in any order —
+    the r8 6-decimal-quantization discipline."""
+    from ..operators.curation_rules import gopher_flags
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    base = docs.select(
+        "doc_id",
+        gopher_flags(F.col("text"))["gopher_pass"].alias("pos"),
+        tokens(F.col("text")).alias("toks"))
+    tk = base.select("doc_id", "pos", F.explode("toks").alias("tok"))
+    pos_i = F.col("pos").cast("int")
+    cls = tk.groupBy("tok").agg(
+        F.sum(pos_i).cast("double").alias("c_pos"),
+        F.sum(1 - pos_i).cast("double").alias("c_neg"))
+    consts = (cls.agg(F.sum("c_pos").alias("n_pos_tok"),
+                      F.sum("c_neg").alias("n_neg_tok"),
+                      F.count("*").cast("double").alias("v"))
+              .crossJoin(base.agg(
+                  F.sum(pos_i).cast("double").alias("n_pos_docs"),
+                  F.sum(1 - pos_i).cast("double").alias("n_neg_docs"))))
+    lr_val = (F.log((F.col("c_pos") + 1.0) / (F.col("n_pos_tok") + F.col("v")))
+              - F.log((F.col("c_neg") + 1.0)
+                      / (F.col("n_neg_tok") + F.col("v"))))
+    lr = (cls.crossJoin(F.broadcast(consts))
+          .select("tok", F.round(lr_val * _NB_SCALE).cast("long")
+                  .alias("lr_s")))
+    pri = consts.select(
+        F.round(F.log((F.col("n_pos_docs") + 1.0)
+                      / (F.col("n_neg_docs") + 1.0)) * _NB_SCALE)
+        .cast("long").alias("prior_s"))
+    return (tk.join(F.broadcast(lr), "tok")
+            .crossJoin(F.broadcast(pri))
+            .groupBy("doc_id", F.col("pos").alias("gopher_pass"),
+                     "prior_s")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("lr_s").alias("sum_lr"))
+            .select("doc_id", "gopher_pass", "n_tokens",
+                    (F.col("prior_s") + F.col("sum_lr")).alias("score_s"))
+            .select("doc_id", "gopher_pass", "n_tokens",
+                    F.round(F.col("score_s").cast("double") / _NB_SCALE, 6)
+                     .alias("log_odds"),
+                    (F.col("score_s") > 0).alias("nb_pass"),
+                    "score_s"))
+
+
+@register("t21_nb_quality", oracle=_nb_doc_cte() + """
+SELECT doc_id, gopher_pass, n_tokens, log_odds, nb_pass FROM scored
+""")
+def t21_nb_quality(spark: SparkSession, d: str) -> DataFrame:
+    """Trained quality classifier, GPT-3 style (Brown et al. 2020
+    App. A, public): multinomial Naive Bayes with add-one smoothing
+    over unigram features, weak-labeled by the Gopher gate as the
+    high-quality class.  Emits the per-doc log-odds and the
+    classifier verdict next to the rule-based label it was trained
+    on.
+
+    100 TB shape: identical to t16_dsir_weight — the only corpus-level
+    state is vocabulary-sized tables (class-conditional counts →
+    quantized log-ratio table), broadcast to the token stream; no
+    shuffle keys skewed by Zipf; training is a closed-form aggregate,
+    not an iterative fit."""
+    return _nb_doc_scores(spark, d).drop("score_s")
+
+
+@register("t21_nb_confusion", oracle=_nb_doc_cte() + """
+SELECT gopher_pass, nb_pass, count(*)::BIGINT AS n,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens
+FROM scored GROUP BY gopher_pass, nb_pass
+ORDER BY gopher_pass, nb_pass
+""")
+def t21_nb_confusion(spark: SparkSession, d: str) -> DataFrame:
+    """Classifier-vs-rule agreement matrix: where the trained NB
+    verdict and the Gopher weak label agree/disagree, with token mass
+    — the drift report a curation team reads before swapping the rule
+    gate for the classifier gate (disagreement cells are exactly the
+    docs whose fate changes)."""
+    return (_nb_doc_scores(spark, d)
+            .groupBy("gopher_pass", "nb_pass")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_tokens").cast("long").alias("tokens"))
+            .orderBy("gopher_pass", "nb_pass"))
+
+
+@register("t21_nb_filter", oracle=_nb_doc_cte() + f"""
+, par AS (
+  SELECT doc_id, log_odds,
+         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-log_odds)), 6) AS prob,
+         round(exp(ln((('0x' || substr(md5(doc_id::VARCHAR || ':nbq'), 1, 8))
+                       ::BIGINT % {_NB_SCALE} + 1)::DOUBLE
+                      / {_NB_SCALE + 1}.0::DOUBLE)
+                   * (-1.0::DOUBLE / 9.0::DOUBLE)) - 1.0::DOUBLE, 6)
+           AS pareto_draw
+  FROM scored
+)
+SELECT doc_id, log_odds, prob, pareto_draw
+FROM par WHERE prob > round(1.0::DOUBLE - pareto_draw, 6)
+""")
+def t21_nb_filter(spark: SparkSession, d: str) -> DataFrame:
+    """The GPT-3 keep rule verbatim (Brown et al. 2020 App. A:
+    'kept if score > 1 - pareto(alpha=9)'): classifier probability
+    (sigmoid of the NB log-odds) thresholded against a deterministic
+    per-doc Pareto(9) draw — mostly keeping high-scoring docs but
+    sampling some low-scoring ones for diversity.  The draw derives
+    from md5(doc_id) (t9_hash_sample trick), mapped through the
+    inverse-CDF u^(-1/9) - 1 written as exp(ln(u) * -1/9) in BOTH
+    engines and quantized to 6 decimals, so keep/drop is an exact
+    comparison of identically-rendered values.  Map-side after the
+    t21 scoring plan — the filter adds no shuffle."""
+    scored = _nb_doc_scores(spark, d)
+    from ..operators.dedup import md5_int32
+    u = ((F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                    F.lit(":nbq"))),
+                 F.lit(_NB_SCALE)) + 1)
+         .cast("double") / F.lit(float(_NB_SCALE + 1)))
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds"))), 6)
+    draw = F.round(F.exp(F.log(u) * (F.lit(-1.0) / F.lit(9.0))) - 1.0, 6)
+    return (scored
+            .withColumn("prob", prob)
+            .withColumn("pareto_draw", draw)
+            .filter(F.col("prob") > F.round(F.lit(1.0) - F.col("pareto_draw"),
+                                            6))
+            .select("doc_id", "log_odds", "prob", "pareto_draw"))

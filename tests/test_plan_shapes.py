@@ -314,3 +314,24 @@ def test_pagerank_iterations_broadcast_rank_vector(spark):
     plan = _plan(spark, "g1_trade_pagerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_nb_classifier_tables_broadcast_no_tok_shuffle(spark):
+    # the NB class-conditional table is vocabulary-sized (same
+    # argument as the DSIR LM tables): the quantized log-ratio join
+    # back to the Zipf-hot token stream must broadcast
+    plan = _plan(spark, "t21_nb_quality")
+    assert len(re.findall(r"BroadcastHashJoin.*\btok\b", plan)) >= 1
+    assert not re.search(r"SortMergeJoin.*\btok\b", plan), plan
+    assert not re.search(r"ShuffledHashJoin.*\btok\b", plan), plan
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
+
+
+def test_ir_eval_queries_broadcast(spark):
+    # the eval query set is a sample: candidate scoring must be a
+    # broadcast (nested-loop over the tiny side), never a cartesian
+    # shuffle; the only hash exchange is the per-query top-k window
+    plan = _plan(spark, "ir1_eval_per_query")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
