@@ -1592,3 +1592,221 @@ def t21_nb_filter(spark: SparkSession, d: str) -> DataFrame:
             .filter(F.col("prob") > F.round(F.lit(1.0) - F.col("pareto_draw"),
                                             6))
             .select("doc_id", "log_odds", "prob", "pareto_draw"))
+
+
+# ===========================================================================
+# Z-ORDER data layout — multi-dimensional clustering for scan pruning
+# (Morton-curve interleaving, public: Morton 1966; the Delta/Iceberg
+# OPTIMIZE ZORDER BY primitive).  At 100 TB the win is file skipping:
+# a table laid out by z(custkey, order-day) serves BOTH custkey point
+# queries and date-range queries from a small fraction of files,
+# where a single-dim sort serves only one of them.  Everything below
+# is exact integer arithmetic (bit interleaving, integer-normalized
+# grid), value-oracled; the bucket stats ARE the min/max footer index
+# a writer would persist.
+# ===========================================================================
+
+_Z_BITS = 16          # per-dimension grid resolution
+_Z_BUCKETS_LOG2 = 5   # 32 buckets ~ files
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Bit-interleave two 16-bit ints (SQL form) — x in even bits."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton_col(x, y):
+    """Bit-interleave two 16-bit ints (Column form, same bit layout)."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)),
+                            2 * i + 1)
+    return z
+
+
+def _zorder_cte() -> str:
+    g = 1 << _Z_BITS
+    shift = 2 * _Z_BITS - _Z_BUCKETS_LOG2
+    dshift = _Z_BITS - _Z_BUCKETS_LOG2
+    z = _morton_sql("xs", "ys")
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey, o_custkey::BIGINT AS ck,
+         date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT
+           AS day
+  FROM orders
+), bounds AS (
+  SELECT min(ck) AS ck_lo, max(ck) - min(ck) + 1 AS ck_ext,
+         min(day) AS day_lo, max(day) - min(day) + 1 AS day_ext
+  FROM pts
+), grid AS (
+  SELECT o_orderkey, ck, day,
+         ((ck - b.ck_lo) * {g}) // b.ck_ext AS xs,
+         ((day - b.day_lo) * {g}) // b.day_ext AS ys
+  FROM pts CROSS JOIN bounds b
+), zed AS (
+  SELECT o_orderkey, ck, day,
+         ({z} >> {shift}) AS z_bucket,
+         (xs >> {dshift}) AS ck_bucket,
+         (ys >> {dshift}) AS day_bucket
+  FROM grid
+)"""
+
+
+def _zorder_df(spark: SparkSession, d: str) -> DataFrame:
+    """Shared Spark plan: bounds are ONE partial-aggregated row,
+    broadcast back; grid normalization, Morton interleave, and all
+    three bucket assignments are pure map-side integer column
+    arithmetic — laying out 100 TB this way is one repartitionByRange
+    on z_bucket at write time, no global sort window anywhere."""
+    g = 1 << _Z_BITS
+    shift = 2 * _Z_BITS - _Z_BUCKETS_LOG2
+    dshift = _Z_BITS - _Z_BUCKETS_LOG2
+    orders = _t(spark, d, "orders")
+    pts = orders.select(
+        "o_orderkey", F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.to_date(F.lit("1992-01-01"))).cast("long").alias("day"))
+    bounds = pts.agg(
+        F.min("ck").alias("ck_lo"),
+        (F.max("ck") - F.min("ck") + 1).alias("ck_ext"),
+        F.min("day").alias("day_lo"),
+        (F.max("day") - F.min("day") + 1).alias("day_ext"))
+    grid = (pts.crossJoin(F.broadcast(bounds))
+            .withColumn("xs", F.floor((F.col("ck") - F.col("ck_lo")) * g
+                                      / F.col("ck_ext")).cast("long"))
+            .withColumn("ys", F.floor((F.col("day") - F.col("day_lo")) * g
+                                      / F.col("day_ext")).cast("long")))
+    return grid.select(
+        "o_orderkey", "ck", "day",
+        F.shiftright(_morton_col(F.col("xs"), F.col("ys")), shift)
+         .alias("z_bucket"),
+        F.shiftright(F.col("xs"), dshift).alias("ck_bucket"),
+        F.shiftright(F.col("ys"), dshift).alias("day_bucket"))
+
+
+@register("s29_zorder_layout", oracle=_zorder_cte() + """
+SELECT z_bucket, count(*)::BIGINT AS n_rows,
+       min(ck)::BIGINT AS min_ck, max(ck)::BIGINT AS max_ck,
+       min(day)::BIGINT AS min_day, max(day)::BIGINT AS max_day
+FROM zed GROUP BY z_bucket ORDER BY z_bucket
+""")
+def s29_zorder_layout(spark: SparkSession, d: str) -> DataFrame:
+    """Z-order clustering index for orders on (custkey, order-day):
+    per-z-bucket row counts and min/max extents of both dimensions —
+    exactly the parquet footer statistics a zordered write persists
+    and a reader prunes against.  Both dims stay tight per bucket
+    (the Morton property); contrast a date-sorted layout where every
+    bucket spans the full custkey range."""
+    return (_zorder_df(spark, d)
+            .groupBy("z_bucket")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("ck").alias("min_ck"), F.max("ck").alias("max_ck"),
+                 F.min("day").alias("min_day"),
+                 F.max("day").alias("max_day"))
+            .orderBy("z_bucket"))
+
+
+@register("s30_layout_pruning", oracle=_zorder_cte() + f"""
+, stats AS (
+  SELECT 'zorder' AS layout, z_bucket AS bucket,
+         min(ck) AS min_ck, max(ck) AS max_ck,
+         min(day) AS min_day, max(day) AS max_day
+  FROM zed GROUP BY z_bucket
+  UNION ALL
+  SELECT 'by_custkey', ck_bucket, min(ck), max(ck), min(day), max(day)
+  FROM zed GROUP BY ck_bucket
+  UNION ALL
+  SELECT 'by_date', day_bucket, min(ck), max(ck), min(day), max(day)
+  FROM zed GROUP BY day_bucket
+), nb AS (
+  SELECT layout, count(*)::BIGINT AS total_buckets
+  FROM stats GROUP BY layout
+), probes_ck AS (
+  SELECT DISTINCT ck AS probe FROM pts WHERE ck % 150 = 7
+), probes_day AS (
+  SELECT DISTINCT (day // 240) * 240 AS probe FROM pts
+), hit_ck AS (
+  SELECT s.layout, p.probe, count(*)::BIGINT AS touched
+  FROM stats s JOIN probes_ck p
+    ON p.probe BETWEEN s.min_ck AND s.max_ck
+  GROUP BY s.layout, p.probe
+), hit_day AS (
+  SELECT s.layout, p.probe, count(*)::BIGINT AS touched
+  FROM stats s JOIN probes_day p
+    ON p.probe <= s.max_day AND p.probe + 29 >= s.min_day
+  GROUP BY s.layout, p.probe
+), m AS (
+  SELECT layout, 'custkey_point' AS probe_dim,
+         CAST(sum(touched) AS BIGINT) AS buckets_touched,
+         count(*)::BIGINT AS n_probes
+  FROM hit_ck GROUP BY layout
+  UNION ALL
+  SELECT layout, 'day_window',
+         CAST(sum(touched) AS BIGINT), count(*)::BIGINT
+  FROM hit_day GROUP BY layout
+)
+SELECT m.layout, m.probe_dim,
+       round(m.buckets_touched::DOUBLE / m.n_probes::DOUBLE, 6)
+         AS avg_buckets_touched,
+       nb.total_buckets
+FROM m JOIN nb USING (layout)
+ORDER BY layout, probe_dim
+""")
+def s30_layout_pruning(spark: SparkSession, d: str) -> DataFrame:
+    """The layout decision table: average buckets a query must READ
+    under three physical layouts (z-order, custkey-sorted,
+    date-sorted) for two probe families (custkey point lookups,
+    30-day date windows), evaluated against each layout's own min/max
+    bucket index.  The z-order row is the argument for paying the
+    interleave at write time: good pruning on BOTH dimensions, where
+    each single-dim sort is pathological on the other dimension.
+    Probes are deterministic data-derived sets (ck % 150 == 7;
+    240-day-aligned window starts).  The bucket-stats side is three
+    partial aggregates over the same map-side frame; probe matching
+    is a broadcast range join against bucket COUNTS, not data."""
+    zed = _zorder_df(spark, d)
+    stats = None
+    for layout, bcol in (("zorder", "z_bucket"),
+                         ("by_custkey", "ck_bucket"),
+                         ("by_date", "day_bucket")):
+        s = (zed.groupBy(F.col(bcol).alias("bucket"))
+             .agg(F.min("ck").alias("min_ck"), F.max("ck").alias("max_ck"),
+                  F.min("day").alias("min_day"),
+                  F.max("day").alias("max_day"))
+             .withColumn("layout", F.lit(layout)))
+        stats = s if stats is None else stats.unionByName(s)
+    nb = stats.groupBy("layout").agg(F.count("*").alias("total_buckets"))
+    p_ck = (zed.filter(F.col("ck") % 150 == 7)
+            .select(F.col("ck").alias("probe")).distinct())
+    p_day = (zed.select((F.floor(F.col("day") / 240) * 240)
+                        .cast("long").alias("probe")).distinct())
+    hit_ck = (stats.join(F.broadcast(p_ck),
+                         (F.col("probe") >= F.col("min_ck"))
+                         & (F.col("probe") <= F.col("max_ck")))
+              .groupBy("layout", "probe").agg(F.count("*").alias("touched"))
+              .groupBy("layout")
+              .agg(F.sum("touched").cast("long").alias("buckets_touched"),
+                   F.count("*").alias("n_probes"))
+              .withColumn("probe_dim", F.lit("custkey_point")))
+    hit_day = (stats.join(F.broadcast(p_day),
+                          (F.col("probe") <= F.col("max_day"))
+                          & (F.col("probe") + 29 >= F.col("min_day")))
+               .groupBy("layout", "probe").agg(F.count("*").alias("touched"))
+               .groupBy("layout")
+               .agg(F.sum("touched").cast("long").alias("buckets_touched"),
+                    F.count("*").alias("n_probes"))
+               .withColumn("probe_dim", F.lit("day_window")))
+    m = hit_ck.unionByName(hit_day)
+    return (m.join(nb, "layout")
+            .select("layout", "probe_dim",
+                    F.round(F.col("buckets_touched").cast("double")
+                            / F.col("n_probes").cast("double"), 6)
+                     .alias("avg_buckets_touched"),
+                    F.col("total_buckets").cast("long").alias("total_buckets"))
+            .orderBy("layout", "probe_dim"))
