@@ -1810,3 +1810,73 @@ def s30_layout_pruning(spark: SparkSession, d: str) -> DataFrame:
                      .alias("avg_buckets_touched"),
                     F.col("total_buckets").cast("long").alias("total_buckets"))
             .orderBy("layout", "probe_dim"))
+
+
+# ===========================================================================
+# Join-key skew diagnostics — the profile that decides salting (a15
+# tells you a column's cardinality; this tells you whether its HOT
+# keys will funnel a shuffle).  The VERDICT-r7 dd_line_dedup lesson
+# as a first-class platform operator: find the md5('')-style keys
+# BEFORE they become a 100 TB reducer funnel.
+# ===========================================================================
+
+@register("a16_skew_probe", oracle="""
+WITH kc AS (
+  SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY user_id
+), stats AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         count(*)::BIGINT AS n_keys,
+         max(n_rows) AS max_key_rows
+  FROM kc
+), top AS (
+  SELECT user_id, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+  FROM kc
+)
+SELECT t.rank, t.user_id, t.n_rows,
+       round(t.n_rows::DOUBLE / s.total_rows::DOUBLE, 6) AS share,
+       CAST(greatest(1, ceil(t.n_rows::DOUBLE * 32.0::DOUBLE
+                             / (s.total_rows::DOUBLE / s.n_keys::DOUBLE)
+                             / 32.0::DOUBLE)) AS BIGINT) AS salt_rec,
+       round(s.max_key_rows::DOUBLE
+             / (s.total_rows::DOUBLE / s.n_keys::DOUBLE), 6)
+         AS skew_factor
+FROM top t CROSS JOIN stats s
+WHERE t.rank <= 10
+ORDER BY t.rank
+""")
+def a16_skew_probe(spark: SparkSession, d: str) -> DataFrame:
+    """Shuffle-key skew probe for events.user_id: the top-10 heavy
+    hitters with their row share, a per-key salt recommendation
+    (ceil(key_rows / mean_key_rows) — how many salted sub-keys bring
+    the hot key back to average partition mass at 32-way parallelism),
+    and the corpus skew factor (max key / mean key).  This is the
+    pre-flight read before any groupBy/join on a data-derived key; a
+    skew_factor near 1 means hash partitioning balances, >> 1 means
+    salt or AQE-skew-split.
+
+    Scale: one partial-aggregable key-count pass, a 1-row stats
+    aggregate broadcast back, and a top-10 — the probe itself never
+    funnels (the window orders the KEY-COUNT table, not the data,
+    and TakeOrdered bounds it)."""
+    ev = _t(spark, d, "events")
+    kc = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    stats = kc.agg(F.sum("n_rows").cast("long").alias("total_rows"),
+                   F.count("*").alias("n_keys"),
+                   F.max("n_rows").alias("max_key_rows"))
+    w = Window.orderBy(F.desc("n_rows"), "user_id")
+    mean_rows = (F.col("total_rows").cast("double")
+                 / F.col("n_keys").cast("double"))
+    return (kc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .crossJoin(F.broadcast(stats))
+            .select("rank", "user_id", "n_rows",
+                    F.round(F.col("n_rows").cast("double")
+                            / F.col("total_rows").cast("double"), 6)
+                     .alias("share"),
+                    F.greatest(F.lit(1), F.ceil(
+                        F.col("n_rows").cast("double") * 32.0
+                        / mean_rows / 32.0)).cast("long").alias("salt_rec"),
+                    F.round(F.col("max_key_rows").cast("double")
+                            / mean_rows, 6).alias("skew_factor"))
+            .orderBy("rank"))
