@@ -1880,3 +1880,167 @@ def a16_skew_probe(spark: SparkSession, d: str) -> DataFrame:
                     F.round(F.col("max_key_rows").cast("double")
                             / mean_rows, 6).alias("skew_factor"))
             .orderBy("rank"))
+
+
+# ===========================================================================
+# BIGINT-exact k-means (g2) — the clustering primitive every ANN/
+# semantic-dedup path in this repo leans on (IVF cells, SemDeDup
+# clusters) re-derived as exact DataFrame algebra with a FULL value
+# oracle, instead of MLlib's black-box fit.  Same fixed-point trick
+# as g1_trade_pagerank: quantize the vectors to 1e-6 integer units,
+# and every distance, sum, and centroid update is exact BIGINT
+# arithmetic — Spark and DuckDB walk bit-identical Lloyd
+# trajectories.  CAUTION (shared-semantics note): DuckDB's integer
+# `//` TRUNCATES toward zero while Python's floors — the driver-side
+# centroid update below uses an explicit truncating div to match.
+# ===========================================================================
+
+_KM_K = 4
+_KM_D = 8
+_KM_ITERS = 3
+_KM_SCALE = 1_000_000
+_KM_INIT_IDS = (0, 100, 200, 300)
+
+
+def _km_tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB `//` semantics;
+    Python's // floors, which differs on negative sums)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _km_qv_sql() -> str:
+    return (f"list_transform(list_slice(embedding, 1, {_KM_D}), "
+            f"x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT))")
+
+
+def _km_oracle(final_select: str) -> str:
+    dist = (f"list_sum(list_transform(range(1, {_KM_D + 1}), "
+            f"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))")
+    ids = ", ".join(str(i) for i in _KM_INIT_IDS)
+    parts = [f"""
+q AS (
+  SELECT vec_id, {_km_qv_sql()} AS qv FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id // 100 AS BIGINT) AS cluster, qv AS cv
+  FROM q WHERE vec_id IN ({ids})
+)"""]
+    for k in range(_KM_ITERS):
+        sums = ", ".join(f"CAST(sum(qv[{i + 1}]) AS BIGINT)"
+                         for i in range(_KM_D))
+        divs = ", ".join(f"m.s[{i + 1}] // m.n" for i in range(_KM_D))
+        parts.append(f"""
+a{k} AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT q.vec_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q CROSS JOIN c{k} c) WHERE rn = 1
+), m{k} AS (
+  SELECT cluster, count(*)::BIGINT AS n, [{sums}] AS s
+  FROM a{k} GROUP BY cluster
+), c{k + 1} AS (
+  SELECT c.cluster,
+         CASE WHEN m.n IS NULL THEN c.cv ELSE [{divs}] END AS cv
+  FROM c{k} c LEFT JOIN m{k} m USING (cluster)
+)""")
+    parts.append(f"""
+af AS (
+  SELECT vec_id, cluster, CAST(dist_q AS BIGINT) AS dist_q FROM (
+    SELECT q.vec_id, c.cluster, {dist} AS dist_q,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q CROSS JOIN c{_KM_ITERS} c) WHERE rn = 1
+)""")
+    return "WITH " + ",".join(parts) + final_select
+
+
+def _km_run(spark: SparkSession, d: str):
+    """Lloyd's loop, Spark side: per iteration ONE assignment pass
+    (centroids are literals — broadcast by construction, the plan is
+    a map-side argmin over an array of (dist, cluster) structs) and
+    ONE partial-aggregated per-cluster sum, collected as K rows of
+    bounded metadata (exactly MLlib KMeans' per-iteration
+    treeAggregate shape).  Returns (final assignment DF, centroids)."""
+    from ..functions.vector import to_double_array
+    emb = (_t(spark, d, "embeddings")
+           .select("vec_id",
+                   F.transform(
+                       F.slice(to_double_array(F.col("embedding")),
+                               1, _KM_D),
+                       lambda x: F.floor(x * _KM_SCALE + 0.5).cast("long"))
+                   .alias("qv")))
+    init = {r["vec_id"] // 100: [int(v) for v in r["qv"]]
+            for r in emb.filter(
+                F.col("vec_id").isin(list(_KM_INIT_IDS))).collect()}
+    cents = [init[c] for c in range(_KM_K)]
+
+    def best_struct(cs):
+        arr = F.array(*[
+            F.struct(
+                sum(((F.element_at(F.col("qv"), i + 1) - F.lit(cv[i]))
+                     * (F.element_at(F.col("qv"), i + 1) - F.lit(cv[i])))
+                    for i in range(_KM_D)).alias("d"),
+                F.lit(c).cast("long").alias("cluster"))
+            for c, cv in enumerate(cs)])
+        return F.sort_array(arr).getItem(0)
+
+    for _ in range(_KM_ITERS):
+        a = emb.withColumn("cluster", best_struct(cents)["cluster"])
+        rows = a.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at(F.col("qv"), i + 1)).alias(f"s{i}")
+              for i in range(_KM_D)]).collect()
+        newc = list(cents)
+        for r in rows:
+            newc[int(r["cluster"])] = [
+                _km_tdiv(int(r[f"s{i}"]), int(r["n"]))
+                for i in range(_KM_D)]
+        cents = newc
+
+    b = best_struct(cents)
+    af = emb.select("vec_id", b["cluster"].alias("cluster"),
+                    b["d"].alias("dist_q"))
+    return af, cents
+
+
+@register("g2_kmeans_clusters", oracle=_km_oracle(f"""
+SELECT af.cluster, count(*)::BIGINT AS n_members,
+       CAST(sum(af.dist_q) AS BIGINT) AS inertia_q,
+       {", ".join(f"c.cv[{i + 1}] AS c{i + 1}" for i in range(_KM_D))}
+FROM af JOIN c{_KM_ITERS} c USING (cluster)
+GROUP BY af.cluster, {", ".join(f"c.cv[{i + 1}]" for i in range(_KM_D))}
+ORDER BY af.cluster
+"""))
+def g2_kmeans_clusters(spark: SparkSession, d: str) -> DataFrame:
+    """K-means (k=4, 3 exact Lloyd iterations) over the first 8 dims
+    of the embedding corpus in 1e-6 fixed-point: per-cluster member
+    count, exact integer inertia, and the final centroid coordinates
+    — bit-identical across engines because assignment distances,
+    per-cluster sums, and the truncating-division centroid update are
+    all BIGINT ops.  Init = the vectors at vec_id 0/100/200/300
+    (deterministic spread seeding); an emptied cluster keeps its
+    previous centroid (both sides LEFT JOIN / carry).
+
+    Scale shape: K iterations = K (map-side argmin + partial-agg
+    sum) passes with centroid literals broadcast in the plan — the
+    per-iteration driver state is k*(d+1) integers, never data."""
+    af, cents = _km_run(spark, d)
+    cent_rows = spark.createDataFrame(
+        [(c, *[int(v) for v in cents[c]]) for c in range(_KM_K)],
+        ["cluster"] + [f"c{i + 1}" for i in range(_KM_D)])
+    return (af.groupBy("cluster")
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("dist_q").cast("long").alias("inertia_q"))
+            .join(F.broadcast(cent_rows), "cluster")
+            .orderBy("cluster"))
+
+
+@register("g2_kmeans_assign", oracle=_km_oracle("""
+SELECT vec_id, cluster, dist_q FROM af ORDER BY vec_id
+"""))
+def g2_kmeans_assign(spark: SparkSession, d: str) -> DataFrame:
+    """Final per-vector hard assignment from the exact k-means loop:
+    (vec_id, cluster, exact integer squared distance) — the cell map
+    an IVF layout would persist, value-checked row by row."""
+    af, _ = _km_run(spark, d)
+    return af.orderBy("vec_id")
