@@ -1515,7 +1515,7 @@ def _nb_doc_scores(spark: SparkSession, d: str) -> DataFrame:
                     "score_s"))
 
 
-@register("t21_nb_quality", oracle=_nb_doc_cte() + """
+@register("t21_nb_quality", headline=True, oracle=_nb_doc_cte() + """
 SELECT doc_id, gopher_pass, n_tokens, log_odds, nb_pass FROM scored
 """)
 def t21_nb_quality(spark: SparkSession, d: str) -> DataFrame:
@@ -2044,3 +2044,97 @@ def g2_kmeans_assign(spark: SparkSession, d: str) -> DataFrame:
     an IVF layout would persist, value-checked row by row."""
     af, _ = _km_run(spark, d)
     return af.orderBy("vec_id")
+
+
+@register("st_ivf_ingest", oracle=_km_oracle("""
+SELECT vec_id, cluster, dist_q FROM af ORDER BY vec_id
+"""))
+def st_ivf_ingest(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming INDEX MAINTENANCE — the ingest half of the IVF story
+    for a corpus that never stops growing: cluster layout is trained
+    OFFLINE once (the exact k-means fit above, frozen), and vectors
+    then arrive through the custom paged-dump stream in two tranches
+    (even vec_ids, then odd, resuming from the persistent
+    checkpoint); each micro-batch assigns its arrivals map-side
+    against the frozen centroid literals and appends to a
+    cluster-partitioned store — exactly how a 100 TB vector index
+    absorbs a crawl: no refit, no reshuffle of existing cells, new
+    files land inside their cell partition.  The final store must
+    reproduce the batch assignment bit-for-bit (same value oracle as
+    g2_kmeans_assign); dedup-on-read makes replayed batches
+    idempotent because each row is a deterministic function of the
+    input vector.  Vectors travel PRE-QUANTIZED (the 1e-6 BIGINT
+    grid) so serialization is integer-exact."""
+    import shutil
+    from pathlib import Path
+
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+
+    _, cents = _km_run(spark, d)
+
+    emb = _t(spark, d, "embeddings")
+    from ..functions.vector import to_double_array
+    qv = F.transform(
+        F.slice(to_double_array(F.col("embedding")), 1, _KM_D),
+        lambda x: F.floor(x * _KM_SCALE + 0.5).cast("long"))
+
+    dump = _scratch("st_ivf_dump")
+    store = _scratch("st_ivf_store")
+    ckpt = _scratch("st_ivf_ckpt")
+    for p in (dump, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(part: DataFrame) -> DataFrame:
+        return part.select(F.to_json(F.struct(
+            F.col("vec_id").cast("string").alias("page_id"),
+            F.to_json(qv).alias("title"),
+            F.lit("vec").alias("lang"),
+            F.lit(_KM_D).cast("long").alias("n_chars"))).alias("value"))
+
+    page_rows(emb.filter(F.col("vec_id") % 2 == 0)) \
+        .repartition(2).write.text(dump)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def best_struct(cs):
+        arr = F.array(*[
+            F.struct(
+                sum(((F.element_at(F.col("qv"), i + 1) - F.lit(cv[i]))
+                     * (F.element_at(F.col("qv"), i + 1) - F.lit(cv[i])))
+                    for i in range(_KM_D)).alias("d"),
+                F.lit(c).cast("long").alias("cluster"))
+            for c, cv in enumerate(cs)])
+        return F.sort_array(arr).getItem(0)
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+
+        def assign(batch_df: DataFrame, epoch_id: int) -> None:
+            b = (batch_df.filter(~F.col("malformed"))
+                 .select(F.col("page_id").cast("long").alias("vec_id"),
+                         F.from_json(F.col("title"), "array<bigint>")
+                          .alias("qv")))
+            best = best_struct(cents)
+            (b.select("vec_id", best["cluster"].alias("cluster"),
+                      best["d"].alias("dist_q"))
+             .write.mode("append").partitionBy("cluster").parquet(store))
+
+        SP._run_foreach(stream, assign, 120, ckpt)
+
+    drain()
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(emb.filter(F.col("vec_id") % 2 == 1)) \
+        .repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    return (spark.read.parquet(store)
+            .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
+                    "dist_q")
+            .distinct().orderBy("vec_id"))
