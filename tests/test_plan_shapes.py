@@ -335,3 +335,23 @@ def test_ir_eval_queries_broadcast(spark):
     plan = _plan(spark, "ir1_eval_per_query")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_zorder_layout_single_hash_exchange(spark):
+    # bounds are one broadcast row; grid + Morton + bucket assignment
+    # must stay map-side — the only hash exchange is the per-bucket
+    # stats aggregate
+    plan = _plan(spark, "s29_zorder_layout")
+    assert "CartesianProduct" not in plan
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1, plan
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    # final assignment = argmin over centroid LITERALS: no join of any
+    # kind, no window — a pure projection over the scan (plus the
+    # output sort)
+    plan = _plan(spark, "g2_kmeans_assign")
+    for bad in ("CartesianProduct", "Join", "Window"):
+        assert bad not in plan, f"assignment plans a {bad}"
