@@ -1237,27 +1237,33 @@ _DCG_W = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, _IR_K + 1)]
 _IDCG_CUM = [sum(_DCG_W[:i + 1]) for i in range(_IR_K)]  # ideal DCG @ 1..K
 
 
-def _ir_per_query_cte() -> str:
+def _ir_cte_parts(dim: int | None = None, sfx: str = "") -> str:
+    """CTE chain (no WITH keyword) ending in ``perq{sfx}``; ``dim``
+    truncates both sides of the cosine to the first ``dim`` dims (the
+    Matryoshka serving path) — None scores full vectors."""
     from . import oracle_vec as OV
-    cos = OV.cosine_sql("e.embedding", "q.qv")
+    emb = ("e.embedding" if dim is None
+           else f"list_slice(e.embedding, 1, {dim})")
+    qv = "q.qv" if dim is None else f"list_slice(q.qv, 1, {dim})"
+    cos = OV.cosine_sql(emb, qv)
     dcg_case = " ".join(f"WHEN {r + 1} THEN {w}"
                         for r, w in enumerate(_DCG_W))
     idcg_case = " ".join(f"WHEN {i + 1} THEN {c}"
                          for i, c in enumerate(_IDCG_CUM))
     return f"""
-WITH q AS (
+q{sfx} AS (
   SELECT vec_id AS qid, label AS qlabel, embedding AS qv
   FROM embeddings WHERE vec_id % 50 = 7
-), cnt AS (
+), cnt{sfx} AS (
   SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY label
-), scored AS (
+), scored{sfx} AS (
   SELECT q.qid, q.qlabel, e.vec_id AS rid, e.label AS rlabel,
          row_number() OVER (PARTITION BY q.qid
                             ORDER BY round({cos}, 6) DESC, e.vec_id)
            AS rank
-  FROM embeddings e CROSS JOIN q
+  FROM embeddings e CROSS JOIN q{sfx} q
   WHERE e.vec_id <> q.qid
-), agg AS (
+), agg{sfx} AS (
   SELECT qid, qlabel,
          CAST(sum((rlabel = qlabel)::INT) AS BIGINT) AS hits,
          CAST(coalesce(min(CASE WHEN rlabel = qlabel THEN rank END), 0)
@@ -1265,9 +1271,9 @@ WITH q AS (
          CAST(coalesce(sum((rlabel = qlabel)::INT
                            * CASE rank {dcg_case} ELSE 0 END), 0)
               AS BIGINT) AS dcg_s
-  FROM scored WHERE rank <= {_IR_K}
+  FROM scored{sfx} WHERE rank <= {_IR_K}
   GROUP BY qid, qlabel
-), perq AS (
+), perq{sfx} AS (
   SELECT a.qid AS query_id, a.qlabel AS query_label,
          (c.n - 1)::BIGINT AS n_rel, a.hits AS hits_10,
          a.first_rank AS first_hit_rank,
@@ -1284,25 +1290,32 @@ WITH q AS (
                             {idcg_case} ELSE {_IDCG_CUM[-1]} END)::DOUBLE,
                          6)
          END AS ndcg_10
-  FROM agg a JOIN cnt c ON c.label = a.qlabel
+  FROM agg{sfx} a JOIN cnt{sfx} c ON c.label = a.qlabel
 )"""
 
 
-def _ir_per_query(spark: SparkSession, d: str) -> DataFrame:
+def _ir_per_query_cte() -> str:
+    return "\nWITH " + _ir_cte_parts()
+
+
+def _ir_per_query(spark: SparkSession, d: str,
+                  dim: int | None = None) -> DataFrame:
     """Shared Spark plan for the IR eval entries: label-match relevance
     (the embeddings table's `label` column IS the judgment set), exact
     cosine top-10 per held-out query (vec_id % 50 == 7), metrics as
     exact integer sums of the shared _DCG_W weights."""
     from ..functions.vector import cosine, to_double_array
+    vec = (to_double_array(F.col("embedding")) if dim is None
+           else F.slice(to_double_array(F.col("embedding")), 1, dim))
     emb = _t(spark, d, "embeddings")
     q = (emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 7)
          .select(F.col("vec_id").alias("qid"),
                  F.col("label").alias("qlabel"),
-                 to_double_array(F.col("embedding")).alias("qv")))
+                 vec.alias("qv")))
     cnt = emb.groupBy("label").agg(F.count("*").alias("n"))
     pairs = (emb.select(F.col("vec_id").alias("rid"),
                         F.col("label").alias("rlabel"),
-                        to_double_array(F.col("embedding")).alias("cv"))
+                        vec.alias("cv"))
              .crossJoin(F.broadcast(q))
              .filter(F.col("rid") != F.col("qid")))
     w = Window.partitionBy("qid").orderBy(
@@ -2138,3 +2151,51 @@ def st_ivf_ingest(spark: SparkSession, d: str) -> DataFrame:
             .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
                     "dist_q")
             .distinct().orderBy("vec_id"))
+
+
+@register("ir3_eval_matryoshka", oracle=(
+    "WITH " + _ir_cte_parts(None, "_f") + ", "
+    + _ir_cte_parts(16, "_t") + """
+, s AS (
+  SELECT 'dim16' AS variant, * FROM perq_t
+  UNION ALL
+  SELECT 'full64', * FROM perq_f
+)
+SELECT variant, CAST(count(*) AS BIGINT) AS n_queries,
+       round(sum(CAST(round(recall_10 * 1000000) AS BIGINT))::DOUBLE
+             / (count(*) * 1000000)::DOUBLE, 6) AS macro_recall_10,
+       round(sum(CAST(round(mrr_10 * 1000000) AS BIGINT))::DOUBLE
+             / (count(*) * 1000000)::DOUBLE, 6) AS macro_mrr_10,
+       round(sum(CAST(round(ndcg_10 * 1000000) AS BIGINT))::DOUBLE
+             / (count(*) * 1000000)::DOUBLE, 6) AS macro_ndcg_10
+FROM s GROUP BY variant ORDER BY variant
+"""))
+def ir3_eval_matryoshka(spark: SparkSession, d: str) -> DataFrame:
+    """The Matryoshka serving decision quantified in RELEVANCE terms:
+    the same IR eval run twice — full 64-dim cosine vs the first-16-
+    dims truncation (r10's 4x-cheaper path) — reporting macro
+    recall@10 / MRR / nDCG side by side.  r10_matryoshka_overlap
+    measures rank agreement against the full ranking; this measures
+    what users feel: how much LABEL-relevance the truncation actually
+    costs (rank churn among same-label neighbors is free).  Same
+    integer-weight metric pipeline, same broadcast-scoring shape,
+    two passes over the corpus (one per variant)."""
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        def s(c):
+            return F.sum(F.round(F.col(c) * 1000000).cast("long"))
+        n = F.count("*")
+        return df.agg(
+            F.lit(tag).alias("variant"),
+            n.cast("long").alias("n_queries"),
+            F.round(s("recall_10").cast("double")
+                    / (n * 1000000).cast("double"), 6)
+             .alias("macro_recall_10"),
+            F.round(s("mrr_10").cast("double")
+                    / (n * 1000000).cast("double"), 6)
+             .alias("macro_mrr_10"),
+            F.round(s("ndcg_10").cast("double")
+                    / (n * 1000000).cast("double"), 6)
+             .alias("macro_ndcg_10"))
+    t = summarize(_ir_per_query(spark, d, dim=16), "dim16")
+    f = summarize(_ir_per_query(spark, d), "full64")
+    return t.unionByName(f).orderBy("variant")
