@@ -2199,3 +2199,108 @@ def ir3_eval_matryoshka(spark: SparkSession, d: str) -> DataFrame:
     t = summarize(_ir_per_query(spark, d, dim=16), "dim16")
     f = summarize(_ir_per_query(spark, d), "full64")
     return t.unionByName(f).orderBy("variant")
+
+
+def _bpe_fertility_oracle() -> str:
+    from . import oracle_vec as OV
+    return _bpe_chain(full=True) + f"""
+, bpe_len AS (
+  SELECT tok, len(syms)::BIGINT AS n_sym FROM r{_BPE_K}
+), doc_toks AS (
+  SELECT doc_id, lang, unnest({OV.tokens_sql('text')}) AS tok
+  FROM documents
+)
+SELECT dt.lang, count(DISTINCT dt.doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_words,
+       CAST(sum(b.n_sym) AS BIGINT) AS n_bpe_tokens,
+       round(sum(b.n_sym)::DOUBLE / count(*)::DOUBLE, 6) AS fertility
+FROM doc_toks dt JOIN bpe_len b USING (tok)
+GROUP BY dt.lang ORDER BY dt.lang
+"""
+
+
+@register("t22_bpe_fertility", oracle=_bpe_fertility_oracle())
+def t22_bpe_fertility(spark: SparkSession, d: str) -> DataFrame:
+    """Tokenizer FERTILITY by language (symbols emitted per
+    whitespace word under the learned BPE vocabulary) — the standard
+    cross-lingual tokenizer-equity metric (a language with high
+    fertility pays more compute per word and fits less text per
+    sequence; the number multilingual-corpus reports publish next to
+    the mix).  Exact integer sums per language, one division at the
+    end; same broadcast vocab join as t20_bpe_apply with lang carried
+    map-side through the explode."""
+    from ..operators.dedup import tokens
+    _, w = _bpe_learn(spark, d)
+    bpe_len = w.select("tok", F.size("syms").cast("long").alias("n_sym"))
+    docs = _t(spark, d, "documents")
+    dt = docs.select("doc_id", "lang",
+                     F.explode(tokens(F.col("text"))).alias("tok"))
+    return (dt.join(F.broadcast(bpe_len), "tok")
+            .groupBy("lang")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_words"),
+                 F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+                 F.round(F.sum("n_sym").cast("double")
+                         / F.count("*").cast("double"), 6)
+                  .alias("fertility"))
+            .orderBy("lang"))
+
+
+# ===========================================================================
+# Planner-statistics audit (a17) — the third leg of the platform-
+# stats trio (a15 cardinality, a16 skew): how good the TEXTBOOK join
+# cardinality estimate |R|*|S| / max(ndv_R, ndv_S) actually is on a
+# real key, vs the true join size.  This is the number every
+# cost-based optimizer (Catalyst CBO included) derives from catalog
+# stats; auditing it against truth is how a platform team decides
+# whether stats-driven planning can be trusted on a given key.
+# ===========================================================================
+
+@register("a17_join_estimate_audit", oracle="""
+WITH s AS (
+  SELECT (SELECT count(*)::BIGINT FROM events) AS n_e,
+         (SELECT count(DISTINCT user_id)::BIGINT FROM events) AS d_e,
+         (SELECT count(*)::BIGINT FROM customer) AS n_c,
+         (SELECT count(DISTINCT c_custkey)::BIGINT FROM customer) AS d_c
+), act AS (
+  SELECT count(*)::BIGINT AS actual_rows
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+)
+SELECT s.n_e AS left_rows, s.d_e AS left_ndv,
+       s.n_c AS right_rows, s.d_c AS right_ndv,
+       (s.n_e * s.n_c) // greatest(s.d_e, s.d_c) AS est_rows,
+       a.actual_rows,
+       round(((s.n_e * s.n_c) // greatest(s.d_e, s.d_c))::DOUBLE
+             / a.actual_rows::DOUBLE, 6) AS est_over_actual
+FROM s CROSS JOIN act a
+""")
+def a17_join_estimate_audit(spark: SparkSession, d: str) -> DataFrame:
+    """Join-cardinality estimate audit for events.user_id ⋈
+    customer.c_custkey: the textbook containment estimate
+    |R|·|S| / max(ndv_R, ndv_S) (Selinger 1979 — what a cost-based
+    optimizer computes from table stats) next to the TRUE join size,
+    with the over/under ratio.  est/actual near 1 means stats-driven
+    join ordering is trustworthy on this key; far from 1 (skew,
+    correlation, partial containment) means runtime re-planning (AQE)
+    has to carry the weight.  All-BIGINT arithmetic (truncating
+    division both engines), one final ratio division."""
+    ev = _t(spark, d, "events")
+    cust = _t(spark, d, "customer")
+    s = (ev.agg(F.count("*").alias("n_e"),
+                F.countDistinct("user_id").alias("d_e"))
+         .crossJoin(cust.agg(
+             F.count("*").alias("n_c"),
+             F.countDistinct("c_custkey").alias("d_c"))))
+    act = (ev.join(cust, ev["user_id"] == cust["c_custkey"])
+           .agg(F.count("*").alias("actual_rows")))
+    est = F.expr("(n_e * n_c) div greatest(d_e, d_c)")
+    return (s.crossJoin(F.broadcast(act))
+            .select(F.col("n_e").alias("left_rows"),
+                    F.col("d_e").alias("left_ndv"),
+                    F.col("n_c").alias("right_rows"),
+                    F.col("d_c").alias("right_ndv"),
+                    est.alias("est_rows"),
+                    "actual_rows",
+                    F.round(est.cast("double")
+                            / F.col("actual_rows").cast("double"), 6)
+                     .alias("est_over_actual")))
