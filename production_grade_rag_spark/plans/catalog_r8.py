@@ -2304,3 +2304,157 @@ def a17_join_estimate_audit(spark: SparkSession, d: str) -> DataFrame:
                     F.round(est.cast("double")
                             / F.col("actual_rows").cast("double"), 6)
                      .alias("est_over_actual")))
+
+
+# ===========================================================================
+# Release funnel (capstone composition) — the per-stage survival
+# report a training-data RELEASE publishes (the "data card" funnel:
+# raw -> each curation gate -> dedup -> LM gate, with doc and token
+# mass at every stage).  Every predicate is the SAME shared fragment
+# the individual entries use, so the funnel is the composition
+# audit: if any stage's count drifts from its standalone entry, one
+# of them is wrong.
+# ===========================================================================
+
+def _release_funnel_oracle() -> str:
+    from ..operators.curation_rules import c4_sql, gopher_sql
+    from . import oracle_sql as O
+    from . import oracle_vec as OV
+    toks = "CAST(coalesce(sum(length(clean_text) // 4), 0) AS BIGINT)"
+    stage = ("SELECT {no} AS stage_no, '{name}' AS stage, "
+             "count(*)::BIGINT AS docs, " + toks + " AS est_tokens "
+             "FROM {src}{pred}")
+    return f"""
+WITH g AS (
+  SELECT doc_id, {gopher_sql('text')} FROM documents
+), c AS (
+  SELECT doc_id, {c4_sql('text')} FROM documents
+), scored AS (
+  SELECT d.doc_id, {O.clean_sql('d.text')} AS clean_text,
+         {OV.detect_language_sql('d.text')} AS detected_lang,
+         g.gopher_pass, c.page_drop
+  FROM documents d
+  JOIN g ON g.doc_id = d.doc_id
+  JOIN c ON c.doc_id = d.doc_id
+), keyed AS (
+  SELECT *, md5(lower({O.pystrip_sql('clean_text')})) AS content_hash
+  FROM scored
+  WHERE gopher_pass AND NOT page_drop AND detected_lang = 'en'
+), keepers AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keeper_id
+    FROM keyed) WHERE doc_id = keeper_id
+), ppl AS ({_ppl_cte()}
+  SELECT doc_id, ppl_bucket FROM bucketed
+), final AS (
+  SELECT k.* FROM keepers k JOIN ppl p USING (doc_id)
+  WHERE p.ppl_bucket <> 'tail'
+), stages AS (
+  {stage.format(no=0, name='raw', src='scored', pred='')}
+  UNION ALL
+  {stage.format(no=1, name='gopher', src='scored',
+                pred=' WHERE gopher_pass')}
+  UNION ALL
+  {stage.format(no=2, name='c4_page', src='scored',
+                pred=' WHERE gopher_pass AND NOT page_drop')}
+  UNION ALL
+  {stage.format(no=3, name='lang_en', src='keyed', pred='')}
+  UNION ALL
+  {stage.format(no=4, name='exact_dedup', src='keepers', pred='')}
+  UNION ALL
+  {stage.format(no=5, name='perplexity', src='final', pred='')}
+), raw AS (
+  SELECT docs AS raw_docs FROM stages WHERE stage_no = 0
+)
+SELECT CAST(s.stage_no AS BIGINT) AS stage_no, s.stage, s.docs,
+       s.est_tokens,
+       round(s.docs::DOUBLE / r.raw_docs::DOUBLE, 6) AS share_of_raw
+FROM stages s CROSS JOIN raw r ORDER BY stage_no
+"""
+
+
+@register("cc_release_funnel", oracle=_release_funnel_oracle())
+def cc_release_funnel(spark: SparkSession, d: str) -> DataFrame:
+    """Data-card release funnel: doc and token mass surviving each
+    stage of the modern curation pipeline — raw -> Gopher rules ->
+    C4 page rules -> language gate -> exact-dedup keeper election ->
+    CCNet perplexity gate — with each stage's share of raw.  The
+    published numbers of a corpus release (C4, Gopher, FineWeb all
+    lead with exactly this table), assembled from the SAME shared
+    rule fragments as the standalone entries.
+
+    Scale shape: stages 0-3 are ONE conditional-aggregation pass
+    (one scan, one 1-row result, exploded into rows — no per-stage
+    re-scan); stage 4 adds the single content-hash shuffle the
+    modern plan already pays; stage 5 the perplexity join.  The
+    share division happens once against a broadcast raw count."""
+    from ..functions import text as X
+    from ..operators import textstats
+    from ..operators.curation_rules import c4_line_stats, gopher_flags
+
+    docs = _t(spark, d, "documents")
+    gf = gopher_flags(F.col("text"))
+    cf = c4_line_stats(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        X.clean_text(F.col("text")).alias("clean_text"),
+        textstats.detect_language(F.col("text")).alias("detected_lang"),
+        gf["gopher_pass"].alias("gopher_pass"),
+        cf["page_drop"].alias("page_drop"))
+    toks = X.token_estimate(F.col("clean_text"))
+    g1 = F.col("gopher_pass")
+    g2 = g1 & ~F.col("page_drop")
+    g3 = g2 & (F.col("detected_lang") == "en")
+
+    def cnt(cond):
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+
+    def tok(cond):
+        return F.coalesce(F.sum(F.when(cond, toks)), F.lit(0)).cast("long")
+
+    one = scored.agg(
+        F.count("*").alias("d0"), F.coalesce(F.sum(toks), F.lit(0))
+        .cast("long").alias("t0"),
+        cnt(g1).alias("d1"), tok(g1).alias("t1"),
+        cnt(g2).alias("d2"), tok(g2).alias("t2"),
+        cnt(g3).alias("d3"), tok(g3).alias("t3"))
+
+    def st(no, name, dc, tc):
+        return F.struct(F.lit(no).cast("long").alias("stage_no"),
+                        F.lit(name).alias("stage"),
+                        F.col(dc).cast("long").alias("docs"),
+                        F.col(tc).cast("long").alias("est_tokens"))
+
+    s03 = one.select(F.explode(F.array(
+        st(0, "raw", "d0", "t0"), st(1, "gopher", "d1", "t1"),
+        st(2, "c4_page", "d2", "t2"), st(3, "lang_en", "d3", "t3")))
+        .alias("s")).select("s.*")
+
+    keyed = (scored.filter(g3)
+             .withColumn("content_hash",
+                         F.md5(F.lower(X.pystrip(F.col("clean_text"))))))
+    w = Window.partitionBy("content_hash")
+    keepers = (keyed.withColumn("keeper_id", F.min("doc_id").over(w))
+               .filter(F.col("doc_id") == F.col("keeper_id")))
+
+    def agg_stage(df, no, name):
+        return (df.agg(F.count("*").alias("docs"),
+                       F.coalesce(F.sum(toks), F.lit(0)).cast("long")
+                       .alias("est_tokens"))
+                .select(F.lit(no).cast("long").alias("stage_no"),
+                        F.lit(name).alias("stage"), "docs", "est_tokens"))
+
+    s4 = agg_stage(keepers, 4, "exact_dedup")
+    ppl = _ppl_frame(spark, d).select("doc_id", "ppl_bucket")
+    final = (keepers.join(ppl, "doc_id")
+             .filter(F.col("ppl_bucket") != "tail"))
+    s5 = agg_stage(final, 5, "perplexity")
+
+    stages = s03.unionByName(s4).unionByName(s5)
+    raw = one.select(F.col("d0").alias("raw_docs"))
+    return (stages.crossJoin(F.broadcast(raw))
+            .select("stage_no", "stage", "docs", "est_tokens",
+                    F.round(F.col("docs").cast("double")
+                            / F.col("raw_docs").cast("double"), 6)
+                     .alias("share_of_raw"))
+            .orderBy("stage_no"))
