@@ -2458,3 +2458,172 @@ def cc_release_funnel(spark: SparkSession, d: str) -> DataFrame:
                             / F.col("raw_docs").cast("double"), 6)
                      .alias("share_of_raw"))
             .orderBy("stage_no"))
+
+
+@register("t21_nb_calibration", oracle=_nb_doc_cte() + """
+, binned AS (
+  SELECT least(9, CAST(floor(
+           round(1.0::DOUBLE / (1.0::DOUBLE + exp(-log_odds)), 6)
+           * 10) AS BIGINT)) AS bin,
+         CAST(round(round(1.0::DOUBLE
+                          / (1.0::DOUBLE + exp(-log_odds)), 6)
+                    * 1000000) AS BIGINT) AS prob_s,
+         gopher_pass
+  FROM scored
+)
+SELECT bin, count(*)::BIGINT AS n_docs,
+       round(sum(prob_s)::DOUBLE / (count(*) * 1000000)::DOUBLE, 6)
+         AS mean_predicted,
+       round(sum(gopher_pass::INT)::DOUBLE / count(*)::DOUBLE, 6)
+         AS observed_positive
+FROM binned GROUP BY bin ORDER BY bin
+""")
+def t21_nb_calibration(spark: SparkSession, d: str) -> DataFrame:
+    """Calibration (reliability) table for the NB quality classifier:
+    predicted-probability deciles vs the observed positive rate of
+    the weak label in each bin — the standard check before a score
+    threshold goes to production (NB is notoriously overconfident;
+    this table is how you SEE it, and what a recalibration step
+    would fit against).  Probabilities quantize to 6 decimals before
+    binning and integer-sum for the bin mean, so bin membership and
+    both rates are engine-exact."""
+    scored = _nb_doc_scores(spark, d)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds"))), 6)
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(prob * 10).cast("long")).alias("bin"),
+        F.round(prob * 1000000).cast("long").alias("prob_s"),
+        "gopher_pass")
+    return (binned.groupBy("bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.sum("prob_s").cast("double")
+                         / (F.count("*") * 1000000).cast("double"), 6)
+                  .alias("mean_predicted"),
+                 F.round(F.sum(F.col("gopher_pass").cast("int"))
+                         .cast("double") / F.count("*").cast("double"), 6)
+                  .alias("observed_positive"))
+            .orderBy("bin"))
+
+
+# ===========================================================================
+# Event-sequence analytics: first-order Markov transition matrix —
+# the "what happens after X" table behind next-action prediction and
+# funnel design
+# ===========================================================================
+
+@register("ev_markov_transitions", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type, next_type, count(*)::BIGINT AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM pairs
+  GROUP BY event_type
+)
+SELECT p.event_type, p.next_type, p.n,
+       round(p.n::DOUBLE / t.row_total::DOUBLE, 6) AS p_next
+FROM pairs p JOIN tot t USING (event_type)
+ORDER BY p.event_type, p.next_type
+""")
+def ev_markov_transitions(spark: SparkSession, d: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), with the deterministic
+    (ts, event_id) ordering every sequence entry in this catalog
+    uses.  One user-keyed window (same shuffle ev_sessionize already
+    pays — uniform user_id hash), then a transition-pair aggregate
+    that is event-type²-sized — broadcast-small forever."""
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    pairs = (seq.filter(F.col("next_type").isNotNull())
+             .groupBy("event_type", "next_type")
+             .agg(F.count("*").alias("n")))
+    tot = pairs.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("row_total"))
+    return (pairs.join(F.broadcast(tot), "event_type")
+            .select("event_type", "next_type", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("row_total").cast("double"), 6)
+                     .alias("p_next"))
+            .orderBy("event_type", "next_type"))
+
+
+# ===========================================================================
+# Population-stability drift report (PSI) — the production data-drift
+# gate: does today's corpus slice distribute like yesterday's?
+# ===========================================================================
+
+@register("dq2_psi_drift", oracle="""
+WITH tagged AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'current' END AS cohort,
+         lang
+  FROM documents
+), counts AS (
+  SELECT cohort, lang, count(*)::BIGINT AS n FROM tagged
+  GROUP BY cohort, lang
+), tot AS (
+  SELECT cohort, CAST(sum(n) AS BIGINT) AS total FROM counts
+  GROUP BY cohort
+), share AS (
+  SELECT l.lang,
+         round(coalesce(b.n, 0)::DOUBLE / bt.total::DOUBLE + 0.0001, 6)
+           AS p_base,
+         round(coalesce(c.n, 0)::DOUBLE / ct.total::DOUBLE + 0.0001, 6)
+           AS p_cur
+  FROM (SELECT DISTINCT lang FROM documents) l
+  LEFT JOIN counts b ON b.lang = l.lang AND b.cohort = 'base'
+  LEFT JOIN counts c ON c.lang = l.lang AND c.cohort = 'current'
+  CROSS JOIN (SELECT total FROM tot WHERE cohort = 'base') bt
+  CROSS JOIN (SELECT total FROM tot WHERE cohort = 'current') ct
+)
+SELECT lang, p_base, p_cur,
+       round((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_term
+FROM share
+ORDER BY lang
+""")
+def dq2_psi_drift(spark: SparkSession, d: str) -> DataFrame:
+    """Population-stability index (PSI) drift report on the language
+    mix — the standard production gate for 'does the new crawl slice
+    distribute like the reference slice' (PSI < 0.1 stable, > 0.25
+    act), demonstrated on a deterministic even/odd doc_id cohort
+    split.  Shares are 6-decimal-quantized with the conventional
+    epsilon (1e-4) BEFORE the log term so zero-category cohorts stay
+    finite and both engines feed ln() identical doubles.
+
+    Scale: two cohort-x-category aggregates (category-sized), 1-row
+    totals broadcast — the report never shuffles the corpus."""
+    docs = _t(spark, d, "documents")
+    tagged = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("base"))
+         .otherwise(F.lit("current")).alias("cohort"), "lang")
+    counts = tagged.groupBy("cohort", "lang").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("cohort").agg(F.sum("n").cast("long").alias("total"))
+    langs = docs.select("lang").distinct()
+    b = (counts.filter(F.col("cohort") == "base").select("lang", "n")
+         .withColumnRenamed("n", "n_b"))
+    c = (counts.filter(F.col("cohort") == "current").select("lang", "n")
+         .withColumnRenamed("n", "n_c"))
+    bt = tot.filter(F.col("cohort") == "base").select(
+        F.col("total").alias("t_b"))
+    ct = tot.filter(F.col("cohort") == "current").select(
+        F.col("total").alias("t_c"))
+    share = (langs.join(F.broadcast(b), "lang", "left")
+             .join(F.broadcast(c), "lang", "left")
+             .crossJoin(F.broadcast(bt)).crossJoin(F.broadcast(ct))
+             .select("lang",
+                     F.round(F.coalesce(F.col("n_b"), F.lit(0))
+                             .cast("double") / F.col("t_b").cast("double")
+                             + 0.0001, 6).alias("p_base"),
+                     F.round(F.coalesce(F.col("n_c"), F.lit(0))
+                             .cast("double") / F.col("t_c").cast("double")
+                             + 0.0001, 6).alias("p_cur")))
+    return (share.select("lang", "p_base", "p_cur",
+                         F.round((F.col("p_cur") - F.col("p_base"))
+                                 * F.log(F.col("p_cur") / F.col("p_base")),
+                                 6).alias("psi_term"))
+            .orderBy("lang"))
