@@ -280,6 +280,11 @@ def test_perplexity_context_counts_broadcast(spark):
 
 @pytest.mark.parametrize("name", [
     "t17_dsir_resample", "t17_dsir_mix", "cc_curate_modern_ppl",
+    "ir2_eval_summary", "ir3_eval_matryoshka", "t21_nb_filter",
+    "t21_nb_confusion", "t21_nb_calibration", "s30_layout_pruning",
+    "a16_skew_probe", "a17_join_estimate_audit", "t22_bpe_fertility",
+    "cc_release_funnel", "ev_markov_transitions", "dq2_psi_drift",
+    "g2_kmeans_clusters",
 ])
 def test_r8_entries_no_cartesian(spark, name):
     plan = _plan(spark, name)
