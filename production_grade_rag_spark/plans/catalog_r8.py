@@ -1492,6 +1492,14 @@ def _nb_doc_scores(spark: SparkSession, d: str) -> DataFrame:
         "doc_id",
         gopher_flags(F.col("text"))["gopher_pass"].alias("pos"),
         tokens(F.col("text")).alias("toks"))
+    return _nb_scores_from(base)
+
+
+def _nb_scores_from(base: DataFrame) -> DataFrame:
+    """NB train + score from a prepared (doc_id, pos, toks) frame —
+    factored so the math (add-one smoothing, 1e-6 quantization,
+    integer score sums) is fuzzable against a plain-Python reference
+    (tests/test_nb_fuzz.py) independent of the Gopher labeler."""
     tk = base.select("doc_id", "pos", F.explode("toks").alias("tok"))
     pos_i = F.col("pos").cast("int")
     cls = tk.groupBy("tok").agg(
