@@ -2635,3 +2635,72 @@ def dq2_psi_drift(spark: SparkSession, d: str) -> DataFrame:
                                  * F.log(F.col("p_cur") / F.col("p_base")),
                                  6).alias("psi_term"))
             .orderBy("lang"))
+
+
+# ===========================================================================
+# Pareto-frontier (skyline) curation pick — multi-objective selection
+# without a weighting knob: the docs no other doc beats on BOTH
+# quality (higher better) and corpus duplication (lower better).
+# ===========================================================================
+
+def _skyline_oracle() -> str:
+    from . import oracle_sql as O
+    return f"""
+WITH m AS (
+  SELECT d.doc_id,
+         round(coalesce({O.quality_sql('d.text')}, 0.0::DOUBLE), 6) AS q,
+         p.dup_frac
+  FROM documents d
+  JOIN ({_dupgram_oracle()}) p ON p.doc_id = d.doc_id
+), lev AS (
+  SELECT q, min(dup_frac) AS min_dup FROM m GROUP BY q
+), lev2 AS (
+  SELECT q, min_dup,
+         min(min_dup) OVER (ORDER BY q DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS m_strict
+  FROM lev
+)
+SELECT m.doc_id, m.q AS quality_score, m.dup_frac
+FROM m JOIN lev2 USING (q)
+WHERE m.dup_frac = lev2.min_dup
+  AND (lev2.m_strict IS NULL OR m.dup_frac < lev2.m_strict)
+ORDER BY quality_score DESC, doc_id
+"""
+
+
+@register("w9_skyline_curation", oracle=_skyline_oracle())
+def w9_skyline_curation(spark: SparkSession, d: str) -> DataFrame:
+    """Skyline (Pareto-frontier) document selection over (quality
+    score UP, corpus 8-gram duplication fraction DOWN): a doc
+    survives iff no other doc is at least as good on both axes and
+    strictly better on one — the multi-objective curation pick that
+    needs NO weighting knob (contrast cc_curate's fixed thresholds).
+
+    Exact 2-D skyline WITHOUT the quadratic dominance anti-join: one
+    per-score-level min aggregate, a running strict-min window over
+    the LEVEL table, and a join back.  The level table is bounded by
+    the quantized score domain (6-decimal scores in [0,1] → ≤ 1e6+1
+    rows no matter the corpus size), so the global window is over a
+    capped table and the join back broadcasts — n·log(levels), not
+    n², at 100 TB.  Survival: dup == own-level min AND strictly
+    below every higher level's min (ties on both axes co-survive)."""
+    from ..functions import text as X
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    q = (X.with_quality(docs)
+         .select("doc_id",
+                 F.round(F.coalesce(F.col("quality_score"), F.lit(0.0)), 6)
+                  .alias("q")))
+    dup = dd_dupgram_profile(spark, d).select("doc_id", "dup_frac")
+    m = q.join(dup, "doc_id")
+    lev = m.groupBy("q").agg(F.min("dup_frac").alias("min_dup"))
+    w = (Window.orderBy(F.desc("q"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    lev2 = lev.withColumn("m_strict", F.min("min_dup").over(w))
+    return (m.join(F.broadcast(lev2), "q")
+            .filter((F.col("dup_frac") == F.col("min_dup"))
+                    & (F.col("m_strict").isNull()
+                       | (F.col("dup_frac") < F.col("m_strict"))))
+            .select("doc_id", F.col("q").alias("quality_score"),
+                    "dup_frac")
+            .orderBy(F.desc("quality_score"), "doc_id"))
