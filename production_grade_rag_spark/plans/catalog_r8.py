@@ -2704,3 +2704,104 @@ def w9_skyline_curation(spark: SparkSession, d: str) -> DataFrame:
             .select("doc_id", F.col("q").alias("quality_score"),
                     "dup_frac")
             .orderBy(F.desc("quality_score"), "doc_id"))
+
+
+# ===========================================================================
+# Version diff audit (s31) — "what changed since yesterday" over the
+# versioned-table layer, plus corpus-concentration analytics (a19)
+# ===========================================================================
+
+@register("s31_version_diff", oracle="""
+WITH v1 AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0
+), v2 AS (
+  SELECT doc_id, lang,
+         n_chars + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.n_chars <> b.n_chars THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       a.n_chars AS old_n_chars, b.n_chars AS new_n_chars
+FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+ORDER BY doc_id
+""")
+def s31_version_diff(spark: SparkSession, d: str) -> DataFrame:
+    """Snapshot DIFF over the versioned-table layer (the Delta
+    table_changes / Iceberg changelog read, directory-convention
+    form): write two snapshots whose membership and content drift
+    deterministically (v2 drops every 5th doc, gains every 3rd,
+    bumps n_chars on every 7th), then compute the per-key
+    added/removed/changed/unchanged ledger by FULL OUTER JOIN of the
+    two time-travel reads.  The Spark side goes THROUGH the store
+    (write_version -> read_version as_of) — proving the lineage
+    path; the oracle checks the diff semantics.  At 100 TB the diff
+    is one co-partitioned full-outer join on the snapshot key."""
+    import shutil
+    from ..sources.tables import read_version, write_version
+    from .catalog_more import _scratch
+    docs = _t(spark, d, "documents")
+    path = _scratch("s31_diff")
+    shutil.rmtree(path, ignore_errors=True)
+    write_version(docs.filter(F.col("doc_id") % 3 != 0)
+                  .select("doc_id", "lang", "n_chars"), path, 1)
+    write_version(docs.filter(F.col("doc_id") % 5 != 0)
+                  .select("doc_id", "lang",
+                          (F.col("n_chars")
+                           + F.when(F.col("doc_id") % 7 == 0, 1)
+                              .otherwise(0)).alias("n_chars")),
+                  path, 2)
+    a = read_version(spark, path, as_of=1).alias("a")
+    b = read_version(spark, path, as_of=2).alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return (j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+         .when(F.col("b.doc_id").isNull(), "removed")
+         .when(F.col("a.n_chars") != F.col("b.n_chars"), "changed")
+         .otherwise("unchanged").alias("status"),
+        F.col("a.n_chars").alias("old_n_chars"),
+        F.col("b.n_chars").alias("new_n_chars"))
+        .orderBy("doc_id"))
+
+
+@register("a19_source_gini", oracle="""
+WITH sc AS (
+  SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, source) AS i FROM sc
+), agg AS (
+  SELECT count(*)::BIGINT AS n, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(i * c) AS BIGINT) AS wsum
+  FROM ranked
+)
+SELECT n AS n_sources, total AS total_docs,
+       round((2 * wsum)::DOUBLE / (n * total)::DOUBLE
+             - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+FROM agg
+""")
+def a19_source_gini(spark: SparkSession, d: str) -> DataFrame:
+    """Source-concentration Gini coefficient of the corpus — the
+    diversity number a data card reports next to the domain mix
+    (0 = every source contributes equally, ->1 = one source
+    dominates; the signal that triggers t19's rebalancing or
+    dd_domain_cap).  Exact integer rank-weighted sums over the
+    SOURCE-count table (sources-sized, tiny at any corpus scale —
+    the global rank window never touches the corpus), one double
+    expression at the end, identical in both engines."""
+    docs = _t(spark, d, "documents")
+    sc = docs.groupBy("source").agg(F.count("*").alias("c"))
+    w = Window.orderBy("c", "source")
+    ranked = sc.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(F.count("*").alias("n"),
+                     F.sum("c").cast("long").alias("total"),
+                     F.sum(F.col("i") * F.col("c")).cast("long")
+                     .alias("wsum"))
+    return agg.select(
+        F.col("n").alias("n_sources"), F.col("total").alias("total_docs"),
+        F.round((2 * F.col("wsum")).cast("double")
+                / (F.col("n") * F.col("total")).cast("double")
+                - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+                6).alias("gini"))
