@@ -2805,3 +2805,129 @@ def a19_source_gini(spark: SparkSession, d: str) -> DataFrame:
                 / (F.col("n") * F.col("total")).cast("double")
                 - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
                 6).alias("gini"))
+
+
+# ===========================================================================
+# Pseudo-relevance feedback (r11) — Rocchio-style query expansion
+# (Rocchio 1971, public): retrieve, mine expansion terms from the top
+# documents, re-retrieve with the enriched query.  Unlike the r7
+# hybrid entries (whose query terms are compile-time literals), the
+# expansion terms here are DATA-DEPENDENT — both engines derive them
+# inside the plan, so the whole feedback loop is value-oracled.
+# ===========================================================================
+
+def _prf_ctes() -> str:
+    from . import oracle_vec as OV
+    from .oracle_sql import sql_str
+    terms = ", ".join(sql_str(t) for t in OV.QUERY_TERMS)
+    contrib = ("CAST(round(tf::DOUBLE * ln((nd.n + 1.0::DOUBLE) "
+               "/ (df.df + 1.0::DOUBLE)) * 1000000) AS BIGINT)")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({OV.tokens_sql('text')}) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+), nd AS (
+  SELECT count(*)::BIGINT AS n FROM documents
+), df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok
+), qs AS (
+  SELECT unnest([{terms}]) AS tok
+), s0 AS (
+  SELECT tf.doc_id, CAST(sum({contrib}) AS BIGINT) AS s
+  FROM tf JOIN qs USING (tok) JOIN df USING (tok) CROSS JOIN nd
+  GROUP BY tf.doc_id
+), top5 AS (
+  SELECT doc_id FROM s0 ORDER BY s DESC, doc_id LIMIT 5
+), cand AS (
+  SELECT tf.tok, CAST(sum({contrib}) AS BIGINT) AS w
+  FROM tf JOIN top5 USING (doc_id) JOIN df USING (tok) CROSS JOIN nd
+  WHERE tf.tok NOT IN ({terms})
+  GROUP BY tf.tok
+), expn AS (
+  SELECT tok, w FROM cand ORDER BY w DESC, tok LIMIT 3
+), allterms AS (
+  SELECT tok FROM qs UNION SELECT tok FROM expn
+), s1 AS (
+  SELECT tf.doc_id, CAST(sum({contrib}) AS BIGINT) AS score_s,
+         count(*)::BIGINT AS n_matched
+  FROM tf JOIN allterms USING (tok) JOIN df USING (tok) CROSS JOIN nd
+  GROUP BY tf.doc_id
+)"""
+
+
+def _prf_frames(spark: SparkSession, d: str):
+    """Shared Spark chain.  Scale shape: tf/df are the inverted-index
+    aggregates every text entry pays (flat token keys); the query and
+    expansion term sets are <=9 rows — every scoring join broadcasts;
+    top-5/top-3 are TakeOrdered.  Per-term contributions quantize to
+    BIGINT before summing (commutative — partition-order-proof)."""
+    from ..operators.dedup import tokens
+    from . import oracle_vec as OV
+    docs = _t(spark, d, "documents")
+    tf = (docs.select("doc_id", F.explode(tokens(F.col("text")))
+                      .alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    nd = docs.agg(F.count("*").alias("n"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    qs = spark.createDataFrame([(t,) for t in OV.QUERY_TERMS], ["tok"])
+    contrib = F.round(
+        F.col("tf").cast("double")
+        * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+        * 1000000).cast("long")
+
+    def scored(term_df: DataFrame) -> DataFrame:
+        return (tf.join(F.broadcast(term_df), "tok")
+                .join(F.broadcast(df), "tok")
+                .crossJoin(F.broadcast(nd))
+                .groupBy("doc_id")
+                .agg(F.sum(contrib).cast("long").alias("score_s"),
+                     F.count("*").alias("n_matched")))
+
+    top5 = (scored(qs).orderBy(F.desc("score_s"), "doc_id").limit(5)
+            .select("doc_id"))
+    cand = (tf.join(F.broadcast(top5), "doc_id")
+            .filter(~F.col("tok").isin(list(OV.QUERY_TERMS)))
+            .join(F.broadcast(df), "tok").crossJoin(F.broadcast(nd))
+            .groupBy("tok").agg(F.sum(contrib).cast("long").alias("w")))
+    expn = cand.orderBy(F.desc("w"), "tok").limit(3)
+    allterms = qs.unionByName(expn.select("tok")).distinct()
+    return scored(allterms), expn
+
+
+@register("r11_prf_terms", oracle=_prf_ctes() + """
+SELECT tok AS term, round(w::DOUBLE / 1000000.0, 6) AS weight
+FROM expn ORDER BY w DESC, term
+""")
+def r11_prf_terms(spark: SparkSession, d: str) -> DataFrame:
+    """The expansion terms the feedback loop mined: top-3 TF-IDF-mass
+    terms across the initial top-5 documents, original query terms
+    excluded — published separately so the expansion itself is
+    auditable (the 'why did my query grow' surface)."""
+    _, expn = _prf_frames(spark, d)
+    return (expn.select(F.col("tok").alias("term"),
+                        F.round(F.col("w").cast("double") / 1000000.0, 6)
+                         .alias("weight"))
+            .orderBy(F.desc("w"), "term"))
+
+
+@register("r11_prf_rerank", oracle=_prf_ctes() + """
+SELECT doc_id, round(score_s::DOUBLE / 1000000.0, 6) AS score,
+       n_matched
+FROM s1 ORDER BY score_s DESC, doc_id LIMIT 10
+""")
+def r11_prf_rerank(spark: SparkSession, d: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback end to end: TF-IDF retrieve
+    with the shared query terms, mine top-3 expansion terms from the
+    top-5 hits, re-retrieve with the enriched query — the classic
+    recall-widening loop (docs matching only expansion vocabulary
+    can now surface).  Entirely in-plan on both engines: the
+    expansion term set is derived data, not a literal."""
+    s1, _ = _prf_frames(spark, d)
+    return (s1.select("doc_id",
+                      F.round(F.col("score_s").cast("double") / 1000000.0,
+                              6).alias("score"),
+                      F.col("n_matched").cast("long").alias("n_matched"))
+            .orderBy(F.desc("score_s"), "doc_id").limit(10)
+            .drop("score_s"))
