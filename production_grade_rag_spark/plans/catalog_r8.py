@@ -2931,3 +2931,101 @@ def r11_prf_rerank(spark: SparkSession, d: str) -> DataFrame:
                       F.col("n_matched").cast("long").alias("n_matched"))
             .orderBy(F.desc("score_s"), "doc_id").limit(10)
             .drop("score_s"))
+
+
+# ===========================================================================
+# Multimodal composition: video keyframe election (shot-boundary
+# detection shape) — frame sampling -> per-frame decode/feature
+# extraction through the Arrow plumbing -> per-video temporal
+# difference window -> keyframe manifest.
+# ===========================================================================
+
+_MM_KEY_TAU = 1.3   # squared-distance shot boundary (shared verbatim)
+
+
+def _mm_keyframes_oracle() -> str:
+    feats = ", ".join(
+        f"('0x' || substr(h, {2 * i + 1}, 2))::BIGINT / 255.0"
+        for i in range(8))
+    dist = ("list_sum(list_transform(list_zip(features, pf), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, (n_chars / 100.0) AS dur,
+         least(5, greatest(ceil(n_chars / 100.0)::INT, 1)) AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, text, frame_index,
+         round(dur * frame_index / n, 6) AS frame_ts
+  FROM base, LATERAL unnest(range(0, n)) AS t(frame_index)
+), pay AS (
+  SELECT doc_id, frame_index::INT AS frame_index, frame_ts,
+         md5(substr(text, 1 + frame_index::INT * 7, 64)
+             || ':' || frame_index::VARCHAR) AS h
+  FROM fr
+), f AS (
+  SELECT doc_id, frame_index, frame_ts, [{feats}] AS features FROM pay
+), lagd AS (
+  SELECT *, lag(features) OVER (PARTITION BY doc_id
+                                ORDER BY frame_index) AS pf
+  FROM f
+)
+SELECT doc_id, frame_index, frame_ts,
+       coalesce(round({dist}, 6), -1.0::DOUBLE) AS dist_prev,
+       (pf IS NULL OR round({dist}, 6) > {_MM_KEY_TAU!r}::DOUBLE)
+         AS is_keyframe
+FROM lagd
+ORDER BY doc_id, frame_index
+"""
+
+
+@register("mm_keyframes", oracle=_mm_keyframes_oracle())
+def mm_keyframes(spark: SparkSession, d: str) -> DataFrame:
+    """Video keyframe election end to end: sample up to 5 evenly
+    spaced frames per item (mm_frame_sample's plan), decode each
+    sampled frame through the SAME mapInPandas feature extractor the
+    image path uses (per-frame payloads are deterministic byte
+    slices, so the whole Arrow pipeline is value-oracled), then keep
+    a frame iff it is the first or its squared feature distance to
+    the previous frame exceeds the shot-boundary threshold — the
+    temporal near-dup collapse that turns raw video into a trainable
+    keyframe manifest.
+
+    Scale shape: frame explode is bounded (<=5x), decode is
+    Arrow-batched map-side work, and the temporal window is keyed by
+    video id — the classic multimodal ingest: no corpus-wide shuffle
+    anywhere except the per-video window's uniform key."""
+    from ..operators import multimodal
+    docs = _t(spark, d, "documents")
+    fr = multimodal.frame_sample(
+        docs.select("doc_id", (F.col("n_chars") / 100.0)
+                    .alias("duration_s")))
+    pay = (fr.join(docs.select("doc_id", "text"), "doc_id")
+           .withColumn(
+               "payload_str",
+               F.concat(F.col("text").substr(
+                   (F.col("frame_index") * 7 + 1).cast("int"), F.lit(64)),
+                   F.lit(":"), F.col("frame_index").cast("string")))
+           .withColumn("fid", F.col("doc_id") * 100 + F.col("frame_index")))
+    bin_df = pay.select(F.col("fid").alias("doc_id"),
+                        F.encode(F.col("payload_str"), "utf-8")
+                        .alias("content_bytes"))
+    feats = (multimodal.decode_features(bin_df)
+             .select(F.col("doc_id").alias("fid"), "features"))
+    joined = pay.select("doc_id", "frame_index", "frame_ts", "fid") \
+        .join(feats, "fid")
+    w = Window.partitionBy("doc_id").orderBy("frame_index")
+    lagd = joined.withColumn("pf", F.lag("features").over(w))
+    dist = F.aggregate(
+        F.zip_with(F.col("features"), F.col("pf"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    rd = F.round(dist, 6)
+    return (lagd.select(
+        "doc_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        "frame_ts",
+        F.coalesce(rd, F.lit(-1.0)).alias("dist_prev"),
+        (F.col("pf").isNull() | (rd > F.lit(_MM_KEY_TAU)))
+        .alias("is_keyframe"))
+        .orderBy("doc_id", "frame_index"))
