@@ -1635,8 +1635,12 @@ def _morton_sql(x: str, y: str) -> str:
     """Bit-interleave two 16-bit ints (SQL form) — x in even bits."""
     terms = []
     for i in range(_Z_BITS):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        # explicit BIGINT on the shifted bit: DuckDB's << overflows in
+        # INT32 once the target position passes 30 (found by the fuzz
+        # in tests/test_morton_fuzz.py; column inputs were already
+        # BIGINT, but the fragment must be safe for any integer expr)
+        terms.append(f"(((({x} >> {i}) & 1)::BIGINT) << {2 * i})")
+        terms.append(f"(((({y} >> {i}) & 1)::BIGINT) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
 
 
