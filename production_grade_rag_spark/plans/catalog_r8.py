@@ -3033,3 +3033,85 @@ def mm_keyframes(spark: SparkSession, d: str) -> DataFrame:
         (F.col("pf").isNull() | (rd > F.lit(_MM_KEY_TAU)))
         .alias("is_keyframe"))
         .orderBy("doc_id", "frame_index"))
+
+
+@register("st_late_data_audit", oracle="""
+SELECT CAST(1 AS BIGINT) AS dropped_by_watermark,
+       CAST(1 AS BIGINT) AS window9_stream,
+       CAST(2 AS BIGINT) AS window9_batch,
+       true AS late_counted_in_batch,
+       false AS window12_finalized
+""")
+def st_late_data_audit(spark: SparkSession, d: str) -> DataFrame:
+    """Watermark LATE-DATA semantics as a driver-visible audit (the
+    constant-pinned invariant-gate pattern): a three-tranche file
+    stream with a deterministic choreography — on-time 09:30 event,
+    watermark-advancing 12:05/12:10 events, then a LATE 09:45 event
+    arriving after the 2h watermark closed its window.  The gate pins
+    Spark's documented contract: exactly one row dropped by the
+    watermark (numRowsDroppedByWatermark), the 09:00 window finalized
+    with ONLY the on-time event, the same files in a BATCH plan count
+    the late row too (2), and the open 12:00 window is never emitted
+    in append mode.  (SPARK-40925: the late-row filter uses the
+    PREVIOUS batch's watermark, hence the three-tranche shape —
+    mirrored from tests/test_streaming.py where it is CI-pinned.)
+
+    This is the state-bounding contract every watermarked operator's
+    100 TB note relies on, promoted from pytest to the driver board."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from ..streaming import pipeline as sp
+    from .catalog_more import _scratch
+
+    root = _scratch("st_late_audit")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+
+    def ts(h, m):
+        return datetime.datetime(2026, 1, 1, h, m)
+
+    def add_file(name, rows, mtime):
+        stage = os.path.join(root, f"stage_{name}")
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    add_file("b1", [(ts(9, 30), "click", 1.0), (ts(12, 5), "click", 1.0)],
+             mtime=1_600_000_000)
+    add_file("b2", [(ts(12, 10), "click", 1.0)], mtime=1_600_000_100)
+    add_file("b3", [(ts(9, 45), "click", 1.0), (ts(12, 45), "click", 1.0)],
+             mtime=1_600_000_200)
+
+    raw = (spark.readStream
+           .schema("ts timestamp, event_type string, value double")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(src))
+    out = sp.hourly_counts(raw.withWatermark("ts", "2 hours"))
+    q = (out.writeStream.format("memory").queryName("st_late_audit_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    dropped = sum(s.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for s in (p.get("stateOperators") or []))
+    emitted = {r["window_start"].hour: r["n_events"]
+               for r in spark.table("st_late_audit_mem").collect()}
+    batch = {r["window_start"].hour: r["n_events"]
+             for r in sp.hourly_counts(
+                 spark.read.schema(
+                     "ts timestamp, event_type string, value double")
+                 .parquet(src)).collect()}
+    return spark.createDataFrame(
+        [(int(dropped), int(emitted.get(9, 0)), int(batch.get(9, 0)),
+          batch.get(9, 0) == emitted.get(9, 0) + 1,
+          12 in emitted)],
+        "dropped_by_watermark long, window9_stream long, "
+        "window9_batch long, late_counted_in_batch boolean, "
+        "window12_finalized boolean")
