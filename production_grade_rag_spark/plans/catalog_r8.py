@@ -3115,3 +3115,82 @@ def st_late_data_audit(spark: SparkSession, d: str) -> DataFrame:
         "dropped_by_watermark long, window9_stream long, "
         "window9_batch long, late_counted_in_batch boolean, "
         "window12_finalized boolean")
+
+
+# ===========================================================================
+# Late-interaction retrieval (r12) — ColBERT-style MaxSim scoring
+# (Khattab & Zaharia 2020, public): score(d) = sum over query tokens
+# of the MAX cosine against the document's per-token vectors.  The
+# per-token embedder here is the md5-hexpair feature map (the same
+# deterministic family the multimodal fake decoder uses), so the
+# whole late-interaction plan is value-oracled; a learned token
+# embedder slots into the same shape.
+# ===========================================================================
+
+_MAXSIM_DIM = 8
+
+
+def _tokvec_py(tok: str) -> list[float]:
+    import hashlib as _hl
+    h = _hl.md5(tok.encode()).hexdigest()
+    return [int(h[2 * i: 2 * i + 2], 16) / 255.0
+            for i in range(_MAXSIM_DIM)]
+
+
+def _maxsim_oracle() -> str:
+    from . import oracle_vec as OV
+    tv = ", ".join(
+        f"('0x' || substr(md5(tok), {2 * i + 1}, 2))::BIGINT / 255.0"
+        for i in range(_MAXSIM_DIM))
+    cols = []
+    for qi, term in enumerate(OV.QUERY_TERMS):
+        qlit = OV.vec_lit_sql(_tokvec_py(term))
+        cols.append(f"max({OV.cosine_sql('tv', qlit)}) AS m{qi}")
+    total = " + ".join(f"round(m{qi}, 6)"
+                       for qi in range(len(OV.QUERY_TERMS)))
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({OV.tokens_sql('text')}) AS tok
+  FROM documents
+), tv AS (
+  SELECT doc_id, [{tv}] AS tv FROM dt
+), perq AS (
+  SELECT doc_id, {", ".join(cols)} FROM tv GROUP BY doc_id
+)
+SELECT doc_id, round({total}, 6) AS maxsim_score
+FROM perq ORDER BY round({total}, 6) DESC, doc_id LIMIT 10
+"""
+
+
+@register("r12_maxsim_topk", oracle=_maxsim_oracle())
+def r12_maxsim_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Late-interaction top-10: per-token document vectors meet each
+    query-token vector under MaxSim — the retrieval model BETWEEN
+    bag-of-words (r7 BM25: token identity only) and single-vector
+    dense (r4: one pooled embedding), completing the family.  Query
+    token vectors are Python-computed literals (shared-constant
+    discipline); per-query maxes are PARTIAL-AGGREGABLE (max combines
+    map-side), so the per-doc reduction shuffles one row per doc per
+    query token — never the token stream; the 6 rounded maxes sum in
+    one fixed-order expression on both engines."""
+    from ..operators.dedup import tokens
+    from ..functions.vector import cosine
+    from . import oracle_vec as OV
+    docs = _t(spark, d, "documents")
+    dt = (docs.select("doc_id", F.explode(tokens(F.col("text")))
+                      .alias("tok")).distinct())
+    tv = F.array(*[
+        F.conv(F.substring(F.md5(F.col("tok")), 2 * i + 1, 2), 16, 10)
+        .cast("double") / 255.0 for i in range(_MAXSIM_DIM)])
+    scored = dt.withColumn("tv", tv)
+    aggs = []
+    for qi, term in enumerate(OV.QUERY_TERMS):
+        qlit = F.array(*[F.lit(x) for x in _tokvec_py(term)])
+        aggs.append(F.max(cosine(F.col("tv"), qlit)).alias(f"m{qi}"))
+    perq = scored.groupBy("doc_id").agg(*aggs)
+    total = None
+    for qi in range(len(OV.QUERY_TERMS)):
+        t = F.round(F.col(f"m{qi}"), 6)
+        total = t if total is None else total + t
+    return (perq.select("doc_id", F.round(total, 6).alias("maxsim_score"))
+            .orderBy(F.desc("maxsim_score"), "doc_id").limit(10))
