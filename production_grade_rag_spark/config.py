@@ -62,6 +62,11 @@ class EngineConfig:
     hybrid_fusion: str = "weighted"
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
+    # pseudo-relevance feedback: "none" (default) or "prf" — mine
+    # expansion terms from the top text-branch documents (Rocchio;
+    # operators/textscore.prf_expansion_terms) and widen the query
+    # before the text branch scores.  Whitespace-analyzer terms.
+    query_expansion: str = "none"
     # text-branch analyzer: "whitespace" (the repo's F3 tokenizer) or
     # "standard" (Lucene-standard twin — the analyzer the reference's
     # $search index declares, index_manager.py:117-152; applied to
@@ -125,6 +130,8 @@ class EngineConfig:
                 "text_analyzer must be whitespace|standard|stemmed|english")
         if self.hybrid_fusion not in ("weighted", "rrf"):
             raise ValueError("hybrid_fusion must be weighted|rrf")
+        if self.query_expansion not in ("none", "prf"):
+            raise ValueError("query_expansion must be none|prf")
         if self.diversity_mode not in ("threshold", "mmr"):
             raise ValueError("diversity_mode must be threshold|mmr")
 

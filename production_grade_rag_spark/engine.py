@@ -183,6 +183,17 @@ class SparkRagEngine:
                     .orderBy(F.desc("score"), F.col(id_col)))
         raise ValueError(f"unknown ann_backend {c.ann_backend!r}")
 
+    def prf_terms(self, index: DataFrame, terms: list[str],
+                  n_top_docs: int = 5, n_terms: int = 3) -> DataFrame:
+        """The PRF expansion-mining half as a public surface:
+        (term, w) the hybrid text branch would add under
+        config.query_expansion='prf' — auditable standalone (and
+        value-oracled end to end by the eng_prf_terms entry)."""
+        from .operators.textscore import prf_expansion_terms
+        return prf_expansion_terms(index, terms, text_col="content",
+                                   n_top_docs=n_top_docs,
+                                   n_terms=n_terms)
+
     def search(self, index: DataFrame, query_text: str | None = None,
                query_vector: list[float] | None = None,
                search_type: str = "semantic", limit: int | None = None,
@@ -269,6 +280,15 @@ class SparkRagEngine:
             terms = X.english_analyze_py(query_text)
         else:
             terms = [t for t in query_text.lower().split() if t]
+        if c.query_expansion == "prf":
+            # Rocchio widening before the text branch scores: mined
+            # terms are a <=3-row driver-side list (bounded metadata,
+            # like centroids) from the SAME shared miner the r11
+            # catalog entries value-oracle.  Mining uses whitespace
+            # tokens; analyzer-specific scoring applies unchanged to
+            # the widened list.
+            terms = terms + [
+                r["tok"] for r in self.prf_terms(index, terms).collect()]
         if c.text_relevance == "bm25":
             txt = textscore.bm25_score(index, terms, text_col="content",
                                        k1=c.bm25_k1, b=c.bm25_b,

@@ -126,3 +126,43 @@ def bm25_score(docs: DataFrame, terms: list[str], text_col: str = "text",
     drop = (["__toks", "__n_docs", "__sumdl"]
             + [f"__df_{i}" for i in range(len(terms))])
     return scored.withColumn(out_col, expr).drop(*drop)
+
+
+def prf_expansion_terms(docs: DataFrame, terms: list[str],
+                        text_col: str = "text", n_top_docs: int = 5,
+                        n_terms: int = 3) -> DataFrame:
+    """Pseudo-relevance-feedback expansion mining (Rocchio 1971):
+    TF-IDF-retrieve the ``n_top_docs`` best documents for ``terms``,
+    then return the ``n_terms`` highest TF-IDF-mass terms across them
+    (original terms excluded) as (term, w) with integer-scaled
+    weights.  Deliberately model-independent (one fixed TF-IDF form
+    with idf = ln((N+1)/(df+1)), contributions quantized to BIGINT
+    before commutative sums) so the mining is value-oracle-able and
+    identical wherever it is reused — the engine facade and the
+    r11_prf_* catalog entries share this exact frame.
+
+    Scale: tf/df are the usual inverted-index aggregates on flat
+    token keys; the query term set broadcasts; top docs/terms are
+    TakeOrdered."""
+    id_col = "doc_id"
+    tf = (docs.select(id_col, F.explode(tokens(F.col(text_col)))
+                      .alias("tok"))
+          .groupBy(id_col, "tok").agg(F.count("*").alias("tf")))
+    nd = docs.agg(F.count("*").alias("n"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    qs = docs.sparkSession.createDataFrame([(t,) for t in terms], ["tok"])
+    contrib = F.round(
+        F.col("tf").cast("double")
+        * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+        * 1000000).cast("long")
+    s0 = (tf.join(F.broadcast(qs), "tok")
+          .join(F.broadcast(df), "tok").crossJoin(F.broadcast(nd))
+          .groupBy(id_col).agg(F.sum(contrib).cast("long")
+                               .alias("score_s")))
+    top = (s0.orderBy(F.desc("score_s"), id_col).limit(n_top_docs)
+           .select(id_col))
+    return (tf.join(F.broadcast(top), id_col)
+            .filter(~F.col("tok").isin(list(terms)))
+            .join(F.broadcast(df), "tok").crossJoin(F.broadcast(nd))
+            .groupBy("tok").agg(F.sum(contrib).cast("long").alias("w"))
+            .orderBy(F.desc("w"), "tok").limit(n_terms))

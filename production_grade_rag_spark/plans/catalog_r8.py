@@ -2889,13 +2889,11 @@ def _prf_frames(spark: SparkSession, d: str):
                 .agg(F.sum(contrib).cast("long").alias("score_s"),
                      F.count("*").alias("n_matched")))
 
-    top5 = (scored(qs).orderBy(F.desc("score_s"), "doc_id").limit(5)
-            .select("doc_id"))
-    cand = (tf.join(F.broadcast(top5), "doc_id")
-            .filter(~F.col("tok").isin(list(OV.QUERY_TERMS)))
-            .join(F.broadcast(df), "tok").crossJoin(F.broadcast(nd))
-            .groupBy("tok").agg(F.sum(contrib).cast("long").alias("w")))
-    expn = cand.orderBy(F.desc("w"), "tok").limit(3)
+    # the mining half is the shared operator the engine facade also
+    # uses (textscore.prf_expansion_terms) — one implementation, one
+    # oracle
+    from ..operators.textscore import prf_expansion_terms
+    expn = prf_expansion_terms(docs, list(OV.QUERY_TERMS))
     allterms = qs.unionByName(expn.select("tok")).distinct()
     return scored(allterms), expn
 
@@ -3194,3 +3192,31 @@ def r12_maxsim_topk(spark: SparkSession, d: str) -> DataFrame:
         total = t if total is None else total + t
     return (perq.select("doc_id", F.round(total, 6).alias("maxsim_score"))
             .orderBy(F.desc("maxsim_score"), "doc_id").limit(10))
+
+
+@register("eng_prf_terms", oracle=_prf_ctes() + """
+SELECT tok AS term, round(w::DOUBLE / 1000000.0, 6) AS weight
+FROM expn ORDER BY w DESC, term
+""")
+def eng_prf_terms(spark: SparkSession, d: str) -> DataFrame:
+    """ENGINE-level PRF proof: SparkRagEngine.prf_terms over the
+    engine's own doc⋈embedding index (config.query_expansion='prf'
+    widens the hybrid text branch with exactly these terms) must
+    hash-match the r11 mining oracle — pinning that the facade path
+    and the standalone operator share one implementation (the same
+    one-impl-one-oracle contract as eng_ann_recall for the vector
+    side).  The index's content column is the documents text 1:1, so
+    the corpus statistics are identical by construction."""
+    from ..engine import SparkRagEngine
+    from . import oracle_vec as OV
+    eng = SparkRagEngine(spark)
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    index = (docs.join(emb, docs.doc_id == emb.vec_id)
+             .select("doc_id", F.col("text").alias("content"),
+                     "embedding", "lang"))
+    expn = eng.prf_terms(index, list(OV.QUERY_TERMS))
+    return (expn.select(F.col("tok").alias("term"),
+                        F.round(F.col("w").cast("double") / 1000000.0, 6)
+                         .alias("weight"))
+            .orderBy(F.desc("w"), "term"))

@@ -545,3 +545,35 @@ def test_ann_backend_ivfpq_store_dispatch(spark, index, tmp_path):
     with _pytest.raises(ValueError, match="ann_store_path"):
         SparkRagEngine(spark, EngineConfig(ann_backend="ivfpq")).search(
             index, query_text=q)
+
+
+def test_prf_expansion_equivalence(spark, sf_dir=None):
+    """config.query_expansion='prf' must equal a manual hybrid search
+    whose query text is pre-widened with the mined terms — the wiring
+    adds no behavior beyond the shared miner."""
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.config import EngineConfig
+    from production_grade_rag_spark.engine import SparkRagEngine
+    from production_grade_rag_spark.plans.catalog import _t
+    from production_grade_rag_spark.plans.oracle_vec import (QUERY_TERMS,
+                                                             QUERY_VEC)
+    d = "/root/testdata/sf0.001"
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    index = (docs.join(emb, docs.doc_id == emb.vec_id)
+             .select("doc_id", F.col("text").alias("content"),
+                     "embedding", "lang"))
+    prf_eng = SparkRagEngine(spark, EngineConfig(query_expansion="prf"))
+    got = prf_eng.search(index, query_text=" ".join(QUERY_TERMS),
+                         query_vector=QUERY_VEC, search_type="hybrid",
+                         limit=10, id_col="doc_id").collect()
+    mined = [r["tok"] for r in
+             prf_eng.prf_terms(index, list(QUERY_TERMS)).collect()]
+    assert len(mined) == 3
+    plain = SparkRagEngine(spark)
+    want = plain.search(
+        index, query_text=" ".join(list(QUERY_TERMS) + mined),
+        query_vector=QUERY_VEC, search_type="hybrid",
+        limit=10, id_col="doc_id").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] \
+        == [(r["doc_id"], round(r["score"], 9)) for r in want]
