@@ -3220,3 +3220,112 @@ def eng_prf_terms(spark: SparkSession, d: str) -> DataFrame:
                         F.round(F.col("w").cast("double") / 1000000.0, 6)
                          .alias("weight"))
             .orderBy(F.desc("w"), "term"))
+
+
+# ===========================================================================
+# Scorer-agreement matrix (t23) — Pearson correlation between the
+# three quality signals the curation family now carries (heuristic
+# scorer, NB classifier, LM perplexity).  The number that tells a
+# curation team whether a cheaper gate can replace an expensive one.
+# ===========================================================================
+
+def _t23_oracle() -> str:
+    from . import oracle_sql as O
+    def corr(a: str, b: str) -> str:  # noqa: E306
+        return (f"round((n::DOUBLE * s_{a}{b}::DOUBLE"
+                f" - s_{a}::DOUBLE * s_{b}::DOUBLE)"
+                f" / (sqrt(n::DOUBLE * s_{a}{a}::DOUBLE"
+                f" - s_{a}::DOUBLE * s_{a}::DOUBLE)"
+                f" * sqrt(n::DOUBLE * s_{b}{b}::DOUBLE"
+                f" - s_{b}::DOUBLE * s_{b}::DOUBLE)), 6)")
+    sums = ", ".join(
+        [f"CAST(sum({a} * {b}) AS BIGINT) AS s_{a}{b}"
+         for a, b in (("q", "c"), ("q", "p"), ("c", "p"))]
+        + [f"CAST(sum({v}) AS BIGINT) AS s_{v}, "
+           f"CAST(sum({v} * {v}) AS BIGINT) AS s_{v}{v}"
+           for v in ("q", "c", "p")])
+    return f"""
+WITH nb AS ({_nb_doc_cte()}
+  SELECT doc_id, log_odds FROM scored
+), qs AS (
+  SELECT doc_id, round({O.quality_sql('text')}, 6) AS quality
+  FROM documents
+), pp AS ({_ppl_cte()}
+  SELECT doc_id, log_ppl FROM bucketed
+), vals AS (
+  SELECT n.doc_id,
+         CAST(round(coalesce(q.quality, 0.0) * 1000) AS BIGINT) AS q,
+         CAST(round(n.log_odds * 1000) AS BIGINT) AS c,
+         CAST(round(p.log_ppl * 1000) AS BIGINT) AS p
+  FROM nb n JOIN qs q USING (doc_id) JOIN pp p USING (doc_id)
+), agg AS (
+  SELECT count(*)::BIGINT AS n, {sums} FROM vals
+)
+SELECT * FROM (
+  SELECT 'quality_vs_classifier' AS pair, n, {corr("q", "c")} AS corr
+  FROM agg
+  UNION ALL
+  SELECT 'quality_vs_perplexity', n, {corr("q", "p")} FROM agg
+  UNION ALL
+  SELECT 'classifier_vs_perplexity', n, {corr("c", "p")} FROM agg
+) ORDER BY pair
+"""
+
+
+@register("t23_scorer_correlation", oracle=_t23_oracle())
+def t23_scorer_correlation(spark: SparkSession, d: str) -> DataFrame:
+    """Pearson agreement between the heuristic quality score (T2),
+    the NB classifier log-odds (t21), and the bigram-LM log
+    perplexity (ta_perplexity) — the scorer-redundancy read
+    (correlated gates are substitutable; uncorrelated ones gate
+    different failure modes).  Inputs quantize to 1e-3 BIGINTs so
+    every sum is exact; the closed-form correlation then runs on
+    identically-cast doubles in one fixed-order expression (sums up
+    to ~1e17 exceed 2^53, but both engines cast the SAME exact
+    integers, so the rounding is shared).  One three-way join on
+    doc_id, one 1-row aggregate, three rows out."""
+    from ..functions import text as X
+    docs = _t(spark, d, "documents")
+    nb = _nb_doc_scores(spark, d).select("doc_id", "log_odds")
+    qs = (X.with_quality(docs.select("doc_id", "text"))
+          .select("doc_id", F.coalesce("quality_score", F.lit(0.0))
+                  .alias("quality")))
+    pp = _ppl_frame(spark, d).select("doc_id", "log_ppl")
+    vals = (nb.join(qs, "doc_id").join(pp, "doc_id")
+            .select(F.round(F.col("quality") * 1000).cast("long").alias("q"),
+                    F.round(F.col("log_odds") * 1000).cast("long")
+                    .alias("c"),
+                    F.round(F.col("log_ppl") * 1000).cast("long")
+                    .alias("p")))
+    aggs = [F.count("*").alias("n")]
+    for a, b in (("q", "c"), ("q", "p"), ("c", "p")):
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("long")
+                    .alias(f"s_{a}{b}"))
+    for v in ("q", "c", "p"):
+        aggs.append(F.sum(v).cast("long").alias(f"s_{v}"))
+        aggs.append(F.sum(F.col(v) * F.col(v)).cast("long")
+                    .alias(f"s_{v}{v}"))
+    agg = vals.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        return F.round(
+            (n * F.col(f"s_{a}{b}").cast("double")
+             - F.col(f"s_{a}").cast("double")
+             * F.col(f"s_{b}").cast("double"))
+            / (F.sqrt(n * F.col(f"s_{a}{a}").cast("double")
+                      - F.col(f"s_{a}").cast("double")
+                      * F.col(f"s_{a}").cast("double"))
+               * F.sqrt(n * F.col(f"s_{b}{b}").cast("double")
+                        - F.col(f"s_{b}").cast("double")
+                        * F.col(f"s_{b}").cast("double"))), 6)
+
+    rows = agg.select(F.explode(F.array(
+        F.struct(F.lit("quality_vs_classifier").alias("pair"),
+                 F.col("n").alias("n"), corr("q", "c").alias("corr")),
+        F.struct(F.lit("quality_vs_perplexity").alias("pair"),
+                 F.col("n").alias("n"), corr("q", "p").alias("corr")),
+        F.struct(F.lit("classifier_vs_perplexity").alias("pair"),
+                 F.col("n").alias("n"), corr("c", "p").alias("corr"))))
+        .alias("s")).select("s.*")
+    return rows.orderBy("pair")
