@@ -1,0 +1,484 @@
+"""Catalog extension 6 (round 8, session 3).
+
+Extends the LLM-training-data surface with the selection / audit
+operators between curation and release:
+
+- t24_temp_mix: temperature-scaled domain sampling (the multilingual
+  alpha-sampling rule of Lample & Conneau 2019 §3.1 / XLM-R, at
+  alpha = 0.5) — the non-uniform generalization of t19's equalized
+  mix, plus the achieved-vs-target report.
+- t25_rule_ablation: per-rule attribution over the shared
+  Gopher/C4/language/perplexity fragments — for every gate, how many
+  docs it rejects and how many ONLY it rejects (the FineWeb-style
+  ablation table that says which rule is doing the work).
+- w10_quality_pernorm: within-domain quality normalization — keep
+  each source's top quartile by the T2 score, so one verbose domain
+  cannot crowd out the rest under a single global threshold.
+- a20_heavy_hitters: count-min-sketch heavy hitters BUILT FROM
+  AGGREGATIONS (Cormode & Muthukrishnan 2005) gated against the
+  exact top-10 token counts — the a10/a11 sketch-vs-exact pattern.
+- g3_cluster_balanced_sample: cluster-balanced diversity sampling
+  over the frozen exact-k-means layout (the DCLM / cluster-capped
+  selection step) with the same map-side integer-threshold accept
+  as t19 (no per-cluster window).
+
+Registered after catalog_r8 so the driver's existing correctness
+window is unchanged (REGISTRATION ORDER IS LOAD-BEARING — see
+plans/catalog.py).
+
+Reference parity note: the reference repo has no corpus-selection
+surface (its pipeline is RAG ETL, feature_pipeline/*.py); these are
+the beyond-reference training-data operators SURVEY §2.12-2.14
+mandates, built on the same shared fragments as the curation family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _t, register
+
+
+# ===========================================================================
+# Temperature-scaled domain mix (alpha-sampling) — Lample & Conneau
+# 2019 §3.1: sample domain s with probability q_s ∝ p_s^alpha.  At
+# alpha = 0.5 the exponent is a SQRT, which (unlike pow) is an
+# IEEE-754 correctly-rounded primitive, so both engines compute
+# bit-identical keep rates with no quantization dance.
+# ===========================================================================
+
+def _tmix_cte() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':tmix'), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+), per_src AS (
+  SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source
+), mn AS (
+  SELECT min(n_s) AS m FROM per_src
+), th AS (
+  SELECT source, n_s,
+         CAST(floor(1000000.0::DOUBLE
+                    * sqrt(m::DOUBLE / n_s::DOUBLE)) AS BIGINT) AS thresh
+  FROM per_src CROSS JOIN mn
+), kept AS (
+  SELECT b.doc_id, b.source
+  FROM b JOIN th USING (source) WHERE b.bucket < th.thresh
+)"""
+
+
+def _tmix_th(spark: SparkSession, d: str) -> DataFrame:
+    """(source, n_s, thresh) for the alpha=0.5 temperature mix.
+    Keep rate r_s = (min_n / n_s)^(1-alpha) = sqrt(min_n / n_s):
+    normalized so the smallest source keeps everything and larger
+    sources are downsampled toward q_s ∝ sqrt(p_s) — exactly the
+    alpha-sampling keep rule restated as downsample-only."""
+    docs = _t(spark, d, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    mn = per_src.agg(F.min("n_s").alias("m"))
+    return (per_src.crossJoin(F.broadcast(mn))
+            .select("source", "n_s",
+                    F.floor(F.lit(1000000.0)
+                            * F.sqrt(F.col("m").cast("double")
+                                     / F.col("n_s").cast("double")))
+                     .cast("long").alias("thresh")))
+
+
+@register("t24_temp_mix", oracle=_tmix_cte() + """
+SELECT doc_id, source FROM kept
+""")
+def t24_temp_mix(spark: SparkSession, d: str) -> DataFrame:
+    """Temperature-scaled domain sampling manifest (alpha = 0.5):
+    keep each doc iff its deterministic md5 bucket falls under the
+    source's keep rate sqrt(min_n / n_s) — the flattened mixture
+    q_s ∝ p_s^0.5 that upweights small domains without the full
+    equalization of t19 (the knob every multilingual / multi-domain
+    pretraining recipe exposes as alpha).
+
+    Scale shape: identical to t19_domain_mix — a sources-sized count
+    aggregate broadcast back, accept/reject MAP-SIDE off an integer
+    bucket threshold; no per-source window, no second scan.  sqrt is
+    correctly-rounded IEEE so the thresholds are engine-identical
+    (pow is NOT — alpha other than 1/2 or 1/4 would need the 6dp
+    quantization trick instead)."""
+    from ..operators.dedup import md5_int32
+    docs = _t(spark, d, "documents")
+    b = docs.select(
+        "doc_id", "source",
+        F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":tmix"))),
+               F.lit(1000000)).alias("bucket"))
+    return (b.join(F.broadcast(_tmix_th(spark, d)), "source")
+            .filter(F.col("bucket") < F.col("thresh"))
+            .select("doc_id", "source"))
+
+
+@register("t24_temp_mix_report", oracle=_tmix_cte() + """
+, sq AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(n_s::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS sq_s
+  FROM per_src
+), tot AS (
+  SELECT CAST(sum(sq_s) AS BIGINT) AS sq_tot FROM sq
+)
+SELECT t.source, t.n_s, t.thresh,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       round(coalesce(k.n_kept, 0)::DOUBLE
+             / (SELECT count(*) FROM kept)::DOUBLE, 6) AS achieved_share,
+       round(s.sq_s::DOUBLE / o.sq_tot::DOUBLE, 6) AS target_share
+FROM th t
+JOIN sq s USING (source) CROSS JOIN tot o
+LEFT JOIN (SELECT source, count(*)::BIGINT AS n_kept
+           FROM kept GROUP BY source) k USING (source)
+ORDER BY t.source
+""")
+def t24_temp_mix_report(spark: SparkSession, d: str) -> DataFrame:
+    """Achieved-vs-target mix for the temperature sample: per source
+    the corpus count, integer threshold, kept count, achieved share,
+    and the alpha=0.5 target share q_s = sqrt(n_s) / sum sqrt(n_t).
+    Each sqrt is quantized to a 1e-6 BIGINT before the sum so the
+    normalizer is an exact integer (float sums are order-dependent
+    across engines; integer sums are not)."""
+    kept = t24_temp_mix(spark, d)
+    th = _tmix_th(spark, d).withColumn(
+        "sq_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long"))
+    tot = th.agg(F.sum("sq_s").cast("long").alias("sq_tot"))
+    k = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    n_tot = kept.agg(F.count("*").alias("n_total"))
+    return (th.crossJoin(F.broadcast(tot))
+            .join(k, "source", "left")
+            .crossJoin(F.broadcast(n_tot))
+            .select("source", "n_s", "thresh",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.round(F.coalesce("n_kept", F.lit(0)).cast("double")
+                            / F.col("n_total").cast("double"), 6)
+                     .alias("achieved_share"),
+                    F.round(F.col("sq_s").cast("double")
+                            / F.col("sq_tot").cast("double"), 6)
+                     .alias("target_share"))
+            .orderBy("source"))
+
+
+# ===========================================================================
+# Rule-ablation attribution — for each curation gate, docs it fails
+# and docs ONLY it fails (the marginal value of keeping the rule).
+# Same shared fragments as cc_release_funnel, so the numbers are
+# mutually auditable with the funnel's per-stage survival.
+# ===========================================================================
+
+def _ablation_oracle() -> str:
+    from ..operators.curation_rules import c4_sql, gopher_sql
+    from . import oracle_vec as OV
+    from .catalog_r8 import _ppl_cte
+    row = ("SELECT {no} AS rule_no, '{name}' AS rule, {f} AS n_fail, "
+           "{fo} AS n_fail_only, n_docs, n_pass_all FROM agg")
+    return f"""
+WITH g AS (
+  SELECT doc_id, {gopher_sql('text')} FROM documents
+), c AS (
+  SELECT doc_id, {c4_sql('text')} FROM documents
+), base AS (
+  SELECT d.doc_id,
+         NOT g.gopher_pass AS f_gopher,
+         c.page_drop AS f_c4,
+         {OV.detect_language_sql('d.text')} <> 'en' AS f_lang
+  FROM documents d
+  JOIN g ON g.doc_id = d.doc_id
+  JOIN c ON c.doc_id = d.doc_id
+), ppl AS ({_ppl_cte()}
+  SELECT doc_id, ppl_bucket FROM bucketed
+), fl AS (
+  SELECT b.doc_id, b.f_gopher, b.f_c4, b.f_lang,
+         coalesce(p.ppl_bucket = 'tail', TRUE) AS f_ppl
+  FROM base b LEFT JOIN ppl p USING (doc_id)
+), agg AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(f_gopher::INT)::BIGINT AS fg,
+         sum((f_gopher AND NOT f_c4 AND NOT f_lang AND NOT f_ppl)::INT)
+           ::BIGINT AS fg_only,
+         sum(f_c4::INT)::BIGINT AS fc,
+         sum((f_c4 AND NOT f_gopher AND NOT f_lang AND NOT f_ppl)::INT)
+           ::BIGINT AS fc_only,
+         sum(f_lang::INT)::BIGINT AS fll,
+         sum((f_lang AND NOT f_gopher AND NOT f_c4 AND NOT f_ppl)::INT)
+           ::BIGINT AS fl_only,
+         sum(f_ppl::INT)::BIGINT AS fp,
+         sum((f_ppl AND NOT f_gopher AND NOT f_c4 AND NOT f_lang)::INT)
+           ::BIGINT AS fp_only,
+         sum((NOT f_gopher AND NOT f_c4 AND NOT f_lang AND NOT f_ppl)
+             ::INT)::BIGINT AS n_pass_all
+  FROM fl
+)
+SELECT CAST(rule_no AS BIGINT) AS rule_no, rule, n_fail, n_fail_only,
+       round(n_fail::DOUBLE / n_docs::DOUBLE, 6) AS share_fail,
+       n_pass_all
+FROM (
+  {row.format(no=1, name='gopher', f='fg', fo='fg_only')}
+  UNION ALL
+  {row.format(no=2, name='c4_page', f='fc', fo='fc_only')}
+  UNION ALL
+  {row.format(no=3, name='lang_en', f='fll', fo='fl_only')}
+  UNION ALL
+  {row.format(no=4, name='perplexity', f='fp', fo='fp_only')}
+) ORDER BY rule_no
+"""
+
+
+@register("t25_rule_ablation", oracle=_ablation_oracle())
+def t25_rule_ablation(spark: SparkSession, d: str) -> DataFrame:
+    """Per-rule ablation attribution over the four curation gates
+    (Gopher doc rules, C4 page rules, language=en, CCNet perplexity
+    tail): for each rule, the docs it rejects, the docs ONLY it
+    rejects (its marginal contribution — the number that justifies
+    keeping the rule in the pipeline), the reject share, and the
+    all-rules survivor count.  The FineWeb-style ablation read:
+    a rule whose n_fail_only is ~0 is redundant with the others.
+    Docs the LM cannot score (no bigrams) count as perplexity
+    failures, matching the funnel's inner-join drop semantics.
+
+    Scale shape: ONE conditional-aggregation pass over the scored
+    scan (plus the perplexity join the funnel already pays) into a
+    single 1-row aggregate exploded into 4 rule rows — adding a rule
+    adds two sum() cells, never a re-scan."""
+    from ..operators import textstats
+    from ..operators.curation_rules import c4_line_stats, gopher_flags
+    from .catalog_r8 import _ppl_frame
+
+    docs = _t(spark, d, "documents")
+    gf = gopher_flags(F.col("text"))
+    cf = c4_line_stats(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        (~gf["gopher_pass"]).alias("f_gopher"),
+        cf["page_drop"].alias("f_c4"),
+        (textstats.detect_language(F.col("text")) != "en").alias("f_lang"))
+    ppl = _ppl_frame(spark, d).select("doc_id", "ppl_bucket")
+    fl = (base.join(ppl, "doc_id", "left")
+          .select("f_gopher", "f_c4", "f_lang",
+                  F.coalesce(F.col("ppl_bucket") == "tail", F.lit(True))
+                   .alias("f_ppl")))
+
+    def cnt(cond):
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0)).cast("long")
+
+    g, c, l, p = (F.col("f_gopher"), F.col("f_c4"),
+                  F.col("f_lang"), F.col("f_ppl"))
+    agg = fl.agg(
+        F.count("*").alias("n_docs"),
+        cnt(g).alias("fg"), cnt(g & ~c & ~l & ~p).alias("fg_only"),
+        cnt(c).alias("fc"), cnt(c & ~g & ~l & ~p).alias("fc_only"),
+        cnt(l).alias("fll"), cnt(l & ~g & ~c & ~p).alias("fl_only"),
+        cnt(p).alias("fp"), cnt(p & ~g & ~c & ~l).alias("fp_only"),
+        cnt(~g & ~c & ~l & ~p).alias("n_pass_all"))
+
+    def row(no, name, f, fo):
+        return F.struct(
+            F.lit(no).cast("long").alias("rule_no"),
+            F.lit(name).alias("rule"),
+            F.col(f).alias("n_fail"),
+            F.col(fo).alias("n_fail_only"),
+            F.round(F.col(f).cast("double")
+                    / F.col("n_docs").cast("double"), 6)
+             .alias("share_fail"),
+            F.col("n_pass_all").alias("n_pass_all"))
+
+    return (agg.select(F.explode(F.array(
+        row(1, "gopher", "fg", "fg_only"),
+        row(2, "c4_page", "fc", "fc_only"),
+        row(3, "lang_en", "fll", "fl_only"),
+        row(4, "perplexity", "fp", "fp_only"))).alias("r"))
+        .select("r.*").orderBy("rule_no"))
+
+
+# ===========================================================================
+# Within-domain quality normalization — keep each source's top
+# quartile by the T2 score instead of one global threshold (a chatty
+# domain's median doc would flood a global cut; per-domain ranking
+# is how FineWeb/DCLM apply classifier scores in practice).
+# ===========================================================================
+
+def _pernorm_cte() -> str:
+    from . import oracle_sql as O
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, round({O.quality_sql('text')}, 6) AS q_score
+  FROM documents
+), th AS (
+  SELECT source, quantile_cont(q_score, 0.75) AS p75
+  FROM q GROUP BY source
+)"""
+
+
+@register("w10_quality_pernorm", oracle=_pernorm_cte() + """
+SELECT q.doc_id, q.source, q.q_score, round(th.p75, 6) AS p75
+FROM q JOIN th USING (source)
+WHERE q.q_score >= th.p75
+ORDER BY q.doc_id
+""")
+def w10_quality_pernorm(spark: SparkSession, d: str) -> DataFrame:
+    """Per-domain quality selection: keep docs at or above their own
+    source's 75th-percentile T2 score.  Normalizing within domain
+    decouples 'good for this domain' from cross-domain verbosity
+    bias — the per-domain analogue of t3's global threshold.
+
+    Scale shape: the cut table is a sources-sized aggregate joined
+    back broadcast; the keep decision is then MAP-SIDE (no
+    percent_rank window partitioned by source, which would funnel a
+    100 TB domain into one reducer).  Exact percentile is the oracle
+    contract at test scale; approx_percentile (partial-aggregable
+    GK sketch, see a11) is the documented 100 TB knob."""
+    from ..functions import text as X
+    docs = _t(spark, d, "documents")
+    q = docs.select(
+        "doc_id", "source",
+        F.round(X.quality_components(F.col("text"))["quality_score"], 6)
+         .alias("q_score"))
+    th = q.groupBy("source").agg(
+        F.percentile("q_score", F.lit(0.75)).alias("p75"))
+    return (q.join(F.broadcast(th), "source")
+            .filter(F.col("q_score") >= F.col("p75"))
+            .select("doc_id", "source", "q_score",
+                    F.round("p75", 6).alias("p75"))
+            .orderBy("doc_id"))
+
+
+# ===========================================================================
+# Count-min-sketch heavy hitters — the sketch built FROM relational
+# aggregations (3 hash rows x 512 buckets of partial-aggregable
+# sums), gated against the exact top-10 token counts.  The
+# a10/a11 pattern: exact values value-checked, sketch bounded.
+# ===========================================================================
+
+_CMS_W = 512
+_CMS_D = 3
+
+
+def _hh_oracle() -> str:
+    from . import oracle_vec as OV
+    return f"""
+WITH tk AS (
+  SELECT unnest(t) AS tok
+  FROM (SELECT {OV.tokens_sql('text')} AS t FROM documents)
+), cnt AS (
+  SELECT tok, count(*)::BIGINT AS n_exact FROM tk GROUP BY tok
+)
+SELECT tok, n_exact, TRUE AS within_bound
+FROM cnt ORDER BY n_exact DESC, tok LIMIT 10
+"""
+
+
+@register("a20_heavy_hitters", oracle=_hh_oracle())
+def a20_heavy_hitters(spark: SparkSession, d: str) -> DataFrame:
+    """Heavy hitters (top-10 corpus tokens) with a count-min-sketch
+    estimate gated against the exact count.  The CMS is not a
+    builtin call: it is 3 salted-hash rows x 512 buckets of summed
+    counts — a 1,536-cell aggregate whose fixed size is the whole
+    point (partial-aggregates map-side at any corpus size, where the
+    exact per-token count table grows with the vocabulary).  The
+    estimate for a token is min over rows of its bucket's sum;
+    within_bound pins the CMS guarantee est >= exact AND
+    est - exact <= 8N/W (8x the per-row expected collision mass,
+    min over 3 independent rows — Cormode & Muthukrishnan 2005).
+
+    At 100 TB you keep only the sketch plus a candidate set (any
+    token whose sketch estimate clears a support threshold), never
+    the exact table; the exact twin here is the test-scale gate."""
+    from ..operators.dedup import md5_int32, tokens
+    docs = _t(spark, d, "documents")
+    tk = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = tk.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    n_total = cnt.agg(F.sum("n_exact").cast("long").alias("n_total"))
+
+    def buckets(tok):
+        return F.array(*[
+            F.struct(F.lit(i).cast("int").alias("i"),
+                     F.pmod(md5_int32(F.concat(tok, F.lit(f":cms{i}"))),
+                            F.lit(_CMS_W)).alias("bucket"))
+            for i in range(_CMS_D)])
+
+    cells = (cnt.select(F.explode(buckets(F.col("tok"))).alias("b"),
+                        F.col("n_exact"))
+             .groupBy("b.i", "b.bucket")
+             .agg(F.sum("n_exact").alias("cell_sum")))
+    top = (cnt.orderBy(F.desc("n_exact"), "tok").limit(10)
+           .select("tok", "n_exact",
+                   F.explode(buckets(F.col("tok"))).alias("b")))
+    est = (top.join(F.broadcast(cells),
+                    (top["b.i"] == cells["i"])
+                    & (top["b.bucket"] == cells["bucket"]))
+           .groupBy("tok", "n_exact")
+           .agg(F.min("cell_sum").alias("est")))
+    return (est.crossJoin(F.broadcast(n_total))
+            .select("tok", "n_exact",
+                    ((F.col("est") >= F.col("n_exact"))
+                     & (F.col("est") - F.col("n_exact")
+                        <= F.expr(f"(8 * n_total) div {_CMS_W}")))
+                    .alias("within_bound"))
+            .orderBy(F.desc("n_exact"), "tok"))
+
+
+# ===========================================================================
+# Cluster-balanced diversity sampling — per-cluster capped selection
+# over the FROZEN exact-k-means layout (the DCLM / cluster-balanced
+# curation step: cap every semantic cluster at the smallest
+# cluster's size so no topic dominates the training mix).
+# ===========================================================================
+
+def _g3_oracle() -> str:
+    from .catalog_r8 import _km_oracle
+    return _km_oracle("""
+, pc AS (
+  SELECT cluster, count(*)::BIGINT AS n_c FROM af GROUP BY cluster
+), mnc AS (
+  SELECT min(n_c) AS m FROM pc
+), thc AS (
+  SELECT cluster, n_c, ((m * 1000000) // n_c)::BIGINT AS thresh
+  FROM pc CROSS JOIN mnc
+), bb AS (
+  SELECT vec_id, cluster,
+         ('0x' || substr(md5(vec_id::VARCHAR || ':cbal'), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM af
+)
+SELECT b.vec_id, b.cluster
+FROM bb b JOIN thc USING (cluster) WHERE b.bucket < thc.thresh
+ORDER BY b.vec_id
+""")
+
+
+@register("g3_cluster_balanced_sample", oracle=_g3_oracle())
+def g3_cluster_balanced_sample(spark: SparkSession, d: str) -> DataFrame:
+    """Cluster-balanced sampling manifest: every k-means cluster of
+    the embedding corpus downsampled to the smallest cluster's size
+    by the same deterministic integer-hash threshold as
+    t19/t24 — the diversity-selection step (cap dominant semantic
+    clusters) that cluster-based curation pipelines run after
+    SemDeDup.  Assignments come from the g2 exact-k-means layout, so
+    this entry is value-oracled end to end through the Lloyd loop.
+
+    Scale shape: assignment is map-side against centroid literals
+    (the g2 shape); cluster sizes are a K-row aggregate broadcast
+    back; accept/reject is MAP-SIDE off the hash bucket — no
+    per-cluster rank window (K=4 partitions would be the worst
+    possible window skew), no second pass over the vectors."""
+    from ..operators.dedup import md5_int32
+    from .catalog_r8 import _km_run
+    af, _ = _km_run(spark, d)
+    pc = af.groupBy("cluster").agg(F.count("*").alias("n_c"))
+    mn = pc.agg(F.min("n_c").alias("m"))
+    th = (pc.crossJoin(F.broadcast(mn))
+          .select("cluster", F.expr("(m * 1000000) div n_c").alias("thresh")))
+    bb = af.select(
+        "vec_id", "cluster",
+        F.pmod(md5_int32(F.concat(F.col("vec_id").cast("string"),
+                                  F.lit(":cbal"))),
+               F.lit(1000000)).alias("bucket"))
+    return (bb.join(F.broadcast(th), "cluster")
+            .filter(F.col("bucket") < F.col("thresh"))
+            .select("vec_id", "cluster")
+            .orderBy("vec_id"))

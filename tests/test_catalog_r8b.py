@@ -1,0 +1,154 @@
+"""Behavior tests for the round-8 session-3 entries (oracle parity is
+auto-covered by test_oracle_parity.py; these pin the semantics the
+hash can't express — the temperature actually flattening the mix, the
+ablation agreeing with the release funnel, the per-domain cut
+actually being per-domain, the CMS bound holding, the cluster cap
+actually balancing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF01
+
+from production_grade_rag_spark.plans.catalog import CATALOG
+
+
+def test_temp_mix_flattens_toward_sqrt(spark):
+    rep = {r["source"]: r for r in
+           CATALOG["t24_temp_mix_report"].build(spark, SF01).collect()}
+    assert rep
+    smallest = min(rep.values(), key=lambda r: r["n_s"])
+    largest = max(rep.values(), key=lambda r: r["n_s"])
+    # smallest source keeps everything (threshold saturates at 1e6)
+    assert smallest["thresh"] == 1_000_000
+    assert smallest["n_kept"] == smallest["n_s"]
+    if largest["n_s"] > smallest["n_s"]:
+        assert largest["thresh"] < 1_000_000
+        # flattening: the largest source's share of the KEPT corpus
+        # is below its raw share; the smallest source's is above
+        n_raw = sum(r["n_s"] for r in rep.values())
+        n_kept = sum(r["n_kept"] for r in rep.values())
+        assert (largest["n_kept"] / n_kept) < (largest["n_s"] / n_raw)
+        assert (smallest["n_kept"] / n_kept) > (smallest["n_s"] / n_raw)
+    # achieved share tracks the sqrt target within sampling noise
+    for r in rep.values():
+        assert abs(r["achieved_share"] - r["target_share"]) < 0.05
+    # and the target shares are a distribution
+    assert abs(sum(r["target_share"] for r in rep.values()) - 1.0) < 1e-3
+
+
+def test_temp_mix_is_between_raw_and_uniform(spark):
+    # t19 equalizes (alpha=0), raw is alpha=1; t24 (alpha=.5) sits
+    # strictly between for the dominant source
+    t19 = {r["source"]: r["n_kept"] for r in
+           CATALOG["t19_domain_mix_report"].build(spark, SF01).collect()}
+    rep = {r["source"]: r for r in
+           CATALOG["t24_temp_mix_report"].build(spark, SF01).collect()}
+    tot24 = sum(r["n_kept"] for r in rep.values())
+    tot19 = sum(t19.values())
+    raw = sum(r["n_s"] for r in rep.values())
+    largest = max(rep.values(), key=lambda r: r["n_s"])
+    s = largest["source"]
+    share_raw = largest["n_s"] / raw
+    share_19 = t19[s] / tot19
+    share_24 = largest["n_kept"] / tot24
+    if largest["n_s"] > min(r["n_s"] for r in rep.values()):
+        assert share_19 - 0.02 <= share_24 <= share_raw + 0.02
+
+
+def test_temp_mix_flattens_on_skewed_corpus(spark, tmp_path):
+    # sf0.01 sources are uniform (every threshold saturates), so the
+    # temperature path proper is exercised on a synthetic skewed
+    # corpus: 400/90/10 docs across three sources.  alpha=0.5 keep
+    # rate is sqrt(10/n_s) -> thresholds 158113/333333/1000000.
+    rows = []
+    sizes = {"web": 400, "wiki": 90, "code": 10}
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    (spark.createDataFrame(rows, ["doc_id", "source"])
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    rep = {r["source"]: r for r in
+           CATALOG["t24_temp_mix_report"].build(spark, str(tmp_path))
+           .collect()}
+    assert rep["code"]["thresh"] == 1_000_000
+    assert rep["wiki"]["thresh"] == 333_333
+    assert rep["web"]["thresh"] == 158_113
+    assert rep["code"]["n_kept"] == 10
+    n_kept = sum(r["n_kept"] for r in rep.values())
+    # raw web share 0.8 -> sqrt target 0.613; kept share must land
+    # well below raw and above the t19-equalized 1/3
+    web_share = rep["web"]["n_kept"] / n_kept
+    assert 0.45 <= web_share <= 0.78
+    assert abs(rep["web"]["target_share"]
+               - (20.0 / (20.0 + 9.486833 + 3.162278))) < 1e-3
+
+
+def test_rule_ablation_consistent_with_funnel(spark):
+    ab = {r["rule"]: r for r in
+          CATALOG["t25_rule_ablation"].build(spark, SF01).collect()}
+    assert set(ab) == {"gopher", "c4_page", "lang_en", "perplexity"}
+    fun = {r["stage"]: r for r in
+           CATALOG["cc_release_funnel"].build(spark, SF01).collect()}
+    n_docs = fun["raw"]["docs"]
+    # the funnel's gopher stage and the ablation's gopher fail count
+    # partition the same scan
+    assert fun["gopher"]["docs"] == n_docs - ab["gopher"]["n_fail"]
+    for r in ab.values():
+        assert 0 <= r["n_fail_only"] <= r["n_fail"] <= n_docs
+        assert abs(r["share_fail"] - r["n_fail"] / n_docs) < 1e-5
+    # survivors pass every rule: pass_all <= n_docs - max fail
+    worst = max(r["n_fail"] for r in ab.values())
+    n_pass = ab["gopher"]["n_pass_all"]
+    assert all(r["n_pass_all"] == n_pass for r in ab.values())
+    assert n_pass <= n_docs - worst
+
+
+def test_quality_pernorm_is_per_domain_quartile(spark):
+    kept = CATALOG["w10_quality_pernorm"].build(spark, SF01).collect()
+    assert kept
+    by_src = {}
+    for r in kept:
+        assert r["q_score"] >= r["p75"]
+        by_src.setdefault(r["source"], []).append(r)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    fracs = {src: len(rows) / totals[src] for src, rows in by_src.items()}
+    for src, frac in fracs.items():
+        # at least the top quartile survives by construction; heavy
+        # score ties can push a source's kept fraction up to 1.0
+        assert frac >= 0.2, (src, frac)
+    # ...but the cut must actually bite somewhere
+    assert min(fracs.values()) <= 0.6
+    # every source with >= 4 docs contributes survivors
+    assert set(by_src) == {s for s, n in totals.items() if n >= 4}
+
+
+def test_heavy_hitters_bound_and_order(spark):
+    rows = CATALOG["a20_heavy_hitters"].build(spark, SF01).collect()
+    assert len(rows) == 10
+    assert all(r["within_bound"] for r in rows)
+    counts = [r["n_exact"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_cluster_balanced_sample_caps_clusters(spark):
+    kept = CATALOG["g3_cluster_balanced_sample"].build(spark, SF01)
+    per = {r["cluster"]: r["n"] for r in
+           kept.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    asg = CATALOG["g2_kmeans_assign"].build(spark, SF01)
+    sizes = {r["cluster"]: r["n"] for r in
+             asg.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    min_n = min(sizes.values())
+    assert set(per) <= set(sizes)
+    for c, n in per.items():
+        assert n <= sizes[c]
+        # hash-threshold sampling keeps ~min_n per cluster
+        assert abs(n - min_n) <= max(10, int(0.2 * min_n)), (c, n, min_n)
+    # the smallest cluster keeps everything
+    smallest = min(sizes, key=sizes.get)
+    assert per[smallest] == sizes[smallest]

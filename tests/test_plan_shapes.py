@@ -360,3 +360,61 @@ def test_kmeans_assignment_is_map_side(spark):
     plan = _plan(spark, "g2_kmeans_assign")
     for bad in ("CartesianProduct", "Join", "Window"):
         assert bad not in plan, f"assignment plans a {bad}"
+
+
+def test_temp_mix_accept_is_map_side(spark):
+    # alpha-sampling keeps t19's shape: sqrt thresholds are a
+    # sources-sized broadcast, acceptance a map-side bucket compare —
+    # no per-source window, no cartesian
+    plan = _plan(spark, "t24_temp_mix")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
+
+
+def test_rule_ablation_is_single_conditional_agg(spark):
+    # four rules, ONE aggregate: all n_fail / n_fail_only cells must
+    # come out of a single two-phase hash aggregate over the scored
+    # scan (plus the perplexity join), not four rule-filtered passes
+    plan = _plan(spark, "t25_rule_ablation")
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
+    # the flag-carrying aggregate appears once, partial+final
+    final = [ln for ln in plan.splitlines()
+             if "HashAggregate" in ln and "n_pass_all" in ln]
+    assert final, plan
+    assert "Window" not in plan
+
+
+def test_quality_pernorm_threshold_broadcast_no_window(spark):
+    # the per-source cut joins back broadcast; keep decision is
+    # map-side — percent_rank windows over a 100 TB domain would be
+    # the exact skew the docstring forbids
+    plan = _plan(spark, "w10_quality_pernorm")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
+
+
+def test_heavy_hitters_sketch_partial_aggregates(spark):
+    # the 1,536-cell CMS table must build through a two-phase
+    # (map-side partial) aggregate, and the estimate lookup joins
+    # the bounded cell table broadcast
+    plan = _plan(spark, "a20_heavy_hitters")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
+
+
+def test_cluster_balanced_sample_accept_is_map_side(spark):
+    # assignment = argmin over centroid literals (the g2 shape),
+    # caps = K-row broadcast, accept = map-side bucket threshold:
+    # no window anywhere, no cartesian
+    plan = _plan(spark, "g3_cluster_balanced_sample")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
