@@ -482,3 +482,331 @@ def g3_cluster_balanced_sample(spark: SparkSession, d: str) -> DataFrame:
             .filter(F.col("bucket") < F.col("thresh"))
             .select("vec_id", "cluster")
             .orderBy("vec_id"))
+
+
+# ===========================================================================
+# BIGINT-exact PCA power iteration — the third member of the exact
+# iterative family (g1 PageRank, g2 k-means): the dominant principal
+# component of the embedding corpus, walked in fixed-point integer
+# arithmetic so both engines follow a bit-identical trajectory.
+# ===========================================================================
+
+_PCA_D = 16          # leading dims (the Matryoshka serving slice)
+_PCA_SCALE = 10_000  # data grid: x -> floor(x*1e4 + .5), |x| <= ~0.53
+_PCA_VS = 1_000      # direction grid: v renormalized to ~1e3 per step
+_PCA_ITERS = 6
+
+
+def _pca_cte() -> str:
+    """Chained-CTE power iteration.  Per step: s = cv . v (map-side
+    integer dot), w_i = sum_x cv_i * s (the Gram action A v without
+    materializing A), then v' = w // max(|w|)/VS — renormalized by
+    DIVIDING (never w * VS, which would overflow before the division
+    helps).  All divisions are native SQL integer division, which
+    truncates toward zero in BOTH engines (DuckDB `//`, Spark `div`)
+    — no Python semantics in the loop.
+
+    Magnitudes at the declared grid: |cv| <= ~1.1e4, |s| <= 16 *
+    1.1e4 * 1.1e3 < 2e8, |cv*s| < 2.2e12, summed over n vectors
+    stays inside BIGINT to n ~ 4e6; beyond that, drop _PCA_VS a
+    decade per 100x n (the docstring contract, same as g2's grid)."""
+    D, VS = _PCA_D, _PCA_VS
+    rng = f"range(1, {D + 1})"
+    v0 = "[" + f"{VS}::BIGINT" + ", 0" * (D - 1) + "]"
+    parts = [f"""
+q AS (
+  SELECT vec_id,
+         list_transform(list_slice(embedding, 1, {D}),
+                        x -> CAST(floor(x::DOUBLE * {_PCA_SCALE} + 0.5)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+), muw AS (
+  SELECT i, CAST(sum(qv[i]) AS BIGINT) AS s, count(*)::BIGINT AS n
+  FROM q CROSS JOIN {rng} t(i) GROUP BY i
+), mu AS (
+  SELECT list(s // n ORDER BY i) AS mu FROM muw
+), c AS (
+  SELECT vec_id,
+         list_transform({rng}, i -> qv[i] - mu[i]) AS cv
+  FROM q CROSS JOIN mu
+), v0 AS (
+  SELECT {v0} AS v
+)"""]
+    for k in range(_PCA_ITERS):
+        parts.append(f"""
+s{k} AS (
+  SELECT vec_id, cv,
+         list_sum(list_transform({rng}, i -> cv[i] * v[i])) AS s
+  FROM c CROSS JOIN v{k}
+), w{k} AS (
+  SELECT i, CAST(sum(cv[i] * s) AS BIGINT) AS w
+  FROM s{k} CROSS JOIN {rng} t(i) GROUP BY i
+), m{k} AS (
+  SELECT greatest(max(abs(w)) // {VS}, 1) AS m FROM w{k}
+), v{k + 1} AS (
+  SELECT list(w // m ORDER BY i) AS v FROM w{k} CROSS JOIN m{k}
+)""")
+    return "WITH " + ",".join(parts)
+
+
+def _pca_frames(spark: SparkSession, d: str):
+    """(centered frame cv, final 1-row direction frame v) — the Spark
+    twin of _pca_cte, fully IN-PLAN: every per-iteration reduction is
+    a 16-cell partial aggregate broadcast back as a 1-row frame, so
+    there is no driver-side collect anywhere in the loop."""
+    from ..functions.vector import to_double_array
+    D, VS = _PCA_D, _PCA_VS
+    emb = _t(spark, d, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.slice(to_double_array(F.col("embedding")), 1, D),
+            lambda x: F.floor(x * _PCA_SCALE + F.lit(0.5)).cast("long"))
+        .alias("qv"))
+    sums = emb.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+          for i in range(D)])
+    mu = sums.select(F.array(
+        *[F.expr(f"s{i} div n") for i in range(D)]).alias("mu"))
+    c = (emb.crossJoin(F.broadcast(mu))
+         .select("vec_id",
+                 F.zip_with("qv", "mu", lambda a, b: a - b).alias("cv")))
+    v = spark.range(1).select(F.array(
+        F.lit(VS).cast("long"),
+        *[F.lit(0).cast("long") for _ in range(D - 1)]).alias("v"))
+    for _ in range(_PCA_ITERS):
+        s = (c.crossJoin(F.broadcast(v))
+             .select("cv",
+                     F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
+                                 F.lit(0).cast("long"),
+                                 lambda acc, x: acc + x).alias("s")))
+        w = s.agg(*[F.sum(F.element_at("cv", i + 1) * F.col("s"))
+                    .cast("long").alias(f"w{i}") for i in range(D)])
+        m_expr = F.expr(
+            f"greatest({', '.join(f'abs(w{i})' for i in range(D))}) div {VS}")
+        w = w.withColumn("m", F.greatest(m_expr, F.lit(1).cast("long")))
+        v = w.select(F.array(
+            *[F.expr(f"w{i} div m") for i in range(D)]).alias("v"))
+    return c, v
+
+
+@register("g4_pca_power", oracle=_pca_cte() + f"""
+SELECT CAST(t.i AS BIGINT) AS dim, v[t.i] AS v_q
+FROM v{_PCA_ITERS} CROSS JOIN range(1, {_PCA_D + 1}) t(i)
+ORDER BY dim
+""")
+def g4_pca_power(spark: SparkSession, d: str) -> DataFrame:
+    """Principal-direction estimate for the embedding corpus (leading
+    16 dims) by BIGINT-exact power iteration: data on a 1e-4 grid,
+    direction renormalized to a ~1e3 grid each step, 6 iterations of
+    v' = A v computed as two passes (per-vector dot, then per-dim
+    weighted sum) — A = sum_x cv cv' is never materialized, which is
+    the whole trick at 100 TB where the Gram matrix is dense but the
+    data pass is just a map + a 16-cell partial aggregate.  Every
+    division is native SQL integer division (truncating in both
+    engines), so the iteration trajectory is bit-identical and the
+    final direction is fully value-oracled — same family as g1
+    PageRank and g2 k-means.
+
+    Convergence honesty: power-iteration rate is the eigengap ratio,
+    and the hash-embedding corpus is nearly isotropic (top two
+    eigenvalue shares 0.082/0.080 at sf0.01), so 6 iterations yield
+    a NEAR-dominant direction rather than the exact eigenvector —
+    the explained-variance twin certifies what it captures (>= 95%
+    of the true top share; pinned in tests, sharp convergence on an
+    anisotropic corpus is pinned there too).  Matryoshka truncation
+    (r10/ir3) keeps PREFIX dims; this measures the best single
+    direction the corpus actually has."""
+    _, v = _pca_frames(spark, d)
+    return (v.select(F.posexplode("v").alias("pos", "v_q"))
+            .select((F.col("pos") + 1).cast("long").alias("dim"), "v_q")
+            .orderBy("dim"))
+
+
+@register("g4_pca_explained", oracle=_pca_cte() + f"""
+, sF AS (
+  SELECT vec_id, cv,
+         list_sum(list_transform(range(1, {_PCA_D + 1}),
+                                 i -> cv[i] * v[i])) AS s
+  FROM c CROSS JOIN v{_PCA_ITERS}
+), acc AS (
+  SELECT CAST(sum((s // 1000) * (s // 1000)) AS BIGINT) AS num,
+         CAST(sum(list_sum(list_transform(cv, x -> x * x))) AS BIGINT)
+           AS tot
+  FROM sF
+), vv AS (
+  SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS vv
+  FROM v{_PCA_ITERS}
+)
+SELECT acc.num AS num_q, vv.vv AS vv_q, acc.tot AS tot_q,
+       round((acc.num::DOUBLE * 1000000.0)
+             / (vv.vv::DOUBLE * acc.tot::DOUBLE), 6) AS explained_ratio
+FROM acc CROSS JOIN vv
+""")
+def g4_pca_explained(spark: SparkSession, d: str) -> DataFrame:
+    """Rayleigh quotient of the converged direction as an explained-
+    variance ratio: sum_x (x'v_hat)^2 / sum_x |x|^2, assembled from
+    three exact integer aggregates (projection squares on a //1000
+    grid, |v|^2, total variance) with ONE double expression at the
+    end — the g1/g2 convention: cross-engine float agreement by
+    doing all data-dependent reduction in BIGINT."""
+    c, v = _pca_frames(spark, d)
+    s = (c.crossJoin(F.broadcast(v))
+         .select("cv", "v",
+                 F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
+                             F.lit(0).cast("long"),
+                             lambda acc, x: acc + x).alias("s")))
+    acc = s.agg(
+        F.sum(F.expr("(s div 1000) * (s div 1000)")).cast("long")
+         .alias("num_q"),
+        F.sum(F.aggregate(F.transform("cv", lambda x: x * x),
+                          F.lit(0).cast("long"),
+                          lambda a, x: a + x)).cast("long").alias("tot_q"))
+    vv = v.select(F.aggregate(F.transform("v", lambda x: x * x),
+                              F.lit(0).cast("long"),
+                              lambda a, x: a + x).alias("vv_q"))
+    return (acc.crossJoin(F.broadcast(vv))
+            .select("num_q", "vv_q", "tot_q",
+                    F.round((F.col("num_q").cast("double") * F.lit(1000000.0))
+                            / (F.col("vv_q").cast("double")
+                               * F.col("tot_q").cast("double")), 6)
+                     .alias("explained_ratio")))
+
+
+# ===========================================================================
+# Relational Bloom filter — the map-side membership pre-filter the
+# s15 ingest docstring promises, built entirely from aggregations:
+# 3 salted hash positions into a 4096-bit bitmap stored as 128
+# 32-bit words via bit_or.  Fully deterministic, so unlike library
+# blooms it is VALUE-oracled end to end (hits, false positives and
+# all) — not just bounded.
+# ===========================================================================
+
+_BF_BITS = 4096
+_BF_K = 3
+
+
+def _bloom_oracle() -> str:
+    m, k = _BF_BITS, _BF_K
+    return f"""
+WITH store AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 2 = 1
+), spos AS (
+  SELECT h,
+         ('0x' || substr(md5(h || ':bf' || j::VARCHAR), 1, 8))::BIGINT
+           % {m} AS p
+  FROM store CROSS JOIN range(0, {k}) t(j)
+), words AS (
+  SELECT p // 32 AS word,
+         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS wbits
+  FROM spos GROUP BY p // 32
+), bpos AS (
+  SELECT h,
+         ('0x' || substr(md5(h || ':bf' || j::VARCHAR), 1, 8))::BIGINT
+           % {m} AS p
+  FROM batch CROSS JOIN range(0, {k}) t(j)
+), probe AS (
+  SELECT b.h,
+         bool_and(coalesce(
+           (w.wbits & (1::BIGINT << CAST(b.p % 32 AS INT))) <> 0,
+           FALSE)) AS bloom_hit
+  FROM bpos b LEFT JOIN words w ON w.word = b.p // 32
+  GROUP BY b.h
+), mem AS (
+  SELECT b.h, p.bloom_hit, (s.h IS NOT NULL) AS is_member
+  FROM batch b JOIN probe p USING (h) LEFT JOIN store s USING (h)
+)
+SELECT (SELECT count(*) FROM store)::BIGINT AS n_store,
+       count(*)::BIGINT AS n_batch,
+       CAST(sum(is_member::INT) AS BIGINT) AS n_true_members,
+       CAST(sum(bloom_hit::INT) AS BIGINT) AS n_bloom_hits,
+       CAST(sum((bloom_hit AND NOT is_member)::INT) AS BIGINT)
+         AS n_false_pos,
+       bool_and(NOT is_member OR bloom_hit) AS no_false_negatives,
+       round(CASE WHEN count(*) - sum(is_member::INT) = 0
+                  THEN 0.0::DOUBLE
+                  ELSE sum((bloom_hit AND NOT is_member)::INT)::DOUBLE
+                       / (count(*) - sum(is_member::INT))::DOUBLE END, 6)
+         AS fp_rate
+FROM mem
+"""
+
+
+@register("a21_bloom_prefilter", oracle=_bloom_oracle())
+def a21_bloom_prefilter(spark: SparkSession, d: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for ingest dedup (the
+    upgrade s15_incremental_ingest's docstring calls for): the
+    store's content hashes are folded into a 4096-bit bitmap —
+    3 salted md5 positions per key, bitmap persisted as 128
+    bit_or'd 32-bit words — and the incoming batch probes it
+    map-side before any shuffle reaches the store-sized anti-join.
+    Because positions are deterministic md5 arithmetic, the whole
+    filter (hits, false positives, the guaranteed absence of false
+    negatives) is exact data both engines reproduce bit-for-bit —
+    a sketch that is value-oracled, not merely bounded.
+
+    Scale shape: the bitmap aggregate is 128 fixed cells (bit_or
+    partial-aggregates map-side, same argument as the CMS);
+    probing joins a broadcast 128-row word table; only the ~fp_rate
+    fraction of non-members ever reaches the expensive anti-join.
+    Sized-up production blooms (m/n ~ 10 bits/key) keep the same
+    plan — only the constant changes.  Expected FP rate here:
+    (1 - e^(-kn/m))^k with n ~ 250, m = 4096, k = 3 -> ~0.005;
+    the behavior test gates the measured rate under 0.05."""
+    from ..operators.dedup import md5_int32
+    docs = _t(spark, d, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    store = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select(h.alias("h")).distinct())
+    batch = (docs.filter(F.col("doc_id") % 2 == 1)
+             .select(h.alias("h")).distinct())
+
+    jcol = F.explode(F.array(*[F.lit(j) for j in range(_BF_K)])).alias("j")
+
+    def positions(df: DataFrame) -> DataFrame:
+        return (df.select("h", jcol)
+                .withColumn("p", F.pmod(
+                    md5_int32(F.concat(F.col("h"), F.lit(":bf"),
+                                       F.col("j").cast("string"))),
+                    F.lit(_BF_BITS)))
+                .withColumn("bitval", F.expr(
+                    "shiftleft(cast(1 as bigint), cast(p % 32 as int))")))
+
+    words = (positions(store)
+             .groupBy(F.expr("p div 32").alias("word"))
+             .agg(F.expr("bit_or(bitval)").alias("wbits")))
+    bpos = positions(batch).withColumn("word", F.expr("p div 32"))
+    probe = (bpos.join(F.broadcast(words), "word", "left")
+             .withColumn("hit", F.coalesce(
+                 (F.col("wbits").bitwiseAND(F.col("bitval")) != 0),
+                 F.lit(False)))
+             .groupBy("h").agg(F.expr("bool_and(hit)").alias("bloom_hit")))
+    mem = (batch.join(probe, "h")
+           .join(store.withColumnRenamed("h", "__sh"),
+                 F.col("h") == F.col("__sh"), "left")
+           .select("h", "bloom_hit",
+                   F.col("__sh").isNotNull().alias("is_member")))
+    n_store = store.agg(F.count("*").cast("long").alias("n_store"))
+    agg = mem.agg(
+        F.count("*").cast("long").alias("n_batch"),
+        F.sum(F.col("is_member").cast("long")).cast("long")
+         .alias("n_true_members"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long")
+         .alias("n_bloom_hits"),
+        F.sum((F.col("bloom_hit") & ~F.col("is_member")).cast("long"))
+         .cast("long").alias("n_false_pos"),
+        F.expr("bool_and(NOT is_member OR bloom_hit)")
+         .alias("no_false_negatives"))
+    return (agg.crossJoin(F.broadcast(n_store))
+            .select("n_store", "n_batch", "n_true_members",
+                    "n_bloom_hits", "n_false_pos", "no_false_negatives",
+                    F.round(F.when(
+                        F.col("n_batch") - F.col("n_true_members") == 0,
+                        F.lit(0.0)).otherwise(
+                        F.col("n_false_pos").cast("double")
+                        / (F.col("n_batch") - F.col("n_true_members"))
+                          .cast("double")), 6).alias("fp_rate")))

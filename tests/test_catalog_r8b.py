@@ -152,3 +152,49 @@ def test_cluster_balanced_sample_caps_clusters(spark):
     # the smallest cluster keeps everything
     smallest = min(sizes, key=sizes.get)
     assert per[smallest] == sizes[smallest]
+
+
+def test_pca_explained_near_numpy_top_eigenshare(spark):
+    import numpy as np
+    row = CATALOG["g4_pca_explained"].build(spark, SF01).collect()[0]
+    emb = (spark.read.parquet(f"{SF01}/embeddings.parquet")
+           .orderBy("vec_id").select("embedding").collect())
+    X = np.array([list(r["embedding"][:16]) for r in emb], dtype=float)
+    Xq = np.floor(X * 10000 + 0.5)
+    mu = np.trunc(Xq.sum(axis=0) / len(Xq))
+    C = Xq - mu
+    w = np.linalg.eigvalsh(C.T @ C)
+    top_share = w[-1] / w.sum()
+    # the iterated direction captures nearly the max variance even
+    # on this near-isotropic corpus, and never more than the max
+    assert row["explained_ratio"] <= top_share + 1e-6
+    assert row["explained_ratio"] >= 0.9 * top_share
+    assert row["vv_q"] > 0 and row["tot_q"] > 0 and row["num_q"] > 0
+
+
+def test_pca_power_converges_on_anisotropic_corpus(spark, tmp_path):
+    import numpy as np
+    # one direction (dim 4, 0-indexed 3) with 20x the variance of the
+    # rest: the eigengap is huge, so 6 iterations must pin it
+    rng = np.random.RandomState(7)
+    X = rng.normal(0, 0.01, size=(400, 16))
+    X[:, 3] += rng.normal(0, 0.2, size=400)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(400)]
+    (spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+     .write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet"))
+    out = CATALOG["g4_pca_power"].build(spark, str(tmp_path)).collect()
+    v = np.array([r["v_q"] for r in sorted(out, key=lambda r: r["dim"])],
+                 dtype=float)
+    cos = abs(v[3]) / np.linalg.norm(v)
+    assert cos > 0.99, cos
+
+
+def test_bloom_prefilter_contract(spark):
+    row = CATALOG["a21_bloom_prefilter"].build(spark, SF01).collect()[0]
+    # Bloom guarantee: no false negatives, ever
+    assert row["no_false_negatives"] is True
+    assert row["n_bloom_hits"] >= row["n_true_members"]
+    assert row["n_false_pos"] == row["n_bloom_hits"] - row["n_true_members"]
+    # measured FP rate lands near the (1-e^(-kn/m))^k ~ 0.005 theory
+    assert row["fp_rate"] <= 0.05
+    assert row["n_batch"] > 0 and row["n_store"] > 0

@@ -418,3 +418,23 @@ def test_cluster_balanced_sample_accept_is_map_side(spark):
     assert "BroadcastHashJoin" in plan
     for bad in NEVER_ANYWHERE:
         assert bad not in plan
+
+
+def test_pca_power_no_cartesian_no_window(spark):
+    # every per-iteration reduction is a 16-cell two-phase hash
+    # aggregate; the 1-row direction frames come back as broadcast
+    # nested-loop joins (1-row side), never a cartesian or a window
+    plan = _plan(spark, "g4_pca_power")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bloom_bitmap_partial_aggregates_and_broadcast_probe(spark):
+    # the 128-word bitmap builds through a two-phase bit_or aggregate
+    # and the batch probes it via a broadcast join on the word id
+    plan = _plan(spark, "a21_bloom_prefilter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
