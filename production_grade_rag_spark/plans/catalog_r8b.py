@@ -810,3 +810,204 @@ def a21_bloom_prefilter(spark: SparkSession, d: str) -> DataFrame:
                         F.col("n_false_pos").cast("double")
                         / (F.col("n_batch") - F.col("n_true_members"))
                           .cast("double")), 6).alias("fp_rate")))
+
+
+# ===========================================================================
+# Deterministic train/val/test split — the manifest every training
+# run pins before anything else: hash-bucket assignment (map-side,
+# reproducible across runs/engines/partitionings) plus the per-source
+# balance report that says the split didn't shear a domain.
+# ===========================================================================
+
+def _split_cte() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+), assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN bucket < 100000 THEN 'test'
+              WHEN bucket < 200000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM b
+)"""
+
+
+@register("t26_eval_split", oracle=_split_cte() + """
+SELECT doc_id, source, split FROM assigned ORDER BY doc_id
+""")
+def t26_eval_split(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split manifest: each doc
+    lands by its md5 bucket (test < 10%, val < 20%, train rest) —
+    the same hash-threshold primitive as t9/t19/t24, so membership
+    is a pure function of doc_id: stable under re-runs, engine
+    swaps, repartitioning, and corpus growth (a doc never migrates
+    between splits when new data arrives — the property random
+    splits lose and training pipelines need for dedup-safe evals).
+
+    Scale shape: entirely map-side; the manifest is a projection."""
+    from ..operators.dedup import md5_int32
+    docs = _t(spark, d, "documents")
+    b = F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":split"))), F.lit(1000000))
+    return (docs.select(
+        "doc_id", "source",
+        F.when(b < 100000, "test").when(b < 200000, "val")
+         .otherwise("train").alias("split"))
+        .orderBy("doc_id"))
+
+
+@register("t26_eval_split_report", oracle=_split_cte() + """
+SELECT source, split, count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY source)::DOUBLE, 6)
+         AS share_of_source
+FROM assigned GROUP BY source, split ORDER BY source, split
+""")
+def t26_eval_split_report(spark: SparkSession, d: str) -> DataFrame:
+    """Split balance audit: per (source, split) count and the share
+    of each source landing in each split — the check that the hash
+    split didn't shear any domain (every source's test share should
+    sit near 10%; the behavior test bounds the drift).  The window
+    here is over the REPORT table (sources x 3 rows), not the data."""
+    kept = t26_eval_split(spark, d)
+    agg = kept.groupBy("source", "split").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+    tot = F.sum("n").over(W.partitionBy("source"))
+    return (agg.select("source", "split", "n",
+                       F.round(F.col("n").cast("double")
+                               / tot.cast("double"), 6)
+                        .alias("share_of_source"))
+            .orderBy("source", "split"))
+
+
+# ===========================================================================
+# Held-out stupid-backoff scoring (Brants et al. 2007 §4) — the
+# third LM-scoring family member (add-one bigram perplexity, DSIR
+# log-ratio, now backoff): LM tables trained on the doc_id-even
+# half, the held-out odd half scored so the backoff branch actually
+# fires on unseen bigrams.
+# ===========================================================================
+
+def _backoff_cte() -> str:
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), bg AS (
+  SELECT doc_id, s.prev AS prev, s.cur AS cur
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t)), i -> struct_pack(
+             prev := CASE WHEN i = 0 THEN '<s>' ELSE t[i] END,
+             cur := t[i + 1]))) AS s
+    FROM toks WHERE len(t) > 0)
+), c2 AS (
+  SELECT prev, cur, count(*)::BIGINT AS c2
+  FROM bg WHERE doc_id % 2 = 0 GROUP BY prev, cur
+), c1 AS (
+  SELECT prev, count(*)::BIGINT AS c1
+  FROM bg WHERE doc_id % 2 = 0 GROUP BY prev
+), uni AS (
+  SELECT cur, count(*)::BIGINT AS cu
+  FROM bg WHERE doc_id % 2 = 0 GROUP BY cur
+), consts AS (
+  SELECT (SELECT count(*) FROM bg WHERE doc_id % 2 = 0)::BIGINT AS n,
+         (SELECT count(*) FROM uni)::BIGINT AS v
+), scored AS (
+  SELECT b.doc_id,
+         (t2.c2 IS NOT NULL) AS hit,
+         CAST(round(CASE WHEN t2.c2 IS NOT NULL
+           THEN ln(t2.c2::DOUBLE / t1.c1::DOUBLE)
+           ELSE ln(0.4::DOUBLE * (coalesce(u.cu, 0) + 1)::DOUBLE
+                   / (c.n + c.v)::DOUBLE) END * 1000000.0) AS BIGINT)
+           AS lp_s
+  FROM bg b
+  LEFT JOIN c2 t2 ON t2.prev = b.prev AND t2.cur = b.cur
+  LEFT JOIN c1 t1 ON t1.prev = b.prev
+  LEFT JOIN uni u ON u.cur = b.cur
+  CROSS JOIN consts c
+  WHERE b.doc_id % 2 = 1
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         CAST(sum((NOT hit)::INT) AS BIGINT) AS n_backoff,
+         CAST(sum(lp_s) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
+)"""
+
+
+@register("ta_backoff_heldout", oracle=_backoff_cte() + """
+SELECT doc_id, n_bigrams, n_backoff,
+       round(s::DOUBLE / (n_bigrams::DOUBLE * 1000000.0), 6)
+         AS bo_logscore
+FROM per_doc ORDER BY doc_id
+""")
+def ta_backoff_heldout(spark: SparkSession, d: str) -> DataFrame:
+    """Stupid-backoff LM scoring (Brants et al. 2007 §4) on HELD-OUT
+    data: bigram/context/unigram tables trained on the doc_id-even
+    half of the corpus, the odd half scored — so unseen bigrams are
+    real and the backoff branch (0.4 * unigram MLE, here add-one
+    smoothed so an unseen unigram scores finitely instead of ln 0)
+    does actual work.  Emits per held-out doc the bigram count, how
+    many fell to backoff, and the mean log score — the web-scale LM
+    gate Brants built for exactly this reason: no normalization, no
+    discount estimation, every table a counting aggregate.
+
+    Cross-engine exactness: counts are BIGINT; each bigram's log
+    score is quantized to a 1e-6 BIGINT BEFORE the per-doc sum (the
+    t21/NB convention — float adds are order-dependent across
+    engines, integer adds are not), one division at the end.
+
+    Scale shape: three counting aggregates over the training half
+    (vocabulary-sized results, broadcast back to the Zipf-hot token
+    stream — the t16/t21 join shape), scoring itself map-side."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    toks = (docs.select("doc_id", tokens(F.col("text")).alias("t"))
+            .filter(F.size("t") > 0))
+    t = F.col("t")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 1),
+        lambda i: F.struct(
+            F.when(i == 0, F.lit("<s>"))
+             .otherwise(F.element_at(t, i)).alias("prev"),
+            F.element_at(t, i + 1).alias("cur")))
+    bg = (toks.select("doc_id", F.explode(bigrams).alias("s"))
+          .select("doc_id", F.col("s.prev").alias("prev"),
+                  F.col("s.cur").alias("cur")))
+    train = bg.filter(F.col("doc_id") % 2 == 0)
+    c2 = train.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = train.groupBy("prev").agg(F.count("*").alias("c1"))
+    uni = train.groupBy("cur").agg(F.count("*").alias("cu"))
+    consts = train.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("cur").alias("v"))
+    lp = F.when(
+        F.col("c2").isNotNull(),
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+    ).otherwise(
+        F.log(F.lit(0.4) * (F.coalesce(F.col("cu"), F.lit(0)) + 1)
+              .cast("double") / (F.col("n") + F.col("v")).cast("double")))
+    scored = (bg.filter(F.col("doc_id") % 2 == 1)
+              .join(F.broadcast(c2), ["prev", "cur"], "left")
+              .join(F.broadcast(c1), "prev", "left")
+              .join(F.broadcast(uni), "cur", "left")
+              .crossJoin(F.broadcast(consts))
+              .select("doc_id",
+                      F.col("c2").isNotNull().alias("hit"),
+                      F.round(lp * F.lit(1000000.0)).cast("long")
+                       .alias("lp_s")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum((~F.col("hit")).cast("long")).cast("long")
+                  .alias("n_backoff"),
+                 F.sum("lp_s").cast("long").alias("s"))
+            .select("doc_id", "n_bigrams", "n_backoff",
+                    F.round(F.col("s").cast("double")
+                            / (F.col("n_bigrams").cast("double")
+                               * F.lit(1000000.0)), 6)
+                     .alias("bo_logscore"))
+            .orderBy("doc_id"))

@@ -198,3 +198,40 @@ def test_bloom_prefilter_contract(spark):
     # measured FP rate lands near the (1-e^(-kn/m))^k ~ 0.005 theory
     assert row["fp_rate"] <= 0.05
     assert row["n_batch"] > 0 and row["n_store"] > 0
+
+
+def test_eval_split_is_stable_partition(spark):
+    rows = CATALOG["t26_eval_split"].build(spark, SF01).collect()
+    assert len(rows) == 500
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    # global shares near 80/10/10
+    assert abs(len(by["test"]) / 500 - 0.10) < 0.05
+    assert abs(len(by["val"]) / 500 - 0.10) < 0.05
+    # determinism: a rerun yields the identical membership
+    again = {r["doc_id"]: r["split"]
+             for r in CATALOG["t26_eval_split"].build(spark, SF01).collect()}
+    for split, ids in by.items():
+        assert all(again[i] == split for i in ids)
+    rep = CATALOG["t26_eval_split_report"].build(spark, SF01).collect()
+    for r in rep:
+        if r["split"] == "train":
+            # no source sheared: every source keeps a training majority
+            assert r["share_of_source"] >= 0.5, (r["source"], r)
+
+
+def test_backoff_heldout_scores_odd_half(spark):
+    rows = CATALOG["ta_backoff_heldout"].build(spark, SF01).collect()
+    assert rows
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    assert all(r["bo_logscore"] < 0 for r in rows)
+    assert all(0 <= r["n_backoff"] <= r["n_bigrams"] for r in rows)
+    # held-out scoring must actually exercise the backoff branch
+    assert sum(r["n_backoff"] for r in rows) > 0
+    # and seen bigrams must dominate unseen on a same-distribution
+    # held-out half (sanity that the LM learned something)
+    tot_b = sum(r["n_bigrams"] for r in rows)
+    tot_u = sum(r["n_backoff"] for r in rows)
+    assert tot_u < 0.8 * tot_b

@@ -438,3 +438,23 @@ def test_bloom_bitmap_partial_aggregates_and_broadcast_probe(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_eval_split_manifest_is_pure_projection(spark):
+    # split assignment is a map-side hash threshold: no join, no
+    # window, no aggregate — just the scan, the projection, and the
+    # output sort
+    plan = _plan(spark, "t26_eval_split")
+    for bad in ("CartesianProduct", "Join", "Window", "HashAggregate"):
+        assert bad not in plan, f"split manifest plans a {bad}"
+
+
+def test_backoff_lm_tables_broadcast_no_tok_shuffle(spark):
+    # the trained bigram/context/unigram tables are vocabulary-sized:
+    # scoring joins must broadcast (the t16/t21 shape) — a sort-merge
+    # on the Zipf token key would be the hot-key shuffle
+    plan = _plan(spark, "ta_backoff_heldout")
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"SortMergeJoin.*\b(prev|cur)\b", plan), plan
+    for bad in NEVER_ANYWHERE:
+        assert bad not in plan
