@@ -1011,3 +1011,224 @@ def ta_backoff_heldout(spark: SparkSession, d: str) -> DataFrame:
                                * F.lit(1000000.0)), 6)
                      .alias("bo_logscore"))
             .orderBy("doc_id"))
+
+
+# ===========================================================================
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006
+# A-Res): top-k by the priority key u^(1/w) — here rank-equivalent
+# ln(u)/w, quantized — with quality as the weight.  The standard way
+# to cut a quality-BIASED subcorpus (unlike w10's hard cut, every
+# doc keeps a nonzero chance, so diversity survives).
+# ===========================================================================
+
+_WRS_K = 100
+
+
+def _wrs_cte() -> str:
+    from . import oracle_sql as O
+    return f"""
+WITH q AS (
+  SELECT doc_id, source,
+         round({O.quality_sql('text')}, 6) + 0.001::DOUBLE AS w,
+         ((('0x' || substr(md5(doc_id::VARCHAR || ':wrs'), 1, 8))::BIGINT
+           % 1000000) + 1)::DOUBLE / 1000000.0::DOUBLE AS u
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, round(w, 6) AS w,
+         CAST(round(ln(u) / w * 1000000.0) AS BIGINT) AS key_s
+  FROM q
+)"""
+
+
+@register("t27_weighted_sample", oracle=_wrs_cte() + f"""
+SELECT doc_id, source, w, key_s
+FROM keyed ORDER BY key_s DESC, doc_id LIMIT {_WRS_K}
+""")
+def t27_weighted_sample(spark: SparkSession, d: str) -> DataFrame:
+    """Quality-weighted sample of 100 docs without replacement
+    (Efraimidis & Spirakis 2006 A-Res): each doc draws a
+    deterministic uniform u from its md5 bucket and ranks by the
+    priority key u^(1/w) — taken in rank-equivalent log form
+    ln(u)/w, quantized to a 1e-6 BIGINT so the ordering both
+    engines sort is over identical integers (w is the 6dp T2 score
+    + 0.001 so zero-quality docs stay finite but near-certain
+    losers).  Unlike the w10 hard cut, selection probability is
+    MONOTONE in quality but never zero — the sample keeps corpus
+    diversity while biasing toward quality, and re-running with
+    more data never reshuffles previously-drawn keys (each key is a
+    pure function of doc_id).
+
+    Scale shape: key assignment map-side; top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from ..functions import text as X
+    from ..operators.dedup import md5_int32
+    docs = _t(spark, d, "documents")
+    w = (F.round(X.quality_components(F.col("text"))["quality_score"], 6)
+         + F.lit(0.001))
+    u = ((F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                    F.lit(":wrs"))), F.lit(1000000))
+          + F.lit(1)).cast("double") / F.lit(1000000.0))
+    keyed = docs.select(
+        "doc_id", "source", F.round(w, 6).alias("w"),
+        F.round(F.log(u) / w * F.lit(1000000.0)).cast("long")
+         .alias("key_s"))
+    return (keyed.orderBy(F.desc("key_s"), "doc_id").limit(_WRS_K))
+
+
+# ===========================================================================
+# Semi-supervised label propagation (Zhu & Ghahramani 2002) — the
+# fourth exact iterative family member: labels spread from the
+# doc_id-even seed half over a fixed 5-NN cosine graph by clamped
+# integer majority vote; held-out accuracy on the odd half.
+# ===========================================================================
+
+_LP_K = 5
+_LP_ITERS = 2
+
+
+def _lp_cte() -> str:
+    from . import oracle_vec as OV
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    parts = [f"""
+e AS (
+  SELECT vec_id, embedding, label FROM embeddings
+), nb AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+), lab0 AS (
+  SELECT vec_id, CASE WHEN vec_id % 2 = 0 THEN label END AS lab FROM e
+)"""]
+    for k in range(_LP_ITERS):
+        parts.append(f"""
+votes{k} AS (
+  SELECT n.src AS vec_id, l.lab, count(*)::BIGINT AS c
+  FROM nb n JOIN lab{k} l ON l.vec_id = n.dst
+  WHERE l.lab IS NOT NULL GROUP BY n.src, l.lab
+), best{k} AS (
+  SELECT vec_id, lab FROM (
+    SELECT vec_id, lab,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, lab) AS rn
+    FROM votes{k}) WHERE rn = 1
+), lab{k + 1} AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % 2 = 0 THEN e.label
+              ELSE coalesce(b.lab, l.lab) END AS lab
+  FROM e
+  LEFT JOIN best{k} b ON b.vec_id = e.vec_id
+  LEFT JOIN lab{k} l ON l.vec_id = e.vec_id
+)""")
+    return "WITH " + ",".join(parts)
+
+
+def _lp_frames(spark: SparkSession, d: str):
+    """(embeddings frame e, final label frame (vec_id, lab)) — the
+    Spark twin of _lp_cte."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import cosine, to_double_array
+    e = _t(spark, d, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("emb"),
+        "label")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    nb = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+          .select(F.col("a.vec_id").alias("src"),
+                  F.col("b.vec_id").alias("dst"), cos.alias("cos"))
+          .withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= _LP_K).select("src", "dst"))
+    lab = e.select("vec_id",
+                   F.when(F.col("vec_id") % 2 == 0, F.col("label"))
+                    .alias("lab"))
+    wv = W.partitionBy("vec_id").orderBy(F.desc("c"), "lab")
+    for _ in range(_LP_ITERS):
+        votes = (nb.join(lab.withColumnRenamed("vec_id", "dst"), "dst")
+                 .filter(F.col("lab").isNotNull())
+                 .groupBy(F.col("src").alias("vec_id"), "lab")
+                 .agg(F.count("*").alias("c")))
+        best = (votes.withColumn("rn", F.row_number().over(wv))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", F.col("lab").alias("blab")))
+        prev = lab.withColumnRenamed("lab", "plab")
+        lab = (e.join(best, "vec_id", "left").join(prev, "vec_id", "left")
+               .select("vec_id",
+                       F.when(F.col("vec_id") % 2 == 0, F.col("label"))
+                        .otherwise(F.coalesce("blab", "plab"))
+                        .alias("lab")))
+    return e, lab
+
+
+@register("g5_label_prop", oracle=_lp_cte() + f"""
+SELECT vec_id, coalesce(lab, -1)::BIGINT AS label_pred,
+       (vec_id % 2 = 0) AS is_seed
+FROM lab{_LP_ITERS} ORDER BY vec_id
+""")
+def g5_label_prop(spark: SparkSession, d: str) -> DataFrame:
+    """Label propagation (Zhu & Ghahramani 2002) over the embedding
+    corpus: the doc_id-even half keeps its true label (clamped
+    seeds), the odd half starts unlabeled, and two iterations of
+    5-NN majority vote (count DESC, label ASC tiebreak — integer
+    votes, so the trajectory is engine-exact) spread labels across
+    the fixed cosine graph.  The fourth exact iterative operator
+    after PageRank, k-means, and PCA — this one for the
+    semi-supervised annotation step of a curation pipeline (label a
+    seed slice by hand or model, propagate to the corpus by
+    embedding affinity).
+
+    Scale shape: the graph build here is the exact all-pairs kNN
+    (the r5 shape, fine at test scale and value-oracle-able); at
+    100 TB candidate generation swaps to ivf_knn_join per the r9
+    bitext note — the ITERATIONS themselves are k-bounded joins on
+    the 5-NN edge list (5n edges), partial-agg votes, never n^2."""
+    _, lab = _lp_frames(spark, d)
+    return (lab.select("vec_id",
+                       F.coalesce("lab", F.lit(-1)).cast("long")
+                        .alias("label_pred"),
+                       (F.col("vec_id") % 2 == 0).alias("is_seed"))
+            .orderBy("vec_id"))
+
+
+@register("g5_label_prop_report", oracle=_lp_cte() + f"""
+, held AS (
+  SELECT e.vec_id, e.label AS truth, l.lab
+  FROM e JOIN lab{_LP_ITERS} l ON l.vec_id = e.vec_id
+  WHERE e.vec_id % 2 = 1
+)
+SELECT count(*)::BIGINT AS n_heldout,
+       CAST(sum((lab IS NOT NULL)::INT) AS BIGINT) AS n_predicted,
+       CAST(sum((lab = truth)::INT) AS BIGINT) AS n_correct,
+       round(sum((lab IS NOT NULL)::INT)::DOUBLE / count(*)::DOUBLE, 6)
+         AS coverage,
+       round(sum((lab = truth)::INT)::DOUBLE
+             / greatest(sum((lab IS NOT NULL)::INT), 1)::DOUBLE, 6)
+         AS accuracy
+FROM held
+""")
+def g5_label_prop_report(spark: SparkSession, d: str) -> DataFrame:
+    """Held-out scoreboard for the propagation: over the odd
+    (unseeded) half — how many received a label (coverage) and how
+    often it matches the withheld truth (accuracy).  The quality
+    gate a production propagation run publishes before anyone
+    trusts the machine labels."""
+    e, lab = _lp_frames(spark, d)
+    held = (e.filter(F.col("vec_id") % 2 == 1)
+            .select("vec_id", F.col("label").alias("truth"))
+            .join(lab, "vec_id"))
+    return held.agg(
+        F.count("*").cast("long").alias("n_heldout"),
+        F.sum(F.col("lab").isNotNull().cast("long")).cast("long")
+         .alias("n_predicted"),
+        F.sum((F.col("lab") == F.col("truth")).cast("long")).cast("long")
+         .alias("n_correct"),
+        F.round(F.sum(F.col("lab").isNotNull().cast("long"))
+                .cast("double") / F.count("*").cast("double"), 6)
+         .alias("coverage"),
+        F.round(F.sum((F.col("lab") == F.col("truth")).cast("long"))
+                .cast("double")
+                / F.greatest(F.sum(F.col("lab").isNotNull().cast("long")),
+                             F.lit(1)).cast("double"), 6)
+         .alias("accuracy"))

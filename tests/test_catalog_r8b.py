@@ -235,3 +235,53 @@ def test_backoff_heldout_scores_odd_half(spark):
     tot_b = sum(r["n_bigrams"] for r in rows)
     tot_u = sum(r["n_backoff"] for r in rows)
     assert tot_u < 0.8 * tot_b
+
+
+def test_weighted_sample_biases_toward_quality(spark):
+    from pyspark.sql import functions as SF
+    sample = CATALOG["t27_weighted_sample"].build(spark, SF01)
+    rows = sample.collect()
+    assert len(rows) == 100
+    # keys are sorted descending with doc_id tiebreak
+    keys = [(r["key_s"], -r["doc_id"]) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    mean_sample = sum(r["w"] for r in rows) / len(rows)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    from production_grade_rag_spark.functions import text as X
+    mean_corpus = (docs.select(
+        (SF.round(X.quality_components(SF.col("text"))["quality_score"], 6)
+         + SF.lit(0.001)).alias("w")).agg(SF.avg("w")).first()[0])
+    # weighted-without-replacement must overrepresent quality
+    assert mean_sample > mean_corpus * 1.05, (mean_sample, mean_corpus)
+
+
+def test_label_prop_chance_on_uncorrelated_labels(spark):
+    # sf0.01 labels are independent of embedding geometry, so the
+    # honest expectation is full coverage at ~chance accuracy (10
+    # labels): the operator must not fabricate signal
+    row = CATALOG["g5_label_prop_report"].build(spark, SF01).collect()[0]
+    assert row["coverage"] == 1.0
+    assert 0.02 <= row["accuracy"] <= 0.25
+
+
+def test_label_prop_recovers_clustered_labels(spark, tmp_path):
+    import numpy as np
+    # two well-separated clusters with label == cluster: propagation
+    # from the even-id seeds must label the odd half near-perfectly
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(200):
+        c = (i // 2) % 2   # both parities appear in both clusters
+        base = np.zeros(8)
+        base[c * 4] = 1.0  # clusters live on orthogonal axes
+        v = base + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v], int(c)))
+    (spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int")
+     .write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet"))
+    rep = CATALOG["g5_label_prop_report"].build(spark, str(tmp_path)) \
+        .collect()[0]
+    assert rep["coverage"] == 1.0
+    assert rep["accuracy"] >= 0.98, rep
+    preds = CATALOG["g5_label_prop"].build(spark, str(tmp_path)).collect()
+    assert all(p["label_pred"] in (0, 1) for p in preds)

@@ -458,3 +458,22 @@ def test_backoff_lm_tables_broadcast_no_tok_shuffle(spark):
     assert not re.search(r"SortMergeJoin.*\b(prev|cur)\b", plan), plan
     for bad in NEVER_ANYWHERE:
         assert bad not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # key assignment map-side; the top-k must be TakeOrderedAndProject
+    # (per-partition heaps), never a global sort
+    plan = _plan(spark, "t27_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("CartesianProduct", "Window", "Join"):
+        assert bad not in plan, f"weighted sample plans a {bad}"
+
+
+def test_label_prop_iterations_are_edge_joins(spark):
+    # after the one-off graph build, each vote round joins the 5n edge
+    # list to the label table and partial-aggregates the counts — no
+    # cartesian anywhere (the graph build's non-equi self-join is a
+    # broadcast nested loop at this scale)
+    plan = _plan(spark, "g5_label_prop")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
