@@ -590,7 +590,7 @@ def _pca_frames(spark: SparkSession, d: str):
     return c, v
 
 
-@register("g4_pca_power", oracle=_pca_cte() + f"""
+@register("g4_pca_power", headline=True, oracle=_pca_cte() + f"""
 SELECT CAST(t.i AS BIGINT) AS dim, v[t.i] AS v_q
 FROM v{_PCA_ITERS} CROSS JOIN range(1, {_PCA_D + 1}) t(i)
 ORDER BY dim
