@@ -1232,3 +1232,83 @@ def g5_label_prop_report(spark: SparkSession, d: str) -> DataFrame:
                 / F.greatest(F.sum(F.col("lab").isNotNull().cast("long")),
                              F.lit(1)).cast("double"), 6)
          .alias("accuracy"))
+
+
+# ===========================================================================
+# ANALYZE TABLE-style column statistics — the stats-collection pass a
+# cost-based optimizer runs before trusting its own estimates (a17
+# audits an estimate; this is the op that PRODUCES the stats).
+# ===========================================================================
+
+@register("s32_analyze_stats", oracle="""
+WITH a AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum((o_orderkey IS NULL)::INT)::BIGINT AS nn1,
+         count(DISTINCT o_orderkey)::BIGINT AS nd1,
+         min(o_orderkey)::DOUBLE AS mn1, max(o_orderkey)::DOUBLE AS mx1,
+         sum((o_custkey IS NULL)::INT)::BIGINT AS nn2,
+         count(DISTINCT o_custkey)::BIGINT AS nd2,
+         min(o_custkey)::DOUBLE AS mn2, max(o_custkey)::DOUBLE AS mx2,
+         sum((o_totalprice IS NULL)::INT)::BIGINT AS nn3,
+         count(DISTINCT o_totalprice)::BIGINT AS nd3,
+         round(min(o_totalprice), 2)::DOUBLE AS mn3,
+         round(max(o_totalprice), 2)::DOUBLE AS mx3,
+         sum((o_orderdate IS NULL)::INT)::BIGINT AS nn4,
+         count(DISTINCT o_orderdate)::BIGINT AS nd4,
+         min(datediff('day', DATE '1970-01-01', o_orderdate::DATE))::DOUBLE AS mn4,
+         max(datediff('day', DATE '1970-01-01', o_orderdate::DATE))::DOUBLE AS mx4
+  FROM orders
+)
+SELECT col, n_rows, n_nulls, ndv, min_v, max_v FROM (
+  SELECT 'o_orderkey' AS col, n_rows, nn1 AS n_nulls, nd1 AS ndv,
+         mn1 AS min_v, mx1 AS max_v FROM a
+  UNION ALL
+  SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM a
+  UNION ALL
+  SELECT 'o_totalprice', n_rows, nn3, nd3, mn3, mx3 FROM a
+  UNION ALL
+  SELECT 'o_orderdate', n_rows, nn4, nd4, mn4, mx4 FROM a
+) ORDER BY col
+""")
+def s32_analyze_stats(spark: SparkSession, d: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as an
+    operator: per column of `orders` — row count, null count, exact
+    NDV, min and max — the table the Selinger estimate (a17) and any
+    CBO join reorder read.  ONE scan, every per-column statistic a
+    cell of the same conditional aggregate, exploded to one row per
+    column (the t25/funnel explode shape).
+
+    Scale shape: min/max/null-count partial-aggregate trivially; the
+    exact NDVs are the only shuffle-bound cells, and at 100 TB each
+    swaps for approx_count_distinct (the a10 HLL gate bounds that
+    substitution's error) — the plan shape is otherwise unchanged."""
+    o = _t(spark, d, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    aggs = [F.count("*").alias("n_rows")]
+    for i, c in enumerate(cols, 1):
+        mn = F.min(c).cast("double")
+        mx = F.max(c).cast("double")
+        if c == "o_totalprice":
+            mn, mx = (F.round(F.min(c), 2).cast("double"),
+                      F.round(F.max(c), 2).cast("double"))
+        elif c == "o_orderdate":
+            ep = F.datediff(F.col(c).cast("date"), F.lit("1970-01-01"))
+            mn = F.min(ep).cast("double")
+            mx = F.max(ep).cast("double")
+        aggs += [F.sum(F.col(c).isNull().cast("long")).cast("long")
+                  .alias(f"nn{i}"),
+                 F.count_distinct(F.col(c)).alias(f"nd{i}"),
+                 mn.alias(f"mn{i}"), mx.alias(f"mx{i}")]
+    a = o.agg(*aggs)
+
+    def row(i, c):
+        return F.struct(F.lit(c).alias("col"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn{i}").alias("n_nulls"),
+                        F.col(f"nd{i}").alias("ndv"),
+                        F.col(f"mn{i}").alias("min_v"),
+                        F.col(f"mx{i}").alias("max_v"))
+
+    return (a.select(F.explode(F.array(
+        *[row(i, c) for i, c in enumerate(cols, 1)])).alias("r"))
+        .select("r.*").orderBy("col"))
