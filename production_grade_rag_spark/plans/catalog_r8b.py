@@ -1312,3 +1312,200 @@ def s32_analyze_stats(spark: SparkSession, d: str) -> DataFrame:
     return (a.select(F.explode(F.array(
         *[row(i, c) for i, c in enumerate(cols, 1)])).alias("r"))
         .select("r.*").orderBy("col"))
+
+
+# ===========================================================================
+# In-Context Pretraining pack order (Shi et al. 2023) — the
+# composition capstone of the selection family: pack RELATED docs
+# into the same training sequence by ordering within k-means
+# clusters (centroid-outward walk) instead of t18's random hash
+# shards, and measure what it buys: the same-cluster adjacency rate
+# of within-sequence neighbors, side by side with the hash baseline.
+# ===========================================================================
+
+def _icp_oracle(final_select: str) -> str:
+    from .catalog_r8 import _SEQ_LEN, _km_oracle
+    return _km_oracle(f"""
+, toks AS (
+  SELECT doc_id, greatest(1, (length(text) // 4))::BIGINT AS est_tokens
+  FROM documents
+), ibase AS (
+  SELECT a.vec_id AS doc_id, a.cluster, a.dist_q, t.est_tokens
+  FROM af a JOIN toks t ON t.doc_id = a.vec_id
+), ipacked AS (
+  SELECT doc_id, cluster, dist_q, est_tokens,
+         (sum(est_tokens) OVER (PARTITION BY cluster
+            ORDER BY dist_q, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - est_tokens)::BIGINT AS tok_offset
+  FROM ibase
+), imanifest AS (
+  SELECT doc_id, cluster, est_tokens, tok_offset,
+         (tok_offset // {_SEQ_LEN})::BIGINT AS seq_start,
+         ((tok_offset + est_tokens - 1) // {_SEQ_LEN})::BIGINT AS seq_end
+  FROM ipacked
+)""" + final_select)
+
+
+@register("t28_icp_pack", oracle=_icp_oracle("""
+SELECT doc_id, cluster, est_tokens, tok_offset, seq_start, seq_end
+FROM imanifest ORDER BY cluster, tok_offset, doc_id
+"""))
+def t28_icp_pack(spark: SparkSession, d: str) -> DataFrame:
+    """In-Context Pretraining pack manifest (Shi et al. 2023): docs
+    are packed into training sequences ORDERED BY SEMANTIC CLUSTER
+    — within each frozen k-means cell, a centroid-outward walk
+    (dist ASC, doc_id tiebreak) — so the documents sharing a
+    context window are related, the property ICP shows improves
+    downstream in-context learning.  Same [seq_start, seq_end]
+    interval algebra as t18_seq_packing; the shard key changes from
+    a hash to the learned cluster, and the within-shard order from
+    doc_id to the exact integer centroid distance.
+
+    Scale shape: assignment map-side off centroid literals (g2),
+    one window per cluster for the running offsets.  K=4 here makes
+    each cluster one window partition — at 100 TB you sub-shard
+    within cluster (cluster, bucket) exactly like t18's hash shards
+    and lose only cross-bucket adjacency, the same trade t18 makes."""
+    from ..functions.text import token_estimate
+    from pyspark.sql import Window as W
+    from .catalog_r8 import _SEQ_LEN, _km_run
+    af, _ = _km_run(spark, d)
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        F.greatest(F.lit(1), token_estimate(F.col("text")))
+         .alias("est_tokens"))
+    base = (af.withColumnRenamed("vec_id", "doc_id")
+            .join(docs, "doc_id"))
+    w = (W.partitionBy("cluster").orderBy("dist_q", "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    off = base.withColumn(
+        "tok_offset", F.sum("est_tokens").over(w) - F.col("est_tokens"))
+    return (off.select(
+        "doc_id", "cluster", "est_tokens", "tok_offset",
+        F.expr(f"tok_offset div {_SEQ_LEN}").alias("seq_start"),
+        F.expr(f"(tok_offset + est_tokens - 1) div {_SEQ_LEN}")
+         .alias("seq_end"))
+        .orderBy("cluster", "tok_offset", "doc_id"))
+
+
+@register("t28_icp_adjacency", oracle=_icp_oracle("""
+, ipairs AS (
+  SELECT cluster AS same_cluster_l, cluster AS same_cluster_r,
+         seq_end, lead(seq_start) OVER (PARTITION BY cluster
+            ORDER BY tok_offset, doc_id) AS nxt_start
+  FROM imanifest
+), icount AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         count(*)::BIGINT AS n_same
+  FROM ipairs WHERE nxt_start IS NOT NULL AND nxt_start <= seq_end
+), hbase AS (
+  SELECT m.doc_id, m.shard, m.tok_offset, m.seq_start, m.seq_end,
+         a.cluster
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 8))::BIGINT
+             % 8 AS shard,
+           (sum(greatest(1, (length(text) // 4))) OVER (
+              PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR
+                || ':shard'), 1, 8))::BIGINT % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - greatest(1, (length(text) // 4)))::BIGINT AS tok_offset,
+           ((sum(greatest(1, (length(text) // 4))) OVER (
+              PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR
+                || ':shard'), 1, 8))::BIGINT % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - greatest(1, (length(text) // 4))) // 2048)::BIGINT
+             AS seq_start,
+           ((sum(greatest(1, (length(text) // 4))) OVER (
+              PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR
+                || ':shard'), 1, 8))::BIGINT % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - 1) // 2048)::BIGINT AS seq_end
+    FROM documents) m
+  JOIN af a ON a.vec_id = m.doc_id
+), hpairs AS (
+  SELECT cluster, seq_end,
+         lead(seq_start) OVER (PARTITION BY shard
+            ORDER BY tok_offset, doc_id) AS nxt_start,
+         lead(cluster) OVER (PARTITION BY shard
+            ORDER BY tok_offset, doc_id) AS nxt_cluster
+  FROM hbase
+), hcount AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         CAST(sum((cluster = nxt_cluster)::INT) AS BIGINT) AS n_same
+  FROM hpairs WHERE nxt_start IS NOT NULL AND nxt_start <= seq_end
+)
+SELECT packing, n_pairs, n_same,
+       round(n_same::DOUBLE / greatest(n_pairs, 1)::DOUBLE, 6)
+         AS same_cluster_rate
+FROM (
+  SELECT 'icp' AS packing, n_pairs, n_same FROM icount
+  UNION ALL
+  SELECT 'hash' AS packing, n_pairs, n_same FROM hcount
+) ORDER BY packing
+"""))
+def t28_icp_adjacency(spark: SparkSession, d: str) -> DataFrame:
+    """The measurable claim behind the ICP pack: of the doc pairs
+    that end up ADJACENT WITHIN A TRAINING SEQUENCE (next doc
+    starts in the sequence the previous one ends), what fraction
+    share a semantic cluster — 1.0 by construction for the ICP
+    order, vs roughly sum_c share_c^2 for t18's hash sharding.
+    Both packings evaluated with the same interval algebra and the
+    same frozen cluster layout, so the two rows differ only in the
+    pack order."""
+    from ..functions.text import token_estimate
+    from ..operators.dedup import md5_int32
+    from pyspark.sql import Window as W
+    from .catalog_r8 import _SEQ_LEN, _km_run
+
+    af, _ = _km_run(spark, d)
+    clusters = af.withColumnRenamed("vec_id", "doc_id") \
+                 .select("doc_id", "cluster")
+
+    icp = t28_icp_pack(spark, d)
+    wi = W.partitionBy("cluster").orderBy("tok_offset", "doc_id")
+    ip = (icp.withColumn("nxt_start", F.lead("seq_start").over(wi))
+          .filter(F.col("nxt_start").isNotNull()
+                  & (F.col("nxt_start") <= F.col("seq_end"))))
+    ic = ip.agg(F.count("*").cast("long").alias("n_pairs"),
+                F.count("*").cast("long").alias("n_same"))
+
+    docs = _t(spark, d, "documents")
+    hbase = (docs.select(
+        "doc_id",
+        F.greatest(F.lit(1), token_estimate(F.col("text")))
+         .alias("est_tokens"),
+        F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":shard"))),
+               F.lit(8)).alias("shard")))
+    wh = (W.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    hman = (hbase.withColumn(
+        "tok_offset", F.sum("est_tokens").over(wh) - F.col("est_tokens"))
+        .select("doc_id", "shard", "tok_offset",
+                F.expr(f"tok_offset div {_SEQ_LEN}").alias("seq_start"),
+                F.expr(f"(tok_offset + est_tokens - 1) div {_SEQ_LEN}")
+                 .alias("seq_end"))
+        .join(clusters, "doc_id"))
+    w2 = W.partitionBy("shard").orderBy("tok_offset", "doc_id")
+    hp = (hman.withColumn("nxt_start", F.lead("seq_start").over(w2))
+          .withColumn("nxt_cluster", F.lead("cluster").over(w2))
+          .filter(F.col("nxt_start").isNotNull()
+                  & (F.col("nxt_start") <= F.col("seq_end"))))
+    hc = hp.agg(F.count("*").cast("long").alias("n_pairs"),
+                F.sum((F.col("cluster") == F.col("nxt_cluster"))
+                      .cast("long")).cast("long").alias("n_same"))
+
+    rate = F.round(F.col("n_same").cast("double")
+                   / F.greatest(F.col("n_pairs"), F.lit(1))
+                     .cast("double"), 6).alias("same_cluster_rate")
+    return (ic.select(F.lit("icp").alias("packing"), "n_pairs", "n_same",
+                      rate)
+            .unionByName(
+                hc.select(F.lit("hash").alias("packing"), "n_pairs",
+                          "n_same", rate))
+            .orderBy("packing"))

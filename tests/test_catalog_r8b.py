@@ -285,3 +285,19 @@ def test_label_prop_recovers_clustered_labels(spark, tmp_path):
     assert rep["accuracy"] >= 0.98, rep
     preds = CATALOG["g5_label_prop"].build(spark, str(tmp_path)).collect()
     assert all(p["label_pred"] in (0, 1) for p in preds)
+
+
+def test_icp_pack_adjacency_beats_hash_baseline(spark):
+    rows = {r["packing"]: r for r in
+            CATALOG["t28_icp_adjacency"].build(spark, SF01).collect()}
+    assert set(rows) == {"icp", "hash"}
+    # ICP co-packs same-cluster docs by construction
+    assert rows["icp"]["same_cluster_rate"] == 1.0
+    # hash sharding lands near sum_c share_c^2 (~0.25 for 4 balanced
+    # clusters) — far below the ICP order
+    assert 0.1 <= rows["hash"]["same_cluster_rate"] <= 0.5
+    # pack manifest covers the corpus exactly once with sane intervals
+    pack = CATALOG["t28_icp_pack"].build(spark, SF01).collect()
+    assert len(pack) == 500
+    assert len({r["doc_id"] for r in pack}) == 500
+    assert all(0 <= r["seq_start"] <= r["seq_end"] for r in pack)

@@ -477,3 +477,12 @@ def test_label_prop_iterations_are_edge_joins(spark):
     plan = _plan(spark, "g5_label_prop")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_icp_pack_no_cartesian(spark):
+    # cluster assignment map-side (g2 shape), offsets one window per
+    # cluster, the token join broadcast-or-shuffled on doc_id — never
+    # a cartesian
+    for name in ("t28_icp_pack", "t28_icp_adjacency"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
