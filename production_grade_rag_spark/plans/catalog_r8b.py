@@ -525,7 +525,7 @@ q AS (
   FROM q CROSS JOIN {rng} t(i) GROUP BY i
 ), mu AS (
   SELECT list(s // n ORDER BY i) AS mu FROM muw
-), c AS (
+), c AS MATERIALIZED (
   SELECT vec_id,
          list_transform({rng}, i -> qv[i] - mu[i]) AS cv
   FROM q CROSS JOIN mu
@@ -543,7 +543,7 @@ s{k} AS (
   FROM s{k} CROSS JOIN {rng} t(i) GROUP BY i
 ), m{k} AS (
   SELECT greatest(max(abs(w)) // {VS}, 1) AS m FROM w{k}
-), v{k + 1} AS (
+), v{k + 1} AS MATERIALIZED (
   SELECT list(w // m ORDER BY i) AS v FROM w{k} CROSS JOIN m{k}
 )""")
     return "WITH " + ",".join(parts)
@@ -574,6 +574,14 @@ def _pca_frames(spark: SparkSession, d: str):
     v = spark.range(1).select(F.array(
         F.lit(VS).cast("long"),
         *[F.lit(0).cast("long") for _ in range(D - 1)]).alias("v"))
+    return c, _power_iters(c, v)
+
+
+def _power_iters(c: DataFrame, v: DataFrame) -> DataFrame:
+    """The shared iteration loop: iterate v <- normalize(A v) over
+    the centered frame c (columns vec_id, cv) starting from the
+    1-row direction frame v."""
+    D, VS = _PCA_D, _PCA_VS
     for _ in range(_PCA_ITERS):
         s = (c.crossJoin(F.broadcast(v))
              .select("cv",
@@ -587,7 +595,7 @@ def _pca_frames(spark: SparkSession, d: str):
         w = w.withColumn("m", F.greatest(m_expr, F.lit(1).cast("long")))
         v = w.select(F.array(
             *[F.expr(f"w{i} div m") for i in range(D)]).alias("v"))
-    return c, v
+    return v
 
 
 @register("g4_pca_power", headline=True, oracle=_pca_cte() + f"""
@@ -1509,3 +1517,93 @@ def t28_icp_adjacency(spark: SparkSession, d: str) -> DataFrame:
                 hc.select(F.lit("hash").alias("packing"), "n_pairs",
                           "n_same", rate))
             .orderBy("packing"))
+
+
+# ===========================================================================
+# Second principal direction by integer DATA deflation: remove each
+# row's v1-projection (all truncating-div arithmetic), then run the
+# same power loop on the residuals — the rank-2 sketch.
+# ===========================================================================
+
+def _pca2_cte() -> str:
+    D, VS = _PCA_D, _PCA_VS
+    K = _PCA_ITERS
+    rng = f"range(1, {D + 1})"
+    u0 = "[0, " + f"{VS}::BIGINT" + ", 0" * (D - 2) + "]"
+    parts = [_pca_cte() + f"""
+, pr AS (
+  SELECT vec_id, cv,
+         list_sum(list_transform({rng}, i -> cv[i] * v[i])) AS s1
+  FROM c CROSS JOIN v{K}
+), vv1 AS (
+  SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS vv
+  FROM v{K}
+), c2 AS MATERIALIZED (
+  SELECT p.vec_id,
+         list_transform({rng},
+                        i -> p.cv[i] - ((p.s1 * v.v[i]) // w.vv)) AS cv
+  FROM pr p CROSS JOIN v{K} v CROSS JOIN vv1 w
+), u0 AS (
+  SELECT {u0} AS v
+)"""]
+    for k in range(K):
+        parts.append(f"""
+su{k} AS (
+  SELECT vec_id, cv,
+         list_sum(list_transform({rng}, i -> cv[i] * v[i])) AS s
+  FROM c2 CROSS JOIN u{k}
+), wu{k} AS (
+  SELECT i, CAST(sum(cv[i] * s) AS BIGINT) AS w
+  FROM su{k} CROSS JOIN {rng} t(i) GROUP BY i
+), nu{k} AS (
+  SELECT greatest(max(abs(w)) // {VS}, 1) AS m FROM wu{k}
+), u{k + 1} AS MATERIALIZED (
+  SELECT list(w // m ORDER BY i) AS v FROM wu{k} CROSS JOIN nu{k}
+)""")
+    return "".join(parts[:1]) + ",".join([""] + parts[1:])
+
+
+@register("g4_pca_power2", oracle=_pca2_cte() + f"""
+SELECT CAST(t.i AS BIGINT) AS dim, v1.v[t.i] AS v1_q, u.v[t.i] AS v2_q
+FROM v{_PCA_ITERS} v1 CROSS JOIN u{_PCA_ITERS} u
+CROSS JOIN range(1, {_PCA_D + 1}) t(i)
+ORDER BY dim
+""")
+def g4_pca_power2(spark: SparkSession, d: str) -> DataFrame:
+    """Rank-2 PCA sketch: the second principal direction by integer
+    DATA deflation — every row's v1-component is removed with the
+    same truncating-division arithmetic (cv' = cv - (s1*v1) div
+    |v1|^2, magnitudes bounded well inside BIGINT), then the
+    identical power loop runs on the residuals.  Deflating the DATA
+    instead of the operator keeps every intermediate at the cv
+    scale (operator deflation would need v1*(v1 . A w) products
+    ~1e20 — out of BIGINT range).  Output is both directions side
+    by side; near-orthogonality is pinned in tests (exact
+    orthogonality is impossible on an integer grid — the residual
+    projection is < 1 grid unit per coordinate).
+
+    Scale shape: one extra map pass for the deflation; everything
+    else is the g4 shape (map + 16-cell partial agg per step)."""
+    c, v1 = _pca_frames(spark, d)
+    pr = (c.crossJoin(F.broadcast(v1))
+          .select("vec_id", "cv", "v",
+                  F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
+                              F.lit(0).cast("long"),
+                              lambda acc, x: acc + x).alias("s1")))
+    vv1 = v1.select(F.aggregate(F.transform("v", lambda x: x * x),
+                                F.lit(0).cast("long"),
+                                lambda a, x: a + x).alias("vv"))
+    c2 = (pr.crossJoin(F.broadcast(vv1))
+          .select("vec_id",
+                  F.expr("zip_with(cv, v, (a, b) -> a - ((s1 * b) div vv))")
+                   .alias("cv")))
+    u0 = spark.range(1).select(F.array(
+        F.lit(0).cast("long"), F.lit(_PCA_VS).cast("long"),
+        *[F.lit(0).cast("long") for _ in range(_PCA_D - 2)]).alias("v"))
+    u = _power_iters(c2, u0)
+    return (v1.crossJoin(F.broadcast(u.withColumnRenamed("v", "u")))
+            .select(F.posexplode("v").alias("pos", "v1_q"), "u")
+            .select((F.col("pos") + 1).cast("long").alias("dim"), "v1_q",
+                    F.element_at("u", (F.col("pos") + 1).cast("int"))
+                     .alias("v2_q"))
+            .orderBy("dim"))

@@ -301,3 +301,30 @@ def test_icp_pack_adjacency_beats_hash_baseline(spark):
     assert len(pack) == 500
     assert len({r["doc_id"] for r in pack}) == 500
     assert all(0 <= r["seq_start"] <= r["seq_end"] for r in pack)
+
+
+def test_pca_rank2_near_orthogonal(spark):
+    import numpy as np
+    rows = CATALOG["g4_pca_power2"].build(spark, SF01).collect()
+    v1 = np.array([r["v1_q"] for r in rows], dtype=float)
+    v2 = np.array([r["v2_q"] for r in rows], dtype=float)
+    cos = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    # exact orthogonality is impossible on the integer grid; the
+    # deflation residual is < 1 grid unit per coordinate
+    assert cos < 0.1, cos
+
+
+def test_pca_rank2_recovers_two_planted_directions(spark, tmp_path):
+    import numpy as np
+    rng = np.random.RandomState(5)
+    X = rng.normal(0, 0.01, size=(400, 16))
+    X[:, 3] += rng.normal(0, 0.2, size=400)   # dominant direction
+    X[:, 7] += rng.normal(0, 0.1, size=400)   # second direction
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(400)]
+    (spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+     .write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet"))
+    out = CATALOG["g4_pca_power2"].build(spark, str(tmp_path)).collect()
+    v1 = np.array([r["v1_q"] for r in out], dtype=float)
+    v2 = np.array([r["v2_q"] for r in out], dtype=float)
+    assert abs(v1[3]) / np.linalg.norm(v1) > 0.99
+    assert abs(v2[7]) / np.linalg.norm(v2) > 0.99
