@@ -1607,3 +1607,49 @@ def g4_pca_power2(spark: SparkSession, d: str) -> DataFrame:
                     F.element_at("u", (F.col("pos") + 1).cast("int"))
                      .alias("v2_q"))
             .orderBy("dim"))
+
+
+# ===========================================================================
+# Top user paths — the event-type 3-gram table (the "common journeys"
+# product-analytics read between ev_funnel's fixed steps and
+# ev_markov_transitions' one-step matrix).
+# ===========================================================================
+
+@register("ev_path_3grams", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path,
+         count(*)::BIGINT AS n
+  FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+)
+SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 10
+""")
+def ev_path_3grams(spark: SparkSession, d: str) -> DataFrame:
+    """Top-10 three-step user journeys: per-user event streams
+    (ordered by ts with event_id tiebreak) sliced into overlapping
+    event-type 3-grams, counted corpus-wide — the path-analysis
+    table between ev_funnel (fixed steps, chosen a priori) and
+    ev_markov_transitions (single-step memory): WHICH multi-step
+    journeys dominate, discovered rather than declared.
+
+    Scale shape: one user-keyed window (the ev_sessionize shard),
+    then a partial-aggregable count on the path string — at most
+    |event_types|^3 groups — and TakeOrderedAndProject for the
+    top-10."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, d, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.filter(F.col("e3").isNotNull())
+            .select(F.concat_ws(">", "event_type", "e2", "e3")
+                    .alias("path"))
+            .groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "path").limit(10))
