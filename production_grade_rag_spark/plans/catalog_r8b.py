@@ -1653,3 +1653,185 @@ def ev_path_3grams(spark: SparkSession, d: str) -> DataFrame:
                     .alias("path"))
             .groupBy("path").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), "path").limit(10))
+
+
+# ===========================================================================
+# Split-leakage audit — the dedup-safe-eval check: duplicate CONTENT
+# crossing the train/test boundary leaks eval answers into training
+# (the hash split is doc_id-stable, but exact dupes get independent
+# draws, so content-level leakage is exactly what must be measured).
+# ===========================================================================
+
+@register("t26_split_leakage", oracle=_split_cte() + """
+, h AS (
+  SELECT a.doc_id, a.split, md5(coalesce(d.text, '')) AS ch
+  FROM assigned a JOIN documents d ON d.doc_id = a.doc_id
+), train_h AS (
+  SELECT DISTINCT ch FROM h WHERE split = 'train'
+), test_d AS (
+  SELECT doc_id, ch FROM h WHERE split = 'test'
+)
+SELECT count(*)::BIGINT AS n_test,
+       CAST(sum((tr.ch IS NOT NULL)::INT) AS BIGINT) AS n_leaked,
+       round(sum((tr.ch IS NOT NULL)::INT)::DOUBLE
+             / greatest(count(*), 1)::DOUBLE, 6) AS leak_rate
+FROM test_d t LEFT JOIN train_h tr ON tr.ch = t.ch
+""")
+def t26_split_leakage(spark: SparkSession, d: str) -> DataFrame:
+    """Train->test contamination audit for the t26 split: how many
+    TEST docs share an exact content hash with any TRAIN doc.  The
+    hash split is stable per doc_id, but duplicate content draws
+    independently — so without dedup-before-split, eval answers leak
+    into training; this is the number a release publishes (and the
+    reason dedup keeper election runs before splitting).  Composes
+    the t26 manifest with dd_exact's content hash verbatim.
+
+    Scale shape: one scan + a distinct on the train hashes + a
+    hash-equi LEFT join from the (10%) test slice — the s15
+    anti-join shape, uniform crypto-hash key, no skew."""
+    docs = _t(spark, d, "documents")
+    assigned = t26_eval_split(spark, d)
+    h = (assigned.join(docs.select("doc_id", "text"), "doc_id")
+         .select("doc_id", "split",
+                 F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("ch")))
+    train_h = (h.filter(F.col("split") == "train")
+               .select("ch").distinct()
+               .withColumnRenamed("ch", "tr_ch"))
+    test_d = h.filter(F.col("split") == "test")
+    j = test_d.join(train_h, test_d["ch"] == train_h["tr_ch"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(F.col("tr_ch").isNotNull().cast("long")).cast("long")
+         .alias("n_leaked"),
+        F.round(F.sum(F.col("tr_ch").isNotNull().cast("long"))
+                .cast("double")
+                / F.greatest(F.count("*"), F.lit(1)).cast("double"), 6)
+         .alias("leak_rate"))
+
+
+# ===========================================================================
+# Streaming CMS ingest — the sketch-mergeability proof: count-min
+# cells are pure integer sums, so a crawl can fold each micro-batch's
+# partial cells into a persistent sketch and the drained state must
+# equal the batch-built sketch bit-for-bit.
+# ===========================================================================
+
+def _cms_cells_oracle() -> str:
+    from . import oracle_vec as OV
+    return f"""
+WITH tk AS (
+  SELECT unnest(t) AS tok
+  FROM (SELECT {OV.tokens_sql('text')} AS t FROM documents)
+), cnt AS (
+  SELECT tok, count(*)::BIGINT AS n FROM tk GROUP BY tok
+), cells AS (
+  SELECT CAST(t.j AS INT) AS i,
+         ('0x' || substr(md5(tok || ':cms' || t.j::VARCHAR), 1, 8))::BIGINT
+           % {_CMS_W} AS bucket,
+         CAST(sum(n) AS BIGINT) AS cell_sum
+  FROM cnt CROSS JOIN range(0, {_CMS_D}) t(j)
+  GROUP BY 1, 2
+)
+SELECT i, CAST(bucket AS BIGINT) AS bucket, cell_sum
+FROM cells ORDER BY i, bucket
+"""
+
+
+def _cms_batch_cells(batch_docs: DataFrame) -> DataFrame:
+    """Per-batch CMS cell partials (i, bucket, cell_sum) — the same
+    salted arithmetic as a20_heavy_hitters."""
+    from ..operators.dedup import md5_int32, tokens
+    tk = batch_docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = tk.groupBy("tok").agg(F.count("*").alias("n"))
+    b = F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("i"),
+                 F.pmod(md5_int32(F.concat(F.col("tok"),
+                                           F.lit(f":cms{i}"))),
+                        F.lit(_CMS_W)).alias("bucket"))
+        for i in range(_CMS_D)])).alias("b")
+    return (cnt.select(b, "n")
+            .groupBy(F.col("b.i").alias("i"),
+                     F.col("b.bucket").alias("bucket"))
+            .agg(F.sum("n").cast("long").alias("cell_sum")))
+
+
+@register("st_cms_ingest", oracle=_cms_cells_oracle())
+def st_cms_ingest(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming count-min-sketch maintenance: documents arrive
+    through the custom paged-dump stream in two checkpointed
+    tranches (even doc ids, then odd), each micro-batch folds its
+    partial cells (integer sums over the same 3x512 salted-hash
+    grid as a20_heavy_hitters) into a versioned sketch store, and
+    the DRAINED sketch must equal the batch-built sketch cell for
+    cell — the mergeability property that makes CMS the right
+    frequency state for a crawl that never stops (and for map-side
+    partial aggregation generally: the merge operator IS addition).
+
+    Scale shape: per-batch state is the batch's own vocabulary-
+    capped count table collapsed to <=1,536 cells; the store carries
+    only the 1,536-cell sketch regardless of corpus size."""
+    import shutil
+    from pathlib import Path
+
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..sources.tables import list_versions, read_version, write_version
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+
+    docs = _t(spark, d, "documents")
+    dump = _scratch("st_cms_dump")
+    store = _scratch("st_cms_store")
+    ckpt = _scratch("st_cms_ckpt")
+    for p in (dump, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(part: DataFrame) -> DataFrame:
+        return part.select(F.to_json(F.struct(
+            F.col("doc_id").cast("string").alias("page_id"),
+            F.col("text").alias("title"),
+            "lang", "n_chars")).alias("value"))
+
+    page_rows(docs.filter(F.col("doc_id") % 2 == 0)) \
+        .repartition(2).write.text(dump)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+
+        def merge(batch_df: DataFrame, epoch_id: int) -> None:
+            import os
+            batch_docs = (batch_df.filter(~F.col("malformed"))
+                          .select(F.col("title").alias("text")))
+            inc = _cms_batch_cells(batch_docs)
+            sp = batch_df.sparkSession
+            versions = (list_versions(sp, store)
+                        if os.path.exists(store) else [])
+            if versions:
+                prior = read_version(sp, store)
+                merged = (prior.unionByName(inc)
+                          .groupBy("i", "bucket")
+                          .agg(F.sum("cell_sum").cast("long")
+                               .alias("cell_sum")))
+            else:
+                merged = inc
+            write_version(merged, store,
+                          (versions[-1] + 1) if versions else 1)
+
+        SP._run_foreach(stream, merge, 120, ckpt)
+
+    drain()
+
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(docs.filter(F.col("doc_id") % 2 == 1)) \
+        .repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    final = read_version(spark, store)
+    return final.select("i", F.col("bucket").cast("long").alias("bucket"),
+                        "cell_sum").orderBy("i", "bucket")

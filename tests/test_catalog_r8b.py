@@ -328,3 +328,15 @@ def test_pca_rank2_recovers_two_planted_directions(spark, tmp_path):
     v2 = np.array([r["v2_q"] for r in out], dtype=float)
     assert abs(v1[3]) / np.linalg.norm(v1) > 0.99
     assert abs(v2[7]) / np.linalg.norm(v2) > 0.99
+
+
+def test_split_leakage_counts_exact_content_dups(spark):
+    row = CATALOG["t26_split_leakage"].build(spark, SF01).collect()[0]
+    assert row["n_test"] > 0
+    assert 0 <= row["n_leaked"] <= row["n_test"]
+    assert abs(row["leak_rate"] - row["n_leaked"] / row["n_test"]) < 1e-5
+    # cross-check against dd_exact: leakage requires duplicate content
+    dups = CATALOG["dd_exact"].build(spark, SF01) \
+        .filter(F.col("is_duplicate")).count()
+    if dups == 0:
+        assert row["n_leaked"] == 0
