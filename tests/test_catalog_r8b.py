@@ -340,3 +340,17 @@ def test_split_leakage_counts_exact_content_dups(spark):
         .filter(F.col("is_duplicate")).count()
     if dups == 0:
         assert row["n_leaked"] == 0
+
+
+def test_alpha_dcg_bounds_and_subtopics(spark):
+    import math
+    rows = CATALOG["ir4_diversity_eval"].build(spark, SF01).collect()
+    assert len(rows) == 10
+    W = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+    upper = sum(1024 * w for w in W)              # all-novel run
+    lower = sum(2 ** (10 - min(r, 10)) * W[r] for r in range(10))
+    for r in rows:
+        assert 1 <= r["n_subtopics_10"] <= 10
+        assert lower <= r["alpha_dcg_s"] <= upper
+    # at least one query's run is not fully homogeneous
+    assert any(r["n_subtopics_10"] > 1 for r in rows)
