@@ -1921,3 +1921,224 @@ def ir4_diversity_eval(spark: SparkSession, d: str) -> DataFrame:
                  F.sum((gain * wcase).cast("long")).cast("long")
                   .alias("alpha_dcg_s"))
             .orderBy("query_id"))
+
+
+# ===========================================================================
+# Growth accounting — the new/retained/resurrected/churned weekly
+# ledger (the flow view that ev_retention_cohorts' stock view can't
+# give): every active user classified by their own presence history,
+# churn attributed to the week after last activity, right-censored
+# at the corpus edge.  Integer week indices (epoch seconds div
+# 604800) keep both engines free of date-formatting traps.
+# ===========================================================================
+
+@register("ev_growth_accounting", oracle="""
+WITH pres AS (
+  SELECT DISTINCT user_id,
+         (epoch(ts)::BIGINT // 604800)::BIGINT AS wk
+  FROM events
+), mx AS (
+  SELECT max(wk) AS m FROM pres
+), seqd AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+  FROM pres
+), arr AS (
+  SELECT wk,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN prev = wk - 1 THEN 'retained'
+              ELSE 'resurrected' END AS st
+  FROM seqd
+), chn AS (
+  SELECT s.wk + 1 AS wk, 'churned' AS st
+  FROM seqd s CROSS JOIN mx
+  WHERE s.wk < mx.m AND (s.nxt IS NULL OR s.nxt > s.wk + 1)
+), allrows AS (
+  SELECT wk, st FROM arr UNION ALL SELECT wk, st FROM chn
+)
+SELECT wk AS week,
+       CAST(sum((st = 'new')::INT) AS BIGINT) AS n_new,
+       CAST(sum((st = 'retained')::INT) AS BIGINT) AS n_retained,
+       CAST(sum((st = 'resurrected')::INT) AS BIGINT) AS n_resurrected,
+       CAST(sum((st = 'churned')::INT) AS BIGINT) AS n_churned
+FROM allrows GROUP BY wk ORDER BY wk
+""")
+def ev_growth_accounting(spark: SparkSession, d: str) -> DataFrame:
+    """Weekly growth accounting: every (user, week) presence is
+    classified against that user's own history — new (first ever
+    week), retained (active the week before), resurrected (back
+    after a gap) — and churn is booked to the week AFTER a user's
+    last activity (right-censored at the corpus's final week, where
+    'not yet returned' is not knowable churn).  The flow ledger
+    behind every growth dashboard; ev_retention_cohorts gives the
+    stock view, ev_dau_mau the intensity — this one explains the
+    week-over-week delta exactly: actives(w) - actives(w-1) =
+    new + resurrected - churned.
+
+    Scale shape: one distinct (user, week) pass, one user-keyed
+    window (the sessionize shard), and a bounded per-week
+    conditional aggregate; integer week indices (epoch div 604800)
+    sidestep cross-engine date-truncation and rendering entirely."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, d, "events")
+    pres = (ev.select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800")
+         .alias("wk")).distinct())
+    w = W.partitionBy("user_id").orderBy("wk")
+    seqd = (pres.withColumn("prev", F.lag("wk").over(w))
+            .withColumn("nxt", F.lead("wk").over(w)))
+    arr = seqd.select(
+        "wk",
+        F.when(F.col("prev").isNull(), "new")
+         .when(F.col("prev") == F.col("wk") - 1, "retained")
+         .otherwise("resurrected").alias("st"))
+    mx = pres.agg(F.max("wk").alias("m"))
+    chn = (seqd.crossJoin(F.broadcast(mx))
+           .filter((F.col("wk") < F.col("m"))
+                   & (F.col("nxt").isNull()
+                      | (F.col("nxt") > F.col("wk") + 1)))
+           .select((F.col("wk") + 1).alias("wk"),
+                   F.lit("churned").alias("st")))
+    allrows = arr.unionByName(chn)
+
+    def cnt(name):
+        return F.coalesce(F.sum((F.col("st") == name).cast("long")),
+                          F.lit(0)).cast("long")
+
+    return (allrows.groupBy(F.col("wk").alias("week"))
+            .agg(cnt("new").alias("n_new"),
+                 cnt("retained").alias("n_retained"),
+                 cnt("resurrected").alias("n_resurrected"),
+                 cnt("churned").alias("n_churned"))
+            .orderBy("week"))
+
+
+# ===========================================================================
+# Greedy facility-location selection (submodular coverage) — the
+# third selection objective next to w5/w8's MMR family: maximize
+# how well the WHOLE pool is represented by the selected set
+# (sum over pool of max similarity to a selected item), with the
+# classic 1-1/e greedy guarantee.  Unrolled-argmax value oracle
+# (the w5/w8/flagship convention) over integer-quantized cosines.
+# ===========================================================================
+
+_FL_POOL = 20
+_FL_K = 4
+
+
+def _fl_oracle() -> str:
+    from . import oracle_sql as O
+    from . import oracle_vec as OV
+    cos = OV.cosine_sql("ea.embedding", "eb.embedding")
+    parts = [f"""
+WITH ranked AS (
+  SELECT doc_id, round({O.quality_sql('text')}, 6) AS q
+  FROM documents
+), pool AS (
+  SELECT r.doc_id FROM ranked r
+  JOIN embeddings e ON e.vec_id = r.doc_id
+  ORDER BY r.q DESC, r.doc_id LIMIT {_FL_POOL}
+), sim AS MATERIALIZED (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         CAST(round({cos} * 1000000.0) AS BIGINT) AS s
+  FROM pool a JOIN pool b ON TRUE
+  JOIN embeddings ea ON ea.vec_id = a.doc_id
+  JOIN embeddings eb ON eb.vec_id = b.doc_id
+), sel0 AS (
+  SELECT NULL::BIGINT AS i WHERE FALSE
+), cov0 AS (
+  SELECT doc_id AS j, (-2000000)::BIGINT AS cov FROM pool
+)"""]
+    for k in range(_FL_K):
+        parts.append(f"""
+g{k} AS (
+  SELECT s.i, CAST(sum(greatest(c.cov, s.s)) AS BIGINT) AS g
+  FROM sim s JOIN cov{k} c ON c.j = s.j
+  WHERE s.i NOT IN (SELECT i FROM sel{k})
+  GROUP BY s.i
+), p{k} AS (
+  SELECT i, g FROM g{k} ORDER BY g DESC, i LIMIT 1
+), sel{k + 1} AS (
+  SELECT i FROM sel{k} UNION ALL SELECT i FROM p{k}
+), cov{k + 1} AS (
+  SELECT c.j, greatest(c.cov, coalesce(s.s, (-2000000)::BIGINT)) AS cov
+  FROM cov{k} c LEFT JOIN sim s
+    ON s.j = c.j AND s.i = (SELECT i FROM p{k})
+)""")
+    steps = " UNION ALL ".join(
+        f"SELECT {k + 1} AS step, i AS doc_id, g AS objective FROM p{k}"
+        for k in range(_FL_K))
+    return ",".join(parts) + f"""
+SELECT CAST(step AS BIGINT) AS step, doc_id, objective
+FROM ({steps}) ORDER BY step
+"""
+
+
+@register("w11_facility_location", oracle=_fl_oracle())
+def w11_facility_location(spark: SparkSession, d: str) -> DataFrame:
+    """Greedy facility-location selection: from the top-20-quality
+    candidate pool, pick 4 docs maximizing the COVERAGE objective
+    sum_j max_{i in S} sim(i, j) — every pool member as close as
+    possible to something selected (the representative-subset
+    objective of submodular data-selection literature, with the
+    greedy 1-1/e guarantee), versus w5/w8's MMR which trades
+    relevance against redundancy of the selected set only.
+    Cosines are quantized to 1e-6 BIGINTs BEFORE the coverage sums,
+    so every gain comparison is an exact integer and the unrolled
+    argmax chain (the w5/w8 oracle convention) is engine-identical;
+    the emitted objective is monotone nondecreasing and each step's
+    marginal gain shrinks (submodularity — pinned in tests).
+
+    Scale shape: pool selection is TakeOrdered over the corpus; the
+    greedy loop runs on the POOL-sized (20x20) similarity matrix —
+    constant work regardless of corpus size (the pool cap is the
+    scale knob, as in every submodular-selection deployment)."""
+    from ..functions import text as X
+    from ..functions.vector import cosine, to_double_array
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        to_double_array(F.col("embedding")).alias("emb"))
+    ranked = docs.select(
+        "doc_id",
+        F.round(X.quality_components(F.col("text"))["quality_score"], 6)
+         .alias("q"))
+    pool = (ranked.join(emb, "doc_id")
+            .orderBy(F.desc("q"), "doc_id").limit(_FL_POOL)
+            .select("doc_id", "emb"))
+    a = pool.select(F.col("doc_id").alias("i"), F.col("emb").alias("ea"))
+    b = pool.select(F.col("doc_id").alias("j"), F.col("emb").alias("eb"))
+    sim = (a.crossJoin(b)
+           .select("i", "j",
+                   F.round(cosine(F.col("ea"), F.col("eb"))
+                           * F.lit(1000000.0)).cast("long").alias("s")))
+    cov = pool.select(F.col("doc_id").alias("j"),
+                      F.lit(-2000000).cast("long").alias("cov"))
+    sel = None
+    picks = []
+    for k in range(_FL_K):
+        cand = sim if sel is None else sim.join(
+            F.broadcast(sel), sim["i"] == sel["si"], "left_anti")
+        g = (cand.join(F.broadcast(cov), "j")
+             .groupBy("i")
+             .agg(F.sum(F.greatest(F.col("cov"), F.col("s")))
+                  .cast("long").alias("g")))
+        p = g.orderBy(F.desc("g"), "i").limit(1)
+        picks.append(p.select(F.lit(k + 1).cast("long").alias("step"),
+                              F.col("i").alias("doc_id"),
+                              F.col("g").alias("objective")))
+        psel = p.select(F.col("i").alias("si"))
+        sel = psel if sel is None else sel.unionByName(psel)
+        upd = (sim.join(F.broadcast(psel), sim["i"] == psel["si"])
+               .select("j", "s"))
+        cov = (cov.join(upd, "j", "left")
+               .select("j", F.greatest(
+                   F.col("cov"),
+                   F.coalesce(F.col("s"), F.lit(-2000000).cast("long")))
+                   .alias("cov")))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step")

@@ -354,3 +354,38 @@ def test_alpha_dcg_bounds_and_subtopics(spark):
         assert lower <= r["alpha_dcg_s"] <= upper
     # at least one query's run is not fully homogeneous
     assert any(r["n_subtopics_10"] > 1 for r in rows)
+
+
+def test_growth_accounting_explains_actives_delta(spark):
+    rows = {r["week"]: r for r in
+            CATALOG["ev_growth_accounting"].build(spark, SF01).collect()}
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    actives = {r["wk"]: r["n"] for r in ev.select(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800").alias("wk"),
+        "user_id").distinct().groupBy("wk")
+        .agg(F.count("*").alias("n")).collect()}
+    weeks = sorted(actives)
+    for w0, w1 in zip(weeks, weeks[1:]):
+        if w1 != w0 + 1:
+            continue
+        r = rows[w1]
+        delta = actives[w1] - actives[w0]
+        assert delta == (r["n_new"] + r["n_resurrected"]
+                         - r["n_churned"]), (w1, delta, r)
+        # retained + new + resurrected = this week's actives
+        assert (r["n_new"] + r["n_retained"]
+                + r["n_resurrected"]) == actives[w1]
+
+
+def test_facility_location_monotone_submodular(spark):
+    rows = CATALOG["w11_facility_location"].build(spark, SF01).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    assert len({r["doc_id"] for r in rows}) == 4
+    obj = [r["objective"] for r in rows]
+    # coverage objective is monotone nondecreasing...
+    assert all(b >= a for a, b in zip(obj, obj[1:]))
+    # ...and marginal gains shrink (submodularity of coverage);
+    # the empty-set objective is the 20-member pool at the -2e6 floor
+    gains = [obj[0] - 20 * -2_000_000] + \
+        [b - a for a, b in zip(obj, obj[1:])]
+    assert all(g2 <= g1 for g1, g2 in zip(gains, gains[1:])), gains
