@@ -2142,3 +2142,199 @@ def w11_facility_location(spark: SparkSession, d: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("step")
+
+
+# ===========================================================================
+# Vocabulary-growth (Heaps'-law) curve — how fast distinct tokens
+# accumulate with corpus size: the number a tokenizer-budget (and
+# any "will the vocab table still broadcast at 100 TB" argument)
+# actually rests on.  Exact prefix vocabulary sizes WITHOUT any
+# cumulative-distinct pass: a token enters the vocabulary at its
+# FIRST document, so prefix counts are conditional sums over the
+# per-token min(doc_id) table.
+# ===========================================================================
+
+_HEAPS_KS = [50, 100, 200, 300, 400, 500]
+
+
+def _heaps_oracle() -> str:
+    from . import oracle_vec as OV
+    ks = ", ".join(str(k) for k in _HEAPS_KS)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(t) AS tok
+  FROM (SELECT doc_id, {OV.tokens_sql('text')} AS t FROM documents)
+), firsts AS (
+  SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok
+), toktot AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM tk GROUP BY doc_id
+)
+SELECT k.k AS n_docs,
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM toktot
+        WHERE doc_id < k.k) AS n_tokens,
+       (SELECT count(*)::BIGINT FROM firsts
+        WHERE first_doc < k.k) AS vocab_size
+FROM (SELECT unnest([{ks}]) AS k) k
+ORDER BY n_docs
+"""
+
+
+@register("ta_heaps_curve", oracle=_heaps_oracle())
+def ta_heaps_curve(spark: SparkSession, d: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: exact distinct-token
+    counts over doc_id prefixes (50..500 docs) next to the token
+    mass of each prefix — the empirical V(n) ~ K n^beta curve that
+    prices tokenizer vocab budgets and validates every 'the vocab
+    table is broadcast-sized' claim this repo's LM operators make
+    (DSIR, NB, perplexity, backoff).  No cumulative-distinct scan:
+    a token joins the vocabulary at its FIRST doc, so each prefix
+    vocabulary is one conditional sum over the per-token
+    min(doc_id) table.
+
+    Scale shape: one token pass into two partial-aggregable tables
+    (per-token min, per-doc count), then a 6-row prefix readout —
+    at 100 TB the min-table is vocabulary-sized and the curve costs
+    the same one scan."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    tk = docs.select("doc_id", F.explode(tokens(F.col("text")))
+                     .alias("tok"))
+    firsts = tk.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    toktot = tk.groupBy("doc_id").agg(F.count("*").alias("n"))
+    fa = firsts.agg(*[
+        F.sum((F.col("first_doc") < k).cast("long")).cast("long")
+         .alias(f"v{k}") for k in _HEAPS_KS])
+    ta = toktot.agg(*[
+        F.coalesce(F.sum(F.when(F.col("doc_id") < k, F.col("n"))),
+                   F.lit(0)).cast("long").alias(f"t{k}")
+        for k in _HEAPS_KS])
+    row = fa.crossJoin(F.broadcast(ta))
+    return (row.select(F.explode(F.array(*[
+        F.struct(F.lit(k).cast("long").alias("n_docs"),
+                 F.col(f"t{k}").alias("n_tokens"),
+                 F.col(f"v{k}").alias("vocab_size"))
+        for k in _HEAPS_KS])).alias("r"))
+        .select("r.*").orderBy("n_docs"))
+
+
+# ===========================================================================
+# Mixture tuning — the loop above t19/t24: sweep the temperature
+# alpha over {0, .25, .5, .75, 1}, measure each achieved mix's L1
+# distance to the uniform target from EXACT integers, and flag the
+# argmin.  General alphas need pow, which is not correctly-rounded —
+# so the keep rate goes through round(exp((1-a)*ln(m/n)) * 1e6)
+# (the t17 6dp-quantize trick) before the integer threshold.
+# ===========================================================================
+
+_MIX_ALPHAS = [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+def _t29_oracle() -> str:
+    alphas = ", ".join(repr(a) for a in _MIX_ALPHAS)
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':amix'), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+), per_src AS (
+  SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source
+), mn AS (
+  SELECT min(n_s) AS m FROM per_src
+), sc AS (
+  SELECT count(*)::BIGINT AS s FROM per_src
+), th AS (
+  SELECT p.source, a.alpha,
+         CAST(round(exp((1.0::DOUBLE - a.alpha)
+                        * ln(mn.m::DOUBLE / p.n_s::DOUBLE))
+                    * 1000000.0) AS BIGINT) AS thresh
+  FROM per_src p CROSS JOIN mn
+  CROSS JOIN (SELECT unnest([{alphas}]::DOUBLE[]) AS alpha) a
+), kept AS (
+  SELECT t.alpha, b.source
+  FROM b JOIN th t USING (source) WHERE b.bucket < t.thresh
+), ks AS (
+  SELECT alpha, source, count(*)::BIGINT AS nk
+  FROM kept GROUP BY alpha, source
+), kk AS (
+  SELECT t.alpha, t.source, coalesce(k.nk, 0)::BIGINT AS nk
+  FROM th t LEFT JOIN ks k ON k.alpha = t.alpha AND k.source = t.source
+), tot AS (
+  SELECT alpha, CAST(sum(nk) AS BIGINT) AS nt FROM kk GROUP BY alpha
+), l1 AS (
+  SELECT k.alpha, t.nt,
+         CAST(sum(abs(k.nk * sc.s - t.nt)) AS BIGINT) AS num
+  FROM kk k JOIN tot t ON t.alpha = k.alpha CROSS JOIN sc
+  GROUP BY k.alpha, t.nt
+), best AS (
+  SELECT alpha FROM l1
+  ORDER BY num::DOUBLE / nt::DOUBLE, alpha LIMIT 1
+)
+SELECT l.alpha, l.nt AS n_kept,
+       round(l.num::DOUBLE / (sc.s * l.nt)::DOUBLE, 6) AS l1_to_uniform,
+       (l.alpha = b.alpha) AS is_best
+FROM l1 l CROSS JOIN sc CROSS JOIN best b
+ORDER BY l.alpha
+"""
+
+
+@register("t29_mix_tuning", oracle=_t29_oracle())
+def t29_mix_tuning(spark: SparkSession, d: str) -> DataFrame:
+    """Mixture-tuning sweep: the t19/t24 temperature knob evaluated
+    at alpha in {0, .25, .5, .75, 1} on the SAME deterministic
+    buckets (nested samples — a doc kept at a lower threshold stays
+    kept at a higher one), scoring each achieved mix by L1 distance
+    to the uniform target computed from exact integers
+    (sum_s |S * kept_s - kept_total|, one double division at the
+    end) and flagging the argmin.  This is the outer loop a mixture
+    recipe actually runs; general alphas route through the
+    6dp-quantized exp((1-a) ln(m/n)) keep rate because pow is not a
+    correctly-rounded primitive (the t24 docstring's caveat made
+    operational).
+
+    Scale shape: a sources x 5 threshold table broadcast back; one
+    scan of the corpus scores all five alphas at once (the accept
+    is per-row integer compares); per-alpha counts partial-agg."""
+    from ..operators.dedup import md5_int32
+    docs = _t(spark, d, "documents")
+    b = docs.select(
+        "source",
+        F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":amix"))),
+               F.lit(1000000)).alias("bucket"))
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    mn = per_src.agg(F.min("n_s").alias("m"))
+    sc = per_src.agg(F.count("*").cast("long").alias("s"))
+    alphas = (docs.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(a).cast("double")
+                            for a in _MIX_ALPHAS])).alias("alpha")))
+    th = (per_src.crossJoin(F.broadcast(mn))
+          .crossJoin(F.broadcast(alphas))
+          .select("source", "alpha",
+                  F.round(F.exp((F.lit(1.0) - F.col("alpha"))
+                                * F.log(F.col("m").cast("double")
+                                        / F.col("n_s").cast("double")))
+                          * F.lit(1000000.0)).cast("long").alias("thresh")))
+    kept = (b.join(F.broadcast(th), "source")
+            .filter(F.col("bucket") < F.col("thresh"))
+            .select("alpha", "source"))
+    ks = kept.groupBy("alpha", "source").agg(F.count("*").alias("nk"))
+    kk = (th.select("alpha", "source")
+          .join(ks, ["alpha", "source"], "left")
+          .select("alpha", "source",
+                  F.coalesce("nk", F.lit(0)).cast("long").alias("nk")))
+    tot = kk.groupBy("alpha").agg(F.sum("nk").cast("long").alias("nt"))
+    l1 = (kk.join(tot, "alpha").crossJoin(F.broadcast(sc))
+          .groupBy("alpha", "nt")
+          .agg(F.sum(F.abs(F.col("nk") * F.col("s") - F.col("nt")))
+               .cast("long").alias("num")))
+    best = (l1.orderBy(F.col("num").cast("double")
+                       / F.col("nt").cast("double"), "alpha")
+            .limit(1).select(F.col("alpha").alias("ba")))
+    return (l1.crossJoin(F.broadcast(sc)).crossJoin(F.broadcast(best))
+            .select("alpha", F.col("nt").alias("n_kept"),
+                    F.round(F.col("num").cast("double")
+                            / (F.col("s") * F.col("nt")).cast("double"), 6)
+                     .alias("l1_to_uniform"),
+                    (F.col("alpha") == F.col("ba")).alias("is_best"))
+            .orderBy("alpha"))

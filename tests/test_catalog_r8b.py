@@ -389,3 +389,39 @@ def test_facility_location_monotone_submodular(spark):
     gains = [obj[0] - 20 * -2_000_000] + \
         [b - a for a, b in zip(obj, obj[1:])]
     assert all(g2 <= g1 for g1, g2 in zip(gains, gains[1:])), gains
+
+
+def test_heaps_curve_monotone_concave_vocab(spark):
+    rows = CATALOG["ta_heaps_curve"].build(spark, SF01).collect()
+    assert [r["n_docs"] for r in rows] == [50, 100, 200, 300, 400, 500]
+    vs = [r["vocab_size"] for r in rows]
+    ts = [r["n_tokens"] for r in rows]
+    assert all(b >= a for a, b in zip(vs, vs[1:]))
+    assert all(b > a for a, b in zip(ts, ts[1:]))
+    # sub-linear growth: vocab per token falls as the corpus grows
+    assert vs[-1] / ts[-1] < vs[0] / ts[0]
+
+
+def test_mix_tuning_sweep_shape(spark, tmp_path):
+    rows = CATALOG["t29_mix_tuning"].build(spark, SF01).collect()
+    assert [r["alpha"] for r in rows] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert sum(r["is_best"] for r in rows) == 1
+    # alpha=1 keeps everything; lower alphas keep monotonically less
+    kept = [r["n_kept"] for r in rows]
+    assert all(a <= b for a, b in zip(kept, kept[1:]))
+    # on the skewed 400/90/10 corpus, equalizing (alpha=0) must be
+    # closest to the uniform target and raw (alpha=1) farthest
+    sizes = {"web": 400, "wiki": 90, "code": 10}
+    data = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            data.append((i, src))
+            i += 1
+    (spark.createDataFrame(data, ["doc_id", "source"])
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    sk = {r["alpha"]: r for r in
+          CATALOG["t29_mix_tuning"].build(spark, str(tmp_path)).collect()}
+    assert sk[0.0]["l1_to_uniform"] <= sk[0.5]["l1_to_uniform"]
+    assert sk[0.5]["l1_to_uniform"] <= sk[1.0]["l1_to_uniform"]
+    assert sk[0.0]["is_best"]
