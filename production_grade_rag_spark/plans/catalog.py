@@ -497,3 +497,4 @@ from . import catalog_r6  # noqa: E402,F401  (registration side effects)
 from . import catalog_r7  # noqa: E402,F401  (registration side effects)
 from . import catalog_r8  # noqa: E402,F401  (registration side effects)
 from . import catalog_r8b  # noqa: E402,F401  (registration side effects)
+from . import catalog_r9  # noqa: E402,F401  (registration side effects)

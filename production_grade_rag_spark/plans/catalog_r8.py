@@ -191,9 +191,22 @@ WITH toks AS (
 )"""
 
 
-def _ppl_frame(spark: SparkSession, d: str) -> DataFrame:
+def _ppl_frame(spark: SparkSession, d: str,
+               cuts: str = "exact") -> DataFrame:
     """Per-doc bigram-LM perplexity + tertile bucket (Spark side of
-    _ppl_cte; every constant and formula shared)."""
+    _ppl_cte; every constant and formula shared).
+
+    ``cuts`` is the 100 TB knob the docstrings promised, now real
+    (VERDICT r8 #1): "exact" (default — F.percentile, the value-
+    oracled form: DuckDB quantile_cont twin) buffers every log_ppl in
+    ONE aggregation buffer — a global barrier that dominates the
+    funnel's stress ratio at 10x; "approx" swaps in the
+    Greenwald-Khanna sketch (percentile_approx, accuracy 10000 —
+    bounded state that PARTIAL-AGGREGATES map-side, so the cut
+    costs one ordinary two-phase agg at any corpus size).  The
+    approx mode is gated a11-style by ta_perplexity_approx
+    (catalog_r9): exact cuts value-oracled, approx bucketing must
+    agree on >= 99% of documents."""
     from ..operators.dedup import tokens
     docs = _t(spark, d, "documents")
     toks = (docs.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -221,9 +234,17 @@ def _ppl_frame(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(-F.avg("lp"), 6).alias("log_ppl"),
         F.round(F.exp(-F.avg("lp")), 6).alias("ppl"))
-    cuts = per_doc.agg(
-        F.round(F.percentile("log_ppl", F.lit(_Q1)), 6).alias("c_head"),
-        F.round(F.percentile("log_ppl", F.lit(_Q2)), 6).alias("c_mid"))
+    if cuts == "approx":
+        cuts_agg = per_doc.agg(
+            F.round(F.expr(f"percentile_approx(log_ppl, {_Q1!r}, 10000)"),
+                    6).alias("c_head"),
+            F.round(F.expr(f"percentile_approx(log_ppl, {_Q2!r}, 10000)"),
+                    6).alias("c_mid"))
+    else:
+        cuts_agg = per_doc.agg(
+            F.round(F.percentile("log_ppl", F.lit(_Q1)), 6).alias("c_head"),
+            F.round(F.percentile("log_ppl", F.lit(_Q2)), 6).alias("c_mid"))
+    cuts = cuts_agg
     return (per_doc.crossJoin(F.broadcast(cuts))
             .select("doc_id", "n_bigrams", "log_ppl", "ppl",
                     F.when(F.col("log_ppl") <= F.col("c_head"), "head")
@@ -2385,21 +2406,12 @@ FROM stages s CROSS JOIN raw r ORDER BY stage_no
 """
 
 
-@register("cc_release_funnel", oracle=_release_funnel_oracle())
-def cc_release_funnel(spark: SparkSession, d: str) -> DataFrame:
-    """Data-card release funnel: doc and token mass surviving each
-    stage of the modern curation pipeline — raw -> Gopher rules ->
-    C4 page rules -> language gate -> exact-dedup keeper election ->
-    CCNet perplexity gate — with each stage's share of raw.  The
-    published numbers of a corpus release (C4, Gopher, FineWeb all
-    lead with exactly this table), assembled from the SAME shared
-    rule fragments as the standalone entries.
-
-    Scale shape: stages 0-3 are ONE conditional-aggregation pass
-    (one scan, one 1-row result, exploded into rows — no per-stage
-    re-scan); stage 4 adds the single content-hash shuffle the
-    modern plan already pays; stage 5 the perplexity join.  The
-    share division happens once against a broadcast raw count."""
+def _release_funnel_frame(spark: SparkSession, d: str,
+                          cuts: str = "exact") -> DataFrame:
+    """Funnel body shared by the exact entry and the approx twin —
+    ``cuts`` selects the perplexity-stage tertile mode (_ppl_frame):
+    'exact' is the value-oracled default; 'approx' is the sketch-cut
+    production form (STRESS_r09 measures the ratio drop)."""
     from ..functions import text as X
     from ..operators import textstats
     from ..operators.curation_rules import c4_line_stats, gopher_flags
@@ -2457,7 +2469,7 @@ def cc_release_funnel(spark: SparkSession, d: str) -> DataFrame:
                         F.lit(name).alias("stage"), "docs", "est_tokens"))
 
     s4 = agg_stage(keepers, 4, "exact_dedup")
-    ppl = _ppl_frame(spark, d).select("doc_id", "ppl_bucket")
+    ppl = _ppl_frame(spark, d, cuts=cuts).select("doc_id", "ppl_bucket")
     final = (keepers.join(ppl, "doc_id")
              .filter(F.col("ppl_bucket") != "tail"))
     s5 = agg_stage(final, 5, "perplexity")
@@ -2470,6 +2482,27 @@ def cc_release_funnel(spark: SparkSession, d: str) -> DataFrame:
                             / F.col("raw_docs").cast("double"), 6)
                      .alias("share_of_raw"))
             .orderBy("stage_no"))
+
+
+@register("cc_release_funnel", oracle=_release_funnel_oracle())
+def cc_release_funnel(spark: SparkSession, d: str) -> DataFrame:
+    """Data-card release funnel: doc and token mass surviving each
+    stage of the modern curation pipeline — raw -> Gopher rules ->
+    C4 page rules -> language gate -> exact-dedup keeper election ->
+    CCNet perplexity gate — with each stage's share of raw.  The
+    published numbers of a corpus release (C4, Gopher, FineWeb all
+    lead with exactly this table), assembled from the SAME shared
+    rule fragments as the standalone entries.
+
+    Scale shape: stages 0-3 are ONE conditional-aggregation pass
+    (one scan, one 1-row result, exploded into rows — no per-stage
+    re-scan); stage 4 adds the single content-hash shuffle the
+    modern plan already pays; stage 5 the perplexity join.  The
+    share division happens once against a broadcast raw count.  The
+    perplexity stage's exact-percentile tertile is the one global
+    barrier left — cc_release_funnel_approx (catalog_r9) is the
+    sketch-cut twin that removes it."""
+    return _release_funnel_frame(spark, d, cuts="exact")
 
 
 @register("t21_nb_calibration", oracle=_nb_doc_cte() + """
