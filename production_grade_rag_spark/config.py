@@ -89,6 +89,17 @@ class EngineConfig:
     # (the reference's numCandidates, vector_search.py:67)
     ann_store_path: str | None = None
     ann_n_candidates: int = 640
+    # adaptive multi-probe — the ivfpq DEFAULT (VERDICT r8 #5): probe
+    # nearest cells until the cumulative inverse-squared-distance mass
+    # share passes ann_mass_target; ann_n_probe becomes the FLOOR and
+    # ann_n_probe_max the cap (similarity.adaptive_probe_cells).
+    # Measured at the 10x stress tier (STRESS_r08): fixed p16 recall
+    # 0.695 (20-query mean) vs adaptive t0.8 at 0.97 for ~3x probe
+    # cost — ambiguous queries probe wider automatically.  None
+    # restores fixed-probe behavior; engine-level recall floor 0.9 is
+    # pinned by eng_ivfpq_adaptive_recall under this default.
+    ann_mass_target: float | None = 0.8
+    ann_n_probe_max: int | None = None
     strategy_weights: dict = field(default_factory=lambda: {
         "similarity": 0.6, "parent_child": 0.4, "hybrid": 0.5,
     })

@@ -178,7 +178,9 @@ class SparkRagEngine:
                 index.sparkSession, c.ann_store_path, query_vector,
                 k=k, n_probe=c.ann_n_probe,
                 n_candidates=c.ann_n_candidates, id_col=id_col,
-                round_to=None)
+                round_to=None,
+                mass_target=c.ann_mass_target,
+                n_probe_max=c.ann_n_probe_max)
             return (index.join(F.broadcast(hits), id_col)
                     .orderBy(F.desc("score"), F.col(id_col)))
         raise ValueError(f"unknown ann_backend {c.ann_backend!r}")

@@ -138,3 +138,140 @@ def cc_release_funnel_approx(spark: SparkSession, d: str) -> DataFrame:
                                    F.col("docs").cast("double") * 0.01))
                     .alias("approx_ok"))
             .orderBy("stage_no"))
+
+
+# ===========================================================================
+# Adaptive multi-probe as the engine DEFAULT (VERDICT r8 #5)
+# ===========================================================================
+
+@register("eng_ivfpq_adaptive_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def eng_ivfpq_adaptive_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Engine-level recall gate for the NEW DEFAULT operating point:
+    SparkRagEngine.search with ann_backend='ivfpq' and everything
+    else at EngineConfig defaults — which now means adaptive
+    multi-probe (ann_mass_target=0.8, floor ann_n_probe=4) with the
+    shortlist scaled by the achieved probe count — must keep
+    recall@10 >= 0.9 vs the exact backend.  This is the gate the r8
+    verdict asked to pin the default flip with: the stress tiers
+    showed fixed p16 at 0.695 multi-query recall vs adaptive t0.8 at
+    0.97, so 0.8-mass probing is the right default for a store whose
+    query stream contains ambiguous (between-cell) queries; the
+    eng_ivfpq_recall entry keeps gating the explicit fixed-knob
+    configuration (its floor=16 makes adaptive a superset there)."""
+    from ..config import EngineConfig
+    from ..engine import SparkRagEngine
+    from .catalog_more import _recall_summary
+    from .catalog_r7 import _ivfpq_store32
+    from .oracle_vec import QUERY_VEC
+    emb = _t(spark, d, "embeddings")
+    path = _ivfpq_store32(spark, d)
+    exact = SparkRagEngine(spark).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    approx = SparkRagEngine(spark, EngineConfig(
+        ann_backend="ivfpq", ann_store_path=path)).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.9)
+
+
+# ===========================================================================
+# Bitext mining, IVF candidate generation (VERDICT r8 #2): the 100 TB
+# path of r9_bitext_pairs as CODE, not prose
+# ===========================================================================
+
+_BITEXT_K = 8          # ANN candidates per query per direction
+_BITEXT_LISTS = 8
+_BITEXT_PROBE = 4
+
+
+def _bitext_ivf_frame(spark: SparkSession, d: str) -> DataFrame:
+    """Margin-based bitext mining over IVF-generated candidates: the
+    all-pairs stage of r9_bitext_pairs (catalog_r8) replaced by
+    ivf_knn_join candidate generation PER SIDE — each query scores
+    n_probe/n_lists of the other side instead of all of it, so the
+    pair stage is corpus-linear where the exact form is quadratic
+    (at the 10x stress tier the exact form is 1e10 pairs — not
+    runnable; this one is).  Downstream margin/mutual logic is the
+    exact entry's, evaluated over the candidate set: top-4
+    neighborhood averages (Artetxe & Schwenk 2019's ratio margin)
+    and mutual-best election.  Recall vs the exact mutual-best set
+    is gated by r9_bitext_ivf_recall (the dd_semdedup_recall
+    pattern); at 100 TB the two KMeans fits are the offline store
+    layouts both language sides already maintain (ivf_build_store),
+    so candidate generation reads cell-pruned partitions."""
+    from ..functions.vector import to_double_array
+    from ..operators.similarity import ivf_knn_join
+    emb = _t(spark, d, "embeddings")
+    A = (emb.filter(F.col("label") == 0)
+         .select(F.col("vec_id").alias("a_id"),
+                 to_double_array(F.col("embedding")).alias("av")))
+    B = (emb.filter(F.col("label") == 1)
+         .select(F.col("vec_id").alias("b_id"),
+                 to_double_array(F.col("embedding")).alias("bv")))
+    ab = (ivf_knn_join(A, B, k=_BITEXT_K, n_lists=_BITEXT_LISTS,
+                       n_probe=_BITEXT_PROBE, q_vec="av", q_id="a_id",
+                       c_vec="bv", c_id="b_id")
+          .select(F.col("query_id").alias("a_id"),
+                  F.col("result_id").alias("b_id"),
+                  F.round("score", 6).alias("cos")))
+    ba = (ivf_knn_join(B, A, k=_BITEXT_K, n_lists=_BITEXT_LISTS,
+                       n_probe=_BITEXT_PROBE, q_vec="bv", q_id="b_id",
+                       c_vec="av", c_id="a_id")
+          .select(F.col("result_id").alias("a_id"),
+                  F.col("query_id").alias("b_id"),
+                  F.round("score", 6).alias("cos")))
+    pairs = ab.unionByName(ba).distinct()
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), "a_id")
+    a4 = (pairs.withColumn("rka", F.row_number().over(wa))
+          .filter(F.col("rka") <= 4)
+          .groupBy("a_id").agg(F.avg("cos").alias("avg_a")))
+    b4 = (pairs.withColumn("rkb", F.row_number().over(wb))
+          .filter(F.col("rkb") <= 4)
+          .groupBy("b_id").agg(F.avg("cos").alias("avg_b")))
+    m = (pairs.join(a4, "a_id").join(b4, "b_id")
+         .withColumn("margin",
+                     F.round(F.col("cos")
+                             / ((F.col("avg_a") + F.col("avg_b"))
+                                / F.lit(2.0)), 6)))
+    wma = Window.partitionBy("a_id").orderBy(F.desc("margin"), "b_id")
+    wmb = Window.partitionBy("b_id").orderBy(F.desc("margin"), "a_id")
+    return (m.withColumn("best_a", F.row_number().over(wma))
+            .withColumn("best_b", F.row_number().over(wmb))
+            .filter((F.col("best_a") == 1) & (F.col("best_b") == 1))
+            .select("a_id", "b_id", "cos", "margin"))
+
+
+@register("r9_bitext_ivf")   # rows-only: approximate by design
+def r9_bitext_ivf(spark: SparkSession, d: str) -> DataFrame:
+    """IVF-candidate bitext mining — the scale form of
+    r9_bitext_pairs; recall vs the exact mutual-best set gated by
+    r9_bitext_ivf_recall."""
+    return _bitext_ivf_frame(spark, d)
+
+
+def _bitext_ivf_recall_oracle() -> str:
+    from .catalog_r8 import _bitext_oracle
+    return f"""
+WITH exact_pairs AS ({_bitext_oracle()})
+SELECT count(*)::BIGINT AS n_exact, TRUE AS floor_met
+FROM exact_pairs
+"""
+
+
+@register("r9_bitext_ivf_recall", oracle=_bitext_ivf_recall_oracle())
+def r9_bitext_ivf_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Recall gate for the IVF bitext path with a data-dependent
+    oracle: n_exact is DuckDB's own count of the exact mutual-best
+    pair set (not a pinned constant), and floor_met gates the IVF
+    path's recovery of those pairs at >= 0.7 (k=8 candidates per
+    direction, 4/8 cells probed; measured 0.97 at BOTH
+    sf0.001/sf0.01 — cross-cell misses and truncated top-4
+    neighborhoods are the designed loss, exactly the
+    dd_semdedup_recall trade)."""
+    from .catalog_more import _recall_summary
+    from .catalog_r8 import r9_bitext_pairs
+    exact = r9_bitext_pairs(spark, d).select("a_id", "b_id")
+    approx = _bitext_ivf_frame(spark, d).select("a_id", "b_id")
+    return _recall_summary(exact, approx, ["a_id", "b_id"], floor=0.7)
