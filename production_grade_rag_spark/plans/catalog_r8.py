@@ -737,32 +737,34 @@ def r9_bitext_pairs(spark: SparkSession, d: str) -> DataFrame:
 _BPE_K = 4
 
 
-def _bpe_chain(full: bool) -> str:
+def _bpe_chain(full: bool, n_merges: int = _BPE_K) -> str:
     """CTE chain through the merge iterations; with ``full`` the final
-    merged representation r{_BPE_K} is included (the apply oracle
-    needs it, the learn oracle stops at the last arg-max)."""
+    merged representation r{n_merges} is included (the apply oracle
+    needs it, the learn oracle stops at the last arg-max).
+    ``n_merges`` parameterizes the unroll depth (VERDICT r8 #7 — the
+    depth-16 entries in catalog_r9 share this chain)."""
     from . import oracle_vec as OV
     parts = [f"""
 WITH toks AS (
   SELECT unnest({OV.tokens_sql('text')}) AS tok FROM documents
 ), w AS (
   SELECT tok, count(*)::BIGINT AS freq FROM toks GROUP BY tok
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT tok, freq, string_split(tok, '') AS syms FROM w
 )"""]
-    for k in range(_BPE_K):
-        parts.append(f""", p{k} AS (
+    for k in range(n_merges):
+        parts.append(f""", p{k} AS MATERIALIZED (
   SELECT s.a AS a, s.b AS b, sum(freq)::BIGINT AS cnt
   FROM (SELECT freq,
         unnest(list_transform(range(1, len(syms)),
                i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS s
         FROM r{k} WHERE len(syms) >= 2)
   GROUP BY s.a, s.b
-), m{k} AS (
+), m{k} AS MATERIALIZED (
   SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
 )""")
-        if k < _BPE_K - 1 or full:
-            parts.append(f""", r{k + 1} AS (
+        if k < n_merges - 1 or full:
+            parts.append(f""", r{k + 1} AS MATERIALIZED (
   SELECT tok, freq,
          string_split(list_reduce(syms, (acc, x) ->
            CASE WHEN (acc = m{k}.a OR ends_with(acc, ' ' || m{k}.a))
@@ -812,16 +814,32 @@ def t20_bpe_merges(spark: SparkSession, d: str) -> DataFrame:
         "merged string, pair_count long")
 
 
-def _bpe_learn(spark: SparkSession, d: str):
+def _bpe_learn(spark: SparkSession, d: str, n_merges: int = _BPE_K,
+               materialize: bool = False, curve_at: tuple | None = None):
     """Run the merge loop; returns (merge table rows, the words frame
-    with the FULLY-merged symbol representation)."""
+    with the FULLY-merged symbol representation) — plus, when
+    ``curve_at`` is given, a third element [(m, vocab frame at m
+    merges), ...] captured DURING the single loop (one pass to the
+    deepest checkpoint, not a re-learn per point).
+
+    ``n_merges`` parameterizes the depth (real vocab training runs
+    thousands of merges; the catalog_r9 entries run 16 — VERDICT r8
+    #7).  ``materialize`` localCheckpoints the vocab frame after each
+    merge rewrite: per-iteration work stays vocab-table-sized instead
+    of re-folding the whole chain from r0 (O(k^2) fold applications
+    and a k-deep codegen expression without it) — the honest
+    driver-side bound is the 1-row arg-max collect per merge, exactly
+    like the PageRank rank vector."""
     from ..operators.dedup import tokens
     docs = _t(spark, d, "documents")
     words = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
              .groupBy("tok").agg(F.count("*").alias("freq")))
     w = words.withColumn("syms", F.split("tok", ""))
     merges = []
-    for k in range(_BPE_K):
+    curve = []
+    if curve_at is not None and 0 in curve_at:
+        curve.append((0, w))
+    for k in range(n_merges):
         syms = F.col("syms")
         pairs = F.transform(
             F.sequence(F.lit(1), F.size(syms) - 1),
@@ -846,6 +864,12 @@ def _bpe_learn(spark: SparkSession, d: str):
                             F.lit(a + b)))
              .otherwise(F.concat(acc, F.lit(" "), x)))
         w = w.withColumn("syms", F.split(folded, " "))
+        if materialize:
+            w = w.localCheckpoint(eager=True)
+        if curve_at is not None and (k + 1) in curve_at:
+            curve.append((k + 1, w))
+    if curve_at is not None:
+        return merges, w, curve
     return merges, w
 
 
