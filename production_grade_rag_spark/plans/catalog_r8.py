@@ -1344,11 +1344,18 @@ def _ir_per_query_cte() -> str:
 
 
 def _ir_per_query(spark: SparkSession, d: str,
-                  dim: int | None = None) -> DataFrame:
+                  dim: int | None = None,
+                  max_queries: int | None = None) -> DataFrame:
     """Shared Spark plan for the IR eval entries: label-match relevance
     (the embeddings table's `label` column IS the judgment set), exact
     cosine top-10 per held-out query (vec_id % 50 == 7), metrics as
-    exact integer sums of the shared _DCG_W weights."""
+    exact integer sums of the shared _DCG_W weights.
+
+    ``max_queries`` caps the held-out query set (first N by qid) —
+    the FIXED-eval-set form stress_bench times (VERDICT r8 #3): with
+    the default, the eval set grows with the corpus, so scored pairs
+    grow quadratically across stress tiers and the tier ratio reads
+    the benchmark's growth, not the operator's."""
     from ..functions.vector import cosine, to_double_array
     vec = (to_double_array(F.col("embedding")) if dim is None
            else F.slice(to_double_array(F.col("embedding")), 1, dim))
@@ -1357,6 +1364,8 @@ def _ir_per_query(spark: SparkSession, d: str,
          .select(F.col("vec_id").alias("qid"),
                  F.col("label").alias("qlabel"),
                  vec.alias("qv")))
+    if max_queries is not None:
+        q = q.orderBy("qid").limit(max_queries)
     cnt = emb.groupBy("label").agg(F.count("*").alias("n"))
     pairs = (emb.select(F.col("vec_id").alias("rid"),
                         F.col("label").alias("rlabel"),

@@ -185,7 +185,10 @@ _BITEXT_LISTS = 8
 _BITEXT_PROBE = 4
 
 
-def _bitext_ivf_frame(spark: SparkSession, d: str) -> DataFrame:
+def _bitext_ivf_frame(spark: SparkSession, d: str,
+                      n_lists: int = _BITEXT_LISTS,
+                      n_probe: int = _BITEXT_PROBE,
+                      k: int = _BITEXT_K) -> DataFrame:
     """Margin-based bitext mining over IVF-generated candidates: the
     all-pairs stage of r9_bitext_pairs (catalog_r8) replaced by
     ivf_knn_join candidate generation PER SIDE — each query scores
@@ -209,14 +212,14 @@ def _bitext_ivf_frame(spark: SparkSession, d: str) -> DataFrame:
     B = (emb.filter(F.col("label") == 1)
          .select(F.col("vec_id").alias("b_id"),
                  to_double_array(F.col("embedding")).alias("bv")))
-    ab = (ivf_knn_join(A, B, k=_BITEXT_K, n_lists=_BITEXT_LISTS,
-                       n_probe=_BITEXT_PROBE, q_vec="av", q_id="a_id",
+    ab = (ivf_knn_join(A, B, k=k, n_lists=n_lists,
+                       n_probe=n_probe, q_vec="av", q_id="a_id",
                        c_vec="bv", c_id="b_id")
           .select(F.col("query_id").alias("a_id"),
                   F.col("result_id").alias("b_id"),
                   F.round("score", 6).alias("cos")))
-    ba = (ivf_knn_join(B, A, k=_BITEXT_K, n_lists=_BITEXT_LISTS,
-                       n_probe=_BITEXT_PROBE, q_vec="bv", q_id="b_id",
+    ba = (ivf_knn_join(B, A, k=k, n_lists=n_lists,
+                       n_probe=n_probe, q_vec="bv", q_id="b_id",
                        c_vec="av", c_id="a_id")
           .select(F.col("result_id").alias("a_id"),
                   F.col("query_id").alias("b_id"),

@@ -1,0 +1,105 @@
+"""Round-9 additions: approx-percentile cut, IVF bitext, adaptive
+engine default, streaming SemDeDup, depth-16 BPE.
+
+Correctness of every oracled entry is driver-checked; these tests pin
+the properties the oracles cannot see — plan shapes, the approx path
+really being approx (no exact percentile barrier), recall floors at
+the smallest SF, and the curve's monotonicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from production_grade_rag_spark.plans.catalog import CATALOG
+
+from conftest import SF001
+
+
+def test_funnel_approx_path_has_no_exact_percentile(spark):
+    # the cuts='approx' funnel must not compile the exact percentile
+    # aggregate anywhere — that global barrier is exactly what the
+    # knob removes (the gate entry intentionally runs BOTH)
+    from production_grade_rag_spark.plans.catalog_r8 import \
+        _release_funnel_frame
+    plan = (_release_funnel_frame(spark, SF001, cuts="approx")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan
+
+
+def test_ppl_approx_buckets_agree_at_sf001(spark):
+    row = CATALOG["ta_perplexity_approx"].build(spark, SF001).collect()[0]
+    assert row["agree_ok"]
+    assert row["n_docs"] > 0
+
+
+def test_funnel_approx_gate_true_at_sf001(spark):
+    rows = CATALOG["cc_release_funnel_approx"].build(spark, SF001).collect()
+    assert len(rows) == 6
+    assert all(r["approx_ok"] for r in rows)
+
+
+def test_bitext_ivf_recall_floor_at_sf001(spark):
+    row = CATALOG["r9_bitext_ivf_recall"].build(spark, SF001).collect()[0]
+    assert row["floor_met"]
+    assert row["n_exact"] > 0
+
+
+def test_bitext_ivf_no_full_cross_between_sides(spark):
+    # candidate generation joins the two sides on the cell key; the
+    # only nested-loop joins are against the broadcast 8-row centroid
+    # frames — a cartesian between the A/B sides would be the exact
+    # all-pairs plan sneaking back in
+    from production_grade_rag_spark.plans.catalog_r9 import \
+        _bitext_ivf_frame
+    plan = (_bitext_ivf_frame(spark, SF001)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_engine_default_is_adaptive():
+    from production_grade_rag_spark.config import EngineConfig
+    c = EngineConfig()
+    assert c.ann_mass_target == 0.8
+    assert c.ann_n_probe_max is None
+
+
+def test_st_semdedup_stream_matches_batch(spark):
+    row = CATALOG["st_semdedup"].build(spark, SF001).collect()[0]
+    assert row["stream_matches_batch"]
+    assert row["n_vectors"] > 0
+
+
+def test_bpe_curve_is_monotone_nonincreasing(spark):
+    rows = (CATALOG["t20_bpe_curve"].build(spark, SF001)
+            .orderBy("n_merges").collect())
+    assert [r["n_merges"] for r in rows] == [0, 4, 8, 16]
+    spw = [r["symbols_per_word"] for r in rows]
+    # each merge can only shorten symbol sequences
+    assert all(a >= b for a, b in zip(spw, spw[1:]))
+    # words never change, symbols strictly fall by merge 16
+    assert len({r["n_words"] for r in rows}) == 1
+    assert rows[-1]["n_symbols"] < rows[0]["n_symbols"]
+
+
+def test_bpe16_first_merges_match_depth4(spark):
+    # determinism: the first 4 merges of the depth-16 run are exactly
+    # the depth-4 entry's merge table
+    m4 = CATALOG["t20_bpe_merges"].build(spark, SF001).collect()
+    m16 = (CATALOG["t20_bpe_merges16"].build(spark, SF001)
+           .orderBy("merge_rank").collect())
+    assert len(m16) == 16
+    assert [tuple(r) for r in m4] == [tuple(r) for r in m16[:4]]
+
+
+def test_ir_fixed_eval_cap(spark):
+    from production_grade_rag_spark.plans.catalog_r8 import _ir_per_query
+    n = _ir_per_query(spark, SF001, max_queries=3).count()
+    assert n == 3
+    # and the capped run agrees with the uncapped one on those queries
+    full = {r["query_id"]: r["ndcg_10"]
+            for r in _ir_per_query(spark, SF001).collect()}
+    capped = _ir_per_query(spark, SF001, max_queries=3).collect()
+    assert all(full[r["query_id"]] == r["ndcg_10"] for r in capped)
