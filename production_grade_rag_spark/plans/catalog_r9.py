@@ -495,3 +495,269 @@ def t20_bpe_curve(spark: SparkSession, d: str) -> DataFrame:
     for a in out[1:]:
         res = res.unionByName(a)
     return res.orderBy("n_merges")
+
+
+# ===========================================================================
+# Data-card epoch allocation: the per-domain (tokens, weight, epochs)
+# table LLaMA/GPT-3-style corpus releases publish
+# ===========================================================================
+
+_EPOCH_BUDGET = 2_000_000   # training-token budget for the allocation
+
+
+@register("t31_epoch_allocation", oracle=f"""
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         CAST(sum(length(text) // 4) AS BIGINT) AS est_tokens
+  FROM documents GROUP BY source
+), wq AS (
+  SELECT *, CAST(floor(sqrt(est_tokens::DOUBLE) * 1000000.0) AS BIGINT)
+              AS w_q
+  FROM per_src
+), tot AS (
+  SELECT CAST(sum(w_q) AS BIGINT) AS sw FROM wq
+)
+SELECT w.source, w.n_docs, w.est_tokens,
+       round(w.w_q::DOUBLE / t.sw::DOUBLE, 6) AS mix_weight,
+       ({_EPOCH_BUDGET}::BIGINT * w.w_q) // t.sw AS alloc_tokens,
+       round((({_EPOCH_BUDGET}::BIGINT * w.w_q) // t.sw)::DOUBLE
+             / w.est_tokens::DOUBLE, 6) AS epochs
+FROM wq w CROSS JOIN tot t ORDER BY w.source
+""")
+def t31_epoch_allocation(spark: SparkSession, d: str) -> DataFrame:
+    """The per-domain sampling table a corpus release publishes
+    (LLaMA's Table 1 / GPT-3's Table 2.2 shape, public): per source,
+    document and token mass, the mixture weight, the token allocation
+    out of a fixed training budget, and the implied EPOCH count
+    (allocation / corpus tokens — >1 means the domain repeats,
+    exactly how those cards report Wikipedia at multiple epochs).
+    Weights follow the temperature-0.5 rule the t24 family uses
+    (w ∝ sqrt(tokens) — upweights small domains); the allocation is
+    ALL-INTEGER (weights quantized to 1e-6 via floor(sqrt*1e6) —
+    sqrt is IEEE-correctly-rounded in both engines — and the budget
+    split is BIGINT division), so the table is engine-exact with the
+    two ratio columns rounded once at the end.
+
+    Plan: one conditional-agg scan to the source-count table, a
+    1-row broadcast total, map-side arithmetic — the same shape as
+    t24's threshold table, at any corpus size."""
+    from ..functions import text as X
+    docs = _t(spark, d, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_estimate(F.col("text"))).cast("long")
+         .alias("est_tokens"))
+    wq = per_src.withColumn(
+        "w_q", F.floor(F.sqrt(F.col("est_tokens").cast("double"))
+                       * F.lit(1000000.0)).cast("long"))
+    tot = wq.agg(F.sum("w_q").cast("long").alias("sw"))
+    alloc = F.expr(f"({_EPOCH_BUDGET}L * w_q) div sw")
+    return (wq.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "est_tokens",
+                    F.round(F.col("w_q").cast("double")
+                            / F.col("sw").cast("double"), 6)
+                     .alias("mix_weight"),
+                    alloc.alias("alloc_tokens"),
+                    F.round(alloc.cast("double")
+                            / F.col("est_tokens").cast("double"), 6)
+                     .alias("epochs"))
+            .orderBy("source"))
+
+
+# ===========================================================================
+# Curriculum interleave with a DISTRIBUTED two-phase rank: global
+# training order without a global sort
+# ===========================================================================
+
+_CURR_BLOCK = 256
+
+
+def _curriculum_oracle() -> str:
+    from .oracle_sql import quality_sql
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         least(9, CAST(floor(round({quality_sql('text')}, 6) * 10)
+                       AS BIGINT)) AS bucket
+  FROM documents
+), r AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+           AS rank_in_bucket
+  FROM q
+)
+SELECT doc_id, bucket, rank_in_bucket,
+       rank_in_bucket * 10 + bucket AS curriculum_pos
+FROM r
+"""
+
+
+@register("w12_curriculum_interleave", oracle=_curriculum_oracle())
+def w12_curriculum_interleave(spark: SparkSession, d: str) -> DataFrame:
+    """Curriculum training order: documents bucketed by quality
+    decile (map-side floor on the t2 score — no percentile pass) and
+    INTERLEAVED round-robin across buckets (pos = rank_in_bucket x 10
+    + bucket), so every stretch of the training stream sees the full
+    quality spectrum — the anti-ordering-bias manifest curriculum
+    and data-mixing pipelines emit.
+
+    The interesting part is the rank: a naive row_number per bucket
+    is a 10-partition window — the worst possible skew at any real
+    size.  Here the rank is TWO-PHASE (the zipWithIndex pattern as
+    pure DataFrame algebra): block = doc_id div {_CURR_BLOCK}; the
+    per-(bucket, block) COUNT table (corpus/{_CURR_BLOCK} rows) gets
+    per-bucket running offsets — the only window runs over that
+    3-orders-smaller counts table — and the final rank is
+    broadcast-joined offset + row_number within (bucket, block),
+    whose partition count GROWS with the corpus.  At another 100x,
+    recurse the same trick on the counts table.  Value-oracled
+    against the naive single-window rank — both engines must agree
+    row for row."""
+    from ..functions import text as X
+    from pyspark.sql import Window as W
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    q = X.with_quality(docs).select(
+        "doc_id",
+        F.least(F.lit(9), F.floor(F.round(F.col("quality_score"), 6)
+                                  * 10).cast("long")).alias("bucket"),
+        (F.col("doc_id") / _CURR_BLOCK).cast("long").alias("block"))
+    cnt = q.groupBy("bucket", "block").agg(F.count("*").alias("n"))
+    woff = (W.partitionBy("bucket").orderBy("block")
+            .rowsBetween(W.unboundedPreceding, -1))
+    off = cnt.select("bucket", "block",
+                     F.coalesce(F.sum("n").over(woff), F.lit(0))
+                      .alias("offset"))
+    wrk = W.partitionBy("bucket", "block").orderBy("doc_id")
+    ranked = (q.join(F.broadcast(off), ["bucket", "block"])
+              .withColumn("rank_in_bucket",
+                          F.col("offset") + F.row_number().over(wrk) - 1))
+    return ranked.select(
+        "doc_id", "bucket", "rank_in_bucket",
+        (F.col("rank_in_bucket") * 10 + F.col("bucket"))
+        .alias("curriculum_pos"))
+
+
+# ===========================================================================
+# Paired sign test between rankers — the significance read on top of
+# the ir3 Matryoshka cost table
+# ===========================================================================
+
+def _ir5_oracle() -> str:
+    from .catalog_r8 import _ir_cte_parts
+    return ("WITH " + _ir_cte_parts(None, "_f") + ", "
+            + _ir_cte_parts(16, "_t") + """
+, j AS (
+  SELECT f.query_id, f.ndcg_10 AS ndcg_full, t.ndcg_10 AS ndcg_dim16
+  FROM perq_f f JOIN perq_t t USING (query_id)
+)
+SELECT count(*)::BIGINT AS n_queries,
+       CAST(sum((ndcg_full > ndcg_dim16)::INT) AS BIGINT) AS full_wins,
+       CAST(sum((ndcg_full < ndcg_dim16)::INT) AS BIGINT) AS dim16_wins,
+       CAST(sum((ndcg_full = ndcg_dim16)::INT) AS BIGINT) AS ties,
+       round(sum(CAST(round(ndcg_full * 1000000) AS BIGINT)
+               - CAST(round(ndcg_dim16 * 1000000) AS BIGINT))::DOUBLE
+             / (count(*) * 1000000)::DOUBLE, 6) AS mean_ndcg_delta
+FROM j
+""")
+
+
+@register("ir5_sign_test", oracle=_ir5_oracle())
+def ir5_sign_test(spark: SparkSession, d: str) -> DataFrame:
+    """Paired per-query SIGN TEST between the full-64-dim ranker and
+    the 16-dim Matryoshka truncation: wins / losses / ties over the
+    shared eval-query set plus the mean per-query nDCG delta — the
+    standard IR-evaluation significance read (a macro-average delta
+    like ir3's can hide that one ranker wins on a handful of queries
+    and loses everywhere else; the win/loss split is what a paired
+    test actually consumes).  Comparisons are over the 6-dp-rounded
+    nDCG both engines derive from exact integer DCG sums, so
+    equality (a TIE) is engine-stable — no float-comparison lottery —
+    and the mean delta is summed on the 1e-6 integer grid (the ir2
+    convention) so even the summation order cannot move a digit.
+
+    Plan: the two _ir_per_query passes the ir3 entry already pays,
+    one query_id equi-join (eval-set sized), one 1-row aggregate."""
+    from .catalog_r8 import _ir_per_query
+    f = _ir_per_query(spark, d).select(
+        "query_id", F.col("ndcg_10").alias("ndcg_full"))
+    t = _ir_per_query(spark, d, dim=16).select(
+        "query_id", F.col("ndcg_10").alias("ndcg_dim16"))
+    j = f.join(t, "query_id")
+    full, dim = F.col("ndcg_full"), F.col("ndcg_dim16")
+    return j.agg(
+        F.count("*").alias("n_queries"),
+        F.sum((full > dim).cast("int")).cast("long").alias("full_wins"),
+        F.sum((full < dim).cast("int")).cast("long").alias("dim16_wins"),
+        F.sum((full == dim).cast("int")).cast("long").alias("ties"),
+        F.round(F.sum(F.round(full * 1000000).cast("long")
+                      - F.round(dim * 1000000).cast("long")).cast("double")
+                / (F.count("*") * 1000000).cast("double"), 6)
+         .alias("mean_ndcg_delta"))
+
+
+# ===========================================================================
+# Neyman stratified allocation — variance-optimal sample budgets
+# ===========================================================================
+
+_NEYMAN_BUDGET = 1000
+
+
+@register("t33_neyman_alloc", oracle=f"""
+WITH s AS (
+  SELECT lang, count(*)::BIGINT AS n_h,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_h,
+         CAST(floor(sqrt((n_h * s2 - s1 * s1)::DOUBLE)) AS BIGINT)
+           AS w_q
+  FROM s
+), tot AS (
+  SELECT CAST(sum(w_q) AS BIGINT) AS sw FROM w
+)
+SELECT w.lang, w.n_h, w.w_q,
+       round(w.w_q::DOUBLE / t.sw::DOUBLE, 6) AS neyman_share,
+       ({_NEYMAN_BUDGET}::BIGINT * w.w_q) // t.sw AS alloc_docs
+FROM w w CROSS JOIN tot t ORDER BY w.lang
+""")
+def t33_neyman_alloc(spark: SparkSession, d: str) -> DataFrame:
+    """Neyman allocation of a fixed audit/labeling budget across
+    language strata (Neyman 1934, public — the variance-optimal rule
+    every survey-sampling text teaches): n_h* ∝ N_h x S_h, where S_h
+    is the stratum's length standard deviation — high-variance
+    strata get proportionally more of the budget than flat
+    proportional sampling would give.  The quality-audit planner a
+    curation team runs before human-labeling a corpus slice.
+
+    The exactness trick: N_h x S_h = sqrt(N_h² x Var_h) =
+    sqrt(N_h x Σy² - (Σy)²) — the radicand is an EXACT BIGINT from
+    two integer sums, sqrt is IEEE-correctly-rounded in both
+    engines, and floor quantizes it back to BIGINT, so weights and
+    the budget split are engine-exact end to end (share rounded once
+    for display).  Radicand magnitude: n x Σy² — document counts to
+    ~1e5 with 1e4-char docs stay far inside BIGINT; at larger scale
+    shift y to a coarser grid first (the g2/g4 grid convention).
+
+    Plan: one partial-aggregable scan (three sums per stratum), a
+    1-row broadcast total, map-side arithmetic."""
+    docs = _t(spark, d, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count("*").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long")
+         .alias("s2"))
+    w = s.select(
+        "lang", "n_h",
+        F.floor(F.sqrt((F.col("n_h") * F.col("s2")
+                        - F.col("s1") * F.col("s1")).cast("double")))
+         .cast("long").alias("w_q"))
+    tot = w.agg(F.sum("w_q").cast("long").alias("sw"))
+    return (w.crossJoin(F.broadcast(tot))
+            .select("lang", "n_h", "w_q",
+                    F.round(F.col("w_q").cast("double")
+                            / F.col("sw").cast("double"), 6)
+                     .alias("neyman_share"),
+                    F.expr(f"({_NEYMAN_BUDGET}L * w_q) div sw")
+                     .alias("alloc_docs"))
+            .orderBy("lang"))

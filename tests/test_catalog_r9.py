@@ -103,3 +103,41 @@ def test_ir_fixed_eval_cap(spark):
             for r in _ir_per_query(spark, SF001).collect()}
     capped = _ir_per_query(spark, SF001, max_queries=3).collect()
     assert all(full[r["query_id"]] == r["ndcg_10"] for r in capped)
+
+
+def test_epoch_allocation_budget_and_weights(spark):
+    rows = CATALOG["t31_epoch_allocation"].build(spark, SF001).collect()
+    assert sum(r["alloc_tokens"] for r in rows) <= 2_000_000
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-3
+    # sqrt-weighting upweights small domains: weight share exceeds
+    # token share for the smallest source
+    tot = sum(r["est_tokens"] for r in rows)
+    small = min(rows, key=lambda r: r["est_tokens"])
+    assert small["mix_weight"] > small["est_tokens"] / tot
+
+
+def test_curriculum_positions_unique_and_interleaved(spark):
+    rows = CATALOG["w12_curriculum_interleave"].build(spark, SF001).collect()
+    pos = [r["curriculum_pos"] for r in rows]
+    assert len(pos) == len(set(pos))
+    # interleave: position mod 10 recovers the bucket
+    assert all(r["curriculum_pos"] % 10 == r["bucket"] for r in rows)
+    # ranks within a bucket are dense from 0
+    from collections import defaultdict
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r["rank_in_bucket"])
+    for ranks in by_bucket.values():
+        assert sorted(ranks) == list(range(len(ranks)))
+
+
+def test_neyman_allocation_budget(spark):
+    rows = CATALOG["t33_neyman_alloc"].build(spark, SF001).collect()
+    assert sum(r["alloc_docs"] for r in rows) <= 1000
+    assert all(r["w_q"] >= 0 for r in rows)
+
+
+def test_ir5_sign_counts_partition(spark):
+    row = CATALOG["ir5_sign_test"].build(spark, SF001).collect()[0]
+    assert (row["full_wins"] + row["dim16_wins"] + row["ties"]
+            == row["n_queries"])
