@@ -761,3 +761,188 @@ def t33_neyman_alloc(spark: SparkSession, d: str) -> DataFrame:
                     F.expr(f"({_NEYMAN_BUDGET}L * w_q) div sw")
                      .alias("alloc_docs"))
             .orderBy("lang"))
+
+
+# ===========================================================================
+# Kolmogorov-Smirnov drift — the binless companion to dq2's PSI
+# ===========================================================================
+
+@register("dq3_ks_drift", oracle="""
+WITH t AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS c, n_chars AS v
+  FROM documents
+), cnts AS (
+  SELECT v, CAST(sum((c = 0)::INT) AS BIGINT) AS a,
+         CAST(sum((c = 1)::INT) AS BIGINT) AS b
+  FROM t GROUP BY v
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+  FROM cnts
+), cum AS (
+  SELECT v, CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+         CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+  FROM cnts
+), dev AS (
+  SELECT v, abs(ca * n2 - cb * n1) AS dnum FROM cum CROSS JOIN tot
+), mx AS (
+  SELECT max(dnum) AS dmax FROM dev
+), at AS (
+  SELECT min(v) AS v_at FROM dev CROSS JOIN mx WHERE dnum = dmax
+)
+SELECT n1 AS n_base, n2 AS n_current, dmax AS d_num,
+       v_at AS ks_at_value,
+       round(dmax::DOUBLE / (n1 * n2)::DOUBLE, 6) AS ks_stat,
+       (dmax::DOUBLE > 1.358 * sqrt(((n1 + n2) * n1 * n2)::DOUBLE))
+         AS drift_flag
+FROM tot CROSS JOIN mx CROSS JOIN at
+""")
+def dq3_ks_drift(spark: SparkSession, d: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on document length
+    across the dq2 cohort split — the BINLESS companion to PSI
+    (PSI's bins can hide drift that lands inside a bin; KS reads the
+    maximum ECDF gap wherever it occurs, and reports the length at
+    which it occurs — the actionable part for a curation team).
+
+    The exactness trick: D = max_v |F1(v) - F2(v)| is computed as an
+    INTEGER — max |cum1(v)*n2 - cum2(v)*n1| over the value domain —
+    so the max, its argmax (min-v tiebreak), and the 5%-level
+    decision D > 1.358*sqrt((n1+n2)/(n1*n2)) (both sides multiplied
+    by n1*n2, radicand an exact BIGINT, sqrt correctly rounded) are
+    engine-exact; only the display statistic divides.
+
+    Plan: one conditional-agg scan to the per-length count table;
+    the only window (the running ECDF) runs over THAT table, whose
+    row count is the length DOMAIN (bounded by max doc length, not
+    corpus size — the skyline score-table argument); two 1-row
+    aggregates finish."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, d, "documents")
+    t = docs.select(
+        (F.col("doc_id") % 2 == 0).cast("int").alias("is_base"),
+        F.col("n_chars").alias("v"))
+    cnts = t.groupBy("v").agg(
+        F.sum("is_base").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("is_base")).cast("long").alias("b"))
+    tot = cnts.agg(F.sum("a").cast("long").alias("n1"),
+                   F.sum("b").cast("long").alias("n2"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = cnts.select("v", F.sum("a").over(wv).cast("long").alias("ca"),
+                      F.sum("b").over(wv).cast("long").alias("cb"))
+    dev = (cum.crossJoin(F.broadcast(tot))
+           .select("v", F.abs(F.col("ca") * F.col("n2")
+                              - F.col("cb") * F.col("n1")).alias("dnum")))
+    mx = dev.agg(F.max("dnum").alias("dmax"))
+    at = (dev.join(F.broadcast(mx), dev["dnum"] == mx["dmax"])
+          .agg(F.min("v").alias("ks_at_value")))
+    thresh = 1.358 * F.sqrt(((F.col("n1") + F.col("n2"))
+                             * F.col("n1") * F.col("n2")).cast("double"))
+    return (tot.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(at))
+            .select(F.col("n1").alias("n_base"),
+                    F.col("n2").alias("n_current"),
+                    F.col("dmax").alias("d_num"),
+                    "ks_at_value",
+                    F.round(F.col("dmax").cast("double")
+                            / (F.col("n1") * F.col("n2")).cast("double"),
+                            6).alias("ks_stat"),
+                    (F.col("dmax").cast("double") > thresh)
+                    .alias("drift_flag")))
+
+
+# ===========================================================================
+# Voice-activity segments: the multimodal composition windows ->
+# per-window feature -> island merge -> segment manifest
+# ===========================================================================
+
+def _vad_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, text, (n_chars * 100)::BIGINT AS n_samples
+  FROM documents
+), w AS (
+  SELECT doc_id, text, n_samples,
+         1 + greatest(0, (n_samples - 16000 + 7999) // 8000) AS n_win
+  FROM base
+), win AS (
+  SELECT doc_id, text, i::BIGINT AS wi,
+         (i * 8000)::BIGINT AS s,
+         least(i * 8000 + 16000, n_samples)::BIGINT AS e
+  FROM w, LATERAL unnest(range(0, n_win)) AS t(i)
+), feat AS (
+  SELECT doc_id, wi, s, e,
+         length(substr(text, (s // 100) + 1, (e - s) // 100))::BIGINT
+           AS n_ch,
+         (length(substr(text, (s // 100) + 1, (e - s) // 100))
+          - length(replace(substr(text, (s // 100) + 1, (e - s) // 100),
+                           'a', '')))::BIGINT AS n_voiced
+  FROM win
+), act AS (
+  SELECT doc_id, wi, s, e,
+         wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi)
+           AS grp
+  FROM feat WHERE n_voiced * 1000 >= n_ch * 80 AND n_ch > 0
+), seg AS (
+  SELECT doc_id, grp, min(s)::BIGINT AS start_sample,
+         max(e)::BIGINT AS end_sample, count(*)::BIGINT AS n_windows
+  FROM act GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY start_sample)
+        - 1)::BIGINT AS seg_index,
+       start_sample, end_sample, n_windows
+FROM seg
+"""
+
+
+@register("mm_vad_segments", oracle=_vad_oracle())
+def mm_vad_segments(spark: SparkSession, d: str) -> DataFrame:
+    """Voice-activity segments over the audio payload: the full
+    multimodal composition — mm_audio_windows' 1 s/0.5 s-hop layout,
+    a per-window ENERGY feature (deterministic stand-in decode, the
+    mm convention: the window's byte range maps back to a text slice
+    and 'energy' = density of the letter 'a' in it, active at >= 8% —
+    a proxy chosen because it VARIES per window, ~half the windows
+    on the corpus pass, so the island structure is actually
+    exercised; a real RMS energy plugs in at the same point), and
+    a gaps-and-islands merge of consecutive active windows into
+    speech segments (the ev_error_bursts rn-difference shape), giving
+    the (start_sample, end_sample, n_windows) manifest a
+    speech-pipeline (ASR pre-filter, diarization) consumes.  A real
+    energy feature plugs in at the same point decode_features does —
+    per-window map-side arithmetic; everything downstream is
+    unchanged.
+
+    Scale shape: windowing and the feature are map-side after one
+    scan; the only shuffles are the per-(doc) islands window and the
+    per-(doc, grp) segment aggregate — both keyed by doc_id (the
+    sessionize shard), never global."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, d, "documents").select(
+        "doc_id", "text",
+        (F.col("n_chars") * 100).cast("long").alias("n_samples"))
+    from ..operators import multimodal
+    win = multimodal.audio_windows(docs).join(
+        docs.select("doc_id", "text"), "doc_id")
+    s, e = F.col("start_sample"), F.col("end_sample")
+    sl = F.substring(F.col("text"), (s / 100).cast("int") + 1,
+                     ((e - s) / 100).cast("int"))
+    feat = win.select(
+        "doc_id", F.col("window_index").cast("long").alias("wi"), s, e,
+        F.length(sl).cast("long").alias("n_ch"),
+        (F.length(sl)
+         - F.length(F.regexp_replace(sl, "a", ""))).cast("long")
+        .alias("n_voiced"))
+    act = (feat.filter((F.col("n_voiced") * 1000 >= F.col("n_ch") * 80)
+                       & (F.col("n_ch") > 0))
+           .withColumn("grp", F.col("wi") - F.row_number().over(
+               W.partitionBy("doc_id").orderBy("wi"))))
+    seg = (act.groupBy("doc_id", "grp")
+           .agg(F.min("start_sample").alias("start_sample"),
+                F.max("end_sample").alias("end_sample"),
+                F.count("*").alias("n_windows")))
+    return (seg.withColumn(
+        "seg_index",
+        (F.row_number().over(W.partitionBy("doc_id")
+                             .orderBy("start_sample")) - 1)
+        .cast("long"))
+        .select("doc_id", "seg_index", "start_sample", "end_sample",
+                "n_windows"))

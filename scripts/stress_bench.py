@@ -288,20 +288,25 @@ def main() -> None:
     res["ir1_fixed100_scale_ratio"] = round(
         T["ir1_fixed100_10x"] / T["ir1_fixed100_1x"], 2)
 
-    # --- bitext mining tier (VERDICT r8 #2): the exact all-pairs form
-    # is 1e8 cross-pairs at 1x and 1e10 at 10x — the 10x exact run is
-    # skipped BY DESIGN (that infeasibility is the point); the IVF
-    # path runs both tiers with the layout scaled like any IVF store
-    # (lists ~ sqrt-corpus: 8 at catalog scale, 64 at 10x, probe
-    # fraction held at 1/2 of r9_bitext_ivf's 4/8 operating point) ---
+    # --- bitext mining tier (VERDICT r8 #2): exact all-pairs vs IVF
+    # candidate generation at both tiers.  The label-0/1 sides are
+    # ~200 rows at 1x and ~2k at 10x, so the exact form IS runnable
+    # here and its pair count grows 100x across the tiers (the
+    # quadratic wall in miniature) while the IVF candidate set grows
+    # ~probe-fraction-linearly; at these toy sizes the two KMeans
+    # fits dominate IVF wall-clock — the crossover argument is the
+    # PAIR ledger below, reported honestly, not the wall-clock ------
     from production_grade_rag_spark.plans.catalog_r8 import r9_bitext_pairs
     from production_grade_rag_spark.plans.catalog_r9 import \
         _bitext_ivf_frame
-    n, t = _timed_steady(lambda: r9_bitext_pairs(spark, SF_DIR).count())
-    T["bitext_exact_1x"] = t
-    print(f"# bitext exact 1x: {t}s ({n} pairs); 10x exact skipped: "
-          f"1e10 cross pairs (the quadratic wall the IVF path removes)",
-          file=sys.stderr)
+    for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+        n, t = _timed_steady(
+            lambda d=d: r9_bitext_pairs(spark, d).count())
+        T[f"bitext_exact_{tag}"] = t
+        print(f"# bitext exact {tag}: {t}s ({n} mutual pairs)",
+              file=sys.stderr)
+    res["bitext_exact_scale_ratio"] = round(
+        T["bitext_exact_10x"] / T["bitext_exact_1x"], 2)
     for tag, d, (nl, np_) in (("1x", SF_DIR, (16, 8)),
                               ("10x", STRESS_DIR, (64, 32))):
         n, t = _timed_steady(
@@ -313,8 +318,22 @@ def main() -> None:
               f"({n} mutual pairs)", file=sys.stderr)
     res["bitext_ivf_scale_ratio"] = round(
         T["bitext_ivf_10x"] / T["bitext_ivf_1x"], 2)
-    res["bitext_ivf_vs_exact_1x"] = round(
-        T["bitext_ivf_1x"] / T["bitext_exact_1x"], 2)
+    # the scored-pair ledger both paths would read at the tier sizes:
+    # exact = |A|*|B|; ivf = (|A|+|B|) * k-candidates bound
+    for tag, e in (("1x", load_table(spark, SF_DIR, "embeddings")),
+                   ("10x", load_table(spark, STRESS_DIR, "embeddings"))):
+        na = e.filter(F.col("label") == 0).count()
+        nb = e.filter(F.col("label") == 1).count()
+        res[f"bitext_pairs_exact_{tag}"] = na * nb
+        res[f"bitext_sides_{tag}"] = [na, nb]
+    res["bitext_exact_pair_growth"] = round(
+        res["bitext_pairs_exact_10x"]
+        / max(1, res["bitext_pairs_exact_1x"]), 1)
+    print(f"# bitext pair ledger: exact {res['bitext_pairs_exact_1x']} "
+          f"-> {res['bitext_pairs_exact_10x']} "
+          f"({res['bitext_exact_pair_growth']}x across a 10x tier); "
+          f"ivf candidates bounded by k per query per side",
+          file=sys.stderr)
 
     # --- line-dedup adversarial tier: blank + boilerplate hot keys -----
     synthesize_line_skew(spark)

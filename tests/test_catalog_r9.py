@@ -141,3 +141,39 @@ def test_ir5_sign_counts_partition(spark):
     row = CATALOG["ir5_sign_test"].build(spark, SF001).collect()[0]
     assert (row["full_wins"] + row["dim16_wins"] + row["ties"]
             == row["n_queries"])
+
+
+def test_ks_drift_bounds_and_argmax(spark):
+    row = CATALOG["dq3_ks_drift"].build(spark, SF001).collect()[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["n_base"] + row["n_current"] > 0
+    # D recomputed directly from the two ECDFs must match the
+    # integer-max form
+    rows = spark.read.parquet(f"{SF001}/documents.parquet") \
+        .select("doc_id", "n_chars").collect()
+    base = sorted(r["n_chars"] for r in rows if r["doc_id"] % 2 == 0)
+    cur = sorted(r["n_chars"] for r in rows if r["doc_id"] % 2 == 1)
+    vals = sorted(set(base) | set(cur))
+    import bisect
+    d = max(abs(bisect.bisect_right(base, v) / len(base)
+                - bisect.bisect_right(cur, v) / len(cur)) for v in vals)
+    assert abs(d - row["ks_stat"]) < 1e-5
+
+
+def test_vad_segments_are_disjoint_islands(spark):
+    rows = CATALOG["mm_vad_segments"].build(spark, SF001).collect()
+    assert rows
+    from collections import defaultdict
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    for segs in by_doc.values():
+        segs.sort(key=lambda r: r["seg_index"])
+        # seg_index dense from 0; segments ordered and non-touching
+        # (a touching/overlapping pair would have merged into one
+        # island, since windows overlap by half)
+        assert [r["seg_index"] for r in segs] == list(range(len(segs)))
+        for a, b in zip(segs, segs[1:]):
+            # islands separated by >=1 silent window: B starts at
+            # k*8000 with k >= j+2, A ends by j*8000+16000
+            assert a["end_sample"] <= b["start_sample"]
