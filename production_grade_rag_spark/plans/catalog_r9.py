@@ -202,7 +202,15 @@ def _bitext_ivf_frame(spark: SparkSession, d: str,
     is gated by r9_bitext_ivf_recall (the dd_semdedup_recall
     pattern); at 100 TB the two KMeans fits are the offline store
     layouts both language sides already maintain (ivf_build_store),
-    so candidate generation reads cell-pruned partitions."""
+    so candidate generation reads cell-pruned partitions.
+
+    Crossover honesty (STRESS_r09): at catalog-tier side sizes
+    (hundreds to low thousands of rows) the exact broadcast
+    all-pairs form is FASTER — the two KMeans fits dominate.  The
+    IVF form wins once |A| x |B| outgrows the one-off fit cost
+    (which prebuilt stores amortize to zero); the stress ledger
+    reports exact scored pairs growing ~100x across a 10x tier
+    while the candidate set stays k-per-query bounded."""
     from ..functions.vector import to_double_array
     from ..operators.similarity import ivf_knn_join
     emb = _t(spark, d, "embeddings")
