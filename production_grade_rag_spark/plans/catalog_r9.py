@@ -954,3 +954,573 @@ def mm_vad_segments(spark: SparkSession, d: str) -> DataFrame:
         .cast("long"))
         .select("doc_id", "seg_index", "start_sample", "end_sample",
                 "n_windows"))
+
+# ===========================================================================
+# Eval-set contamination at the n-gram level — the GPT-3 Appendix C
+# audit between the t26 split halves (exact-hash leakage's finer twin)
+# ===========================================================================
+
+def _contamination_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8 import _DUPG_N
+    from .catalog_r8b import _split_cte
+    toks = OV.tokens_sql("text")
+    grams = f"""(
+  CASE WHEN len({toks}) >= {_DUPG_N}
+       THEN list_transform(range(1, len({toks}) - {_DUPG_N - 2}),
+              i -> array_to_string(
+                     list_slice({toks}, i, i + {_DUPG_N - 1}), ' '))
+       WHEN len({toks}) > 0
+       THEN [array_to_string({toks}, ' ')]
+       ELSE []::VARCHAR[] END)"""
+    return _split_cte() + f""",
+g AS (
+  SELECT a.doc_id, a.split, md5(unnest({grams})) AS h
+  FROM documents d JOIN assigned a ON a.doc_id = d.doc_id
+), train_set AS (
+  SELECT DISTINCT h FROM g WHERE split = 'train'
+), test_g AS (
+  SELECT g.doc_id, g.h,
+         (t.h IS NOT NULL)::INT AS hit
+  FROM g LEFT JOIN train_set t ON t.h = g.h
+  WHERE g.split = 'test'
+)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       CAST(sum(hit) AS BIGINT) AS n_contaminated,
+       round(sum(hit)::DOUBLE / count(*)::DOUBLE, 6) AS contam_frac,
+       (sum(hit) > 0) AS is_contaminated
+FROM test_g GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("t34_ngram_contamination", oracle=_contamination_oracle())
+def t34_ngram_contamination(spark: SparkSession, d: str) -> DataFrame:
+    """N-gram-level eval contamination audit (Brown et al. 2020
+    Appendix C, public — GPT-3 flagged eval examples sharing any
+    13-gram with training data; we reuse the corpus 8-gram unit of
+    dd_dupgram_profile since the synthetic docs are short): for every
+    TEST-split document, the count and fraction of its sliding word
+    8-grams that occur in ANY train-split document — the finer twin
+    of t26_split_leakage's exact-hash check (exact hashing misses a
+    test doc that QUOTES a training paragraph; the n-gram audit is
+    what the published decontamination recipes actually run).
+
+    Scale shape: the train gram set is distinct md5(8-gram) hashes —
+    flat crypto keys, partial-aggregable distinct; the test side
+    left-joins on the same flat key (AQE-splittable, gram text never
+    shuffles — the dd_dupgram_profile argument).  Test side is ~10%
+    of the corpus by the split hash, so the probe relation is the
+    small one; at 100 TB you'd bloom-filter the train set first
+    (a21's exact machinery) before the anti-join, which this
+    composes with unchanged.
+
+    Reference parity: the reference dedups eval contamination only by
+    exact id (second_brain_offline equivalents); this is the
+    beyond-reference training-data surface SURVEY §2.12 mandates."""
+    from ..operators.dedup import tokens
+    from .catalog_r8 import _DUPG_N
+    from .catalog_r8b import t26_eval_split
+
+    docs = _t(spark, d, "documents")
+    split = t26_eval_split(spark, d).select("doc_id", "split")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    grams = (F.when(n >= _DUPG_N,
+                    F.transform(F.sequence(F.lit(1), n - (_DUPG_N - 1)),
+                                lambda i: F.array_join(
+                                    F.slice(t, i, _DUPG_N), " ")))
+             .when(n > 0, F.array(F.array_join(t, " ")))
+             .otherwise(F.array().cast("array<string>")))
+    g = (docs.join(split, "doc_id")
+         .select("doc_id", "split", F.explode(grams).alias("gram"))
+         .select("doc_id", "split", F.md5("gram").alias("h")))
+    train_set = (g.filter(F.col("split") == "train")
+                 .select("h").distinct()
+                 .withColumn("hit", F.lit(1)))
+    test_g = (g.filter(F.col("split") == "test")
+              .join(train_set, "h", "left")
+              .select("doc_id", F.coalesce("hit", F.lit(0)).alias("hit")))
+    return (test_g.groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum("hit").cast("long").alias("n_contaminated"),
+                 F.round(F.sum("hit").cast("double")
+                         / F.count("*").cast("double"), 6)
+                  .alias("contam_frac"),
+                 (F.sum("hit") > 0).alias("is_contaminated"))
+            .orderBy("doc_id"))
+
+
+# ===========================================================================
+# Cohort retention triangle — the week-over-week survival read behind
+# ev_growth_accounting's net ledger
+# ===========================================================================
+
+@register("ev_retention_triangle", oracle="""
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         (epoch(ts)::BIGINT // 604800)::BIGINT AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk)::BIGINT AS cohort_wk FROM wk GROUP BY user_id
+), sized AS (
+  SELECT cohort_wk, count(*)::BIGINT AS cohort_n FROM cohort
+  GROUP BY cohort_wk
+), tri AS (
+  SELECT c.cohort_wk, (w.wk - c.cohort_wk)::BIGINT AS week_offset,
+         count(DISTINCT w.user_id)::BIGINT AS n_active
+  FROM wk w JOIN cohort c ON c.user_id = w.user_id
+  GROUP BY c.cohort_wk, w.wk - c.cohort_wk
+)
+SELECT t.cohort_wk, s.cohort_n, t.week_offset, t.n_active,
+       round(t.n_active::DOUBLE / s.cohort_n::DOUBLE, 6) AS retention
+FROM tri t JOIN sized s ON s.cohort_wk = t.cohort_wk
+ORDER BY t.cohort_wk, t.week_offset
+""")
+def ev_retention_triangle(spark: SparkSession, d: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity
+    week (the cohort), and for each (cohort, week-offset) cell the
+    count and share of the cohort still active — the classic
+    product-analytics triangle whose diagonal slices are
+    ev_growth_accounting's retained/churned ledger (the two entries
+    cross-check: offset-k actives of cohort c appear in week c+k's
+    actives).  Integer week indices (epoch div 604800) keep both
+    engines free of date-formatting traps, the ev_growth_accounting
+    convention.
+
+    Scale shape: one distinct (user, week) projection (partial-agg),
+    a per-user min (partial-agg), a user-keyed join co-partitioned
+    on user_id, then a (cohort, offset)-keyed count distinct whose
+    key domain is weeks² — bounded by the calendar, not the corpus.
+    Cohort sizes broadcast back (weeks-sized table)."""
+    ev = _t(spark, d, "events")
+    wk = (ev.select("user_id",
+                    F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800")
+                    .alias("wk"))
+          .distinct())
+    cohort = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sized = cohort.groupBy("cohort_wk").agg(
+        F.count("*").alias("cohort_n"))
+    tri = (wk.join(cohort, "user_id")
+           .groupBy("cohort_wk",
+                    (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    return (tri.join(F.broadcast(sized), "cohort_wk")
+            .select("cohort_wk", "cohort_n", "week_offset", "n_active",
+                    F.round(F.col("n_active").cast("double")
+                            / F.col("cohort_n").cast("double"), 6)
+                     .alias("retention"))
+            .orderBy("cohort_wk", "week_offset"))
+
+
+# ===========================================================================
+# Robust daily-volume anomaly flags — median/MAD over the day table
+# ===========================================================================
+
+@register("ev_anomaly_mad", oracle="""
+WITH daily AS (
+  SELECT (epoch(ts)::BIGINT // 86400)::BIGINT AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY (epoch(ts)::BIGINT // 86400)
+), med AS (
+  SELECT CAST(round(quantile_cont(n_events, 0.5) * 2) AS BIGINT)
+           AS med2
+  FROM daily
+), dev AS (
+  SELECT day, n_events, abs(2 * n_events - m.med2)::BIGINT AS dev2
+  FROM daily CROSS JOIN med m
+), mad AS (
+  SELECT CAST(round(quantile_cont(dev2, 0.5)) AS BIGINT) AS mad2
+  FROM dev
+)
+SELECT day, n_events,
+       round(med2::DOUBLE / 2, 1) AS med,
+       round(mad2::DOUBLE / 2, 1) AS mad,
+       (dev2 * 10 > 30 * greatest(mad2, 1)) AS is_anomaly
+FROM dev CROSS JOIN med CROSS JOIN mad
+ORDER BY day
+""")
+def ev_anomaly_mad(spark: SparkSession, d: str) -> DataFrame:
+    """Robust daily-volume anomaly detection: flag days whose event
+    count deviates from the corpus median by more than 3 MADs
+    (Leys et al. 2013, public — the median/MAD rule is the robust
+    replacement for mean/sigma, immune to the very outliers it
+    hunts).  The pipeline-health read a crawl operator checks before
+    trusting a day's ingest.
+
+    The exactness trick: the interpolated median of INTEGER counts is
+    always an integer or a half — so 2x(median) is an exact BIGINT
+    on both engines (round() only shakes off float formatting), the
+    deviation 2|n - med| is BIGINT, and the flag comparison
+    dev2 > 3 x mad2 runs entirely in integers (x10 to keep the
+    3.0 literal integral; max(mad2,1) so a zero-MAD corpus doesn't
+    flag every day).  Only the display columns divide by 2.
+
+    Scale shape: one partial-aggregable scan to the DAY table —
+    every later step (two exact medians, the flags) runs over a
+    table bounded by the calendar, not the corpus (the dq3_ks_drift
+    domain argument), so the exact percentile here is NOT the w10
+    global barrier: its input is days-sized."""
+    ev = _t(spark, d, "events")
+    daily = (ev.groupBy(F.expr("CAST(unix_timestamp(ts) AS BIGINT)"
+                               " div 86400").alias("day"))
+             .agg(F.count("*").alias("n_events")))
+    med = daily.agg(
+        F.round(F.percentile("n_events", F.lit(0.5)) * 2)
+        .cast("long").alias("med2"))
+    dev = (daily.crossJoin(F.broadcast(med))
+           .select("day", "n_events", "med2",
+                   F.abs(2 * F.col("n_events") - F.col("med2"))
+                   .cast("long").alias("dev2")))
+    mad = dev.agg(F.round(F.percentile("dev2", F.lit(0.5)))
+                  .cast("long").alias("mad2"))
+    return (dev.crossJoin(F.broadcast(mad))
+            .select("day", "n_events",
+                    F.round(F.col("med2").cast("double") / 2, 1)
+                     .alias("med"),
+                    F.round(F.col("mad2").cast("double") / 2, 1)
+                     .alias("mad"),
+                    (F.col("dev2") * 10
+                     > 30 * F.greatest(F.col("mad2"), F.lit(1)))
+                    .alias("is_anomaly"))
+            .orderBy("day"))
+
+# ===========================================================================
+# Fixed-theta distinct sketches over content shingles — mergeable NDV
+# + the set-operation story (union / intersection / Jaccard across
+# sources) the HLL entry (a10) cannot provide
+# ===========================================================================
+
+_THETA_RATE_INV = 16                      # keep 1/16 of the hash space
+_THETA = (1 << 60) // _THETA_RATE_INV     # 60-bit md5-prefix domain
+
+_H60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _h60(col):
+    """First 60 bits of md5 as a non-negative BIGINT (15 hex chars —
+    the md5_int32 convention widened so a 1/16 threshold still leaves
+    a fine-grained survivor grid)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _theta_shingle_cte() -> str:
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    sh = OV.word_shingles_sql(toks, 3)
+    return f"""
+WITH s AS (
+  SELECT source, {_H60_SQL.format(x='unnest(' + sh + ')')} AS h
+  FROM documents
+)"""
+
+
+@register("a22_theta_ndv", oracle=_theta_shingle_cte() + f"""
+SELECT source,
+       count(DISTINCT h)::BIGINT AS exact_ndv,
+       count(DISTINCT CASE WHEN h < {_THETA} THEN h END)::BIGINT
+         AS n_keep,
+       (count(DISTINCT CASE WHEN h < {_THETA} THEN h END)
+        * {_THETA_RATE_INV})::BIGINT AS est_ndv,
+       round(abs(count(DISTINCT CASE WHEN h < {_THETA} THEN h END)
+                 * {_THETA_RATE_INV} - count(DISTINCT h))::DOUBLE
+             / count(DISTINCT h)::DOUBLE, 6) AS rel_err
+FROM s GROUP BY source ORDER BY source
+""")
+def a22_theta_ndv(spark: SparkSession, d: str) -> DataFrame:
+    """Fixed-theta distinct sketch (Dasgupta et al. 2016, public —
+    the DataSketches theta family) over per-source word 3-shingles:
+    keep only hashes below theta = hash_space / 16, estimate NDV as
+    16 x survivor count.  Deterministic md5 hashing makes survivor
+    counts, estimates, AND the exact twin all value-oracled — the
+    a10 HLL gate pattern upgraded to exact cross-engine equality.
+
+    Why beside HLL (a10): HLL gives cardinality only; the theta
+    survivor SET supports union/intersection/Jaccard across sources
+    (a23_theta_setops) because sampling by a fixed hash threshold
+    commutes with set operations — the property that makes it the
+    right inter-source duplication estimator for a crawl registry.
+
+    Scale shape: the survivor filter h < theta is MAP-SIDE (1/16 of
+    distinct keys ever shuffle), then a partial-aggregable distinct
+    per source; the exact_ndv twin is the catalog-scale audit column
+    (at 100 TB you publish the estimate and spot-audit strata — the
+    a10 argument).  Production theta sketches also CAP survivors at
+    k and lower theta adaptively; the fixed-theta form here is the
+    relational reduction whose state is exactly mergeable by union
+    (the st_cms_ingest story, with union instead of addition)."""
+    from ..operators.dedup import word_shingles
+    docs = _t(spark, d, "documents")
+    s = (docs.select("source",
+                     F.explode(word_shingles(F.col("text"), 3))
+                     .alias("sh"))
+         .select("source", _h60(F.col("sh")).alias("h")))
+    keep_h = F.when(F.col("h") < _THETA, F.col("h"))
+    return (s.groupBy("source")
+            .agg(F.countDistinct("h").alias("exact_ndv"),
+                 F.countDistinct(keep_h).alias("n_keep"),
+                 (F.countDistinct(keep_h) * _THETA_RATE_INV)
+                 .alias("est_ndv"),
+                 F.round(F.abs(F.countDistinct(keep_h) * _THETA_RATE_INV
+                               - F.countDistinct("h")).cast("double")
+                         / F.countDistinct("h").cast("double"), 6)
+                  .alias("rel_err"))
+            .orderBy("source"))
+
+
+_SETOP_A, _SETOP_B = "src0", "src1"
+
+
+@register("a23_theta_setops", oracle=_theta_shingle_cte() + f""",
+flags AS (
+  SELECT h, max((source = '{_SETOP_A}')::INT) AS in_a,
+         max((source = '{_SETOP_B}')::INT) AS in_b
+  FROM s WHERE source IN ('{_SETOP_A}', '{_SETOP_B}') GROUP BY h
+)
+SELECT
+  CAST(sum(in_a) AS BIGINT) AS exact_a,
+  CAST(sum(in_b) AS BIGINT) AS exact_b,
+  count(*)::BIGINT AS exact_union,
+  CAST(sum(in_a * in_b) AS BIGINT) AS exact_intersect,
+  round(sum(in_a * in_b)::DOUBLE / count(*)::DOUBLE, 6)
+    AS exact_jaccard,
+  (count(CASE WHEN h < {_THETA} THEN 1 END)
+   * {_THETA_RATE_INV})::BIGINT AS est_union,
+  (CAST(sum(CASE WHEN h < {_THETA} THEN in_a * in_b ELSE 0 END)
+        AS BIGINT) * {_THETA_RATE_INV})::BIGINT AS est_intersect,
+  round(sum(CASE WHEN h < {_THETA} THEN in_a * in_b ELSE 0 END)::DOUBLE
+        / greatest(count(CASE WHEN h < {_THETA} THEN 1 END), 1)::DOUBLE,
+        6) AS est_jaccard
+FROM flags
+""")
+def a23_theta_setops(spark: SparkSession, d: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS between two source shingle sets:
+    union, intersection, and Jaccard estimated from the common
+    below-theta survivor sample (intersection estimated DIRECTLY on
+    survivors present in both sides — unbiased, unlike
+    inclusion-exclusion on independently-noisy terms; the
+    DataSketches intersection rule at equal thetas), with the exact
+    twins value-oracled beside them.  This is the inter-source
+    duplication dashboard: 'how much of crawl B is already in crawl
+    A' without ever joining the full shingle sets.
+
+    Scale shape: one map-side survivor filter + one distinct-hash
+    flag table for the pair (partial-aggregable max flags), then a
+    1-row aggregate.  The exact columns scan the same flag table at
+    catalog scale; at 100 TB only survivors exist and the exact
+    columns become the spot-audit (a22's argument)."""
+    from ..operators.dedup import word_shingles
+    docs = _t(spark, d, "documents")
+    s = (docs.filter(F.col("source").isin(_SETOP_A, _SETOP_B))
+         .select("source",
+                 F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
+         .select("source", _h60(F.col("sh")).alias("h")))
+    flags = s.groupBy("h").agg(
+        F.max((F.col("source") == _SETOP_A).cast("int")).alias("in_a"),
+        F.max((F.col("source") == _SETOP_B).cast("int")).alias("in_b"))
+    surv = F.col("h") < _THETA
+    both = F.col("in_a") * F.col("in_b")
+    return flags.agg(
+        F.sum("in_a").cast("long").alias("exact_a"),
+        F.sum("in_b").cast("long").alias("exact_b"),
+        F.count("*").alias("exact_union"),
+        F.sum(both).cast("long").alias("exact_intersect"),
+        F.round(F.sum(both).cast("double")
+                / F.count("*").cast("double"), 6).alias("exact_jaccard"),
+        (F.count(F.when(surv, 1)) * _THETA_RATE_INV).alias("est_union"),
+        (F.sum(F.when(surv, both).otherwise(0)).cast("long")
+         * _THETA_RATE_INV).cast("long").alias("est_intersect"),
+        F.round(F.sum(F.when(surv, both).otherwise(0)).cast("double")
+                / F.greatest(F.count(F.when(surv, 1)), F.lit(1))
+                .cast("double"), 6).alias("est_jaccard"))
+
+# ===========================================================================
+# Zipf-law slope fit — the rank-frequency companion to ta_heaps_curve
+# ===========================================================================
+
+_ZIPF_G = 1000  # ln-value grid (1e-3): keeps every LS sum inside BIGINT
+
+
+def _zipf_oracle() -> str:
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    return f"""
+WITH tc AS (
+  SELECT tok, count(*)::BIGINT AS c
+  FROM (SELECT unnest({toks}) AS tok FROM documents)
+  GROUP BY tok
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tc
+), q AS (
+  SELECT CAST(round(ln(r::DOUBLE) * {_ZIPF_G}) AS BIGINT) AS x,
+         CAST(round(ln(c::DOUBLE) * {_ZIPF_G}) AS BIGINT) AS y,
+         c
+  FROM ranked
+), s AS (
+  SELECT count(*)::BIGINT AS n, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT n AS n_types, n_tokens,
+       round((n * sxy - sx * sy)::DOUBLE
+             / (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope,
+       round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                            / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+             / (n::DOUBLE * {_ZIPF_G}), 6) AS zipf_intercept
+FROM s
+"""
+
+
+@register("ta_zipf_fit", oracle=_zipf_oracle())
+def ta_zipf_fit(spark: SparkSession, d: str) -> DataFrame:
+    """Zipf's-law slope for the corpus token distribution (Zipf 1949,
+    public): least-squares fit of ln(count) on ln(rank) over the full
+    rank-frequency table — the companion number to ta_heaps_curve
+    (Heaps reads vocabulary GROWTH, Zipf reads the frequency DECAY
+    that drives it; slope ~ -1 is the natural-language signature, and
+    a flatter slope on a source is a boilerplate/spam tell).
+
+    The exactness trick: ln values are quantized to a 1e-3 BIGINT
+    grid BEFORE the sums, so all five least-squares sums are exact
+    integers and the closed-form slope (n·Σxy - ΣxΣy)/(n·Σxx - Σx²)
+    divides once at the end (the ta_backoff quantize-pre-sum
+    convention; grid coarseness bounds the sums — at 1e-3 and 1e5
+    types every term stays < 1e18; coarsen the grid for larger
+    vocabularies, the g2/g4 grid convention).  Rank tiebreak is
+    (count DESC, token ASC) binary collation on both engines.
+
+    Scale shape: one corpus scan to the VOCAB-sized count table;
+    the rank window and the LS sums run over that table (Heaps says
+    it grows ~n^0.5 — the ta_heaps_curve measurement is the empirical
+    license), then a 1-row finish."""
+    from pyspark.sql import Window as W
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    tc = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("c")))
+    ranked = tc.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("c"), "tok")))
+    q = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * _ZIPF_G)
+         .cast("long").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * _ZIPF_G)
+         .cast("long").alias("y"),
+        "c")
+    s = q.agg(F.count("*").alias("n"),
+              F.sum("c").cast("long").alias("n_tokens"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope = num.cast("double") / den.cast("double")
+    return s.select(
+        F.col("n").alias("n_types"), "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double"))
+                / (F.col("n").cast("double") * _ZIPF_G), 6)
+         .alias("zipf_intercept"))
+
+
+# ===========================================================================
+# Triangle census on the 5-NN cosine graph — the local-structure
+# read (clustering coefficient) on the same graph g5 propagates over
+# ===========================================================================
+
+def _tri_cte() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8b import _LP_K
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), nb AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+), und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM nb
+), deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+), tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+         AS n_wedges,
+       round((SELECT n_triangles FROM tri)::DOUBLE * 3
+             / (SELECT sum(deg * (deg - 1) // 2) FROM deg)::DOUBLE, 6)
+         AS global_clustering
+"""
+
+
+@register("g6_triangle_census", oracle=_tri_cte())
+def g6_triangle_census(spark: SparkSession, d: str) -> DataFrame:
+    """Triangle census + global clustering coefficient on the
+    symmetrized 5-NN cosine graph — the graph-structure read
+    (Watts & Strogatz 1998, public) on exactly the graph
+    g5_label_prop propagates over: a high clustering coefficient is
+    what makes propagation converge, and a falling one flags a
+    corpus whose embedding neighborhoods are noise (hub-dominated
+    kNN graphs — the known curse-of-dimensionality symptom).
+
+    Algorithm: canonical undirected edges (least, greatest) distinct;
+    triangles counted by the standard edge-wedge-closure join on
+    u < v < w ordering, so each triangle counts exactly ONCE;
+    wedges = sum deg(v)·(deg(v)-1)/2; global CC = 3·triangles /
+    wedges.  All integers; one display division.
+
+    Scale shape: the kNN build is the g5 all-pairs form at catalog
+    scale (swap to ivf_knn_join per the r9 bitext note); everything
+    after is k-BOUNDED: ≤ k·n undirected edges, the wedge join fans
+    out ≤ k per edge, and the closure probe is a join on the flat
+    (u,v) edge key — the standard distributed triangle-count plan
+    (node-iterator with degree-ordered orientation).  No window
+    touches anything corpus-sized."""
+    from ..functions.vector import cosine, to_double_array
+    from pyspark.sql import Window as W
+    from .catalog_r8b import _LP_K
+    e = _t(spark, d, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("emb"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    nb = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+          .select(F.col("a.vec_id").alias("src"),
+                  F.col("b.vec_id").alias("dst"), cos.alias("cos"))
+          .withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= _LP_K).select("src", "dst"))
+    und = (nb.select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+           .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .agg(F.count("*").alias("n_triangles")))
+    summary = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long")
+         .alias("n_wedges"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (summary.crossJoin(F.broadcast(n_edges))
+            .crossJoin(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
+                    F.round(F.col("n_triangles").cast("double") * 3
+                            / F.col("n_wedges").cast("double"), 6)
+                     .alias("global_clustering")))
