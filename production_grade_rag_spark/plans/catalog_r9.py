@@ -1524,3 +1524,264 @@ def g6_triangle_census(spark: SparkSession, d: str) -> DataFrame:
                     F.round(F.col("n_triangles").cast("double") * 3
                             / F.col("n_wedges").cast("double"), 6)
                      .alias("global_clustering")))
+
+# ===========================================================================
+# Kendall rank correlation between the full-dim and Matryoshka
+# rankings — the pairwise-order read ir3's macro averages hide
+# ===========================================================================
+
+def _ir7_oracle() -> str:
+    from .catalog_r8 import _IR_K, _ir_cte_parts
+    return ("\nWITH " + _ir_cte_parts() + ","
+            + _ir_cte_parts(dim=16, sfx="t") + f""",
+ta AS (
+  SELECT qid, rid, rank FROM scored WHERE rank <= {_IR_K}
+), tb AS (
+  SELECT qid, rid, rank FROM scoredt WHERE rank <= {_IR_K}
+), cm AS (
+  SELECT ta.qid, ta.rid, ta.rank AS ra, tb.rank AS rb
+  FROM ta JOIN tb ON tb.qid = ta.qid AND tb.rid = ta.rid
+), pr AS (
+  SELECT a.qid,
+         CAST(sum(((a.ra - b.ra) * (a.rb - b.rb) > 0)::INT) AS BIGINT)
+           AS concordant,
+         CAST(sum(((a.ra - b.ra) * (a.rb - b.rb) < 0)::INT) AS BIGINT)
+           AS discordant
+  FROM cm a JOIN cm b ON b.qid = a.qid AND a.rid < b.rid
+  GROUP BY a.qid
+), base AS (
+  SELECT qid, count(*)::BIGINT AS n_common FROM cm GROUP BY qid
+)
+SELECT b.qid AS query_id, b.n_common,
+       coalesce(p.concordant, 0)::BIGINT AS concordant,
+       coalesce(p.discordant, 0)::BIGINT AS discordant,
+       CASE WHEN b.n_common < 2 THEN 0.0::DOUBLE
+            ELSE round((coalesce(p.concordant, 0)
+                        - coalesce(p.discordant, 0))::DOUBLE * 2
+                       / (b.n_common * (b.n_common - 1))::DOUBLE, 6)
+       END AS kendall_tau
+FROM base b LEFT JOIN pr p ON p.qid = b.qid
+ORDER BY b.qid
+""")
+
+
+@register("ir7_kendall_tau", oracle=_ir7_oracle())
+def ir7_kendall_tau(spark: SparkSession, d: str) -> DataFrame:
+    """Kendall rank correlation (Kendall 1938, public) between the
+    full-64-dim and dim-16 Matryoshka top-10 rankings, per query,
+    over the items BOTH rankings retrieved: the pairwise-order read
+    that ir3 (metric deltas) and ir5 (sign test) both hide — two
+    rankings can have identical nDCG yet serve results in a visibly
+    different order, and tau is the standard number for that.
+
+    Exactness: ranks are small distinct integers, so concordant /
+    discordant pair counts are exact integer sums and tau =
+    2(C - D)/(m(m-1)) divides once for display (no-tie form — ranks
+    within a top-10 are unique by construction).
+
+    Scale shape: both rankings reuse the ir1 plan (eval queries
+    broadcast, per-query TakeOrdered); the common-item join is keyed
+    by (qid, rid) and the pair join fans out <= K² = 100 rows per
+    query — eval-set-sized, never corpus-sized."""
+    from pyspark.sql import Window as W
+    from ..functions.vector import cosine, to_double_array
+    from .catalog_r8 import _IR_K
+
+    emb = _t(spark, d, "embeddings")
+
+    def top(dim):
+        vec = (to_double_array(F.col("embedding")) if dim is None
+               else F.slice(to_double_array(F.col("embedding")), 1, dim))
+        q = (emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 7)
+             .select(F.col("vec_id").alias("qid"), vec.alias("qv")))
+        pairs = (emb.select(F.col("vec_id").alias("rid"), vec.alias("cv"))
+                 .crossJoin(F.broadcast(q))
+                 .filter(F.col("rid") != F.col("qid")))
+        w = W.partitionBy("qid").orderBy(
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).desc(),
+            F.col("rid"))
+        return (pairs.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= _IR_K)
+                .select("qid", "rid", "rank"))
+
+    ta = top(None).withColumnRenamed("rank", "ra")
+    tb = top(16).withColumnRenamed("rank", "rb")
+    cm = ta.join(tb, ["qid", "rid"])
+    a, b = cm.alias("a"), cm.alias("b")
+    sgn = ((F.col("a.ra") - F.col("b.ra"))
+           * (F.col("a.rb") - F.col("b.rb")))
+    pr = (a.join(b, (F.col("b.qid") == F.col("a.qid"))
+                 & (F.col("a.rid") < F.col("b.rid")))
+          .groupBy(F.col("a.qid").alias("qid"))
+          .agg(F.sum((sgn > 0).cast("int")).cast("long")
+               .alias("concordant"),
+               F.sum((sgn < 0).cast("int")).cast("long")
+               .alias("discordant")))
+    base = cm.groupBy("qid").agg(F.count("*").alias("n_common"))
+    m = F.col("n_common")
+    return (base.join(pr, "qid", "left")
+            .select(F.col("qid").alias("query_id"), "n_common",
+                    F.coalesce("concordant", F.lit(0)).cast("long")
+                     .alias("concordant"),
+                    F.coalesce("discordant", F.lit(0)).cast("long")
+                     .alias("discordant"),
+                    F.when(m < 2, F.lit(0.0))
+                     .otherwise(F.round(
+                         (F.coalesce("concordant", F.lit(0))
+                          - F.coalesce("discordant", F.lit(0)))
+                         .cast("double") * 2
+                         / (m * (m - 1)).cast("double"), 6))
+                     .alias("kendall_tau"))
+            .orderBy("query_id"))
+
+
+# ===========================================================================
+# Image average-hash near-dup — the perceptual-hash member of the
+# dedup family, through the real multimodal Arrow path
+# ===========================================================================
+
+def _ahash_oracle() -> str:
+    from ..operators.multimodal import N_FEATURES
+    bs = [f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT"
+          for i in range(N_FEATURES)]
+    sumb = " + ".join(bs)
+    bits = " + ".join(
+        f"(CASE WHEN ({b}) * {N_FEATURES} >= sumb"
+        f" THEN {1 << (N_FEATURES - 1 - i)} ELSE 0 END)"
+        for i, b in enumerate(bs))
+    return f"""
+WITH raw AS (
+  SELECT doc_id, text, ({sumb})::BIGINT AS sumb FROM documents
+), h AS (
+  SELECT doc_id, ({bits})::BIGINT AS ahash FROM raw
+), bands AS (
+  SELECT doc_id, ahash, 0 AS band, (ahash & 15)::BIGINT AS bval FROM h
+  UNION ALL
+  SELECT doc_id, ahash, 1 AS band, ((ahash >> 4) & 15)::BIGINT FROM h
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON b.band = a.band AND b.bval = a.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("mm_ahash_neardup", oracle=_ahash_oracle())
+def mm_ahash_neardup(spark: SparkSession, d: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for the image payload:
+    average hash (the classic aHash — bit i set iff feature i is at
+    or above the image's mean feature; public folklore, e.g.
+    Krawetz 2011) over the decode_features Arrow path, then
+    SimHash-style band-bucketing (2 bands x 4 bits — pigeonhole
+    guarantees every Hamming<=1 pair shares a band) and an exact
+    Hamming<=1 filter on candidates.  The image member of the dedup
+    family: byte-identical images are caught by dd_exact; aHash
+    catches re-encoded/resized ones (with a real decoder, the
+    features are the 8-region luminance means; the fake backend's
+    md5-derived features exercise the identical plumbing).
+
+    Exactness: features come off the Arrow path as k/255 doubles;
+    round(x*255) recovers the integer byte exactly, the mean
+    comparison is cross-multiplied (b_i x 8 >= sum b), and the hash,
+    bands, and bit_count(xor) are all BIGINT ops — the whole
+    mapInPandas output is value-oracled (the mm_keyframes pattern).
+
+    Scale shape: hashing is map-side after the decode pass; the only
+    shuffle is the band-bucket self-join on (band, bval) — the
+    dd_minhash_lsh shape (with a real 64-bit aHash you band 4x16
+    and cap buckets exactly as minhash does)."""
+    from ..operators import multimodal
+    from ..operators.multimodal import N_FEATURES
+
+    docs = _t(spark, d, "documents")
+    feat = multimodal.decode_features(multimodal.attach_binary(docs))
+    bs = F.transform(F.col("features"),
+                     lambda x: F.round(x * 255).cast("long"))
+    h = (feat.select("doc_id", bs.alias("bs"))
+         .withColumn("sumb", F.aggregate(
+             "bs", F.lit(0).cast("long"), lambda a, x: a + x))
+         .withColumn("ahash", F.expr(
+             f"aggregate(zip_with(bs, sequence({N_FEATURES - 1}, 0, -1),"
+             f" (b, p) -> IF(b * {N_FEATURES} >= sumb,"
+             f" shiftleft(1L, cast(p AS INT)), 0L)),"
+             " 0L, (a, x) -> a + x)"))
+         .select("doc_id", "ahash"))
+    bands = (h.select("doc_id", "ahash", F.lit(0).alias("band"),
+                      F.col("ahash").bitwiseAND(15).alias("bval"))
+             .unionAll(h.select(
+                 "doc_id", "ahash", F.lit(1).alias("band"),
+                 F.shiftright("ahash", 4).bitwiseAND(15).alias("bval"))))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("b.band") == F.col("a.band"))
+                   & (F.col("b.bval") == F.col("a.bval"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.ahash").alias("ha"),
+                    F.col("b.ahash").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= 1)
+            .orderBy("doc_a", "doc_b"))
+
+
+# ===========================================================================
+# Small-file compaction planner — the storage-maintenance op between
+# s27 (vacuum) and s29 (z-order layout)
+# ===========================================================================
+
+_COMPACT_TARGET = 32_000  # target bin capacity, chars (the size knob)
+
+
+@register("s33_compaction_plan", oracle=f"""
+WITH frag AS (
+  SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS size_chars
+  FROM documents GROUP BY source, lang
+), ordered AS (
+  SELECT source, lang, size_chars,
+         row_number() OVER (ORDER BY size_chars DESC, source, lang)
+           AS file_rank,
+         CAST(sum(size_chars) OVER (ORDER BY size_chars DESC,
+                                    source, lang) AS BIGINT) AS cum
+  FROM frag
+)
+SELECT source, lang, size_chars, file_rank,
+       ((cum - size_chars) // {_COMPACT_TARGET})::BIGINT AS bin_id
+FROM ordered ORDER BY file_rank
+""")
+def s33_compaction_plan(spark: SparkSession, d: str) -> DataFrame:
+    """Small-file compaction planner: assign per-(source, lang)
+    parquet fragments to target-size output bins — the OPTIMIZE /
+    bin-packing maintenance pass every table format runs (Delta
+    OPTIMIZE, Iceberg rewrite_data_files — public semantics) to fix
+    the many-small-files problem that kills scan parallelism
+    bookkeeping.  The policy here is next-fit-decreasing on the
+    running size prefix (bin = floor(preceding_mass / target)):
+    deterministic, one pass, and within a factor ~2 of optimal
+    bin count like all any-fit heuristics — and unlike first-fit
+    it is expressible as pure window algebra (no per-bin state).
+
+    Scale shape: fragment sizes come from one partial-aggregable
+    scan; the ordering window runs over the FILE-METADATA table
+    (fragments, not rows — at 100 TB that is the table-format
+    manifest, millions of entries at most), and the bin assignment
+    is map-side arithmetic on the running sum."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, d, "documents")
+    frag = (docs.groupBy("source", "lang")
+            .agg(F.sum("n_chars").cast("long").alias("size_chars")))
+    w = W.orderBy(F.desc("size_chars"), "source", "lang")
+    ordered = (frag
+               .withColumn("file_rank", F.row_number().over(w))
+               .withColumn("cum", F.sum("size_chars").over(
+                   w.rowsBetween(W.unboundedPreceding, 0)).cast("long")))
+    return (ordered.select(
+        "source", "lang", "size_chars", "file_rank",
+        F.expr(f"(cum - size_chars) div {_COMPACT_TARGET}")
+        .alias("bin_id"))
+        .orderBy("file_rank"))
