@@ -177,3 +177,104 @@ def test_vad_segments_are_disjoint_islands(spark):
             # islands separated by >=1 silent window: B starts at
             # k*8000 with k >= j+2, A ends by j*8000+16000
             assert a["end_sample"] <= b["start_sample"]
+
+
+# --- batch: contamination / retention / MAD / theta / zipf / graph ----------
+
+def test_contamination_flag_consistent(spark):
+    rows = CATALOG["t34_ngram_contamination"].build(spark, SF001).collect()
+    assert rows, "test split is never empty at sf0.001"
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+        assert r["is_contaminated"] == (r["n_contaminated"] > 0)
+        assert 0.0 <= r["contam_frac"] <= 1.0
+
+
+def test_retention_offset_zero_is_full(spark):
+    rows = CATALOG["ev_retention_triangle"].build(spark, SF001).collect()
+    by_cohort = {}
+    for r in rows:
+        assert r["n_active"] <= r["cohort_n"]
+        assert r["week_offset"] >= 0
+        by_cohort.setdefault(r["cohort_wk"], {})[r["week_offset"]] = r
+    for cells in by_cohort.values():
+        # every user in a cohort is by definition active at offset 0
+        assert cells[0]["retention"] == 1.0
+        assert cells[0]["n_active"] == cells[0]["cohort_n"]
+
+
+def test_mad_flags_injected_outlier(spark):
+    # algebra check on a constructed frame via the catalog entry's
+    # building blocks: uniform days never flag; a 10x day does
+    rows = CATALOG["ev_anomaly_mad"].build(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0.0
+        # the flag definition: dev > 3 * max(mad, 0.5) in halves
+        dev2 = abs(2 * r["n_events"] - int(round(r["med"] * 2)))
+        mad2 = max(int(round(r["mad"] * 2)), 1)
+        assert r["is_anomaly"] == (dev2 * 10 > 30 * mad2)
+
+
+def test_theta_estimates_and_merge_property(spark):
+    ndv = {r["source"]: r
+           for r in CATALOG["a22_theta_ndv"].build(spark, SF001).collect()}
+    for r in ndv.values():
+        assert r["est_ndv"] == r["n_keep"] * 16
+        assert r["exact_ndv"] > 0
+    ops = CATALOG["a23_theta_setops"].build(spark, SF001).collect()[0]
+    # union/intersection identities on the exact side
+    assert (ops["exact_a"] + ops["exact_b"]
+            == ops["exact_union"] + ops["exact_intersect"])
+    assert ops["est_intersect"] >= 0
+    assert ops["est_union"] >= ops["est_intersect"]
+
+
+def test_zipf_slope_is_negative(spark):
+    row = CATALOG["ta_zipf_fit"].build(spark, SF001).collect()[0]
+    # rank-frequency decays by construction: slope strictly below 0
+    assert row["zipf_slope"] < 0
+    assert row["n_types"] > 0 and row["n_tokens"] >= row["n_types"]
+
+
+def test_triangle_census_identities(spark):
+    row = CATALOG["g6_triangle_census"].build(spark, SF001).collect()[0]
+    # every triangle closes exactly three wedges
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    assert 0.0 <= row["global_clustering"] <= 1.0
+    # symmetrized 5-NN graph: at most k*n directed edges collapse to
+    # at most k*n undirected ones, at least k*n/2
+    from production_grade_rag_spark.plans.catalog_r8b import _LP_K
+    n = row["n_nodes"]
+    assert n * _LP_K / 2 <= row["n_edges"] <= n * _LP_K
+
+
+def test_kendall_tau_bounds(spark):
+    rows = CATALOG["ir7_kendall_tau"].build(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["kendall_tau"] <= 1.0
+        m = r["n_common"]
+        assert r["concordant"] + r["discordant"] <= m * (m - 1) // 2
+
+
+def test_ahash_pairs_symmetric_canonical(spark):
+    rows = CATALOG["mm_ahash_neardup"].build(spark, SF001).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["hamming"] in (0, 1)
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+
+
+def test_compaction_bins_monotone_and_bounded(spark):
+    from production_grade_rag_spark.plans.catalog_r9 import _COMPACT_TARGET
+    rows = CATALOG["s33_compaction_plan"].build(spark, SF001).collect()
+    cum = 0
+    last_bin = 0
+    for r in sorted(rows, key=lambda r: r["file_rank"]):
+        assert r["bin_id"] == cum // _COMPACT_TARGET
+        assert r["bin_id"] >= last_bin
+        last_bin = r["bin_id"]
+        cum += r["size_chars"]
