@@ -1785,3 +1785,578 @@ def s33_compaction_plan(spark: SparkSession, d: str) -> DataFrame:
         F.expr(f"(cum - size_chars) div {_COMPACT_TARGET}")
         .alias("bin_id"))
         .orderBy("file_rank"))
+
+# ===========================================================================
+# Streaming theta-sketch ingest — the union-semilattice mergeability
+# twin of st_cms_ingest (CMS merges by addition; theta merges by
+# set union)
+# ===========================================================================
+
+@register("st_theta_ingest", oracle=_theta_shingle_cte() + f"""
+SELECT DISTINCT h FROM s WHERE h < {_THETA} ORDER BY h
+""")
+def st_theta_ingest(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming theta-sketch maintenance: documents arrive through
+    the paged-dump stream in two checkpointed tranches (even ids,
+    then odd), each micro-batch computes its own below-theta shingle
+    survivors MAP-SIDE and set-unions them into a versioned store,
+    and the drained survivor set must equal the batch-built one
+    row for row — theta sketches merge by UNION (a semilattice:
+    idempotent, commutative, associative), so out-of-order and
+    duplicated deliveries cannot corrupt the state, the same
+    argument as st_dd_line_dedup's min-semilattice.  CMS (addition)
+    + theta (union) together cover the two merge algebras every
+    fixed-state streaming summary reduces to.
+
+    Scale shape: per-batch work is the batch's own shingle scan +
+    a 1/16 map-side filter; the store carries only survivors (a
+    fixed fraction of DISTINCT keys; with the production k-cap,
+    a fixed count)."""
+    import shutil
+    from pathlib import Path
+
+    from ..operators.dedup import word_shingles
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..sources.tables import list_versions, read_version, write_version
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+
+    docs = _t(spark, d, "documents")
+    dump = _scratch("st_theta_dump")
+    store = _scratch("st_theta_store")
+    ckpt = _scratch("st_theta_ckpt")
+    for p in (dump, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(part: DataFrame) -> DataFrame:
+        return part.select(F.to_json(F.struct(
+            F.col("doc_id").cast("string").alias("page_id"),
+            F.col("text").alias("title"),
+            "lang", "n_chars")).alias("value"))
+
+    page_rows(docs.filter(F.col("doc_id") % 2 == 0)) \
+        .repartition(2).write.text(dump)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+
+        def merge(batch_df: DataFrame, epoch_id: int) -> None:
+            import os
+            batch_docs = (batch_df.filter(~F.col("malformed"))
+                          .select(F.col("title").alias("text")))
+            inc = (batch_docs
+                   .select(F.explode(word_shingles(F.col("text"), 3))
+                           .alias("sh"))
+                   .select(_h60(F.col("sh")).alias("h"))
+                   .filter(F.col("h") < _THETA).distinct())
+            sp = batch_df.sparkSession
+            versions = (list_versions(sp, store)
+                        if os.path.exists(store) else [])
+            if versions:
+                prior = read_version(sp, store)
+                merged = prior.unionByName(inc).distinct()
+            else:
+                merged = inc
+            write_version(merged, store,
+                          (versions[-1] + 1) if versions else 1)
+
+        SP._run_foreach(stream, merge, 120, ckpt)
+
+    drain()
+
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(docs.filter(F.col("doc_id") % 2 == 1)) \
+        .repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    return read_version(spark, store).select("h").orderBy("h")
+
+
+# ===========================================================================
+# k-core peeling trajectory on the 5-NN graph — iterative family #6
+# ===========================================================================
+
+_KCORE_K = 7
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8b import _LP_K
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    # every e{r} is referenced three times downstream (deg{r+1} twice
+    # via UNION ALL, e{r+1} once) — without MATERIALIZED, DuckDB
+    # inlines the whole all-pairs kNN chain at each reference and the
+    # plan grows 3^rounds (the g4_pca_power2 lesson; unmaterialized
+    # this spilled >80 GB of temp at sf0.01)
+    parts = [f"""
+e AS (
+  SELECT vec_id, embedding FROM embeddings
+), nb AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM nb
+)"""]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"""
+deg{r} AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS c FROM (
+    SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+  GROUP BY node
+), n{r} AS MATERIALIZED (
+  SELECT node FROM deg{r} WHERE c >= {_KCORE_K}
+), e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN n{r} a ON a.node = e.u JOIN n{r} b ON b.node = e.v
+)""")
+    rows = [("SELECT 0::BIGINT AS round, (SELECT count(*) FROM ("
+             "SELECT u AS node FROM e0 UNION SELECT v FROM e0))::BIGINT"
+             " AS n_nodes, (SELECT count(*) FROM e0)::BIGINT AS n_edges")]
+    rows += [f"SELECT {r}::BIGINT, (SELECT count(*) FROM n{r})::BIGINT,"
+             f" (SELECT count(*) FROM e{r})::BIGINT"
+             for r in range(1, _KCORE_ROUNDS + 1)]
+    return ("WITH " + ",".join(parts) + "\n"
+            + "\nUNION ALL\n".join(rows) + "\nORDER BY round")
+
+
+@register("g7_kcore_peel", oracle=_kcore_oracle())
+def g7_kcore_peel(spark: SparkSession, d: str) -> DataFrame:
+    """k-core peeling trajectory (Seidman 1983, public) on the
+    symmetrized 5-NN cosine graph: repeatedly drop nodes of degree
+    < k (k = 7) and the edges touching them, reporting surviving
+    node/edge counts per round — the sixth exact iterative family
+    member (PageRank, k-means, PCA x2, label propagation, now
+    k-core).  The dense-core read for a curation team: the k-core is
+    the mutually-similar region SemDeDup will collapse hardest,
+    while early-peeled nodes are the corpus's genuinely isolated
+    documents.  Bounded peeling (4 rounds) computes a SUPERSET of
+    the true k-core that shrinks monotonically; the trajectory
+    leveling off IS the convergence read (the g5 bounded-iteration
+    honesty convention).
+
+    Scale shape: each round is one partial-aggregable degree count
+    over the current edge list plus two semi-join filters on the
+    flat node key — k-bounded (<= k·n edges) like every g5-family
+    iteration; no window, no cartesian."""
+    from pyspark.sql import Window as W
+    from ..functions.vector import cosine, to_double_array
+    from .catalog_r8b import _LP_K
+    e = _t(spark, d, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("emb"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    nb = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+          .select(F.col("a.vec_id").alias("src"),
+                  F.col("b.vec_id").alias("dst"), cos.alias("cos"))
+          .withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= _LP_K).select("src", "dst"))
+    edges = (nb.select(F.least("src", "dst").alias("u"),
+                       F.greatest("src", "dst").alias("v"))
+             .distinct().localCheckpoint())
+
+    def ends(ed):
+        return (ed.select(F.col("u").alias("node"))
+                .unionAll(ed.select(F.col("v").alias("node"))))
+
+    out = [ends(edges).distinct().agg(F.count("*").alias("n_nodes"))
+           .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+           .select(F.lit(0).cast("long").alias("round"),
+                   "n_nodes", "n_edges")]
+    cur = edges
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (ends(cur).groupBy("node")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") >= _KCORE_K)
+                .select("node"))
+        cur = (cur.join(keep.withColumnRenamed("node", "u"), "u")
+               .join(keep.withColumnRenamed("node", "v"), "v")
+               .select("u", "v").localCheckpoint())
+        out.append(
+            keep.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(cur.agg(F.count("*").alias("n_edges")))
+            .select(F.lit(r).cast("long").alias("round"),
+                    "n_nodes", "n_edges"))
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionByName(frame)
+    return res.orderBy("round")
+
+
+# ===========================================================================
+# T5 span-corruption mask schedule — the denoising-objective layout
+# between packing (t18) and the trainer
+# ===========================================================================
+
+def _t35_oracle() -> str:
+    from . import oracle_vec as OV
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({OV.tokens_sql('text')})::BIGINT AS n
+  FROM documents
+), plan AS (
+  SELECT doc_id, n, (15 * n) // 100 AS n_mask,
+         greatest(1, ((15 * n) // 100) // 3) AS n_spans
+  FROM base WHERE (15 * n) // 100 >= 1
+), spans AS (
+  SELECT doc_id, n, n_mask, n_spans, i::BIGINT AS span_index,
+         (n_mask // n_spans
+          + CASE WHEN i < n_mask % n_spans THEN 1 ELSE 0 END)::BIGINT
+           AS span_len,
+         (1 + i * (n // n_spans))::BIGINT AS start_tok
+  FROM plan, LATERAL unnest(range(0, n_spans)) AS t(i)
+)
+SELECT doc_id, span_index, start_tok, span_len,
+       (start_tok + span_len - 1)::BIGINT AS end_tok,
+       span_index::BIGINT AS sentinel_id
+FROM spans ORDER BY doc_id, span_index
+"""
+
+
+@register("t35_span_corruption", oracle=_t35_oracle())
+def t35_span_corruption(spark: SparkSession, d: str) -> DataFrame:
+    """T5 span-corruption mask schedule (Raffel 2020 §3.1.4, public:
+    corrupt 15% of tokens in mean-length-3 spans, one sentinel per
+    span): the per-document mask manifest (span start / length /
+    sentinel id) a denoising-objective trainer consumes — the data
+    prep step between sequence packing (t18) and the training loop.
+    Spans are laid out DETERMINISTICALLY on an even stride (span s
+    starts at 1 + s·(n div n_spans)): reproducible across re-runs
+    and engines where T5's random placement is not, and
+    non-overlapping by construction (stride >= n/(0.05n) = 20 >> the
+    <=4-token span length; short docs degenerate to one span).
+    Remainder tokens distribute one-per-span from span 0 (the
+    BIGINT-division convention used by t31's budget split).
+
+    Scale shape: entirely map-side — one tokens() scan, an integer
+    plan row per doc, sequence() exploded to n_spans rows; no
+    shuffle at all until a downstream consumer keys by sequence."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    base = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n"))
+    plan = (base
+            .withColumn("n_mask", F.expr("(15 * n) div 100"))
+            .filter(F.col("n_mask") >= 1)
+            .withColumn("n_spans",
+                        F.greatest(F.lit(1).cast("long"),
+                                   F.expr("n_mask div 3"))))
+    spans = (plan.select(
+        "doc_id", "n", "n_mask", "n_spans",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("n_spans") - 1)).alias("span_index")))
+    return (spans.select(
+        "doc_id", "span_index",
+        (1 + F.col("span_index") * F.expr("n div n_spans"))
+        .cast("long").alias("start_tok"),
+        (F.expr("n_mask div n_spans")
+         + F.when(F.col("span_index") < F.col("n_mask") % F.col("n_spans"),
+                  1).otherwise(0)).cast("long").alias("span_len"))
+        .withColumn("end_tok",
+                    (F.col("start_tok") + F.col("span_len") - 1)
+                    .cast("long"))
+        .withColumn("sentinel_id", F.col("span_index").cast("long"))
+        .orderBy("doc_id", "span_index"))
+
+# ===========================================================================
+# Word burstiness — the dispersion read behind every stopword /
+# keyword decision (Church & Gale 1995)
+# ===========================================================================
+
+_BURST_TOP = 20
+
+
+def _burst_oracle() -> str:
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    return f"""
+WITH dt AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS x
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), per_tok AS (
+  SELECT tok, CAST(sum(x) AS BIGINT) AS c_tot,
+         count(*)::BIGINT AS doc_freq,
+         CAST(sum(x * x) AS BIGINT) AS sumsq
+  FROM dt GROUP BY tok
+)
+SELECT tok, c_tot, doc_freq,
+       round((n.n_docs * p.sumsq - p.c_tot * p.c_tot)::DOUBLE
+             / (n.n_docs * p.c_tot)::DOUBLE, 6) AS fano
+FROM per_tok p CROSS JOIN n
+ORDER BY c_tot DESC, tok LIMIT {_BURST_TOP}
+"""
+
+
+@register("ta_burstiness", oracle=_burst_oracle())
+def ta_burstiness(spark: SparkSession, d: str) -> DataFrame:
+    """Word burstiness for the top-{top} corpus tokens (Church & Gale
+    1995, public: content words are BURSTY — they recur within the
+    documents that mention them — while function words spread
+    Poisson-evenly): the Fano factor (variance/mean of per-document
+    counts, zeros included) per token.  Fano ~ 1 marks stopword-like
+    dispersion, Fano >> 1 marks topical terms — the principled
+    version of the stopword lists the quality heuristics hard-code,
+    and the dispersion companion to ta_zipf_fit's frequency read.
+
+    The exactness trick: with zeros included, mean = c/N and
+    population variance = (N·Σx² - c²)/N², so Fano =
+    (N·Σx² - c²)/(N·c) — numerator and denominator are exact
+    BIGINTs from two partial-aggregable sums (zero docs never
+    materialize), one division for display.
+
+    Scale shape: one (doc, token) count aggregate (the tf table
+    every text scorer already builds), one vocab-sized token
+    aggregate, TakeOrderedAndProject for the top slice."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    dt = (docs.select("doc_id", F.explode(tokens(F.col("text")))
+                      .alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("x")))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    per_tok = dt.groupBy("tok").agg(
+        F.sum("x").cast("long").alias("c_tot"),
+        F.count("*").alias("doc_freq"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sumsq"))
+    return (per_tok.crossJoin(F.broadcast(n))
+            .select("tok", "c_tot", "doc_freq",
+                    F.round((F.col("n_docs") * F.col("sumsq")
+                             - F.col("c_tot") * F.col("c_tot"))
+                            .cast("double")
+                            / (F.col("n_docs") * F.col("c_tot"))
+                            .cast("double"), 6).alias("fano"))
+            .orderBy(F.desc("c_tot"), "tok").limit(_BURST_TOP))
+
+
+ta_burstiness.__doc__ = ta_burstiness.__doc__.format(top=_BURST_TOP)
+
+
+# ===========================================================================
+# Audio fingerprint matching — the Shazam constellation shape over
+# the audio windows (multimodal near-dup, the aHash of audio)
+# ===========================================================================
+
+_FP_BANDS = 32
+_FP_MIN_SHARED = 8
+
+
+def _fp_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, (n_chars * 100)::BIGINT AS n_samples
+  FROM documents
+), w AS (
+  SELECT doc_id, text, n_samples,
+         1 + greatest(0, (n_samples - 16000 + 7999) // 8000) AS n_win
+  FROM base
+), win AS (
+  SELECT doc_id, i::BIGINT AS wi,
+         ('0x' || substr(md5(substr(text, ((i * 8000) // 100) + 1,
+            (least(i * 8000 + 16000, n_samples) - i * 8000) // 100)),
+            1, 2))::BIGINT % {_FP_BANDS} AS band
+  FROM w, LATERAL unnest(range(0, n_win)) AS t(i)
+), led AS (
+  SELECT doc_id, wi, band,
+         lead(band, 1) OVER pw AS b1,
+         lead(band, 2) OVER pw AS b2,
+         lead(band, 3) OVER pw AS b3
+  FROM win WINDOW pw AS (PARTITION BY doc_id ORDER BY wi)
+), fp AS (
+  SELECT DISTINCT doc_id, band || ':' || b1 || ':1' AS fp
+  FROM led WHERE b1 IS NOT NULL
+  UNION
+  SELECT DISTINCT doc_id, band || ':' || b2 || ':2' FROM led
+  WHERE b2 IS NOT NULL
+  UNION
+  SELECT DISTINCT doc_id, band || ':' || b3 || ':3' FROM led
+  WHERE b3 IS NOT NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS n_shared
+FROM fp a JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_FP_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("mm_audio_fingerprint", oracle=_fp_oracle())
+def mm_audio_fingerprint(spark: SparkSession, d: str) -> DataFrame:
+    """Audio fingerprint matching (Wang 2003, public — the Shazam
+    constellation scheme, relational form): each 1 s analysis window
+    gets a peak BAND (deterministic stand-in feature: md5 of the
+    window's byte slice mod 32 — a real STFT argmax band plugs in at
+    the same point, the mm convention), consecutive-window band
+    pairs at offsets 1-3 become fingerprint keys, and document pairs
+    sharing >= {_FP_MIN_SHARED} distinct fingerprints are reported —
+    the audio near-dup read beside mm_ahash_neardup's image one.
+
+    Scale shape: windowing + banding are map-side after one scan;
+    the lead() window is doc-keyed (the sessionize shard); matching
+    is one shuffle on the fingerprint key (a 32x32x3 = 3072-value
+    domain here — production keys add the anchor frequency and time
+    delta, the dd_minhash_lsh bucket-cap pattern applies verbatim)
+    and a pair aggregate.  No all-pairs stage anywhere."""
+    from pyspark.sql import Window as W
+    from ..operators import multimodal
+    docs = _t(spark, d, "documents").select(
+        "doc_id", "text",
+        (F.col("n_chars") * 100).cast("long").alias("n_samples"))
+    win = multimodal.audio_windows(docs).join(
+        docs.select("doc_id", "text"), "doc_id")
+    s, e = F.col("start_sample"), F.col("end_sample")
+    sl = F.substring(F.col("text"), (s / 100).cast("int") + 1,
+                     ((e - s) / 100).cast("int"))
+    banded = win.select(
+        "doc_id", F.col("window_index").cast("long").alias("wi"),
+        (F.conv(F.substring(F.md5(sl), 1, 2), 16, 10).cast("long")
+         % _FP_BANDS).alias("band"))
+    pw = W.partitionBy("doc_id").orderBy("wi")
+    led = banded.select(
+        "doc_id", "band",
+        F.lead("band", 1).over(pw).alias("b1"),
+        F.lead("band", 2).over(pw).alias("b2"),
+        F.lead("band", 3).over(pw).alias("b3"))
+
+    def fps(col, g):
+        return (led.filter(F.col(col).isNotNull())
+                .select("doc_id",
+                        F.concat_ws(":", "band", col, F.lit(str(g)))
+                        .alias("fp"))
+                .distinct())
+
+    fp = fps("b1", 1).union(fps("b2", 2)).union(fps("b3", 3)).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("b.fp") == F.col("a.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= _FP_MIN_SHARED)
+            .orderBy("doc_a", "doc_b"))
+
+
+# ===========================================================================
+# Quality x duplication cross-tab — does duplication concentrate in
+# low-quality text?  (the joint read behind dedup-before-filter
+# ordering decisions)
+# ===========================================================================
+
+def _t36_matrix_oracle() -> str:
+    from . import oracle_sql as O
+    from . import oracle_vec as OV
+    from .catalog_r8 import _DUPG_N, _Q1, _Q2
+    toks = OV.tokens_sql("text")
+    grams = f"""(
+  CASE WHEN len({toks}) >= {_DUPG_N}
+       THEN list_transform(range(1, len({toks}) - {_DUPG_N - 2}),
+              i -> array_to_string(
+                     list_slice({toks}, i, i + {_DUPG_N - 1}), ' '))
+       WHEN len({toks}) > 0
+       THEN [array_to_string({toks}, ' ')]
+       ELSE []::VARCHAR[] END)"""
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+), gc AS (
+  SELECT md5(gram) AS h, count(*)::BIGINT AS c FROM g GROUP BY md5(gram)
+), dup AS (
+  SELECT g.doc_id,
+         round(sum((gc.c > 1)::INT)::DOUBLE / count(*)::DOUBLE, 6)
+           AS df
+  FROM g JOIN gc ON gc.h = md5(g.gram) GROUP BY g.doc_id
+), j AS (
+  SELECT d.doc_id, round({O.quality_sql('text')}, 6) AS q,
+         coalesce(dup.df, 0.0) AS df
+  FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+), cuts AS (
+  SELECT round(quantile_cont(q, {_Q1!r}), 6) AS q1,
+         round(quantile_cont(q, {_Q2!r}), 6) AS q2,
+         round(quantile_cont(df, {_Q1!r}), 6) AS d1,
+         round(quantile_cont(df, {_Q2!r}), 6) AS d2
+  FROM j
+), b AS (
+  SELECT CASE WHEN q <= q1 THEN 'low' WHEN q <= q2 THEN 'mid'
+              ELSE 'high' END AS quality_bucket,
+         CASE WHEN df <= d1 THEN 'low' WHEN df <= d2 THEN 'mid'
+              ELSE 'high' END AS dup_bucket
+  FROM j CROSS JOIN cuts
+)
+SELECT quality_bucket, dup_bucket, count(*)::BIGINT AS n_docs,
+       round(count(*)::DOUBLE / sum(count(*)) OVER ()::DOUBLE, 6)
+         AS share
+FROM b GROUP BY quality_bucket, dup_bucket
+ORDER BY quality_bucket, dup_bucket
+"""
+
+
+@register("t36_dup_quality_matrix", oracle=_t36_matrix_oracle())
+def t36_dup_quality_matrix(spark: SparkSession, d: str) -> DataFrame:
+    """Quality x duplication cross-tab: every document bucketed into
+    corpus tertiles on BOTH the T2 heuristic quality score and the
+    8-gram duplication fraction (dd_dupgram_profile), counts and
+    shares per cell — the joint distribution behind the
+    dedup-before-filter ordering argument (Raffel 2020 runs dedup
+    before heuristics; if duplication concentrates in low-quality
+    text the filters would eat most duplicates anyway, and this
+    table is the evidence either way; t23 gives the scorer
+    CORRELATION, this gives the decision-relevant mass map).
+
+    Exactness: both signals are computed by the established shared
+    fragments (t2's quality_sql twin, dd_dupgram's gram election),
+    rounded to 6dp before the tertile comparison, so bucket
+    membership is engine-exact; the exact percentile runs over the
+    per-doc score table (the w10 shape — percentile_approx is the
+    documented 100 TB knob, gated by ta_perplexity_approx's
+    pattern).
+
+    Scale shape: one gram-count aggregate + hash join (dupgram's
+    shape), one map-side quality pass, a 2x2-cut broadcast, and a
+    9-cell aggregate."""
+    from ..functions import text as X
+    from .catalog_r8 import _Q1, _Q2, dd_dupgram_profile
+
+    docs = _t(spark, d, "documents")
+    dup = dd_dupgram_profile(spark, d).select(
+        "doc_id", F.col("dup_frac").alias("df"))
+    q = docs.select(
+        "doc_id",
+        F.round(X.quality_components(F.col("text"))["quality_score"], 6)
+        .alias("q"))
+    j = (q.join(dup, "doc_id", "left")
+         .select("doc_id", "q", F.coalesce("df", F.lit(0.0)).alias("df")))
+    cuts = j.agg(
+        F.round(F.percentile("q", F.lit(_Q1)), 6).alias("q1"),
+        F.round(F.percentile("q", F.lit(_Q2)), 6).alias("q2"),
+        F.round(F.percentile("df", F.lit(_Q1)), 6).alias("d1"),
+        F.round(F.percentile("df", F.lit(_Q2)), 6).alias("d2"))
+    b = (j.crossJoin(F.broadcast(cuts))
+         .select(F.when(F.col("q") <= F.col("q1"), "low")
+                 .when(F.col("q") <= F.col("q2"), "mid")
+                 .otherwise("high").alias("quality_bucket"),
+                 F.when(F.col("df") <= F.col("d1"), "low")
+                 .when(F.col("df") <= F.col("d2"), "mid")
+                 .otherwise("high").alias("dup_bucket")))
+    agg = b.groupBy("quality_bucket", "dup_bucket").agg(
+        F.count("*").alias("n_docs"))
+    tot = agg.agg(F.sum("n_docs").cast("long").alias("tot"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("quality_bucket", "dup_bucket", "n_docs",
+                    F.round(F.col("n_docs").cast("double")
+                            / F.col("tot").cast("double"), 6)
+                     .alias("share"))
+            .orderBy("quality_bucket", "dup_bucket"))

@@ -248,7 +248,9 @@ def main() -> None:
     for q in ("ev_asof_join", "ev_funnel", "ev_sessionize",
               "dd_line_dedup", "t21_nb_quality", "ir1_eval_per_query",
               "r12_maxsim_topk", "cc_release_funnel", "mm_keyframes",
-              "t25_rule_ablation", "a20_heavy_hitters", "g4_pca_power"):
+              "t25_rule_ablation", "a20_heavy_hitters", "g4_pca_power",
+              "t34_ngram_contamination", "mm_ahash_neardup",
+              "g6_triangle_census", "a22_theta_ndv"):
         for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
             n, t = _timed_steady(
                 lambda q=q, d=d: CATALOG[q].build(spark, d).count())

@@ -278,3 +278,63 @@ def test_compaction_bins_monotone_and_bounded(spark):
         assert r["bin_id"] >= last_bin
         last_bin = r["bin_id"]
         cum += r["size_chars"]
+
+
+# --- batch: streaming theta / k-core / span masks / burstiness / fp --------
+
+def test_theta_stream_survivors_below_theta(spark):
+    from production_grade_rag_spark.plans.catalog_r9 import _THETA
+    rows = CATALOG["st_theta_ingest"].build(spark, SF001).collect()
+    assert rows
+    hs = [r["h"] for r in rows]
+    assert all(0 <= h < _THETA for h in hs)
+    assert len(set(hs)) == len(hs), "store is a SET — no dup survivors"
+
+
+def test_kcore_trajectory_monotone(spark):
+    rows = sorted(CATALOG["g7_kcore_peel"].build(spark, SF001).collect(),
+                  key=lambda r: r["round"])
+    assert rows[0]["round"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_nodes"] <= prev["n_nodes"]
+        assert cur["n_edges"] <= prev["n_edges"]
+
+
+def test_span_corruption_layout(spark):
+    rows = CATALOG["t35_span_corruption"].build(spark, SF001).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r["span_index"])
+        # non-overlapping, ordered, sentinel ids sequential
+        for i, s in enumerate(spans):
+            assert s["span_index"] == i == s["sentinel_id"]
+            assert s["end_tok"] == s["start_tok"] + s["span_len"] - 1
+            assert s["span_len"] >= 1
+        for a, b in zip(spans, spans[1:]):
+            assert a["end_tok"] < b["start_tok"]
+
+
+def test_burstiness_fano_positive(spark):
+    rows = CATALOG["ta_burstiness"].build(spark, SF001).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["fano"] > 0
+        assert r["c_tot"] >= r["doc_freq"] >= 1
+
+
+def test_audio_fingerprint_threshold(spark):
+    from production_grade_rag_spark.plans.catalog_r9 import _FP_MIN_SHARED
+    for r in CATALOG["mm_audio_fingerprint"].build(spark, SF001).collect():
+        assert r["doc_a"] < r["doc_b"]
+        assert r["n_shared"] >= _FP_MIN_SHARED
+
+
+def test_dup_quality_matrix_mass(spark):
+    rows = CATALOG["t36_dup_quality_matrix"].build(spark, SF001).collect()
+    n = sum(r["n_docs"] for r in rows)
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").count()
+    assert n == docs
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
