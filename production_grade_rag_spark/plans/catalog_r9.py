@@ -993,7 +993,8 @@ FROM test_g GROUP BY doc_id ORDER BY doc_id
 """
 
 
-@register("t34_ngram_contamination", oracle=_contamination_oracle())
+@register("t34_ngram_contamination", headline=True,
+          oracle=_contamination_oracle())
 def t34_ngram_contamination(spark: SparkSession, d: str) -> DataFrame:
     """N-gram-level eval contamination audit (Brown et al. 2020
     Appendix C, public — GPT-3 flagged eval examples sharing any
@@ -1466,7 +1467,7 @@ SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
 """
 
 
-@register("g6_triangle_census", oracle=_tri_cte())
+@register("g6_triangle_census", headline=True, oracle=_tri_cte())
 def g6_triangle_census(spark: SparkSession, d: str) -> DataFrame:
     """Triangle census + global clustering coefficient on the
     symmetrized 5-NN cosine graph — the graph-structure read
@@ -2360,3 +2361,233 @@ def t36_dup_quality_matrix(spark: SparkSession, d: str) -> DataFrame:
                             / F.col("tot").cast("double"), 6)
                      .alias("share"))
             .orderBy("quality_bucket", "dup_bucket"))
+
+# ===========================================================================
+# Simplified silhouette for the frozen k-means layout — the cluster-
+# quality eval the g2 family publishes before anyone trusts the cells
+# ===========================================================================
+
+def _sil_oracle() -> str:
+    from .catalog_r8 import _KM_D, _KM_ITERS, _km_oracle
+    dist = (f"list_sum(list_transform(range(1, {_KM_D + 1}), "
+            f"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))")
+    return _km_oracle(f""",
+two AS (
+  SELECT vec_id, cluster, dist_q, rn FROM (
+    SELECT q.vec_id, c.cluster, {dist} AS dist_q,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q CROSS JOIN c{_KM_ITERS} c) WHERE rn <= 2
+), s AS (
+  SELECT a.vec_id, a.cluster,
+         CAST(round(CASE WHEN greatest(a.dist_q, b.dist_q) = 0 THEN 0.0
+              ELSE (b.dist_q - a.dist_q)::DOUBLE
+                   / greatest(a.dist_q, b.dist_q)::DOUBLE END
+              * 1000000) AS BIGINT) AS s_q
+  FROM two a JOIN two b ON b.vec_id = a.vec_id AND b.rn = 2
+  WHERE a.rn = 1
+)
+SELECT cluster, count(*)::BIGINT AS n_members,
+       round(CAST(sum(s_q) AS BIGINT)::DOUBLE
+             / (count(*) * 1000000)::DOUBLE, 6) AS mean_silhouette
+FROM s GROUP BY cluster ORDER BY cluster
+""")
+
+
+@register("g2_silhouette", oracle=_sil_oracle())
+def g2_silhouette(spark: SparkSession, d: str) -> DataFrame:
+    """Simplified silhouette score per cluster for the frozen g2
+    k-means layout (Rousseeuw 1987, the centroid-based 'simplified'
+    variant every large-scale library ships — MLlib's
+    ClusteringEvaluator semantics): per point, a = squared distance
+    to its own centroid, b = squared distance to the SECOND-nearest
+    centroid, s = (b-a)/max(a,b); reported as the per-cluster mean.
+    The cluster-quality gate in front of every consumer of the g2
+    layout (st_ivf_ingest, g3's balanced sample, t28's ICP packing,
+    st_semdedup) — a cell with silhouette near 0 is a cell whose
+    'members' are arbitrary.
+
+    Exactness: a and b are the SAME exact BIGINT fixed-point
+    distances the Lloyd loop uses (the assignment argmin IS rank 1,
+    the runner-up IS rank 2 of the same deterministic ordering), the
+    per-point ratio is quantized to a 1e-6 BIGINT before the
+    per-cluster sum (the commutative-sum convention), and one
+    division lands the display mean.
+
+    Scale shape: one map-side pass against the K broadcast centroid
+    literals (the g2 assignment plan with k=2 rank depth), one
+    K-row aggregate."""
+    from .catalog_r8 import _km_run
+
+    af_unused, cents = _km_run(spark, d)
+    from ..functions.vector import to_double_array
+    from .catalog_r8 import _KM_D, _KM_SCALE
+    emb = (_t(spark, d, "embeddings")
+           .select("vec_id",
+                   F.transform(
+                       F.slice(to_double_array(F.col("embedding")),
+                               1, _KM_D),
+                       lambda x: F.floor(x * _KM_SCALE + 0.5).cast("long"))
+                   .alias("qv")))
+    arr = F.sort_array(F.array(*[
+        F.struct(
+            sum(((F.element_at(F.col("qv"), i + 1) - F.lit(cv[i]))
+                 * (F.element_at(F.col("qv"), i + 1) - F.lit(cv[i])))
+                for i in range(_KM_D)).alias("d"),
+            F.lit(c).cast("long").alias("cluster"))
+        for c, cv in enumerate(cents)]))
+    a, b = arr.getItem(0)["d"], arr.getItem(1)["d"]
+    s_q = F.round(
+        F.when(F.greatest(a, b) == 0, F.lit(0.0))
+        .otherwise((b - a).cast("double")
+                   / F.greatest(a, b).cast("double")) * 1000000
+    ).cast("long")
+    pt = emb.select(arr.getItem(0)["cluster"].alias("cluster"),
+                    s_q.alias("s_q"))
+    return (pt.groupBy("cluster")
+            .agg(F.count("*").alias("n_members"),
+                 F.round(F.sum("s_q").cast("long").cast("double")
+                         / (F.count("*") * 1000000).cast("double"), 6)
+                  .alias("mean_silhouette"))
+            .orderBy("cluster"))
+
+
+# ===========================================================================
+# Per-source TF-IDF signatures — "what characterizes each source"
+# ===========================================================================
+
+_TFIDF_TOP = 5
+
+
+def _tfidf_oracle() -> str:
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    return f"""
+WITH dt AS (
+  SELECT doc_id, source, unnest({toks}) AS tok FROM documents
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), df AS (
+  SELECT tok, count(DISTINCT doc_id)::BIGINT AS df_t FROM dt GROUP BY tok
+), st AS (
+  SELECT source, tok, count(*)::BIGINT AS c_st
+  FROM dt GROUP BY source, tok
+), scored AS (
+  SELECT st.source, st.tok, st.c_st,
+         st.c_st * CAST(round(ln(n.n_docs::DOUBLE / df.df_t::DOUBLE)
+                              * 1000000) AS BIGINT) AS score_q
+  FROM st JOIN df ON df.tok = st.tok CROSS JOIN n
+), ranked AS (
+  SELECT source, tok, c_st, score_q,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score_q DESC, tok) AS rnk
+  FROM scored
+)
+SELECT source, rnk::BIGINT AS rnk, tok, c_st,
+       round(score_q::DOUBLE / 1000000, 6) AS tfidf
+FROM ranked WHERE rnk <= {_TFIDF_TOP} ORDER BY source, rnk
+"""
+
+
+@register("ta_source_tfidf", oracle=_tfidf_oracle())
+def ta_source_tfidf(spark: SparkSession, d: str) -> DataFrame:
+    """Per-source TF-IDF signature terms (Sparck Jones 1972, public):
+    the top-{top} tokens per source by term-count x ln(N/df) — the
+    'what is this source actually about' table a corpus card prints
+    beside the mix shares (and the grown-up version of the PRF
+    expansion miner r11 runs per query: same score, corpus-wide).
+
+    Exactness: ln(N/df) is rounded ONCE per token to a 1e-6 BIGINT,
+    then multiplied by the integer term count — products and the
+    rank order are exact integers (count DESC ties broken by token,
+    binary collation both engines); the display score divides once.
+
+    Scale shape: one (source, token) count aggregate and one
+    token-level doc-frequency aggregate (both partial-aggregable,
+    vocab-bounded by Heaps), a broadcast-able vocab join, and the
+    top-k window over the (sources x vocab) table — bounded by the
+    vocabulary, never the corpus (the ta_zipf_fit argument)."""
+    from pyspark.sql import Window as W
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    dt = docs.select("doc_id", "source",
+                     F.explode(tokens(F.col("text"))).alias("tok"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    df = dt.groupBy("tok").agg(F.countDistinct("doc_id").alias("df_t"))
+    st = dt.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    scored = (st.join(df, "tok").crossJoin(F.broadcast(n))
+              .select("source", "tok", "c_st",
+                      (F.col("c_st")
+                       * F.round(F.log(F.col("n_docs").cast("double")
+                                       / F.col("df_t").cast("double"))
+                                 * 1000000).cast("long")).alias("score_q")))
+    w = W.partitionBy("source").orderBy(F.desc("score_q"), "tok")
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _TFIDF_TOP)
+            .select("source", "rnk", "tok", "c_st",
+                    F.round(F.col("score_q").cast("double") / 1000000, 6)
+                     .alias("tfidf"))
+            .orderBy("source", "rnk"))
+
+
+ta_source_tfidf.__doc__ = ta_source_tfidf.__doc__.format(top=_TFIDF_TOP)
+
+
+# ===========================================================================
+# DAU/WAU stickiness — the engagement-intensity read beside
+# retention (how OFTEN actives show up, not whether they return)
+# ===========================================================================
+
+@register("ev_stickiness", oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         (epoch(ts)::BIGINT // 86400)::BIGINT AS day,
+         (epoch(ts)::BIGINT // 604800)::BIGINT AS wk
+  FROM events
+), dau AS (
+  SELECT wk, day, count(*)::BIGINT AS dau FROM ud GROUP BY wk, day
+), wau AS (
+  SELECT wk, count(DISTINCT user_id)::BIGINT AS wau FROM ud GROUP BY wk
+)
+SELECT w.wk AS week, w.wau,
+       CAST(sum(d.dau) AS BIGINT) AS sum_dau,
+       count(*)::BIGINT AS n_active_days,
+       round(sum(d.dau)::DOUBLE / (count(*) * w.wau)::DOUBLE, 6)
+         AS stickiness
+FROM wau w JOIN dau d ON d.wk = w.wk
+GROUP BY w.wk, w.wau ORDER BY w.wk
+""")
+def ev_stickiness(spark: SparkSession, d: str) -> DataFrame:
+    """Weekly DAU/WAU stickiness: mean daily actives over weekly
+    actives per week — the engagement-INTENSITY read beside
+    ev_retention_triangle's comeback read (retention says whether a
+    cohort returns; stickiness says how many days per week the
+    actives actually show up).  Integer day/week epoch indices, the
+    established convention.
+
+    Exactness: numerator (sum of per-day distinct counts) and
+    denominator (active-day count x weekly distinct count) are exact
+    BIGINTs; one division for the ratio.
+
+    Scale shape: one distinct (user, day) projection — week derives
+    from the day index map-side — then two partial-aggregable counts
+    whose outputs are calendar-bounded."""
+    ev = _t(spark, d, "events")
+    ud = (ev.select("user_id",
+                    F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400")
+                    .alias("day"),
+                    F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800")
+                    .alias("wk"))
+          .distinct())
+    dau = ud.groupBy("wk", "day").agg(F.count("*").alias("dau"))
+    wau = ud.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
+    return (dau.join(wau, "wk")
+            .groupBy(F.col("wk").alias("week"), "wau")
+            .agg(F.sum("dau").cast("long").alias("sum_dau"),
+                 F.count("*").alias("n_active_days"),
+                 F.round(F.sum("dau").cast("double")
+                         / (F.count("*") * F.first("wau")).cast("double"),
+                         6).alias("stickiness"))
+            .select("week", "wau", "sum_dau", "n_active_days",
+                    "stickiness")
+            .orderBy("week"))

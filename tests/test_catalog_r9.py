@@ -338,3 +338,41 @@ def test_dup_quality_matrix_mass(spark):
     docs = spark.read.parquet(f"{SF001}/documents.parquet").count()
     assert n == docs
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+# --- batch: silhouette / tf-idf signatures / stickiness ---------------------
+
+def test_silhouette_bounds_and_membership(spark):
+    rows = CATALOG["g2_silhouette"].build(spark, SF001).collect()
+    assert len(rows) >= 1
+    total = sum(r["n_members"] for r in rows)
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").count()
+    assert total == emb
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+def test_source_tfidf_topk_shape(spark):
+    from production_grade_rag_spark.plans.catalog_r9 import _TFIDF_TOP
+    rows = CATALOG["ta_source_tfidf"].build(spark, SF001).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for terms in by_src.values():
+        assert len(terms) <= _TFIDF_TOP
+        ranks = sorted(t["rnk"] for t in terms)
+        assert ranks == list(range(1, len(terms) + 1))
+        # scores are non-increasing in rank order
+        scored = sorted(terms, key=lambda t: t["rnk"])
+        for a, b in zip(scored, scored[1:]):
+            assert a["tfidf"] >= b["tfidf"]
+
+
+def test_stickiness_bounds(spark):
+    rows = CATALOG["ev_stickiness"].build(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        # each active day's DAU <= WAU, so the mean ratio is in (0, 1]
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["sum_dau"] <= r["n_active_days"] * r["wau"]
+        assert r["n_active_days"] <= 7
