@@ -1059,7 +1059,7 @@ def t34_ngram_contamination(spark: SparkSession, d: str) -> DataFrame:
 @register("ev_retention_triangle", oracle="""
 WITH wk AS (
   SELECT DISTINCT user_id,
-         (epoch(ts)::BIGINT // 604800)::BIGINT AS wk
+         (CAST(floor(epoch(ts)) AS BIGINT) // 604800)::BIGINT AS wk
   FROM events
 ), cohort AS (
   SELECT user_id, min(wk)::BIGINT AS cohort_wk FROM wk GROUP BY user_id
@@ -1119,9 +1119,9 @@ def ev_retention_triangle(spark: SparkSession, d: str) -> DataFrame:
 
 @register("ev_anomaly_mad", oracle="""
 WITH daily AS (
-  SELECT (epoch(ts)::BIGINT // 86400)::BIGINT AS day,
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400)::BIGINT AS day,
          count(*)::BIGINT AS n_events
-  FROM events GROUP BY (epoch(ts)::BIGINT // 86400)
+  FROM events GROUP BY (CAST(floor(epoch(ts)) AS BIGINT) // 86400)
 ), med AS (
   SELECT CAST(round(quantile_cont(n_events, 0.5) * 2) AS BIGINT)
            AS med2
@@ -2541,8 +2541,8 @@ ta_source_tfidf.__doc__ = ta_source_tfidf.__doc__.format(top=_TFIDF_TOP)
 @register("ev_stickiness", oracle="""
 WITH ud AS (
   SELECT DISTINCT user_id,
-         (epoch(ts)::BIGINT // 86400)::BIGINT AS day,
-         (epoch(ts)::BIGINT // 604800)::BIGINT AS wk
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400)::BIGINT AS day,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 604800)::BIGINT AS wk
   FROM events
 ), dau AS (
   SELECT wk, day, count(*)::BIGINT AS dau FROM ud GROUP BY wk, day
@@ -2591,3 +2591,188 @@ def ev_stickiness(spark: SparkSession, d: str) -> DataFrame:
             .select("week", "wau", "sum_dau", "n_active_days",
                     "stickiness")
             .orderBy("week"))
+
+# ===========================================================================
+# Funnel time-to-convert — the latency distribution behind
+# ev_funnel's conversion counts
+# ===========================================================================
+
+@register("ev_funnel_ttc", oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ts, tsec,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_id,
+         event_id
+  FROM o
+), fv AS (
+  SELECT user_id, session_id, event_type, tsec,
+         min(CASE WHEN event_type = 'view' THEN tsec END) OVER
+           (PARTITION BY user_id, session_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_view
+  FROM s
+), ttc AS (
+  SELECT user_id, session_id,
+         min(tsec - first_view)::BIGINT AS ttc_s
+  FROM fv
+  WHERE event_type = 'purchase' AND first_view IS NOT NULL
+  GROUP BY user_id, session_id
+), base AS (
+  SELECT count(DISTINCT (user_id, session_id))::BIGINT AS n_sessions
+  FROM s
+)
+SELECT b.n_sessions, count(*)::BIGINT AS n_converted,
+       min(t.ttc_s)::BIGINT AS min_ttc_s,
+       round(quantile_cont(t.ttc_s, 0.5), 6) AS p50_ttc_s,
+       round(quantile_cont(t.ttc_s, 0.9), 6) AS p90_ttc_s,
+       max(t.ttc_s)::BIGINT AS max_ttc_s
+FROM ttc t CROSS JOIN base b GROUP BY b.n_sessions
+""")
+def ev_funnel_ttc(spark: SparkSession, d: str) -> DataFrame:
+    """Funnel time-to-convert: per 30-min session, the latency from
+    the FIRST view to the first purchase at-or-after it, summarized
+    as min / p50 / p90 / max over converting sessions — the latency
+    distribution ev_funnel's stage counts hide (two funnels with
+    identical conversion can have 10 s vs 25 min time-to-convert,
+    and the difference is the product decision).
+
+    Plan: the ev_sessionize lag+prefix-sum session assignment, then
+    a RUNNING conditional min (first view so far) over the same
+    (user, session) ordering — every purchase row then knows its
+    first-view map-side, so conversion latency needs no self-join;
+    one shuffle on user_id total (the ev_funnel argument), then a
+    sessions-keyed min and a 1-row summary.  The two quantiles run
+    over the CONVERTED-SESSIONS table (bounded by sessions, not
+    events; the percentile_approx knob applies as everywhere).
+
+    Exactness: timestamps in integer seconds; quantiles rounded to
+    6dp on both engines (the w10 convention)."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, d, "events")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    s = (ev.withColumn("tsec", ts_sec)
+         .withColumn("new_session",
+                     F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+         .withColumn("session_id",
+                     F.sum("new_session").over(run).cast("long")))
+    sw = (W.partitionBy("user_id", "session_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    fv = s.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view",
+                     F.col("tsec"))).over(sw))
+    ttc = (fv.filter((F.col("event_type") == "purchase")
+                     & F.col("first_view").isNotNull())
+           .groupBy("user_id", "session_id")
+           .agg(F.min(F.col("tsec") - F.col("first_view"))
+                .cast("long").alias("ttc_s")))
+    base = (s.select("user_id", "session_id").distinct()
+            .agg(F.count("*").alias("n_sessions")))
+    return (ttc.crossJoin(F.broadcast(base))
+            .groupBy("n_sessions")
+            .agg(F.count("*").alias("n_converted"),
+                 F.min("ttc_s").cast("long").alias("min_ttc_s"),
+                 F.round(F.percentile("ttc_s", F.lit(0.5)), 6)
+                  .alias("p50_ttc_s"),
+                 F.round(F.percentile("ttc_s", F.lit(0.9)), 6)
+                  .alias("p90_ttc_s"),
+                 F.max("ttc_s").cast("long").alias("max_ttc_s"))
+            .select("n_sessions", "n_converted", "min_ttc_s",
+                    "p50_ttc_s", "p90_ttc_s", "max_ttc_s"))
+
+
+# ===========================================================================
+# Key-hash sampled join-size estimate — the cheap estimator beside
+# a17's Selinger formula
+# ===========================================================================
+
+_A24_P_INV = 4  # keep keys whose hash bucket < 1/4 of the space
+
+
+@register("a24_sampled_join_estimate", oracle=f"""
+WITH ko AS (
+  SELECT o_orderkey AS k, count(*)::BIGINT AS co FROM orders GROUP BY 1
+), kl AS (
+  SELECT l_orderkey AS k, count(*)::BIGINT AS cl FROM lineitem GROUP BY 1
+), j AS (
+  SELECT ko.k, ko.co * kl.cl AS contrib,
+         (('0x' || substr(md5(ko.k::VARCHAR || ':jsample'), 1, 8))::BIGINT
+          % 1000000 < 1000000 / {_A24_P_INV}) AS sampled
+  FROM ko JOIN kl ON kl.k = ko.k
+)
+SELECT {_A24_P_INV}::BIGINT AS p_inv,
+       count(*)::BIGINT AS n_join_keys,
+       CAST(sum(sampled::INT) AS BIGINT) AS n_keys_sampled,
+       CAST(coalesce(sum(CASE WHEN sampled THEN contrib END), 0)
+            AS BIGINT) AS sampled_size,
+       (CAST(coalesce(sum(CASE WHEN sampled THEN contrib END), 0)
+             AS BIGINT) * {_A24_P_INV})::BIGINT AS est_size,
+       CAST(sum(contrib) AS BIGINT) AS true_size,
+       round(abs(coalesce(sum(CASE WHEN sampled THEN contrib END), 0)
+                 * {_A24_P_INV} - sum(contrib))::DOUBLE
+             / sum(contrib)::DOUBLE, 6) AS rel_err
+FROM j
+""")
+def a24_sampled_join_estimate(spark: SparkSession, d: str) -> DataFrame:
+    """Join-size estimation by KEY-HASH sampling (the correlated /
+    end-biased sampling idea — Estan & Naughton 2006, public): keep
+    every row of BOTH sides whose join key hashes into a 1/4 bucket,
+    join only the sample, scale by 4.  Sampling BY KEY is the whole
+    trick: independent row sampling keeps a p² fraction of matching
+    PAIRS (a 16x variance blow-up and a systematic miss of hot
+    keys), while key-correlated sampling keeps each key's full
+    co x cl contribution with probability p, making the scaled
+    estimate unbiased with per-key variance — the practical
+    estimator beside a17's Selinger containment formula when stats
+    are stale.  The audit here runs on orders x lineitem (the
+    canonical fact-fact key).
+
+    Exactness: the hash-bucket accept is the t26/t19 integer
+    threshold; contributions, the sample sum, and the x4 scale-up
+    are exact BIGINTs; rel_err divides once for display.  The exact
+    true_size column is the catalog-scale audit twin (a22's
+    argument).
+
+    Scale shape: per-side key-count aggregates (partial-agg), one
+    join on the key, map-side accept — the estimate itself never
+    materializes the unsampled join."""
+    from ..operators.dedup import md5_int32
+    o = (_t(spark, d, "orders").groupBy(F.col("o_orderkey").alias("k"))
+         .agg(F.count("*").alias("co")))
+    li = (_t(spark, d, "lineitem").groupBy(F.col("l_orderkey").alias("k"))
+          .agg(F.count("*").alias("cl")))
+    b = F.pmod(md5_int32(F.concat(F.col("k").cast("string"),
+                                  F.lit(":jsample"))), F.lit(1000000))
+    j = (o.join(li, "k")
+         .select("k", (F.col("co") * F.col("cl")).alias("contrib"),
+                 (b < 1000000 // _A24_P_INV).alias("sampled")))
+    samp = F.when(F.col("sampled"), F.col("contrib"))
+    return j.agg(
+        F.lit(_A24_P_INV).cast("long").alias("p_inv"),
+        F.count("*").alias("n_join_keys"),
+        F.sum(F.col("sampled").cast("int")).cast("long")
+         .alias("n_keys_sampled"),
+        F.coalesce(F.sum(samp), F.lit(0)).cast("long")
+         .alias("sampled_size"),
+        (F.coalesce(F.sum(samp), F.lit(0)).cast("long") * _A24_P_INV)
+        .cast("long").alias("est_size"),
+        F.sum("contrib").cast("long").alias("true_size"),
+        F.round(F.abs(F.coalesce(F.sum(samp), F.lit(0)) * _A24_P_INV
+                      - F.sum("contrib")).cast("double")
+                / F.sum("contrib").cast("double"), 6).alias("rel_err"))

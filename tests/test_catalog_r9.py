@@ -376,3 +376,24 @@ def test_stickiness_bounds(spark):
         assert 0.0 < r["stickiness"] <= 1.0
         assert r["sum_dau"] <= r["n_active_days"] * r["wau"]
         assert r["n_active_days"] <= 7
+
+
+# --- batch: funnel TTC / sampled join estimate ------------------------------
+
+def test_funnel_ttc_ordering(spark):
+    row = CATALOG["ev_funnel_ttc"].build(spark, SF001).collect()[0]
+    assert row["n_converted"] <= row["n_sessions"]
+    assert (0 <= row["min_ttc_s"] <= row["p50_ttc_s"]
+            <= row["p90_ttc_s"] <= row["max_ttc_s"])
+
+
+def test_sampled_join_estimate_identities(spark):
+    row = CATALOG["a24_sampled_join_estimate"].build(spark, SF001) \
+        .collect()[0]
+    assert row["est_size"] == row["sampled_size"] * row["p_inv"]
+    assert row["n_keys_sampled"] <= row["n_join_keys"]
+    assert row["sampled_size"] <= row["true_size"]
+    # key-correlated sampling at p=1/4 on a uniform key should land
+    # within a loose factor-2 band of truth
+    assert row["true_size"] * 0.5 <= row["est_size"] \
+        <= row["true_size"] * 2.0
