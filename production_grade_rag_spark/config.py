@@ -100,6 +100,17 @@ class EngineConfig:
     # pinned by eng_ivfpq_adaptive_recall under this default.
     ann_mass_target: float | None = 0.8
     ann_n_probe_max: int | None = None
+    # "lsh" backend: MLlib BucketedRandomProjectionLSH (random
+    # hyperplane-offset buckets, Datar et al. 2004) queried via
+    # approxNearestNeighbors — the hash-bucket alternative to the
+    # cell-probe (ivf) family; on normalized embeddings Euclidean NN
+    # order == cosine NN order, and the k winners re-join the live
+    # index so downstream strategies see backend-agnostic columns.
+    # Wider buckets / more tables = higher recall, more candidates
+    # scanned (the n_probe analog); engine-level recall floor pinned
+    # by eng_lsh_recall.
+    ann_lsh_bucket_length: float = 2.0
+    ann_lsh_num_tables: int = 8
     strategy_weights: dict = field(default_factory=lambda: {
         "similarity": 0.6, "parent_child": 0.4, "hybrid": 0.5,
     })

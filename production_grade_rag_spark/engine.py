@@ -183,6 +183,36 @@ class SparkRagEngine:
                 n_probe_max=c.ann_n_probe_max)
             return (index.join(F.broadcast(hits), id_col)
                     .orderBy(F.desc("score"), F.col(id_col)))
+        if c.ann_backend == "lsh":
+            # MLlib BucketedRandomProjectionLSH: fixed seed makes the
+            # random projections deterministic; approxNearestNeighbors
+            # prunes to same-bucket candidates (any of num_tables
+            # hashes) before the exact distance sort — the hash-bucket
+            # analog of the ivf cell probe.  The k winners re-join the
+            # live index and get the RAW cosine score so downstream
+            # strategies see exactly the exact-backend columns.
+            from pyspark.ml.feature import BucketedRandomProjectionLSH
+            from pyspark.ml.functions import array_to_vector
+            from pyspark.ml.linalg import Vectors
+
+            from .functions.vector import cosine, to_double_array
+            feat = index.select(
+                F.col(id_col),
+                array_to_vector(
+                    to_double_array(F.col("embedding"))).alias("__f"))
+            lsh = BucketedRandomProjectionLSH(
+                inputCol="__f", outputCol="__h", seed=42,
+                bucketLength=c.ann_lsh_bucket_length,
+                numHashTables=c.ann_lsh_num_tables)
+            model = lsh.fit(feat)
+            hits = (model.approxNearestNeighbors(
+                        feat, Vectors.dense(query_vector), k)
+                    .select(id_col))
+            q = F.array(*[F.lit(float(x)) for x in query_vector])
+            return (index.join(F.broadcast(hits), id_col)
+                    .withColumn("score", cosine(
+                        to_double_array(F.col("embedding")), q))
+                    .orderBy(F.desc("score"), F.col(id_col)))
         raise ValueError(f"unknown ann_backend {c.ann_backend!r}")
 
     def prf_terms(self, index: DataFrame, terms: list[str],

@@ -2776,3 +2776,40 @@ def a24_sampled_join_estimate(spark: SparkSession, d: str) -> DataFrame:
         F.round(F.abs(F.coalesce(F.sum(samp), F.lit(0)) * _A24_P_INV
                       - F.sum("contrib")).cast("double")
                 / F.sum("contrib").cast("double"), 6).alias("rel_err"))
+
+# ===========================================================================
+# Engine LSH backend gate — the fourth ANN backend behind the same
+# search API (exact / ivf / ivfpq / now lsh)
+# ===========================================================================
+
+@register("eng_lsh_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def eng_lsh_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Engine-level gate for ann_backend='lsh' (MLlib
+    BucketedRandomProjectionLSH, Datar et al. 2004 — random
+    projection buckets, public): SparkRagEngine.search with the LSH
+    backend must keep recall >= 0.6 vs the exact backend at the
+    default knobs (8 tables, bucket length 2.0) — proving the fourth
+    backend drives the SAME search API end to end with
+    backend-agnostic columns.  On the hash corpus's normalized
+    embeddings, Euclidean bucket pruning preserves cosine order, so
+    the only loss is bucket misses — which more tables buy back
+    (the n_probe analog, stated in EngineConfig).
+
+    Scale shape: the fit is numTables random projections (no
+    training data pass beyond one projection matrix broadcast);
+    the query prunes to same-bucket candidates before the exact
+    distance sort — sublinear candidate scans at corpus scale where
+    exact is a full scan per query."""
+    from ..config import EngineConfig
+    from ..engine import SparkRagEngine
+    from .catalog_more import _recall_summary
+    from .oracle_vec import QUERY_VEC
+    emb = _t(spark, d, "embeddings")
+    exact = SparkRagEngine(spark).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    approx = SparkRagEngine(spark, EngineConfig(
+        ann_backend="lsh")).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.6)

@@ -397,3 +397,20 @@ def test_sampled_join_estimate_identities(spark):
     # within a loose factor-2 band of truth
     assert row["true_size"] * 0.5 <= row["est_size"] \
         <= row["true_size"] * 2.0
+
+
+def test_engine_lsh_backend_columns_and_floor(spark):
+    from production_grade_rag_spark.config import EngineConfig
+    from production_grade_rag_spark.engine import SparkRagEngine
+    from production_grade_rag_spark.plans.oracle_vec import QUERY_VEC
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    exact = SparkRagEngine(spark).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    lsh = SparkRagEngine(spark, EngineConfig(ann_backend="lsh")).search(
+        emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
+    assert sorted(lsh.columns) == sorted(exact.columns)
+    e = {r["vec_id"] for r in exact.collect()}
+    a = {r["vec_id"] for r in lsh.collect()}
+    assert len(a & e) / len(e) >= 0.6
+    gate = CATALOG["eng_lsh_recall"].build(spark, SF001).collect()[0]
+    assert gate["floor_met"]
