@@ -486,3 +486,57 @@ def test_icp_pack_no_cartesian(spark):
     for name in ("t28_icp_pack", "t28_icp_adjacency"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+# --- round-9 second wave -----------------------------------------------------
+
+def test_contamination_gram_join_no_cartesian(spark):
+    plan = _plan(spark, "t34_ngram_contamination")
+    assert "CartesianProduct" not in plan
+    # train-set membership rides an equi-join on the flat gram hash —
+    # never a nested loop over gram text
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_ahash_bands_equi_join_and_arrow_decode(spark):
+    plan = _plan(spark, "mm_ahash_neardup")
+    assert "CartesianProduct" not in plan
+    # the decode pass is the Arrow path, not row-at-a-time python
+    assert "MapInPandas" in plan
+    # candidates come from the (band, bval) equi-join
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_triangle_census_k_bounded_joins(spark):
+    plan = _plan(spark, "g6_triangle_census")
+    # the only nested-loop joins are against broadcast 1-row count
+    # frames; the wedge/closure joins are equi-joins on edge keys
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_span_corruption_no_shuffle(spark):
+    plan = _plan(spark, "t35_span_corruption")
+    # map-side through and through: the only exchange is the final
+    # presentation sort
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_source_tfidf_vocab_join_shapes(spark):
+    plan = _plan(spark, "ta_source_tfidf")
+    assert "CartesianProduct" not in plan
+    # corpus-size count rides a broadcast; the df join is an equi-join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_theta_ndv_survivor_filter_before_distinct(spark):
+    plan = _plan(spark, "a22_theta_ndv")
+    # the distinct aggregates partial-aggregate map-side (expand +
+    # two-phase HashAggregate), no join at all
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
