@@ -2813,3 +2813,175 @@ def eng_lsh_recall(spark: SparkSession, d: str) -> DataFrame:
         ann_backend="lsh")).search(
         emb, query_vector=QUERY_VEC, limit=10, id_col="vec_id")
     return _recall_summary(exact, approx, ["vec_id"], floor=0.6)
+
+# ===========================================================================
+# Markov removal-effect attribution — multi-touch attribution over
+# the event stream (the model BEHIND ev_markov_transitions' matrix)
+# ===========================================================================
+
+_ATTR_L = 4            # absorption horizon (steps)
+_ATTR_G = 1_000_000    # probability grid (1e-6 fixed point)
+_ATTR_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _attr_trans_sql() -> str:
+    """Transition-count CTE: START -> first event, event -> next
+    event, last event -> END, per user (ts, event_id ordered)."""
+    return """
+seq AS (
+  SELECT user_id, event_type AS s,
+         coalesce(lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+                  'END') AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), trans AS (
+  SELECT s, t, count(*)::BIGINT AS c FROM seq GROUP BY s, t
+  UNION ALL
+  SELECT 'START' AS s, s AS t, count(*)::BIGINT AS c
+  FROM seq WHERE rn = 1 GROUP BY s
+), r AS (
+  SELECT s, CAST(sum(c) AS BIGINT) AS rs FROM trans GROUP BY s
+)"""
+
+
+def _attr_oracle() -> str:
+    g = _ATTR_G
+    parts = [_attr_trans_sql()]
+    qs = {}
+    for sc in ("base",) + _ATTR_CHANNELS:
+        drop = "" if sc == "base" else f" AND t <> '{sc}'"
+        prev = None
+        for k in range(1, _ATTR_L + 1):
+            name = f"q_{sc}_{k}"
+            if prev is None:
+                qv = f"(CASE WHEN a.t = 'purchase' THEN {g} ELSE 0 END)"
+                join = ""
+            else:
+                qv = (f"(CASE WHEN a.t = 'purchase' THEN {g} "
+                      f"ELSE coalesce(p.q, 0) END)")
+                join = f" LEFT JOIN {prev} p ON p.s = a.t"
+            parts.append(f"""
+{name} AS MATERIALIZED (
+  SELECT r.s,
+         coalesce(CAST(sum(a.c * {qv}) AS BIGINT), 0) // r.rs AS q
+  FROM r LEFT JOIN trans a ON a.s = r.s{drop}{join}
+  GROUP BY r.s, r.rs
+)""")
+            prev = name
+        qs[sc] = prev
+    base = f"(SELECT q FROM {qs['base']} WHERE s = 'START')"
+    rows = []
+    for ch in _ATTR_CHANNELS:
+        rem = f"(SELECT q FROM {qs[ch]} WHERE s = 'START')"
+        rows.append(
+            f"SELECT '{ch}' AS channel, {base}::BIGINT AS base_conv_q,"
+            f" {rem}::BIGINT AS removed_conv_q,"
+            f" ({base} - {rem})::BIGINT AS effect_q")
+    effs = " + ".join(
+        f"({base} - (SELECT q FROM {qs[ch]} WHERE s = 'START'))"
+        for ch in _ATTR_CHANNELS)
+    return ("WITH " + ",".join(parts) + f""",
+eff AS ({' UNION ALL '.join(rows)}),
+tot AS (SELECT CAST({effs} AS BIGINT) AS te)
+SELECT e.channel, e.base_conv_q, e.removed_conv_q,
+       round(e.effect_q::DOUBLE / e.base_conv_q::DOUBLE, 6)
+         AS removal_effect,
+       round(e.effect_q::DOUBLE / t.te::DOUBLE, 6) AS attribution_share
+FROM eff e CROSS JOIN tot t ORDER BY e.channel
+""")
+
+
+@register("ev_attribution_removal", oracle=_attr_oracle())
+def ev_attribution_removal(spark: SparkSession, d: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014, public
+    — the data-driven multi-touch attribution model): fit the
+    first-order journey chain (START -> events -> purchase/END), and
+    credit each channel by how much the purchase-absorption
+    probability DROPS when journeys can no longer pass through it
+    (transitions into the removed channel die to END).  The model
+    BEHIND ev_markov_transitions' matrix and the principled
+    replacement for last-touch credit.
+
+    Exactness: absorption probabilities are computed by a bounded
+    {L}-step value iteration entirely on a 1e-6 BIGINT grid —
+    q'(s) = (sum_t c_st * q(t)) div r_s with purchase pinned at 1e6
+    — truncating integer division on both engines (the g2 Lloyd
+    convention), so all five chains (base + 4 removals) are
+    engine-exact; the two display ratios divide once.  The bounded
+    horizon is the honest form of the (I - Q)^-1 solve (the g5/g7
+    bounded-iteration convention): effects converge from below as L
+    grows.
+
+    Scale shape: ONE user-keyed window pass builds the transition
+    counts (the ev_markov_transitions shuffle); everything after —
+    20 value-iteration joins — runs on the event-type²-sized count
+    table (~30 rows at any corpus size).  The chains are
+    metadata-scale by construction."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, d, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("END")).alias("t"),
+        F.row_number().over(w).alias("rn"))
+    trans = (seq.groupBy("s", "t").agg(F.count("*").alias("c"))
+             .unionByName(
+                 seq.filter(F.col("rn") == 1)
+                 .groupBy(F.col("s").alias("t"))
+                 .agg(F.count("*").alias("c"))
+                 .select(F.lit("START").alias("s"), "t", "c"))
+             .localCheckpoint())
+    r = trans.groupBy("s").agg(F.sum("c").cast("long").alias("rs"))
+
+    def absorb(removed: str | None):
+        a = trans if removed is None else trans.filter(
+            F.col("t") != removed)
+        q = None
+        for _ in range(_ATTR_L):
+            if q is None:
+                qt = F.when(F.col("t") == "purchase",
+                            F.lit(_ATTR_G)).otherwise(F.lit(0))
+                j = a
+            else:
+                j = a.join(q.select(F.col("s").alias("t"),
+                                    F.col("q").alias("qt_prev")),
+                           "t", "left")
+                qt = F.when(F.col("t") == "purchase", F.lit(_ATTR_G)) \
+                     .otherwise(F.coalesce("qt_prev", F.lit(0)))
+            num = (j.groupBy("s")
+                   .agg(F.sum(F.col("c") * qt).cast("long").alias("nm")))
+            q = (r.join(num, "s", "left")
+                 .select("s", F.expr("coalesce(nm, 0) div rs")
+                         .cast("long").alias("q"))
+                 .localCheckpoint())
+        return q.filter(F.col("s") == "START").select("q")
+
+    base = absorb(None).select(F.col("q").alias("base_conv_q"))
+    rows = []
+    for ch in _ATTR_CHANNELS:
+        rows.append(
+            absorb(ch).select(F.lit(ch).alias("channel"),
+                              F.col("q").alias("removed_conv_q")))
+    rem = rows[0]
+    for fr in rows[1:]:
+        rem = rem.unionByName(fr)
+    eff = (rem.crossJoin(F.broadcast(base))
+           .select("channel", "base_conv_q", "removed_conv_q",
+                   (F.col("base_conv_q") - F.col("removed_conv_q"))
+                   .cast("long").alias("effect_q")))
+    tot = eff.agg(F.sum("effect_q").cast("long").alias("te"))
+    return (eff.crossJoin(F.broadcast(tot))
+            .select("channel", "base_conv_q", "removed_conv_q",
+                    F.round(F.col("effect_q").cast("double")
+                            / F.col("base_conv_q").cast("double"), 6)
+                     .alias("removal_effect"),
+                    F.round(F.col("effect_q").cast("double")
+                            / F.col("te").cast("double"), 6)
+                     .alias("attribution_share"))
+            .orderBy("channel"))
+
+
+ev_attribution_removal.__doc__ = \
+    ev_attribution_removal.__doc__.format(L=_ATTR_L)

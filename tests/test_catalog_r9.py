@@ -414,3 +414,15 @@ def test_engine_lsh_backend_columns_and_floor(spark):
     assert len(a & e) / len(e) >= 0.6
     gate = CATALOG["eng_lsh_recall"].build(spark, SF001).collect()[0]
     assert gate["floor_met"]
+
+
+def test_attribution_removal_identities(spark):
+    rows = CATALOG["ev_attribution_removal"].build(spark, SF001).collect()
+    assert len(rows) == 4
+    base = rows[0]["base_conv_q"]
+    assert all(r["base_conv_q"] == base for r in rows)
+    for r in rows:
+        # removing a channel can only destroy conversion paths
+        assert 0 <= r["removed_conv_q"] <= base
+        assert 0.0 <= r["removal_effect"] <= 1.0
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-4
