@@ -97,6 +97,47 @@ def decode_features(df: DataFrame, id_col: str = "doc_id",
               .mapInPandas(_decode, schema=_FEATURE_SCHEMA))
 
 
+N_GRID_CELLS = 16
+
+_GRID_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("cells", T.ArrayType(T.LongType())),
+])
+
+
+def grid_features(df: DataFrame, id_col: str = "doc_id",
+                  bytes_col: str = "content_bytes",
+                  backend: str = "fake") -> DataFrame:
+    """Per-region luminance grid for perceptual hashing: one integer
+    cell value (0-255) per grid region — the input aHash/pHash
+    consume (production uses an 8x8 = 64-cell grid; the fake backend
+    emits the 16 md5 bytes of the payload, a deterministic stand-in
+    a real downscale-and-average drops into at the same iterator
+    point).  Same Arrow mapInPandas shape as decode_features, wider
+    hash domain (the 8-feature path's 8-bit hash collides
+    quadratically at corpus scale — see mm_ahash_neardup)."""
+    if backend != "fake":
+        raise NotImplementedError(
+            "grid backend %r: no media library ships in this "
+            "container; plug a downscale-and-average into "
+            "grid_features' iterator" % backend)
+
+    def _grid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bytes_col]):
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                rows.append({
+                    "doc_id": doc_id,
+                    "cells": [int(h[2 * i: 2 * i + 2], 16)
+                              for i in range(N_GRID_CELLS)],
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "cells"])
+
+    return (df.select(id_col, bytes_col)
+              .mapInPandas(_grid, schema=_GRID_SCHEMA))
+
+
 _RESIZE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("width", T.IntegerType()),

@@ -1490,22 +1490,51 @@ def g6_triangle_census(spark: SparkSession, d: str) -> DataFrame:
     (u,v) edge key — the standard distributed triangle-count plan
     (node-iterator with degree-ordered orientation).  No window
     touches anything corpus-sized."""
-    from ..functions.vector import cosine, to_double_array
+    return _census_from_und(_g6_und(spark, d))
+
+
+def _g6_und(spark: SparkSession, d: str,
+            method: str = "exact") -> DataFrame:
+    """Symmetrized 5-NN edge list, localCheckpointed.  ``method``
+    picks the candidate generator: "exact" is the value-oracle-able
+    all-pairs build; "ivf" is the documented 100 TB swap
+    (ivf_knn_join cell-pruned candidates — stress_bench times the
+    census over THESE edges at the 10x tier, where the exact build
+    is a 4e8-pair window).  The checkpoint matters: und is referenced
+    five times downstream (deg twice, the triangle join three times)
+    — unmaterialized, the kNN build recomputes per reference, which
+    at the 10x tier turned one census into ~5 quadratic passes."""
     from pyspark.sql import Window as W
+    from ..functions.vector import cosine, to_double_array
     from .catalog_r8b import _LP_K
-    e = _t(spark, d, "embeddings").select(
-        "vec_id", to_double_array(F.col("embedding")).alias("emb"))
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.emb"), F.col("b.emb"))
-    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
-    nb = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-          .select(F.col("a.vec_id").alias("src"),
-                  F.col("b.vec_id").alias("dst"), cos.alias("cos"))
-          .withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") <= _LP_K).select("src", "dst"))
-    und = (nb.select(F.least("src", "dst").alias("u"),
-                     F.greatest("src", "dst").alias("v"))
-           .distinct())
+    e = _t(spark, d, "embeddings")
+    if method == "ivf":
+        from ..operators.similarity import ivf_knn_join
+        nb = (ivf_knn_join(
+                  e.withColumnRenamed("vec_id", "query_id"), e,
+                  k=_LP_K + 1, n_lists=16, n_probe=4)
+              .filter(F.col("query_id") != F.col("result_id"))
+              .filter(F.col("rank") <= _LP_K + 1)
+              .select(F.col("query_id").alias("src"),
+                      F.col("result_id").alias("dst")))
+    else:
+        ed = e.select("vec_id",
+                      to_double_array(F.col("embedding")).alias("emb"))
+        a, b = ed.alias("a"), ed.alias("b")
+        cos = cosine(F.col("a.emb"), F.col("b.emb"))
+        w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
+        nb = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+              .select(F.col("a.vec_id").alias("src"),
+                      F.col("b.vec_id").alias("dst"), cos.alias("cos"))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= _LP_K).select("src", "dst"))
+    return (nb.select(F.least("src", "dst").alias("u"),
+                      F.greatest("src", "dst").alias("v"))
+            .distinct().localCheckpoint())
+
+
+def _census_from_und(und: DataFrame) -> DataFrame:
+    """Triangle/wedge census over a canonical undirected edge list."""
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -1525,6 +1554,7 @@ def g6_triangle_census(spark: SparkSession, d: str) -> DataFrame:
                     F.round(F.col("n_triangles").cast("double") * 3
                             / F.col("n_wedges").cast("double"), 6)
                      .alias("global_clustering")))
+
 
 # ===========================================================================
 # Kendall rank correlation between the full-dim and Matryoshka
@@ -1642,13 +1672,13 @@ def ir7_kendall_tau(spark: SparkSession, d: str) -> DataFrame:
 # ===========================================================================
 
 def _ahash_oracle() -> str:
-    from ..operators.multimodal import N_FEATURES
+    from ..operators.multimodal import N_GRID_CELLS
     bs = [f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT"
-          for i in range(N_FEATURES)]
+          for i in range(N_GRID_CELLS)]
     sumb = " + ".join(bs)
     bits = " + ".join(
-        f"(CASE WHEN ({b}) * {N_FEATURES} >= sumb"
-        f" THEN {1 << (N_FEATURES - 1 - i)} ELSE 0 END)"
+        f"(CASE WHEN ({b}) * {N_GRID_CELLS} >= sumb"
+        f" THEN {1 << (N_GRID_CELLS - 1 - i)} ELSE 0 END)"
         for i, b in enumerate(bs))
     return f"""
 WITH raw AS (
@@ -1656,9 +1686,9 @@ WITH raw AS (
 ), h AS (
   SELECT doc_id, ({bits})::BIGINT AS ahash FROM raw
 ), bands AS (
-  SELECT doc_id, ahash, 0 AS band, (ahash & 15)::BIGINT AS bval FROM h
+  SELECT doc_id, ahash, 0 AS band, (ahash & 255)::BIGINT AS bval FROM h
   UNION ALL
-  SELECT doc_id, ahash, 1 AS band, ((ahash >> 4) & 15)::BIGINT FROM h
+  SELECT doc_id, ahash, 1 AS band, ((ahash >> 8) & 255)::BIGINT FROM h
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.ahash AS ha, b.ahash AS hb
@@ -1674,48 +1704,52 @@ ORDER BY doc_a, doc_b
 @register("mm_ahash_neardup", oracle=_ahash_oracle())
 def mm_ahash_neardup(spark: SparkSession, d: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection for the image payload:
-    average hash (the classic aHash — bit i set iff feature i is at
-    or above the image's mean feature; public folklore, e.g.
-    Krawetz 2011) over the decode_features Arrow path, then
-    SimHash-style band-bucketing (2 bands x 4 bits — pigeonhole
+    average hash (the classic aHash — bit i set iff grid cell i is at
+    or above the image's mean cell; public folklore, e.g.
+    Krawetz 2011) over the grid_features Arrow path (16-cell grid),
+    then SimHash-style band-bucketing (2 bands x 8 bits — pigeonhole
     guarantees every Hamming<=1 pair shares a band) and an exact
     Hamming<=1 filter on candidates.  The image member of the dedup
     family: byte-identical images are caught by dd_exact; aHash
-    catches re-encoded/resized ones (with a real decoder, the
-    features are the 8-region luminance means; the fake backend's
-    md5-derived features exercise the identical plumbing).
+    catches re-encoded/resized ones (with a real decoder, the cells
+    are region luminance means; the fake backend's md5 bytes
+    exercise the identical plumbing).
 
-    Exactness: features come off the Arrow path as k/255 doubles;
-    round(x*255) recovers the integer byte exactly, the mean
-    comparison is cross-multiplied (b_i x 8 >= sum b), and the hash,
-    bands, and bit_count(xor) are all BIGINT ops — the whole
+    Hash width is the scale lever, measured: the first cut used the
+    8-feature path's 8-bit hash, and at the 10x stress tier the
+    Hamming<=1 pair set is inherently ~n²·9/256 — 50M pairs from
+    50k docs (quadratic output, not a plan defect).  At 16 bits the
+    collision rate drops 256x; the production 64-bit grid makes
+    random collisions negligible, leaving only true near-dups.
+
+    Exactness: cells come off the Arrow path as exact integers, the
+    mean comparison is cross-multiplied (b_i x 16 >= sum b), and the
+    hash, bands, and bit_count(xor) are all BIGINT ops — the whole
     mapInPandas output is value-oracled (the mm_keyframes pattern).
 
     Scale shape: hashing is map-side after the decode pass; the only
     shuffle is the band-bucket self-join on (band, bval) — the
-    dd_minhash_lsh shape (with a real 64-bit aHash you band 4x16
-    and cap buckets exactly as minhash does)."""
+    dd_minhash_lsh shape (with the 64-bit hash you band 4x16 and cap
+    buckets exactly as minhash does)."""
     from ..operators import multimodal
-    from ..operators.multimodal import N_FEATURES
+    from ..operators.multimodal import N_GRID_CELLS
 
     docs = _t(spark, d, "documents")
-    feat = multimodal.decode_features(multimodal.attach_binary(docs))
-    bs = F.transform(F.col("features"),
-                     lambda x: F.round(x * 255).cast("long"))
-    h = (feat.select("doc_id", bs.alias("bs"))
+    feat = multimodal.grid_features(multimodal.attach_binary(docs))
+    h = (feat.select("doc_id", F.col("cells").alias("bs"))
          .withColumn("sumb", F.aggregate(
              "bs", F.lit(0).cast("long"), lambda a, x: a + x))
          .withColumn("ahash", F.expr(
-             f"aggregate(zip_with(bs, sequence({N_FEATURES - 1}, 0, -1),"
-             f" (b, p) -> IF(b * {N_FEATURES} >= sumb,"
+             f"aggregate(zip_with(bs, sequence({N_GRID_CELLS - 1}, 0, -1),"
+             f" (b, p) -> IF(b * {N_GRID_CELLS} >= sumb,"
              f" shiftleft(1L, cast(p AS INT)), 0L)),"
              " 0L, (a, x) -> a + x)"))
          .select("doc_id", "ahash"))
     bands = (h.select("doc_id", "ahash", F.lit(0).alias("band"),
-                      F.col("ahash").bitwiseAND(15).alias("bval"))
+                      F.col("ahash").bitwiseAND(255).alias("bval"))
              .unionAll(h.select(
                  "doc_id", "ahash", F.lit(1).alias("band"),
-                 F.shiftright("ahash", 4).bitwiseAND(15).alias("bval"))))
+                 F.shiftright("ahash", 8).bitwiseAND(255).alias("bval"))))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("b.band") == F.col("a.band"))
                    & (F.col("b.bval") == F.col("a.bval"))

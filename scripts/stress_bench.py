@@ -250,7 +250,7 @@ def main() -> None:
               "r12_maxsim_topk", "cc_release_funnel", "mm_keyframes",
               "t25_rule_ablation", "a20_heavy_hitters", "g4_pca_power",
               "t34_ngram_contamination", "mm_ahash_neardup",
-              "g6_triangle_census", "a22_theta_ndv"):
+              "a22_theta_ndv"):
         for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
             n, t = _timed_steady(
                 lambda q=q, d=d: CATALOG[q].build(spark, d).count())
@@ -275,6 +275,26 @@ def main() -> None:
         / T["cc_release_funnel_approx_1x"], 2)
     res["funnel_approx_vs_exact_10x"] = round(
         T["cc_release_funnel_approx_10x"] / T["cc_release_funnel_10x"], 2)
+
+    # --- triangle census tiers: the exact all-pairs kNN build is the
+    # value-oracled catalog form (timed at 1x only — at 10x it is a
+    # 4e8-pair window, the quadratic wall the docstring names); the
+    # ivf-edge census is the documented 100 TB swap, timed at BOTH
+    # tiers so the ratio reads the census's own k-bounded scaling ----
+    from production_grade_rag_spark.plans.catalog_r9 import (
+        _census_from_und, _g6_und)
+    _, t = _timed_steady(
+        lambda: _census_from_und(_g6_und(spark, SF_DIR)).count())
+    T["g6_census_exact_1x"] = t
+    print(f"# g6 census exact 1x: {t}s", file=sys.stderr)
+    for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+        n, t = _timed_steady(
+            lambda d=d: _census_from_und(
+                _g6_und(spark, d, method="ivf")).count())
+        T[f"g6_census_ivf_{tag}"] = t
+        print(f"# g6 census ivf {tag}: {t}s", file=sys.stderr)
+    res["g6_census_ivf_scale_ratio"] = round(
+        T["g6_census_ivf_10x"] / T["g6_census_ivf_1x"], 2)
 
     # --- fixed-eval-set IR tier (VERDICT r8 #3): the SAME 40-query
     # eval set at both tiers (40 = the 1x tier's full held-out set,
