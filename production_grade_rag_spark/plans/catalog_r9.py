@@ -3019,3 +3019,174 @@ def ev_attribution_removal(spark: SparkSession, d: str) -> DataFrame:
 
 ev_attribution_removal.__doc__ = \
     ev_attribution_removal.__doc__.format(L=_ATTR_L)
+
+# ===========================================================================
+# Greedy k-center coreset (Gonzalez farthest-point) — iterative
+# family #7, and the RADIUS-bounding counterpart of w11's coverage
+# ===========================================================================
+
+_KC_K = 8       # centers selected
+_KC_D = 8       # leading dims (the g2 grid convention)
+_KC_SCALE = 1_000_000
+
+
+def _kc_oracle() -> str:
+    qv = (f"list_transform(list_slice(embedding, 1, {_KC_D}), "
+          f"x -> CAST(floor(x::DOUBLE * {_KC_SCALE} + 0.5) AS BIGINT))")
+    dist = (f"list_sum(list_transform(range(1, {_KC_D + 1}), "
+            f"i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i])))")
+    parts = [f"""
+p AS MATERIALIZED (
+  SELECT vec_id, {qv} AS qv FROM embeddings
+), m0 AS MATERIALIZED (
+  SELECT p.vec_id, p.qv, {dist}::BIGINT AS mind
+  FROM p CROSS JOIN (SELECT qv FROM p WHERE vec_id = 0) c
+)"""]
+    sel = ["SELECT 0::BIGINT AS sel_order, 0::BIGINT AS center_id,"
+           " (SELECT max(mind) FROM m0)::BIGINT AS radius_q"]
+    for k in range(1, _KC_K):
+        parts.append(f"""
+c{k} AS MATERIALIZED (
+  SELECT vec_id, qv FROM m{k - 1}
+  ORDER BY mind DESC, vec_id LIMIT 1
+), m{k} AS MATERIALIZED (
+  SELECT p.vec_id, p.qv, least(p.mind, {dist}::BIGINT) AS mind
+  FROM m{k - 1} p CROSS JOIN c{k} c
+)""")
+        sel.append(
+            f"SELECT {k}::BIGINT, (SELECT vec_id FROM c{k})::BIGINT,"
+            f" (SELECT max(mind) FROM m{k})::BIGINT")
+    return ("WITH " + ",".join(parts) + "\n"
+            + "\nUNION ALL\n".join(sel) + "\nORDER BY sel_order")
+
+
+@register("w13_kcenter_coreset", oracle=_kc_oracle())
+def w13_kcenter_coreset(spark: SparkSession, d: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point
+    traversal, public — the 2-approximation for minimax radius
+    coverage): start from vec_id 0, repeatedly select the point
+    FARTHEST from the selected set, reporting each center and the
+    covering radius after its addition.  The seventh exact iterative
+    member, and the geometric dual of w11_facility_location: facility
+    location maximizes total coverage similarity (picks dense-region
+    exemplars), k-center minimizes the worst point's distance (picks
+    OUTLIER-covering exemplars) — the right coreset when tail
+    coverage matters (eval-set seeding, annotation triage).
+
+    Exactness: distances on the g2 1e-6 fixed-point grid over the
+    leading {D} dims — min-dist state, argmax (DESC dist, ASC id
+    tiebreak), and radii are all exact BIGINTs; the radius column is
+    monotone non-increasing by construction (pinned in pytest).
+
+    Scale shape: per round ONE map-side distance against the single
+    new-center literal + a running min (the k-means assignment
+    shape), one TakeOrdered(1) argmax, one 1-row max — K bounded
+    passes, no window, no pairwise matrix.  The selected-center rows
+    collected per round are bounded metadata (the _km_run
+    convention)."""
+    from ..functions.vector import to_double_array
+    emb = (_t(spark, d, "embeddings")
+           .select("vec_id",
+                   F.transform(
+                       F.slice(to_double_array(F.col("embedding")),
+                               1, _KC_D),
+                       lambda x: F.floor(x * _KC_SCALE + 0.5)
+                       .cast("long")).alias("qv")))
+
+    def dist_to(cv):
+        return sum(((F.element_at(F.col("qv"), i + 1) - F.lit(cv[i]))
+                    * (F.element_at(F.col("qv"), i + 1) - F.lit(cv[i])))
+                   for i in range(_KC_D))
+
+    c0 = emb.filter(F.col("vec_id") == 0).collect()[0]
+    centers = [(0, [int(v) for v in c0["qv"]])]
+    m = emb.select("vec_id", "qv",
+                   dist_to(centers[0][1]).cast("long").alias("mind"))
+    rows = []
+    for k in range(1, _KC_K):
+        m = m.localCheckpoint()
+        rows.append((k - 1, centers[-1][0],
+                     m.agg(F.max("mind")).collect()[0][0]))
+        far = (m.orderBy(F.desc("mind"), "vec_id").limit(1)
+               .collect()[0])
+        centers.append((int(far["vec_id"]), [int(v) for v in far["qv"]]))
+        m = m.select("vec_id", "qv",
+                     F.least(F.col("mind"),
+                             dist_to(centers[-1][1]).cast("long"))
+                     .alias("mind"))
+    rows.append((_KC_K - 1, centers[-1][0],
+                 m.agg(F.max("mind")).collect()[0][0]))
+    return spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in rows],
+        "sel_order long, center_id long, radius_q long"
+    ).orderBy("sel_order")
+
+
+w13_kcenter_coreset.__doc__ = w13_kcenter_coreset.__doc__.format(D=_KC_D)
+
+
+# ===========================================================================
+# Hour-of-day uniformity chi-square — the statistical read behind the
+# hourly profile (is the load pattern real or noise?)
+# ===========================================================================
+
+@register("dq4_seasonality_chi2", oracle="""
+WITH h AS (
+  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24)::BIGINT
+           AS hour,
+         count(*)::BIGINT AS o
+  FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(sum(o) AS BIGINT) AS total,
+         count(*)::BIGINT AS n_hours_present FROM h
+), num AS (
+  SELECT CAST(sum((24 * h.o - t.total) * (24 * h.o - t.total))
+              AS BIGINT)
+         + (24 - t.n_hours_present) * t.total * t.total AS chi_num
+  FROM h CROSS JOIN t GROUP BY t.total, t.n_hours_present
+)
+SELECT t.total AS n_events, 23::BIGINT AS dof,
+       round(n.chi_num::DOUBLE / (24 * t.total)::DOUBLE, 6) AS chi2,
+       (100 * n.chi_num > 3517 * 24 * t.total) AS uniform_rejected
+FROM t CROSS JOIN num n
+""")
+def dq4_seasonality_chi2(spark: SparkSession, d: str) -> DataFrame:
+    """Hour-of-day uniformity chi-square (Pearson 1900, public): is
+    the hourly event profile (ev_hourly_event_counts) a real load
+    pattern or sampling noise?  chi² = Σ(o_h - T/24)²/(T/24) against
+    the df=23, alpha=0.05 critical value 35.17 — the statistical
+    companion the raw profile needs before anyone schedules
+    capacity around it (dq2/dq3 test drift BETWEEN cohorts; this
+    tests structure WITHIN one).
+
+    The exactness trick: multiply through by 24²: chi² =
+    Σ(24·o_h - T)² / (24T), so the numerator is an exact BIGINT
+    (absent hours contribute T² each, added as a closed-form term),
+    and the rejection decision 100·num > 3517·24T is an exact
+    integer comparison (35.17 scaled by 100) — engine-exact even
+    though the display statistic divides.
+
+    Scale shape: one partial-aggregable scan to the 24-row hour
+    table; everything after is constant-size."""
+    ev = _t(spark, d, "events")
+    h = (ev.groupBy(F.expr("(CAST(unix_timestamp(ts) AS BIGINT)"
+                           " div 3600) % 24").alias("hour"))
+         .agg(F.count("*").alias("o")))
+    t = h.agg(F.sum("o").cast("long").alias("total"),
+              F.count("*").alias("n_hours_present"))
+    num = (h.crossJoin(F.broadcast(t))
+           .groupBy("total", "n_hours_present")
+           .agg(F.sum((24 * F.col("o") - F.col("total"))
+                      * (24 * F.col("o") - F.col("total")))
+                .cast("long").alias("s"))
+           .select("total",
+                   (F.col("s") + (24 - F.col("n_hours_present"))
+                    * F.col("total") * F.col("total"))
+                   .cast("long").alias("chi_num")))
+    return (num.select(
+        F.col("total").alias("n_events"),
+        F.lit(23).cast("long").alias("dof"),
+        F.round(F.col("chi_num").cast("double")
+                / (24 * F.col("total")).cast("double"), 6).alias("chi2"),
+        (100 * F.col("chi_num") > 3517 * 24 * F.col("total"))
+        .alias("uniform_rejected")))

@@ -426,3 +426,25 @@ def test_attribution_removal_identities(spark):
         assert 0 <= r["removed_conv_q"] <= base
         assert 0.0 <= r["removal_effect"] <= 1.0
     assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_kcenter_radius_monotone(spark):
+    rows = sorted(CATALOG["w13_kcenter_coreset"].build(spark, SF001)
+                  .collect(), key=lambda r: r["sel_order"])
+    from production_grade_rag_spark.plans.catalog_r9 import _KC_K
+    assert len(rows) == _KC_K
+    assert rows[0]["center_id"] == 0
+    ids = [r["center_id"] for r in rows]
+    assert len(set(ids)) == len(ids), "centers never repeat"
+    for a, b in zip(rows, rows[1:]):
+        assert b["radius_q"] <= a["radius_q"], \
+            "covering radius is monotone non-increasing"
+
+
+def test_seasonality_chi2_nonnegative(spark):
+    row = CATALOG["dq4_seasonality_chi2"].build(spark, SF001).collect()[0]
+    assert row["chi2"] >= 0.0
+    assert row["dof"] == 23
+    # decision consistent with the displayed statistic
+    assert row["uniform_rejected"] == (row["chi2"] > 35.17) or \
+        abs(row["chi2"] - 35.17) < 0.01
