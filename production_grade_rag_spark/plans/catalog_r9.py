@@ -1671,7 +1671,7 @@ def ir7_kendall_tau(spark: SparkSession, d: str) -> DataFrame:
 # dedup family, through the real multimodal Arrow path
 # ===========================================================================
 
-def _ahash_oracle() -> str:
+def _ahash_cte() -> str:
     from ..operators.multimodal import N_GRID_CELLS
     bs = [f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT"
           for i in range(N_GRID_CELLS)]
@@ -1681,7 +1681,7 @@ def _ahash_oracle() -> str:
         f" THEN {1 << (N_GRID_CELLS - 1 - i)} ELSE 0 END)"
         for i, b in enumerate(bs))
     return f"""
-WITH raw AS (
+raw AS (
   SELECT doc_id, text, ({sumb})::BIGINT AS sumb FROM documents
 ), h AS (
   SELECT doc_id, ({bits})::BIGINT AS ahash FROM raw
@@ -1694,11 +1694,16 @@ WITH raw AS (
          a.ahash AS ha, b.ahash AS hb
   FROM bands a JOIN bands b
     ON b.band = a.band AND b.bval = a.bval AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= 1
-ORDER BY doc_a, doc_b
-"""
+), hpairs AS (
+  SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+  FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+)"""
+
+
+def _ahash_oracle() -> str:
+    return ("WITH " + _ahash_cte()
+            + "\nSELECT doc_a, doc_b, hamming FROM hpairs"
+              "\nORDER BY doc_a, doc_b\n")
 
 
 @register("mm_ahash_neardup", oracle=_ahash_oracle())
@@ -1731,6 +1736,14 @@ def mm_ahash_neardup(spark: SparkSession, d: str) -> DataFrame:
     shuffle is the band-bucket self-join on (band, bval) — the
     dd_minhash_lsh shape (with the 64-bit hash you band 4x16 and cap
     buckets exactly as minhash does)."""
+    return (_ahash_pairs(spark, d)
+            .select("doc_a", "doc_b", "hamming")
+            .orderBy("doc_a", "doc_b"))
+
+
+def _ahash_pairs(spark: SparkSession, d: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) aHash near-dup pairs — shared by the
+    pair entry and the component clustering on top of it."""
     from ..operators import multimodal
     from ..operators.multimodal import N_GRID_CELLS
 
@@ -3190,3 +3203,41 @@ def dq4_seasonality_chi2(spark: SparkSession, d: str) -> DataFrame:
                 / (24 * F.col("total")).cast("double"), 6).alias("chi2"),
         (100 * F.col("chi_num") > 3517 * 24 * F.col("total"))
         .alias("uniform_rejected")))
+
+def _ahash_comp_oracle() -> str:
+    return ("WITH RECURSIVE " + _ahash_cte() + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM hpairs
+  UNION SELECT doc_b, doc_a FROM hpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+""")
+
+
+@register("mm_ahash_components", oracle=_ahash_comp_oracle())
+def mm_ahash_components(spark: SparkSession, d: str) -> DataFrame:
+    """Image near-dup CLUSTERS: connected components over the aHash
+    Hamming<=1 pair graph — the image twin of dd_components (pairs
+    alone under-read duplication: re-encodes of one image chain
+    A~B~C without A~C, and the component is the dedup unit whose
+    min-id member becomes the keeper).  Reuses the exact
+    min-label-propagation operator (iterative, early-exit) against
+    the DuckDB recursive transitive closure — equality proves the
+    propagation converged on this graph too.
+
+    Scale shape: the pair graph is band-bucketed (never all-pairs);
+    propagation rounds are broadcast-able joins on the id key with
+    per-round localCheckpoint (dedup.connected_components)."""
+    from ..operators import dedup
+    docs = _t(spark, d, "documents")
+    pairs = (_ahash_pairs(spark, d)
+             .select(F.col("doc_a").alias("id_a"),
+                     F.col("doc_b").alias("id_b")))
+    return dedup.connected_components(pairs, docs)

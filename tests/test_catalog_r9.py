@@ -448,3 +448,15 @@ def test_seasonality_chi2_nonnegative(spark):
     # decision consistent with the displayed statistic
     assert row["uniform_rejected"] == (row["chi2"] > 35.17) or \
         abs(row["chi2"] - 35.17) < 0.01
+
+
+def test_ahash_components_consistent_with_pairs(spark):
+    comp = {r["doc_id"]: r["component"]
+            for r in CATALOG["mm_ahash_components"].build(spark, SF001)
+            .collect()}
+    pairs = CATALOG["mm_ahash_neardup"].build(spark, SF001).collect()
+    for p in pairs:
+        assert comp[p["doc_a"]] == comp[p["doc_b"]], \
+            "paired docs must share a component"
+    for doc, c in comp.items():
+        assert c <= doc, "component label is the min id of the cluster"
