@@ -1493,8 +1493,8 @@ def g6_triangle_census(spark: SparkSession, d: str) -> DataFrame:
     return _census_from_und(_g6_und(spark, d))
 
 
-def _g6_und(spark: SparkSession, d: str,
-            method: str = "exact") -> DataFrame:
+def _g6_und(spark: SparkSession, d: str, method: str = "exact",
+            n_lists: int = 16, n_probe: int = 4) -> DataFrame:
     """Symmetrized 5-NN edge list, localCheckpointed.  ``method``
     picks the candidate generator: "exact" is the value-oracle-able
     all-pairs build; "ivf" is the documented 100 TB swap
@@ -1512,7 +1512,7 @@ def _g6_und(spark: SparkSession, d: str,
         from ..operators.similarity import ivf_knn_join
         nb = (ivf_knn_join(
                   e.withColumnRenamed("vec_id", "query_id"), e,
-                  k=_LP_K + 1, n_lists=16, n_probe=4)
+                  k=_LP_K + 1, n_lists=n_lists, n_probe=n_probe)
               .filter(F.col("query_id") != F.col("result_id"))
               .filter(F.col("rank") <= _LP_K + 1)
               .select(F.col("query_id").alias("src"),

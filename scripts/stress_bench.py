@@ -287,12 +287,17 @@ def main() -> None:
         lambda: _census_from_und(_g6_und(spark, SF_DIR)).count())
     T["g6_census_exact_1x"] = t
     print(f"# g6 census exact 1x: {t}s", file=sys.stderr)
-    for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+    # n_lists scales with the corpus (the bitext-tier convention): at
+    # fixed lists the per-query candidate set grows linearly and the
+    # first cut of this tier scored 100M pairs at 10x (451 s, ratio
+    # 20.6x) — sqrt(n)-ish list growth keeps cells near-constant
+    for tag, d, nl in (("1x", SF_DIR, 16), ("10x", STRESS_DIR, 64)):
         n, t = _timed_steady(
-            lambda d=d: _census_from_und(
-                _g6_und(spark, d, method="ivf")).count())
+            lambda d=d, nl=nl: _census_from_und(
+                _g6_und(spark, d, method="ivf", n_lists=nl)).count())
         T[f"g6_census_ivf_{tag}"] = t
-        print(f"# g6 census ivf {tag}: {t}s", file=sys.stderr)
+        print(f"# g6 census ivf {tag} ({nl} lists): {t}s",
+              file=sys.stderr)
     res["g6_census_ivf_scale_ratio"] = round(
         T["g6_census_ivf_10x"] / T["g6_census_ivf_1x"], 2)
 
