@@ -3241,3 +3241,157 @@ def mm_ahash_components(spark: SparkSession, d: str) -> DataFrame:
              .select(F.col("doc_a").alias("id_a"),
                      F.col("doc_b").alias("id_b")))
     return dedup.connected_components(pairs, docs)
+
+# ===========================================================================
+# Benford first-digit audit — the synthetic-data / fraud tell on
+# monetary columns
+# ===========================================================================
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9; sums to exactly 1e6 on
+# this grid, so expected counts are an exact integer partition of T
+_BENFORD_Q = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+              51153, 45757)
+
+
+def _benford_oracle() -> str:
+    exp_case = " ".join(f"WHEN {d + 1} THEN {q}"
+                        for d, q in enumerate(_BENFORD_Q))
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), o AS (
+  SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY digit
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM o
+), full_o AS (
+  SELECT d.digit, coalesce(o.n, 0)::BIGINT AS n,
+         (CASE d.digit {exp_case} END)::BIGINT AS e_q
+  FROM (SELECT unnest(range(1, 10))::BIGINT AS digit) d
+  LEFT JOIN o ON o.digit = d.digit
+)
+SELECT f.digit, f.n,
+       round(f.n::DOUBLE / t.total::DOUBLE, 6) AS share,
+       round(f.e_q::DOUBLE / 1000000, 6) AS benford_expected,
+       round((1000000 * f.n - f.e_q * t.total)
+             * (1000000 * f.n - f.e_q * t.total)
+             / (f.e_q::DOUBLE * t.total::DOUBLE * 1000000), 6)
+         AS chi2_term
+FROM full_o f CROSS JOIN t ORDER BY f.digit
+"""
+
+
+@register("dq5_benford", oracle=_benford_oracle())
+def dq5_benford(spark: SparkSession, d: str) -> DataFrame:
+    """Benford first-digit audit on order totals (Benford 1938 /
+    Nigrini's forensic-accounting use, public): observed vs expected
+    first-digit shares with per-digit chi-square terms — naturally
+    occurring monetary amounts follow log10(1+1/d), and uniform or
+    generator-shaped data (like this synthetic corpus) departs loudly
+    — exactly what the audit is for: a data-quality tell on any
+    ingested numeric column before anyone models on it.
+
+    Exactness: expected probabilities are PRE-QUANTIZED to a 1e-6
+    integer grid that partitions 1e6 exactly (module literals, the
+    ir1 injected-weights convention), so expected counts e_q·T and
+    the chi-square numerator (1e6·n - e_q·T)² are exact BIGINTs;
+    each term divides once for display.
+
+    Scale shape: first digit is map-side string math; one partial-agg
+    to the 9-row digit table; everything after is constant-size."""
+    orders = _t(spark, d, "orders")
+    digits = (orders.filter(F.col("o_totalprice") >= 1)
+              .select(F.substring(F.floor("o_totalprice").cast("long")
+                                  .cast("string"), 1, 1).cast("long")
+                      .alias("digit")))
+    o = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    t = o.agg(F.sum("n").cast("long").alias("total"))
+    full = (spark.range(1, 10).select(F.col("id").alias("digit"))
+            .join(o, "digit", "left")
+            .select("digit", F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n"),
+                    F.element_at(
+                        F.array(*[F.lit(q) for q in _BENFORD_Q]),
+                        F.col("digit").cast("int")).cast("long")
+                    .alias("e_q")))
+    num = (1000000 * F.col("n") - F.col("e_q") * F.col("total"))
+    return (full.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("total").cast("double"), 6)
+                     .alias("share"),
+                    F.round(F.col("e_q").cast("double") / 1000000, 6)
+                     .alias("benford_expected"),
+                    F.round(num * num
+                            / (F.col("e_q").cast("double")
+                               * F.col("total").cast("double")
+                               * 1000000), 6).alias("chi2_term"))
+            .orderBy("digit"))
+
+
+# ===========================================================================
+# p-chart on the daily error share — statistical process control for
+# the ingest pipeline (3-sigma limits, all-integer decision)
+# ===========================================================================
+
+@register("dq6_error_pchart", oracle="""
+WITH daily AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400)::BIGINT AS day,
+         count(*)::BIGINT AS n_events,
+         CAST(sum((event_type = 'error')::INT) AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS nn,
+         CAST(sum(n_errors) AS BIGINT) AS oo
+  FROM daily
+)
+SELECT d.day, d.n_events, d.n_errors,
+       round(d.n_errors::DOUBLE / d.n_events::DOUBLE, 6) AS err_share,
+       round(t.oo::DOUBLE / t.nn::DOUBLE, 6) AS center,
+       ((d.n_errors * t.nn - t.oo * d.n_events)
+        * (d.n_errors * t.nn - t.oo * d.n_events)
+        > 9 * t.oo * (t.nn - t.oo) * d.n_events)
+         AS out_of_control
+FROM daily d CROSS JOIN tot t ORDER BY d.day
+""")
+def dq6_error_pchart(spark: SparkSession, d: str) -> DataFrame:
+    """Shewhart p-chart on the daily error share (Shewhart 1931,
+    public — the control chart every SPC text opens with): flag days
+    whose error proportion leaves the 3-sigma binomial band around
+    the corpus-wide center line — the pipeline-health companion to
+    ev_anomaly_mad (MAD reads VOLUME anomalies; this reads RATE
+    anomalies with the correct per-day sample-size-dependent band:
+    a 60%-error 5-event day is noise, a 10%-error 10k-event day is
+    an incident).
+
+    The exactness trick: the flag |p_d - p̄| > 3·sqrt(p̄(1-p̄)/n_d)
+    cross-multiplies to (o_d·N - O·n_d)² > 9·O·(N-O)·n_d — an exact
+    BIGINT comparison, no sqrt at all (magnitudes: o_d·N at 1e5-row
+    days on 1e9-event corpora near the BIGINT edge — shift counts to
+    a coarser grid first at that scale, the g2/g4 convention).
+
+    Scale shape: one partial-aggregable scan to the day table, a
+    1-row broadcast total, map-side flags."""
+    ev = _t(spark, d, "events")
+    daily = (ev.groupBy(F.expr("CAST(unix_timestamp(ts) AS BIGINT)"
+                               " div 86400").alias("day"))
+             .agg(F.count("*").alias("n_events"),
+                  F.sum((F.col("event_type") == "error").cast("int"))
+                  .cast("long").alias("n_errors")))
+    tot = daily.agg(F.sum("n_events").cast("long").alias("nn"),
+                    F.sum("n_errors").cast("long").alias("oo"))
+    dev = (F.col("n_errors") * F.col("nn")
+           - F.col("oo") * F.col("n_events"))
+    return (daily.crossJoin(F.broadcast(tot))
+            .select("day", "n_events", "n_errors",
+                    F.round(F.col("n_errors").cast("double")
+                            / F.col("n_events").cast("double"), 6)
+                     .alias("err_share"),
+                    F.round(F.col("oo").cast("double")
+                            / F.col("nn").cast("double"), 6)
+                     .alias("center"),
+                    (dev * dev > 9 * F.col("oo")
+                     * (F.col("nn") - F.col("oo")) * F.col("n_events"))
+                    .alias("out_of_control"))
+            .orderBy("day"))

@@ -460,3 +460,25 @@ def test_ahash_components_consistent_with_pairs(spark):
             "paired docs must share a component"
     for doc, c in comp.items():
         assert c <= doc, "component label is the min id of the cluster"
+
+
+def test_benford_shares_and_terms(spark):
+    rows = CATALOG["dq5_benford"].build(spark, SF001).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_expected"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r["chi2_term"] >= 0.0
+
+
+def test_pchart_flag_matches_band(spark):
+    rows = CATALOG["dq6_error_pchart"].build(spark, SF001).collect()
+    assert rows
+    import math
+    for r in rows:
+        p, n = r["center"], r["n_events"]
+        band = 3 * math.sqrt(p * (1 - p) / n)
+        # the integer flag agrees with the float definition away from
+        # the knife edge
+        if abs(abs(r["err_share"] - p) - band) > 1e-6:
+            assert r["out_of_control"] == (abs(r["err_share"] - p) > band)
