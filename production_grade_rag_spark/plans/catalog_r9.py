@@ -1,28 +1,41 @@
 """Catalog extension 7 (round 9).
 
-Converts the two documented-but-unbuilt 100 TB knobs from VERDICT r8
-into code, then extends the training-data surface:
+Wave 1 converts the documented-but-unbuilt 100 TB knobs from VERDICT
+r8 into code: the approx-percentile funnel (ta_perplexity_approx /
+cc_release_funnel_approx, Greenwald-Khanna sketch, a11-gated), IVF
+bitext mining (r9_bitext_ivf + recall gate), adaptive multi-probe as
+the engine default (eng_ivfpq_adaptive_recall), streaming SemDeDup
+(st_semdedup — frozen-layout per-batch assignment, drained keeper
+election hash-matches batch), BPE at depth 16
+(t20_bpe_merges16/_curve), the fixed-eval IR tier, plus the
+data-card additions (t31 epoch allocation, w12 curriculum
+interleave, ir5 sign test, t33 Neyman allocation, dq3 KS drift,
+mm_vad_segments).
 
-- ta_perplexity_approx / cc_release_funnel_approx: the
-  approx-percentile tertile cut (Greenwald-Khanna sketch) the
-  perplexity/funnel docstrings promised — a11-style gated against the
-  exact cut (exact values oracled, approx agreement bounded), and the
-  funnel twin that removes the exact-percentile global barrier
-  (STRESS_r09 measures the ratio drop).
-- r9_bitext_ivf (+ recall gate): the IVF-cell candidate-generation
-  form of bitext mining — the only ANN-shaped operator whose 100 TB
-  path existed only in prose (catalog_r8.py r9_bitext_pairs).
-- eng_ivfpq_adaptive_recall: adaptive multi-probe as the engine
-  DEFAULT (EngineConfig.ann_mass_target=0.8), pinned by an
-  engine-level recall gate at floor 0.9.
-- st_semdedup: streaming semantic dedup — frozen-layout per-batch
-  cell assignment (the st_ivf_ingest shape) + append-only per-cell
-  member store; the drained keeper election hash-matches batch
-  dd_semdedup's kept set across out-of-order tranches and a
-  checkpoint resume.
-- t20_bpe_merges16 / t20_bpe_curve: the BPE merge loop at depth 16
-  with the merges-vs-compression curve (vocab-table-sized per
-  iteration; the driver-side bound is the 1-row arg-max per merge).
+Wave 2 broadens the training-data/analytics surface, one value
+oracle each:
+
+- eval hygiene: t34_ngram_contamination (GPT-3 App. C 8-gram
+  overlap), ir7_kendall_tau (Matryoshka rank order).
+- sketches: a22_theta_ndv / a23_theta_setops (fixed-theta distinct
+  with set operations) + st_theta_ingest (union-semilattice
+  streaming merge — CMS covers addition, theta covers union).
+- events: ev_retention_triangle, ev_anomaly_mad, ev_stickiness,
+  ev_funnel_ttc, ev_attribution_removal (Markov removal effect on a
+  1e-6 integer grid).
+- text: ta_zipf_fit, ta_burstiness (Fano factors), ta_source_tfidf,
+  t35_span_corruption (T5 masks), t36_dup_quality_matrix.
+- graphs (exact iterative members #6-7 + structure):
+  g6_triangle_census, g7_kcore_peel, w13_kcenter_coreset,
+  g2_silhouette.
+- multimodal: mm_ahash_neardup (16-cell grid_features Arrow path —
+  the 8-bit first cut measured a quadratic pair blowup at 10x),
+  mm_ahash_components, mm_audio_fingerprint (Shazam constellation).
+- storage/platform: s33_compaction_plan (next-fit-decreasing),
+  a24_sampled_join_estimate (key-correlated join-size sampling).
+- data quality: dq4_seasonality_chi2, dq5_benford, dq6_error_pchart
+  — statistical tests with all-integer decisions.
+- engine: ann_backend='lsh' (MLlib BRP-LSH) + eng_lsh_recall.
 
 Registered after catalog_r8b so the driver's existing correctness
 window is unchanged (REGISTRATION ORDER IS LOAD-BEARING — see
