@@ -3408,3 +3408,93 @@ def dq6_error_pchart(spark: SparkSession, d: str) -> DataFrame:
                      * (F.col("nn") - F.col("oo")) * F.col("n_events"))
                     .alias("out_of_control"))
             .orderBy("day"))
+
+# ===========================================================================
+# Two-proportion z-test — the A/B experimentation primitive, integer
+# decision (completes dq4/dq5/dq6's classical-statistics family)
+# ===========================================================================
+
+@register("dq7_ab_ztest", oracle="""
+WITH u AS (
+  SELECT user_id, (user_id % 2)::BIGINT AS arm,
+         (sum((event_type = 'purchase')::INT) >= 2)::BIGINT
+           AS converted
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+              AS BIGINT) AS o1,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+              AS BIGINT) AS o2
+  FROM u
+)
+SELECT n1, o1, n2, o2,
+       round(o1::DOUBLE / n1::DOUBLE, 6) AS p1,
+       round(o2::DOUBLE / n2::DOUBLE, 6) AS p2,
+       CASE WHEN o1 + o2 = 0 OR o1 + o2 = n1 + n2 THEN 0.0::DOUBLE
+            ELSE round((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1)
+                       * (n1 + n2)::DOUBLE
+                       / ((o1 + o2)::DOUBLE
+                          * (n1 + n2 - o1 - o2)::DOUBLE
+                          * n1::DOUBLE * n2::DOUBLE), 6)
+       END AS z_squared,
+       (10000 * (n1 + n2) * (o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1)
+        > 38416 * (o1 + o2) * (n1 + n2 - o1 - o2) * n1 * n2)
+         AS significant_95
+FROM a
+""")
+def dq7_ab_ztest(spark: SparkSession, d: str) -> DataFrame:
+    """Two-proportion z-test on per-user conversion between the two
+    hash arms (the textbook A/B primitive; pooled-variance form in
+    every stats reference): arm = user_id % 2 (the deterministic
+    assignment t26 uses for splits — on non-experimental data this
+    is an A/A test, so 'significant' should be FALSE, which is
+    itself the diagnostic: a significant A/A split means the
+    assignment leaked into behavior).  Conversion = at least two
+    purchase events, so both arms carry real variation at every SF
+    (a single-purchase definition saturates on this event mix).  Completes the classical-
+    statistics family: chi-square within a dimension (dq4), Benford
+    against a law (dq5), SPC over time (dq6), now two-sample
+    inference.
+
+    The exactness trick: z² = (p1-p2)² / (p̂(1-p̂)(1/n1+1/n2))
+    cross-multiplies to 10000·N·(o1·n2-o2·n1)² > 38416·O·(N-O)·n1·n2
+    (z²_{0.95} = 1.96² = 3.8416 scaled by 10⁴) — an exact BIGINT
+    comparison.  Magnitude bound: N·(o1n2-o2n1)² needs counts below
+    ~1e4.6 to stay in BIGINT with the 10⁴ scale — shift counts to a
+    coarser grid first at larger corpora (the g2/g4 convention,
+    stated here because this is the first place the guard binds at
+    realistic event volumes).
+
+    Scale shape: one per-user conditional max (partial-agg on the
+    user key), a 4-cell conditional aggregate, map-side arithmetic."""
+    ev = _t(spark, d, "events")
+    u = (ev.groupBy("user_id")
+         .agg((F.sum((F.col("event_type") == "purchase").cast("int"))
+               >= 2).cast("long").alias("converted"))
+         .select((F.col("user_id") % 2).alias("arm"), "converted"))
+    a = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+         .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))
+              .otherwise(0)).cast("long").alias("o1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+         .alias("n2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))
+              .otherwise(0)).cast("long").alias("o2"))
+    n1, o1, n2, o2 = (F.col(c) for c in ("n1", "o1", "n2", "o2"))
+    dev = o1 * n2 - o2 * n1
+    nn, oo = n1 + n2, o1 + o2
+    return a.select(
+        "n1", "o1", "n2", "o2",
+        F.round(o1.cast("double") / n1.cast("double"), 6).alias("p1"),
+        F.round(o2.cast("double") / n2.cast("double"), 6).alias("p2"),
+        F.when((oo == 0) | (oo == nn), F.lit(0.0))
+         .otherwise(F.round(
+             dev * dev * nn.cast("double")
+             / (oo.cast("double") * (nn - oo).cast("double")
+                * n1.cast("double") * n2.cast("double")), 6))
+         .alias("z_squared"),
+        (10000 * nn * dev * dev > 38416 * oo * (nn - oo) * n1 * n2)
+        .alias("significant_95"))

@@ -482,3 +482,13 @@ def test_pchart_flag_matches_band(spark):
         # the knife edge
         if abs(abs(r["err_share"] - p) - band) > 1e-6:
             assert r["out_of_control"] == (abs(r["err_share"] - p) > band)
+
+
+def test_ab_ztest_aa_not_significant(spark):
+    row = CATALOG["dq7_ab_ztest"].build(spark, SF001).collect()[0]
+    assert row["n1"] + row["n2"] > 0
+    assert row["z_squared"] >= 0.0
+    # hash A/A split on non-experimental data: the integer decision
+    # must agree with the float statistic at the 3.8416 cut
+    if abs(row["z_squared"] - 3.8416) > 1e-6:
+        assert row["significant_95"] == (row["z_squared"] > 3.8416)
