@@ -540,3 +540,44 @@ def test_theta_ndv_survivor_filter_before_distinct(spark):
     # two-phase HashAggregate), no join at all
     assert "HashAggregate" in plan
     assert "Join" not in plan
+
+
+def test_attribution_single_user_window(spark):
+    plan = _plan(spark, "ev_attribution_removal")
+    # one user-keyed window builds transitions; the 20 value-iteration
+    # joins run on the tiny count table with no cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_ttc_one_user_exchange(spark):
+    plan = _plan(spark, "ev_funnel_ttc")
+    assert "CartesianProduct" not in plan
+    # sessionization + the running first-view min reuse the user_id
+    # exchange; no event-scaled broadcast
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
+
+
+def test_stickiness_two_phase_aggs(spark):
+    plan = _plan(spark, "ev_stickiness")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ab_ztest_no_join(spark):
+    plan = _plan(spark, "dq7_ab_ztest")
+    # per-user conditional agg + one 4-cell aggregate: no join at all
+    assert "Join" not in plan
+
+
+def test_benford_digit_table_broadcast(spark):
+    plan = _plan(spark, "dq5_benford")
+    assert "CartesianProduct" not in plan
+    # the 9-digit frame and the 1-row total ride broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pchart_map_side_flags(spark):
+    plan = _plan(spark, "dq6_error_pchart")
+    assert "CartesianProduct" not in plan
+    # day table + broadcast 1-row total; flags are projections
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
