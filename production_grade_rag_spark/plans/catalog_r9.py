@@ -3498,3 +3498,201 @@ def dq7_ab_ztest(spark: SparkSession, d: str) -> DataFrame:
          .alias("z_squared"),
         (10000 * nn * dev * dev > 38416 * oo * (nn - oo) * n1 * n2)
         .alias("significant_95"))
+
+# ===========================================================================
+# Hub-removal robustness — the attack read on the 5-NN graph (how
+# much of the neighborhood structure rides on a few hub nodes)
+# ===========================================================================
+
+_G8_HUBS = 10
+
+
+def _g8_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8b import _LP_K
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), nb AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM nb
+), deg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+), hubs AS MATERIALIZED (
+  SELECT node FROM deg ORDER BY deg DESC, node LIMIT {_G8_HUBS}
+), kept AS (
+  SELECT u, v FROM und
+  WHERE u NOT IN (SELECT node FROM hubs)
+    AND v NOT IN (SELECT node FROM hubs)
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+       (SELECT max(deg) FROM deg)::BIGINT AS max_degree,
+       (SELECT count(*) FROM kept)::BIGINT AS edges_after_attack,
+       round((SELECT count(*) FROM und) - (SELECT count(*) FROM kept),
+             0)::BIGINT AS edges_lost,
+       round(((SELECT count(*) FROM und)
+              - (SELECT count(*) FROM kept))::DOUBLE
+             / (SELECT count(*) FROM und)::DOUBLE, 6)
+         AS edge_loss_share
+"""
+
+
+@register("g8_hub_attack", oracle=_g8_oracle())
+def g8_hub_attack(spark: SparkSession, d: str) -> DataFrame:
+    """Hub-removal robustness of the 5-NN graph (Albert, Jeong &
+    Barabási 2000, public — scale-free networks shatter under
+    targeted hub attack): drop the {H} highest-degree nodes and
+    report the edge loss share — the quantitative form of the
+    hubness diagnostic g6's docstring names (in high dimensions a
+    few points appear in everyone's kNN list; if removing {H} of
+    {H}00s of nodes erases a large edge share, the 'neighborhood
+    structure' is hub artifact, and everything downstream of the
+    graph — label propagation, SemDeDup cells, ICP packing — is
+    standing on it).
+
+    Exactness: degrees, the top-{H} hub election (deg DESC, id ASC),
+    and all counts are exact integers; one display division.
+
+    Scale shape: the kNN build is the documented exact/ivf swap
+    (_g6_und); degree count partial-aggregates; the attack is two
+    broadcast-able anti-joins against an {H}-row hub list."""
+    from pyspark.sql import functions as _F
+    und = _g6_und(spark, d)
+    ends = (und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node"))))
+    deg = ends.groupBy("node").agg(F.count("*").alias("deg"))
+    hubs = (deg.orderBy(F.desc("deg"), "node").limit(_G8_HUBS)
+            .select("node"))
+    kept = (und.join(F.broadcast(hubs.withColumnRenamed("node", "u")),
+                     "u", "left_anti")
+            .join(F.broadcast(hubs.withColumnRenamed("node", "v")),
+                  "v", "left_anti"))
+    stats = deg.agg(F.count("*").alias("n_nodes"),
+                    F.max("deg").cast("long").alias("max_degree"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_kept = kept.agg(F.count("*").alias("edges_after_attack"))
+    return (stats.crossJoin(F.broadcast(n_edges))
+            .crossJoin(F.broadcast(n_kept))
+            .select("n_nodes", "n_edges", "max_degree",
+                    "edges_after_attack",
+                    (F.col("n_edges") - F.col("edges_after_attack"))
+                    .cast("long").alias("edges_lost"),
+                    F.round((F.col("n_edges")
+                             - F.col("edges_after_attack"))
+                            .cast("double")
+                            / F.col("n_edges").cast("double"), 6)
+                     .alias("edge_loss_share")))
+
+
+g8_hub_attack.__doc__ = g8_hub_attack.__doc__.format(H=_G8_HUBS)
+
+
+# ===========================================================================
+# PMI collocations among the head tokens — the association read
+# beside burstiness (which pairs travel together)
+# ===========================================================================
+
+_PMI_TOP = 20
+
+
+def _pmi_oracle() -> str:
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), top AS (
+  SELECT tok, count(*)::BIGINT AS df FROM dt GROUP BY tok
+  ORDER BY df DESC, tok LIMIT {_PMI_TOP}
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+         (SELECT count(*) FROM dt x JOIN dt y
+          ON y.doc_id = x.doc_id AND x.tok = a.tok AND y.tok = b.tok
+         )::BIGINT AS df_ab
+  FROM top a JOIN top b ON a.tok < b.tok
+)
+SELECT tok_a, tok_b, df_a, df_b, df_ab,
+       CASE WHEN df_ab = 0 THEN NULL
+            ELSE CAST(round(ln(df_ab::DOUBLE * n.n_docs::DOUBLE
+                               / (df_a::DOUBLE * df_b::DOUBLE))
+                            * 1000000) AS BIGINT)
+       END AS pmi_q
+FROM pairs CROSS JOIN n
+ORDER BY tok_a, tok_b
+"""
+
+
+@register("ta_pmi_pairs", oracle=_pmi_oracle())
+def ta_pmi_pairs(spark: SparkSession, d: str) -> DataFrame:
+    """Pointwise mutual information for every pair of the {top} head
+    tokens (Church & Hanks 1990, public — the collocation statistic):
+    PMI = ln(P(a,b)/(P(a)P(b))) over document co-occurrence — which
+    vocabulary actually travels together, the association read
+    beside ta_burstiness's dispersion and ta_source_tfidf's
+    distinctiveness.  Negative PMI between head tokens is its own
+    tell (templated text where frequent tokens AVOID each other).
+
+    Exactness: df counts are exact integers and PMI is quantized to
+    a 1e-6 BIGINT once per pair (NULL when never co-occurring —
+    honest -inf); the pair set is the head-token cross, {top}x{top}/2
+    rows, never the vocabulary square.
+
+    Scale shape: one distinct (doc, token) projection; the head
+    table is a TakeOrdered({top}); co-occurrence joins the projection
+    against itself RESTRICTED to head tokens (two broadcast
+    semi-joins, then a doc-keyed equi-join), so the join input is
+    corpus x {top}/vocab-share, not corpus²."""
+    from pyspark.sql import Window as W
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    dt = (docs.select("doc_id", F.explode(tokens(F.col("text")))
+                      .alias("tok"))
+          .distinct())
+    n = docs.agg(F.count("*").alias("n_docs"))
+    top = (dt.groupBy("tok").agg(F.count("*").alias("df"))
+           .orderBy(F.desc("df"), "tok").limit(_PMI_TOP))
+    ht = dt.join(F.broadcast(top), "tok")
+    a = ht.select(F.col("doc_id"), F.col("tok").alias("tok_a"),
+                  F.col("df").alias("df_a"))
+    b = ht.select(F.col("doc_id"), F.col("tok").alias("tok_b"),
+                  F.col("df").alias("df_b"))
+    co = (a.join(b, "doc_id")
+          .filter(F.col("tok_a") < F.col("tok_b"))
+          .groupBy("tok_a", "tok_b", "df_a", "df_b")
+          .agg(F.count("*").alias("df_ab")))
+    ta, tb = top.alias("ta"), top.alias("tb")
+    allp = (ta.join(tb, F.col("ta.tok") < F.col("tb.tok"))
+            .select(F.col("ta.tok").alias("tok_a"),
+                    F.col("tb.tok").alias("tok_b"),
+                    F.col("ta.df").alias("df_a"),
+                    F.col("tb.df").alias("df_b")))
+    full = (allp.join(co.select("tok_a", "tok_b", "df_ab"),
+                      ["tok_a", "tok_b"], "left")
+            .select("tok_a", "tok_b", "df_a", "df_b",
+                    F.coalesce("df_ab", F.lit(0)).cast("long")
+                    .alias("df_ab")))
+    pmi = F.when(F.col("df_ab") == 0, F.lit(None).cast("long")) \
+        .otherwise(F.round(F.log(
+            F.col("df_ab").cast("double") * F.col("n_docs").cast("double")
+            / (F.col("df_a").cast("double")
+               * F.col("df_b").cast("double"))) * 1000000).cast("long"))
+    return (full.crossJoin(F.broadcast(n))
+            .select("tok_a", "tok_b", "df_a", "df_b", "df_ab",
+                    pmi.alias("pmi_q"))
+            .orderBy("tok_a", "tok_b"))
+
+
+ta_pmi_pairs.__doc__ = ta_pmi_pairs.__doc__.format(top=_PMI_TOP)

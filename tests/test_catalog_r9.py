@@ -492,3 +492,28 @@ def test_ab_ztest_aa_not_significant(spark):
     # must agree with the float statistic at the 3.8416 cut
     if abs(row["z_squared"] - 3.8416) > 1e-6:
         assert row["significant_95"] == (row["z_squared"] > 3.8416)
+
+
+def test_hub_attack_identities(spark):
+    row = CATALOG["g8_hub_attack"].build(spark, SF001).collect()[0]
+    assert row["edges_after_attack"] + row["edges_lost"] == row["n_edges"]
+    assert 0.0 <= row["edge_loss_share"] <= 1.0
+    from production_grade_rag_spark.plans.catalog_r8b import _LP_K
+    # removing H hubs cannot erase more than H * max_degree edges
+    from production_grade_rag_spark.plans.catalog_r9 import _G8_HUBS
+    assert row["edges_lost"] <= _G8_HUBS * row["max_degree"]
+
+
+def test_pmi_pair_shape_and_bounds(spark):
+    from production_grade_rag_spark.plans.catalog_r9 import _PMI_TOP
+    rows = CATALOG["ta_pmi_pairs"].build(spark, SF001).collect()
+    assert len(rows) == _PMI_TOP * (_PMI_TOP - 1) // 2
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["df_ab"] <= min(r["df_a"], r["df_b"])
+        if r["df_ab"] > 0:
+            # PMI upper bound: ln(N / max(df_a, df_b))
+            import math
+            n = spark.read.parquet(f"{SF001}/documents.parquet").count()
+            ub = math.log(n / max(r["df_a"], r["df_b"])) * 1e6 + 1
+            assert r["pmi_q"] <= ub
