@@ -3696,3 +3696,124 @@ def ta_pmi_pairs(spark: SparkSession, d: str) -> DataFrame:
 
 
 ta_pmi_pairs.__doc__ = ta_pmi_pairs.__doc__.format(top=_PMI_TOP)
+
+# ===========================================================================
+# Value concentration deciles — the 80/20 read on event value
+# ===========================================================================
+
+@register("ev_value_deciles", oracle="""
+WITH uv AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT v_cents,
+         ntile(10) OVER (ORDER BY v_cents DESC, user_id) AS decile
+  FROM uv
+), t AS (
+  SELECT CAST(sum(v_cents) AS BIGINT) AS total FROM uv
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_users,
+       CAST(sum(v_cents) AS BIGINT) AS v_cents,
+       round(sum(v_cents)::DOUBLE / t.total::DOUBLE, 6)
+         AS value_share,
+       round(CAST(sum(sum(v_cents))
+                  OVER (ORDER BY decile) AS BIGINT)::DOUBLE
+             / t.total::DOUBLE, 6) AS cum_share
+FROM ranked CROSS JOIN t
+GROUP BY decile, t.total ORDER BY decile
+""")
+def ev_value_deciles(spark: SparkSession, d: str) -> DataFrame:
+    """User-value concentration deciles (the Pareto/80-20 dashboard
+    read; Lorenz-curve points at decile resolution — the per-user
+    twin of a19_source_gini's corpus number): users ranked by total
+    event value, split into ntile(10) deciles, per-decile and
+    cumulative value shares.  The 'how much of revenue is the top
+    decile' table every retention discussion starts from.
+
+    Exactness: event values are quantized to integer cents BEFORE
+    any sum (doubles summed distributed would be order-dependent —
+    the established commutative-sum rule), ntile tiebreaks on
+    (value DESC, user_id), and both share columns divide exact
+    BIGINTs once.
+
+    Scale shape: one user-keyed partial-agg; the ntile window runs
+    over the USER-sized value table (at 100 TB swap for a
+    percentile-cut bucket table, the w10 pattern); the decile
+    aggregate is 10 rows."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, d, "events")
+    uv = (ev.groupBy("user_id")
+          .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+               .cast("long").alias("v_cents")))
+    ranked = uv.withColumn(
+        "decile", F.ntile(10).over(
+            W.orderBy(F.desc("v_cents"), "user_id")).cast("long"))
+    t = uv.agg(F.sum("v_cents").cast("long").alias("total"))
+    agg = (ranked.groupBy("decile")
+           .agg(F.count("*").alias("n_users"),
+                F.sum("v_cents").cast("long").alias("v_cents")))
+    cum = F.sum("v_cents").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0))
+    return (agg.crossJoin(F.broadcast(t))
+            .select("decile", "n_users", "v_cents",
+                    F.round(F.col("v_cents").cast("double")
+                            / F.col("total").cast("double"), 6)
+                     .alias("value_share"),
+                    F.round(cum.cast("double")
+                            / F.col("total").cast("double"), 6)
+                     .alias("cum_share"))
+            .orderBy("decile"))
+
+
+# ===========================================================================
+# Dedup threshold sweep — pairs found vs Jaccard cut in ONE pass
+# ===========================================================================
+
+def _ddcurve_oracle() -> str:
+    from . import oracle_vec as OV
+    toks = OV.tokens_sql("text")
+    sh = OV.word_shingles_sql(toks, 3)
+    jac = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
+           " / len(list_distinct(a.sh || b.sh))")
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+j AS (
+  SELECT round({jac}, 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {jac} >= 0.1
+)
+SELECT t.thr, CAST(sum((j.jaccard >= t.thr)::INT) AS BIGINT)
+         AS n_pairs
+FROM (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS thr) t
+LEFT JOIN j ON TRUE
+GROUP BY t.thr ORDER BY t.thr
+"""
+
+
+@register("dd_threshold_curve", oracle=_ddcurve_oracle())
+def dd_threshold_curve(spark: SparkSession, d: str) -> DataFrame:
+    """Near-dup pairs found vs Jaccard threshold — five cuts
+    (0.1..0.9) read off ONE similarity pass via conditional counts
+    (the t29_mix_tuning one-scan-many-knobs trick applied to the
+    dedup knob): the curve a curation team reads before committing a
+    threshold, since pairs-vs-cut is the precision/recall dial and
+    recomputing the O(n²/2) pass per candidate threshold is the
+    naive cost this avoids.
+
+    Scale shape: the exact pairwise pass with the size-bound prune
+    at the LOWEST threshold (0.1) feeds all five counters; at scale
+    the same five conditional counters ride the minhash-banded
+    candidate set instead (dd_minhash_lsh's output schema) — the
+    curve read is one aggregate either way."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    docs = _t(spark, d, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1)
+    thr = spark.createDataFrame(
+        [(t,) for t in (0.1, 0.3, 0.5, 0.7, 0.9)], "thr double")
+    return (thr.crossJoin(pairs.select("jaccard"))
+            .groupBy("thr")
+            .agg(F.sum((F.col("jaccard") >= F.col("thr")).cast("int"))
+                 .cast("long").alias("n_pairs"))
+            .orderBy("thr"))

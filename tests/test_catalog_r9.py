@@ -517,3 +517,24 @@ def test_pmi_pair_shape_and_bounds(spark):
             n = spark.read.parquet(f"{SF001}/documents.parquet").count()
             ub = math.log(n / max(r["df_a"], r["df_b"])) * 1e6 + 1
             assert r["pmi_q"] <= ub
+
+
+def test_value_deciles_lorenz_shape(spark):
+    rows = sorted(CATALOG["ev_value_deciles"].build(spark, SF001)
+                  .collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # deciles ranked by value DESC: per-decile shares non-increasing,
+    # cumulative share monotone to 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert a["value_share"] >= b["value_share"] - 1e-9
+        assert a["cum_share"] <= b["cum_share"] + 1e-9
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-4
+
+
+def test_threshold_curve_monotone(spark):
+    rows = sorted(CATALOG["dd_threshold_curve"].build(spark, SF001)
+                  .collect(), key=lambda r: r["thr"])
+    assert [round(r["thr"], 1) for r in rows] == [0.1, 0.3, 0.5, 0.7, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"], \
+            "pairs found can only shrink as the cut rises"
