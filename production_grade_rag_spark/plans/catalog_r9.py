@@ -3817,3 +3817,68 @@ def dd_threshold_curve(spark: SparkSession, d: str) -> DataFrame:
             .agg(F.sum((F.col("jaccard") >= F.col("thr")).cast("int"))
                  .cast("long").alias("n_pairs"))
             .orderBy("thr"))
+
+# ===========================================================================
+# MinHash banding precision/recall — the driver-visible PR gate for
+# the workhorse dedup operator (the test-suite S-curve as a catalog
+# scoreboard)
+# ===========================================================================
+
+def _minhash_pr_oracle() -> str:
+    from . import oracle_vec as OV
+    return f"""
+WITH allc AS (
+  SELECT * FROM ({OV.minhash_pairs_sql(threshold=0.0)})
+), ex AS (
+  SELECT * FROM ({OV.ngram_pairs_sql(threshold=0.8)})
+), s AS (
+  SELECT (SELECT count(*) FROM allc)::BIGINT AS n_candidates,
+         (SELECT count(*) FROM allc WHERE jaccard >= 0.8)::BIGINT
+           AS n_true_pos,
+         (SELECT count(*) FROM ex)::BIGINT AS n_exact
+)
+SELECT n_candidates, n_true_pos, n_exact,
+       round(n_true_pos::DOUBLE
+             / greatest(n_candidates, 1)::DOUBLE, 6) AS precision,
+       round(n_true_pos::DOUBLE / greatest(n_exact, 1)::DOUBLE, 6)
+         AS recall
+FROM s
+"""
+
+
+@register("dd_minhash_pr", oracle=_minhash_pr_oracle())
+def dd_minhash_pr(spark: SparkSession, d: str) -> DataFrame:
+    """Precision/recall scoreboard for MinHash(16)+LSH(4x4) banding
+    against the exact Jaccard>=0.8 pair set — the
+    tests/test_minhash_width.py S-curve promoted to a driver-visible
+    catalog number: precision reads how much of the banded candidate
+    set survives exact verification (wasted verify work), recall
+    reads how many true near-dup pairs banding ever surfaces (what
+    dedup silently misses; 1 - recall IS the LSH miss rate at this
+    width).  Both engines band identically (shared universal-hash
+    constants), so candidates, true positives, and the exact set are
+    all value-oracled — an LSH miss is a semantic outcome here, not
+    noise.
+
+    Scale shape: the candidate side is the dd_minhash_lsh plan at
+    verify-threshold 0 (band shuffle + candidate-only shingle join);
+    the exact side is the O(n²/2) audit twin, catalog-scale only
+    (the dd_ngram_jaccard caveat) — at 100 TB recall is estimated on
+    a sampled stratum instead (the a24 key-sampling shape)."""
+    from ..operators.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+    docs = _t(spark, d, "documents")
+    allc = minhash_dedup_pairs(docs, threshold=0.0)
+    ex = ngram_jaccard_pairs(docs, threshold=0.8)
+    s = (allc.agg(F.count("*").alias("n_candidates"),
+                  F.sum((F.col("jaccard") >= 0.8).cast("int"))
+                  .cast("long").alias("n_true_pos"))
+         .crossJoin(F.broadcast(
+             ex.agg(F.count("*").alias("n_exact")))))
+    return s.select(
+        "n_candidates", "n_true_pos", "n_exact",
+        F.round(F.col("n_true_pos").cast("double")
+                / F.greatest("n_candidates", F.lit(1)).cast("double"), 6)
+         .alias("precision"),
+        F.round(F.col("n_true_pos").cast("double")
+                / F.greatest("n_exact", F.lit(1)).cast("double"), 6)
+         .alias("recall"))

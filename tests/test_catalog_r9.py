@@ -538,3 +538,15 @@ def test_threshold_curve_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["n_pairs"] >= b["n_pairs"], \
             "pairs found can only shrink as the cut rises"
+
+
+def test_minhash_pr_identities(spark):
+    row = CATALOG["dd_minhash_pr"].build(spark, SF001).collect()[0]
+    assert row["n_true_pos"] <= row["n_candidates"]
+    assert row["n_true_pos"] <= row["n_exact"]
+    assert 0.0 <= row["precision"] <= 1.0
+    assert 0.0 <= row["recall"] <= 1.0
+    # 16 hashes / 4 bands at jaccard 0.8: collision prob per band is
+    # 0.8^4 = 0.41, across 4 bands ~0.88 — recall should clear 0.5
+    if row["n_exact"] >= 5:
+        assert row["recall"] >= 0.5
