@@ -3882,3 +3882,88 @@ def dd_minhash_pr(spark: SparkSession, d: str) -> DataFrame:
         F.round(F.col("n_true_pos").cast("double")
                 / F.greatest("n_exact", F.lit(1)).cast("double"), 6)
          .alias("recall"))
+
+# ===========================================================================
+# Degree assortativity of the 5-NN graph — do hubs link to hubs?
+# (Newman 2002; the structure read completing census/k-core/attack)
+# ===========================================================================
+
+def _g9_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8b import _LP_K
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), nb AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM nb
+), deg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+), ed AS (
+  SELECT du.deg AS j, dv.deg AS k
+  FROM und JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+), s AS (
+  SELECT count(*)::BIGINT AS m,
+         CAST(sum(j + k) AS BIGINT) AS s1,
+         CAST(sum(j * j + k * k) AS BIGINT) AS s2,
+         CAST(sum(j * k) AS BIGINT) AS s3
+  FROM ed
+)
+SELECT m AS n_edges, s1, s2, s3,
+       round((4 * m * s3 - s1 * s1)::DOUBLE
+             / (2 * m * s2 - s1 * s1)::DOUBLE, 6) AS assortativity
+FROM s
+"""
+
+
+@register("g9_assortativity", oracle=_g9_oracle())
+def g9_assortativity(spark: SparkSession, d: str) -> DataFrame:
+    """Degree assortativity of the symmetrized 5-NN graph (Newman
+    2002, public): the Pearson correlation of endpoint degrees
+    across edges — positive means hubs link to hubs (a core-periphery
+    embedding space), negative means hubs link to leaves (the
+    hub-as-universal-neighbor pathology g8_hub_attack quantifies by
+    deletion; this reads it as one signed number).  Completes the
+    graph-structure family: census (closure), k-core (density
+    layers), hub attack (robustness), assortativity (mixing).
+
+    The exactness trick: Newman's r reduces over edge sums S1=Σ(j+k),
+    S2=Σ(j²+k²), S3=Σjk to r = (4M·S3 - S1²)/(2M·S2 - S1²) — all
+    exact BIGINTs (degrees are k-bounded, so S2 <= M·(2k_max²) stays
+    tiny), one display division.
+
+    Scale shape: the kNN build is the documented exact/ivf swap;
+    degree table partial-aggregates; the edge-degree join is two
+    equi-joins on the flat node key; the sums are one 4-cell
+    aggregate."""
+    und = _g6_und(spark, d)
+    ends = (und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node"))))
+    deg = ends.groupBy("node").agg(F.count("*").alias("deg"))
+    ed = (und.join(deg.withColumnRenamed("node", "u")
+                   .withColumnRenamed("deg", "j"), "u")
+          .join(deg.withColumnRenamed("node", "v")
+                .withColumnRenamed("deg", "k"), "v")
+          .select("j", "k"))
+    s = ed.agg(F.count("*").alias("m"),
+               F.sum(F.col("j") + F.col("k")).cast("long").alias("s1"),
+               F.sum(F.col("j") * F.col("j")
+                     + F.col("k") * F.col("k")).cast("long").alias("s2"),
+               F.sum(F.col("j") * F.col("k")).cast("long").alias("s3"))
+    return s.select(
+        F.col("m").alias("n_edges"), "s1", "s2", "s3",
+        F.round((4 * F.col("m") * F.col("s3")
+                 - F.col("s1") * F.col("s1")).cast("double")
+                / (2 * F.col("m") * F.col("s2")
+                   - F.col("s1") * F.col("s1")).cast("double"), 6)
+         .alias("assortativity"))

@@ -550,3 +550,11 @@ def test_minhash_pr_identities(spark):
     # 0.8^4 = 0.41, across 4 bands ~0.88 — recall should clear 0.5
     if row["n_exact"] >= 5:
         assert row["recall"] >= 0.5
+
+
+def test_assortativity_bounds(spark):
+    row = CATALOG["g9_assortativity"].build(spark, SF001).collect()[0]
+    # Pearson correlation of endpoint degrees: r in [-1, 1]
+    assert -1.0 <= row["assortativity"] <= 1.0
+    # Cauchy-Schwarz on the reduced sums: 2M*S2 >= S1^2 always
+    assert 2 * row["n_edges"] * row["s2"] >= row["s1"] * row["s1"]
