@@ -3967,3 +3967,92 @@ def g9_assortativity(spark: SparkSession, d: str) -> DataFrame:
                 / (2 * F.col("m") * F.col("s2")
                    - F.col("s1") * F.col("s1")).cast("double"), 6)
          .alias("assortativity"))
+
+# ===========================================================================
+# Conversion by session tenure — does conversion improve as users
+# return?  (the mix-shift decomposition of the flat funnel rate)
+# ===========================================================================
+
+@register("ev_funnel_tenure", oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_id
+  FROM o
+), fv AS (
+  SELECT user_id, session_id, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER
+           (PARTITION BY user_id, session_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_view
+  FROM s
+), conv AS (
+  SELECT user_id, session_id,
+         max((event_type = 'purchase'
+              AND first_view IS NOT NULL)::INT)::BIGINT AS converted
+  FROM fv GROUP BY user_id, session_id
+)
+SELECT least(session_id, 10)::BIGINT AS session_tenure,
+       count(*)::BIGINT AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(sum(converted)::DOUBLE / count(*)::DOUBLE, 6)
+         AS conversion_rate
+FROM conv GROUP BY least(session_id, 10) ORDER BY session_tenure
+""")
+def ev_funnel_tenure(spark: SparkSession, d: str) -> DataFrame:
+    """Session view->purchase conversion sliced by SESSION TENURE
+    (the user's 1st, 2nd, ... session, capped at 10+) — whether
+    conversion improves as users return is THE product question a
+    flat funnel rate hides (mix-shift: a rising flat rate can mean
+    improving product OR just a tenure-shifted session mix — this
+    table separates them).  The tenure index falls out of the
+    sessionization for free: it IS the session_id prefix-sum.
+
+    Semantics: a session converts if a purchase occurs at-or-after
+    the session's first view (the ev_funnel_ttc running-min shape —
+    no self-join).
+
+    Scale shape: one user_id exchange drives sessionization AND the
+    running first-view min; the final aggregate is 10 rows."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, d, "events")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    s = (ev.withColumn("new_session",
+                       F.when(gap.isNull() | (gap > 1800), 1)
+                       .otherwise(0))
+         .withColumn("session_id",
+                     F.sum("new_session").over(run).cast("long")))
+    sw = (W.partitionBy("user_id", "session_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    fv = s.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view",
+                     F.col("ts"))).over(sw))
+    conv = (fv.groupBy("user_id", "session_id")
+            .agg(F.max(((F.col("event_type") == "purchase")
+                        & F.col("first_view").isNotNull()).cast("int"))
+                 .cast("long").alias("converted")))
+    return (conv.groupBy(F.least("session_id", F.lit(10))
+                         .cast("long").alias("session_tenure"))
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("converted").cast("long").alias("n_converted"),
+                 F.round(F.sum("converted").cast("double")
+                         / F.count("*").cast("double"), 6)
+                  .alias("conversion_rate"))
+            .orderBy("session_tenure"))

@@ -558,3 +558,15 @@ def test_assortativity_bounds(spark):
     assert -1.0 <= row["assortativity"] <= 1.0
     # Cauchy-Schwarz on the reduced sums: 2M*S2 >= S1^2 always
     assert 2 * row["n_edges"] * row["s2"] >= row["s1"] * row["s1"]
+
+
+def test_funnel_tenure_mass(spark):
+    rows = CATALOG["ev_funnel_tenure"].build(spark, SF001).collect()
+    assert rows
+    total = sum(r["n_sessions"] for r in rows)
+    # session count matches the TTC entry's denominator
+    ttc = CATALOG["ev_funnel_ttc"].build(spark, SF001).collect()[0]
+    assert total == ttc["n_sessions"]
+    for r in rows:
+        assert 1 <= r["session_tenure"] <= 10
+        assert 0 <= r["n_converted"] <= r["n_sessions"]
