@@ -1757,10 +1757,15 @@ def mm_ahash_neardup(spark: SparkSession, d: str) -> DataFrame:
 def _ahash_pairs(spark: SparkSession, d: str) -> DataFrame:
     """(doc_a, doc_b, hamming) aHash near-dup pairs — shared by the
     pair entry and the component clustering on top of it."""
+    docs = _t(spark, d, "documents")
+    return _ahash_pairs_from_hashes(_ahash_hashes(docs))
+
+
+def _ahash_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, ahash) through the grid_features Arrow path."""
     from ..operators import multimodal
     from ..operators.multimodal import N_GRID_CELLS
 
-    docs = _t(spark, d, "documents")
     feat = multimodal.grid_features(multimodal.attach_binary(docs))
     h = (feat.select("doc_id", F.col("cells").alias("bs"))
          .withColumn("sumb", F.aggregate(
@@ -1771,6 +1776,11 @@ def _ahash_pairs(spark: SparkSession, d: str) -> DataFrame:
              f" shiftleft(1L, cast(p AS INT)), 0L)),"
              " 0L, (a, x) -> a + x)"))
          .select("doc_id", "ahash"))
+    return h
+
+
+def _ahash_pairs_from_hashes(h: DataFrame) -> DataFrame:
+    """Band-bucketed Hamming<=1 pairs from a (doc_id, ahash) frame."""
     bands = (h.select("doc_id", "ahash", F.lit(0).alias("band"),
                       F.col("ahash").bitwiseAND(255).alias("bval"))
              .unionAll(h.select(
@@ -4056,3 +4066,181 @@ def ev_funnel_tenure(spark: SparkSession, d: str) -> DataFrame:
                          / F.count("*").cast("double"), 6)
                   .alias("conversion_rate"))
             .orderBy("session_tenure"))
+
+# ===========================================================================
+# Equi-depth histogram — the planner-stats companion to s32's
+# row/NDV/min/max (what a17's Selinger audit would read for range
+# predicates)
+# ===========================================================================
+
+_HIST_BUCKETS = 8
+
+
+def _a29_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(round(quantile_cont(cents, "
+        f"{i / _HIST_BUCKETS!r}::DOUBLE)) AS BIGINT) AS h{i}"
+        for i in range(1, _HIST_BUCKETS + 1))
+    unpivot = " UNION ALL ".join(
+        f"SELECT {i} AS i, h{i} AS hi FROM q"
+        for i in range(1, _HIST_BUCKETS + 1))
+    return f"""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), q AS (
+  SELECT {cols}, CAST(min(cents) AS BIGINT) AS mn FROM v
+), cuts AS ({unpivot}),
+lo AS (
+  SELECT i, hi,
+         coalesce(lag(hi) OVER (ORDER BY i),
+                  (SELECT mn - 1 FROM q)) AS lo
+  FROM cuts
+)
+SELECT l.i::BIGINT AS bucket, l.lo AS lo_cents, l.hi AS hi_cents,
+       (SELECT count(*) FROM v
+        WHERE cents > l.lo AND cents <= l.hi)::BIGINT AS n_rows
+FROM lo l ORDER BY l.i
+"""
+
+
+@register("a29_equidepth_histogram", oracle=_a29_oracle())
+def a29_equidepth_histogram(spark: SparkSession, d: str) -> DataFrame:
+    """Equi-depth histogram on order totals ({B} buckets) — the
+    planner statistic beside s32's row/NDV/min/max and a17's
+    containment audit: range-predicate selectivity estimation needs
+    depth-balanced boundaries, not equal-width bins (skewed monetary
+    columns put 90% of rows in one equal-width bin; equi-depth makes
+    every bucket's selectivity 1/{B} by construction — the ANALYZE
+    ... WITH HISTOGRAM output every cost-based optimizer consumes).
+
+    Exactness: values quantized to integer cents first (the
+    ev_value_deciles rule), boundaries are rounded interpolated
+    quantiles — integers on both engines — and bucket membership is
+    (lo, hi] on exact integers, so counts are engine-exact even at
+    duplicated boundary values (duplicates land in one bucket by the
+    half-open rule; depths then deviate from N/{B} exactly where ties
+    force them to — the honest equi-depth semantics).
+
+    Scale shape: one scan to quantize, one percentile aggregate
+    (percentile_approx is the documented 100 TB knob — the
+    ta_perplexity_approx gate pattern applies verbatim), one
+    conditional-count scan against the broadcast {B}-row boundary
+    table."""
+    from pyspark.sql import Window as W
+    orders = _t(spark, d, "orders")
+    v = orders.select(F.round(F.col("o_totalprice") * 100).cast("long")
+                      .alias("cents"))
+    qs = [i / _HIST_BUCKETS for i in range(1, _HIST_BUCKETS + 1)]
+    cuts = v.agg(
+        F.min("cents").alias("mn"),
+        *[F.round(F.percentile("cents", F.lit(q))).cast("long")
+          .alias(f"h{i}") for i, q in enumerate(qs, 1)])
+    rows = None
+    for i in range(1, _HIST_BUCKETS + 1):
+        lo = (F.col("mn") - 1) if i == 1 else F.col(f"h{i - 1}")
+        r = cuts.select(F.lit(i).cast("long").alias("bucket"),
+                        lo.cast("long").alias("lo_cents"),
+                        F.col(f"h{i}").alias("hi_cents"))
+        rows = r if rows is None else rows.unionByName(r)
+    return (v.crossJoin(F.broadcast(rows))
+            .filter((F.col("cents") > F.col("lo_cents"))
+                    & (F.col("cents") <= F.col("hi_cents")))
+            .groupBy("bucket", "lo_cents", "hi_cents")
+            .agg(F.count("*").alias("n_rows"))
+            .orderBy("bucket"))
+
+
+a29_equidepth_histogram.__doc__ = \
+    a29_equidepth_histogram.__doc__.format(B=_HIST_BUCKETS)
+
+# ===========================================================================
+# Streaming perceptual-hash registry — incremental image dedup (the
+# multimodal member of the streaming-ingest family)
+# ===========================================================================
+
+@register("st_ahash_ingest", oracle=_ahash_oracle())
+def st_ahash_ingest(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming aHash registry: documents arrive through the
+    paged-dump stream in two checkpointed tranches (even ids, then
+    odd), each micro-batch runs the SAME grid_features Arrow decode
+    + hash fold map-side and appends (doc_id, ahash) rows to a
+    versioned registry — per-id hashes are a pure function of
+    content, so the merge is id-keyed set union (idempotent under
+    replays, the st_theta semilattice argument with the id as the
+    key).  The final near-dup pair set computed FROM THE DRAINED
+    REGISTRY must hash-match batch mm_ahash_neardup — incremental
+    image dedup for a crawl that never stops, completing the
+    streaming-ingest family across modalities (text lines, CMS
+    counts, theta survivors, IVF cells, SemDeDup keepers, now
+    perceptual hashes).
+
+    Scale shape: per-batch work is the batch's own decode + hash
+    (map-side, Arrow-batched); the registry carries one 16-bit hash
+    per image ever seen; pair generation over the registry is the
+    band-bucketed join (never all-pairs)."""
+    import shutil
+    from pathlib import Path
+
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..sources.tables import list_versions, read_version, write_version
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+
+    docs = _t(spark, d, "documents")
+    dump = _scratch("st_ahash_dump")
+    store = _scratch("st_ahash_store")
+    ckpt = _scratch("st_ahash_ckpt")
+    for p in (dump, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(part: DataFrame) -> DataFrame:
+        return part.select(F.to_json(F.struct(
+            F.col("doc_id").cast("string").alias("page_id"),
+            F.col("text").alias("title"),
+            "lang", "n_chars")).alias("value"))
+
+    page_rows(docs.filter(F.col("doc_id") % 2 == 0)) \
+        .repartition(2).write.text(dump)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+
+        def merge(batch_df: DataFrame, epoch_id: int) -> None:
+            import os
+            batch_docs = (batch_df.filter(~F.col("malformed"))
+                          .select(F.col("page_id").cast("long")
+                                  .alias("doc_id"),
+                                  F.col("title").alias("text")))
+            inc = _ahash_hashes(batch_docs)
+            sp = batch_df.sparkSession
+            versions = (list_versions(sp, store)
+                        if os.path.exists(store) else [])
+            if versions:
+                prior = read_version(sp, store)
+                merged = prior.unionByName(inc).distinct()
+            else:
+                merged = inc
+            write_version(merged, store,
+                          (versions[-1] + 1) if versions else 1)
+
+        SP._run_foreach(stream, merge, 120, ckpt)
+
+    drain()
+
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(docs.filter(F.col("doc_id") % 2 == 1)) \
+        .repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    registry = read_version(spark, store)
+    return (_ahash_pairs_from_hashes(registry)
+            .select("doc_a", "doc_b", "hamming")
+            .orderBy("doc_a", "doc_b"))

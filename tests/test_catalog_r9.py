@@ -570,3 +570,24 @@ def test_funnel_tenure_mass(spark):
     for r in rows:
         assert 1 <= r["session_tenure"] <= 10
         assert 0 <= r["n_converted"] <= r["n_sessions"]
+
+
+def test_st_ahash_registry_matches_batch(spark):
+    stream = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in
+                    CATALOG["st_ahash_ingest"].build(spark, SF001)
+                    .collect())
+    batch = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in
+                   CATALOG["mm_ahash_neardup"].build(spark, SF001)
+                   .collect())
+    assert stream == batch
+
+
+def test_equidepth_buckets_cover_all_rows(spark):
+    rows = CATALOG["a29_equidepth_histogram"].build(spark, SF001) \
+        .collect()
+    n = spark.read.parquet(f"{SF001}/orders.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    rows.sort(key=lambda r: r["bucket"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] == b["lo_cents"]
+        assert a["lo_cents"] < a["hi_cents"] or a["n_rows"] == 0
