@@ -4244,3 +4244,79 @@ def st_ahash_ingest(spark: SparkSession, d: str) -> DataFrame:
     return (_ahash_pairs_from_hashes(registry)
             .select("doc_a", "doc_b", "hamming")
             .orderBy("doc_a", "doc_b"))
+
+# ===========================================================================
+# Soft deduplication weights — downweight common content instead of
+# dropping it (the reweighting alternative to hard dedup)
+# ===========================================================================
+
+def _softdedup_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8 import _DUPG_N
+    toks = OV.tokens_sql("text")
+    grams = f"""(
+  CASE WHEN len({toks}) >= {_DUPG_N}
+       THEN list_transform(range(1, len({toks}) - {_DUPG_N - 2}),
+              i -> array_to_string(
+                     list_slice({toks}, i, i + {_DUPG_N - 1}), ' '))
+       WHEN len({toks}) > 0
+       THEN [array_to_string({toks}, ' ')]
+       ELSE []::VARCHAR[] END)"""
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+), gc AS (
+  SELECT md5(gram) AS h, count(*)::BIGINT AS c FROM g GROUP BY md5(gram)
+), per_doc AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         CAST(sum(gc.c) AS BIGINT) AS sum_gram_count
+  FROM g JOIN gc ON gc.h = md5(g.gram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, sum_gram_count,
+       round(n_grams::DOUBLE / sum_gram_count::DOUBLE, 6)
+         AS sample_weight
+FROM per_doc ORDER BY doc_id
+"""
+
+
+@register("dd_soft_dedup", oracle=_softdedup_oracle())
+def dd_soft_dedup(spark: SparkSession, d: str) -> DataFrame:
+    """Soft deduplication weights (the reweighting alternative to
+    hard removal — SoftDeDup, He et al. 2024, public: downweight
+    common content in the sampling distribution instead of dropping
+    it, so near-boilerplate still contributes signal without
+    dominating the gradient): per document, sampling weight =
+    inverse mean corpus frequency of its 8-grams (n_grams /
+    Σ gram-count — exactly 1.0 for all-unique content, approaching
+    1/k for content whose grams appear k times corpus-wide).  The
+    weight column feeds t27's weighted sampler directly; hard dedup
+    (dd_span/line/minhash) is the special case weight -> 0.
+
+    Exactness: the weight is a ratio of two exact BIGINTs (the
+    dd_dupgram count machinery verbatim), rounded once.
+
+    Scale shape: identical to dd_dupgram_profile — one corpus-wide
+    gram-count aggregate on flat md5 keys, one hash join back, a
+    per-doc aggregate; gram text never shuffles twice."""
+    from ..operators.dedup import tokens
+    from .catalog_r8 import _DUPG_N
+    docs = _t(spark, d, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    grams = (F.when(n >= _DUPG_N,
+                    F.transform(F.sequence(F.lit(1), n - (_DUPG_N - 1)),
+                                lambda i: F.array_join(
+                                    F.slice(t, i, _DUPG_N), " ")))
+             .when(n > 0, F.array(F.array_join(t, " ")))
+             .otherwise(F.array().cast("array<string>")))
+    g = (docs.select("doc_id", F.explode(grams).alias("gram"))
+         .select("doc_id", F.md5("gram").alias("h")))
+    gc = g.groupBy("h").agg(F.count("*").alias("c"))
+    return (g.join(gc, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum("c").cast("long").alias("sum_gram_count"),
+                 F.round(F.count("*").cast("double")
+                         / F.sum("c").cast("double"), 6)
+                  .alias("sample_weight"))
+            .orderBy("doc_id"))

@@ -591,3 +591,19 @@ def test_equidepth_buckets_cover_all_rows(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["hi_cents"] == b["lo_cents"]
         assert a["lo_cents"] < a["hi_cents"] or a["n_rows"] == 0
+
+
+def test_soft_dedup_weight_bounds(spark):
+    rows = CATALOG["dd_soft_dedup"].build(spark, SF001).collect()
+    assert rows
+    dup = {r["doc_id"]: r["dup_frac"] for r in
+           CATALOG["dd_dupgram_profile"].build(spark, SF001).collect()}
+    for r in rows:
+        assert 0.0 < r["sample_weight"] <= 1.0
+        assert r["sum_gram_count"] >= r["n_grams"]
+        # all-unique content gets full weight; any duplication
+        # strictly lowers it
+        if dup[r["doc_id"]] == 0.0:
+            assert r["sample_weight"] == 1.0
+        else:
+            assert r["sample_weight"] < 1.0
