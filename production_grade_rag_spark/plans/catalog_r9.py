@@ -4320,3 +4320,52 @@ def dd_soft_dedup(spark: SparkSession, d: str) -> DataFrame:
                          / F.sum("c").cast("double"), 6)
                   .alias("sample_weight"))
             .orderBy("doc_id"))
+
+def _ess_oracle() -> str:
+    return f"""
+WITH pd AS ({_softdedup_oracle().replace('ORDER BY doc_id', '')}),
+q AS (
+  SELECT CAST(round(sample_weight * 1000000) AS BIGINT) AS w_q FROM pd
+)
+SELECT count(*)::BIGINT AS n_docs,
+       CAST(sum(w_q) AS BIGINT) AS sum_w_q,
+       round(sum(w_q)::DOUBLE / (count(*) * 1000000)::DOUBLE, 6)
+         AS mean_weight,
+       round((CAST(sum(w_q) AS BIGINT) * CAST(sum(w_q) AS BIGINT))::DOUBLE
+             / CAST(sum(w_q * w_q) AS BIGINT)::DOUBLE, 6)
+         AS effective_sample_size
+FROM q
+"""
+
+
+@register("dd_soft_dedup_ess", oracle=_ess_oracle())
+def dd_soft_dedup_ess(spark: SparkSession, d: str) -> DataFrame:
+    """Kish effective sample size of the soft-dedup weights (Kish
+    1965, public: ESS = (Σw)²/Σw²) — the one-row answer to 'how much
+    data do we EFFECTIVELY have after reweighting': ESS = N when all
+    weights are equal, and it shrinks exactly as the weight
+    distribution concentrates — the number that makes the
+    hard-vs-soft dedup tradeoff quantitative (hard dedup's ESS is
+    its keeper count; soft dedup keeps ESS higher at the same
+    duplication).
+
+    Exactness: weights quantized to the 1e-6 grid before the sums
+    (the commutative-sum rule), so (Σw)² and Σw² are exact BIGINTs
+    (at 1e6 docs the square crosses BIGINT — coarsen the grid, the
+    g2/g4 convention); two display divisions.
+
+    Scale shape: composes dd_soft_dedup's per-doc pass with one
+    3-cell aggregate."""
+    pd_ = dd_soft_dedup(spark, d)
+    q = pd_.select(F.round(F.col("sample_weight") * 1000000)
+                   .cast("long").alias("w_q"))
+    return q.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w_q").cast("long").alias("sum_w_q"),
+        F.round(F.sum("w_q").cast("double")
+                / (F.count("*") * 1000000).cast("double"), 6)
+         .alias("mean_weight"),
+        F.round((F.sum("w_q").cast("long")
+                 * F.sum("w_q").cast("long")).cast("double")
+                / F.sum(F.col("w_q") * F.col("w_q")).cast("long")
+                .cast("double"), 6).alias("effective_sample_size"))

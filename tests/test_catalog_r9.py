@@ -607,3 +607,10 @@ def test_soft_dedup_weight_bounds(spark):
             assert r["sample_weight"] == 1.0
         else:
             assert r["sample_weight"] < 1.0
+
+
+def test_soft_dedup_ess_bounds(spark):
+    row = CATALOG["dd_soft_dedup_ess"].build(spark, SF001).collect()[0]
+    # Kish: 1 <= ESS <= N, equality at N iff all weights equal
+    assert 1.0 <= row["effective_sample_size"] <= row["n_docs"]
+    assert 0.0 < row["mean_weight"] <= 1.0
