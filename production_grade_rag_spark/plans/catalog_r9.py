@@ -4369,3 +4369,92 @@ def dd_soft_dedup_ess(spark: SparkSession, d: str) -> DataFrame:
                  * F.sum("w_q").cast("long")).cast("double")
                 / F.sum(F.col("w_q") * F.col("w_q")).cast("long")
                 .cast("double"), 6).alias("effective_sample_size"))
+
+# ===========================================================================
+# Packing waste vs sequence length — the seq_len knob table in one
+# scan (the dd_threshold_curve trick applied to t18's packing)
+# ===========================================================================
+
+_T40_LENS = (512, 1024, 2048, 4096)
+
+
+def _t40_oracle() -> str:
+    from .catalog_r8 import _N_SHARDS
+    from . import oracle_sql as O  # noqa: F401  (convention import)
+    per_len = " UNION ALL ".join(
+        f"""SELECT {L}::BIGINT AS seq_len,
+       CAST(sum((toks + {L - 1}) // {L}) AS BIGINT) AS n_sequences,
+       CAST(sum(((toks + {L - 1}) // {L}) * {L} - toks) AS BIGINT)
+         AS total_padding
+FROM sh"""
+        for L in _T40_LENS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(1, length(text) // 4)::BIGINT AS est_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 8))::BIGINT
+           % {_N_SHARDS} AS shard
+  FROM documents
+), sh AS (
+  SELECT shard, CAST(sum(est_tokens) AS BIGINT) AS toks
+  FROM base GROUP BY shard
+), t AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS total_toks FROM sh
+), per_len AS ({per_len})
+SELECT p.seq_len, p.n_sequences, p.total_padding,
+       round(p.total_padding::DOUBLE
+             / (p.n_sequences * p.seq_len)::DOUBLE, 6) AS waste_share
+FROM per_len p ORDER BY p.seq_len
+"""
+
+
+@register("t40_packing_waste_curve", oracle=_t40_oracle())
+def t40_packing_waste_curve(spark: SparkSession, d: str) -> DataFrame:
+    """Padding waste vs training sequence length (512/1024/2048/4096)
+    in ONE scan — the seq_len knob table a training team reads before
+    fixing the context length (t18_packing_stats reports one
+    seq_len; this is the sweep, the dd_threshold_curve
+    one-scan-many-knobs trick applied to packing): under t18's
+    concatenate-and-split packing the only waste is each shard's
+    TAIL sequence, so per shard n_seqs(L) = ceil(tokens/L) and
+    padding(L) = n_seqs·L - tokens — longer sequences waste more
+    tail per shard but amortize attention overhead; this table
+    prices the tradeoff exactly.
+
+    Exactness: token estimates and the ceil-division counts are all
+    BIGINT; one display division per row.
+
+    Scale shape: one scan to per-shard token sums ({S} cells), then
+    constant-size arithmetic per candidate length — adding a
+    candidate costs nothing corpus-shaped."""
+    from ..functions.text import token_estimate
+    from ..operators.dedup import md5_int32
+    from .catalog_r8 import _N_SHARDS
+    docs = _t(spark, d, "documents")
+    base = docs.select(
+        F.greatest(F.lit(1), token_estimate(F.col("text")))
+         .alias("est_tokens"),
+        F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":shard"))),
+               F.lit(_N_SHARDS)).alias("shard"))
+    sh = base.groupBy("shard").agg(
+        F.sum("est_tokens").cast("long").alias("toks"))
+    rows = None
+    for L in _T40_LENS:
+        r = sh.agg(
+            F.lit(L).cast("long").alias("seq_len"),
+            F.sum(F.expr(f"(toks + {L - 1}) div {L}")).cast("long")
+             .alias("n_sequences"),
+            F.sum(F.expr(f"((toks + {L - 1}) div {L}) * {L} - toks"))
+             .cast("long").alias("total_padding"))
+        rows = r if rows is None else rows.unionByName(r)
+    return (rows.select(
+        "seq_len", "n_sequences", "total_padding",
+        F.round(F.col("total_padding").cast("double")
+                / (F.col("n_sequences") * F.col("seq_len"))
+                .cast("double"), 6).alias("waste_share"))
+        .orderBy("seq_len"))
+
+
+t40_packing_waste_curve.__doc__ = \
+    t40_packing_waste_curve.__doc__.format(S=8)

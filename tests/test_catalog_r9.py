@@ -614,3 +614,19 @@ def test_soft_dedup_ess_bounds(spark):
     # Kish: 1 <= ESS <= N, equality at N iff all weights equal
     assert 1.0 <= row["effective_sample_size"] <= row["n_docs"]
     assert 0.0 < row["mean_weight"] <= 1.0
+
+
+def test_packing_waste_curve_identities(spark):
+    rows = sorted(CATALOG["t40_packing_waste_curve"].build(spark, SF001)
+                  .collect(), key=lambda r: r["seq_len"])
+    assert [r["seq_len"] for r in rows] == [512, 1024, 2048, 4096]
+    for r in rows:
+        # total capacity = tokens + padding, so waste share < 1
+        assert 0.0 <= r["waste_share"] < 1.0
+    # token mass is the same at every length: capacity - padding const
+    masses = {r["n_sequences"] * r["seq_len"] - r["total_padding"]
+              for r in rows}
+    assert len(masses) == 1
+    # sequence count halves (up to shard-tail rounding) as L doubles
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_sequences"] <= a["n_sequences"]
