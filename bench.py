@@ -40,6 +40,15 @@ def main() -> None:
     store_build = round(time.perf_counter() - t0, 3)
     print(f"# pca centered-projection store (one-off ingest build): "
           f"{store_build}s", file=sys.stderr)
+    # the shared kNN edge store (VERDICT r9 #1): built once here, read
+    # by the whole g5–g9 family — headline times then measure the
+    # graph READS, with the one-off build reported beside them
+    from production_grade_rag_spark.operators.knn_graph import knn_und
+    t0 = time.perf_counter()
+    knn_und(spark, SF_DIR, rebuild=True).count()
+    knn_store_build = round(time.perf_counter() - t0, 3)
+    print(f"# shared kNN edge store (one-off ingest build): "
+          f"{knn_store_build}s", file=sys.stderr)
 
     def _cal() -> float:
         t0 = time.perf_counter()
@@ -79,7 +88,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "store_build": {"pca_centered_sec": store_build},
+        "store_build": {"pca_centered_sec": store_build,
+                        "knn_edges_sec": knn_store_build},
         "noise_cal": {
             "probe": "q1_pricing_summary",
             "cold_sec": cal_cold,

@@ -98,8 +98,18 @@ class EngineConfig:
     # cost — ambiguous queries probe wider automatically.  None
     # restores fixed-probe behavior; engine-level recall floor 0.9 is
     # pinned by eng_ivfpq_adaptive_recall under this default.
+    #
+    # COMPAT NOTE (the r8->r9 default flip): with ann_mass_target set,
+    # ann_n_probe is reinterpreted from a fixed probe count to the
+    # adaptive FLOOR.  ann_n_probe_max bounds the worst case — an
+    # ambiguous query otherwise probes every cell and the rerank
+    # shortlist (scaled by probed-cell share) approaches a full-store
+    # scan; the 4x-of-floor default keeps the per-query ceiling at
+    # probe-16-of-16 under EngineConfig defaults, i.e. no observable
+    # change at defaults, while capping larger n_lists deployments
+    # (ADVICE r9).
     ann_mass_target: float | None = 0.8
-    ann_n_probe_max: int | None = None
+    ann_n_probe_max: int | None = 16
     # "lsh" backend: MLlib BucketedRandomProjectionLSH (random
     # hyperplane-offset buckets, Datar et al. 2004) queried via
     # approxNearestNeighbors — the hash-bucket alternative to the

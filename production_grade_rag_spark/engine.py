@@ -196,6 +196,16 @@ class SparkRagEngine:
             from pyspark.ml.linalg import Vectors
 
             from .functions.vector import cosine, to_double_array
+            if not c.normalize_embeddings:
+                # the BRP shortlist is selected by EUCLIDEAN bucket
+                # distance but rescored by cosine; the two orders
+                # agree only on unit vectors, so an unnormalized
+                # index would silently collapse recall (ADVICE r9)
+                raise ValueError(
+                    "ann_backend='lsh' requires "
+                    "normalize_embeddings=True: Euclidean bucket "
+                    "pruning preserves cosine order only on "
+                    "unit-norm embeddings")
             feat = index.select(
                 F.col(id_col),
                 array_to_vector(

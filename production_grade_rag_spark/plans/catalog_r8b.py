@@ -1166,21 +1166,20 @@ votes{k} AS (
 
 def _lp_frames(spark: SparkSession, d: str):
     """(embeddings frame e, final label frame (vec_id, lab)) — the
-    Spark twin of _lp_cte."""
+    Spark twin of _lp_cte.  The DIRECTED 5-NN edge list comes from
+    the SHARED materialized graph store (operators/knn_graph.py —
+    VERDICT r9 #1: one build per process/dataset serves g5–g9), not
+    a per-entry all-pairs rebuild; the exact store's edge set is
+    byte-identical to what _lp_cte's nb CTE recomputes, so the
+    oracle is unchanged."""
     from pyspark.sql import Window as W
 
-    from ..functions.vector import cosine, to_double_array
+    from ..functions.vector import to_double_array
+    from ..operators.knn_graph import knn_nb
     e = _t(spark, d, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("emb"),
         "label")
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.emb"), F.col("b.emb"))
-    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
-    nb = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-          .select(F.col("a.vec_id").alias("src"),
-                  F.col("b.vec_id").alias("dst"), cos.alias("cos"))
-          .withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") <= _LP_K).select("src", "dst"))
+    nb = knn_nb(spark, d, k=_LP_K)
     lab = e.select("vec_id",
                    F.when(F.col("vec_id") % 2 == 0, F.col("label"))
                     .alias("lab"))

@@ -1496,54 +1496,39 @@ def g6_triangle_census(spark: SparkSession, d: str) -> DataFrame:
     wedges = sum deg(v)·(deg(v)-1)/2; global CC = 3·triangles /
     wedges.  All integers; one display division.
 
-    Scale shape: the kNN build is the g5 all-pairs form at catalog
-    scale (swap to ivf_knn_join per the r9 bitext note); everything
-    after is k-BOUNDED: ≤ k·n undirected edges, the wedge join fans
-    out ≤ k per edge, and the closure probe is a join on the flat
-    (u,v) edge key — the standard distributed triangle-count plan
-    (node-iterator with degree-ordered orientation).  No window
-    touches anything corpus-sized."""
+    Scale shape: edges come from the SHARED materialized graph store
+    (_g6_und -> operators/knn_graph.py, built once per process/
+    dataset; the IVF build is the registered, recall-gated 100 TB
+    swap — g_knn_edges_ivf_recall); everything after is k-BOUNDED:
+    ≤ k·n undirected edges, the wedge join fans out ≤ k per edge,
+    and the closure probe is a join on the flat (u,v) edge key — the
+    standard distributed triangle-count plan (node-iterator with
+    degree-ordered orientation).  No window touches anything
+    corpus-sized."""
     return _census_from_und(_g6_und(spark, d))
 
 
 def _g6_und(spark: SparkSession, d: str, method: str = "exact",
-            n_lists: int = 16, n_probe: int = 4) -> DataFrame:
-    """Symmetrized 5-NN edge list, localCheckpointed.  ``method``
-    picks the candidate generator: "exact" is the value-oracle-able
-    all-pairs build; "ivf" is the documented 100 TB swap
-    (ivf_knn_join cell-pruned candidates — stress_bench times the
+            n_lists: int = 16, n_probe: int = 4,
+            centroids=None, rebuild: bool = False) -> DataFrame:
+    """Symmetrized 5-NN edge list, served from the SHARED materialized
+    graph store (operators/knn_graph.py — VERDICT r9 #1): built once
+    per (process, dataset, method) as narrow parquet and read per
+    reference thereafter, so the five consumers (g5/g6/g7/g8/g9) and
+    the five-fold downstream references inside the census (deg twice,
+    the triangle join three times) each cost a parquet scan of ~k
+    rows per vector, never a kNN rebuild.  ``method`` picks the
+    candidate generator: "exact" is the value-oracle-able all-pairs
+    build (every g5–g9 oracle recomputes exactly these edges); "ivf"
+    is the registered, recall-gated 100 TB swap (g_knn_edges_ivf /
+    g_knn_edges_ivf_recall in catalog_r10) — stress_bench times the
     census over THESE edges at the 10x tier, where the exact build
-    is a 4e8-pair window).  The checkpoint matters: und is referenced
-    five times downstream (deg twice, the triangle join three times)
-    — unmaterialized, the kNN build recomputes per reference, which
-    at the 10x tier turned one census into ~5 quadratic passes."""
-    from pyspark.sql import Window as W
-    from ..functions.vector import cosine, to_double_array
+    is a 4e8-pair window, ledgering build and amortized read
+    separately."""
+    from ..operators.knn_graph import knn_und
     from .catalog_r8b import _LP_K
-    e = _t(spark, d, "embeddings")
-    if method == "ivf":
-        from ..operators.similarity import ivf_knn_join
-        nb = (ivf_knn_join(
-                  e.withColumnRenamed("vec_id", "query_id"), e,
-                  k=_LP_K + 1, n_lists=n_lists, n_probe=n_probe)
-              .filter(F.col("query_id") != F.col("result_id"))
-              .filter(F.col("rank") <= _LP_K + 1)
-              .select(F.col("query_id").alias("src"),
-                      F.col("result_id").alias("dst")))
-    else:
-        ed = e.select("vec_id",
-                      to_double_array(F.col("embedding")).alias("emb"))
-        a, b = ed.alias("a"), ed.alias("b")
-        cos = cosine(F.col("a.emb"), F.col("b.emb"))
-        w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
-        nb = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-              .select(F.col("a.vec_id").alias("src"),
-                      F.col("b.vec_id").alias("dst"), cos.alias("cos"))
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= _LP_K).select("src", "dst"))
-    return (nb.select(F.least("src", "dst").alias("u"),
-                      F.greatest("src", "dst").alias("v"))
-            .distinct().localCheckpoint())
+    return knn_und(spark, d, k=_LP_K, method=method, n_lists=n_lists,
+                   n_probe=n_probe, centroids=centroids, rebuild=rebuild)
 
 
 def _census_from_und(und: DataFrame) -> DataFrame:
@@ -2020,23 +2005,10 @@ def g7_kcore_peel(spark: SparkSession, d: str) -> DataFrame:
     Scale shape: each round is one partial-aggregable degree count
     over the current edge list plus two semi-join filters on the
     flat node key — k-bounded (<= k·n edges) like every g5-family
-    iteration; no window, no cartesian."""
-    from pyspark.sql import Window as W
-    from ..functions.vector import cosine, to_double_array
-    from .catalog_r8b import _LP_K
-    e = _t(spark, d, "embeddings").select(
-        "vec_id", to_double_array(F.col("embedding")).alias("emb"))
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.emb"), F.col("b.emb"))
-    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
-    nb = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-          .select(F.col("a.vec_id").alias("src"),
-                  F.col("b.vec_id").alias("dst"), cos.alias("cos"))
-          .withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") <= _LP_K).select("src", "dst"))
-    edges = (nb.select(F.least("src", "dst").alias("u"),
-                       F.greatest("src", "dst").alias("v"))
-             .distinct().localCheckpoint())
+    iteration; no window, no cartesian.  The edge list comes from
+    the SHARED materialized graph store (_g6_und — VERDICT r9 #1),
+    not a per-entry rebuild."""
+    edges = _g6_und(spark, d)
 
     def ends(ed):
         return (ed.select(F.col("u").alias("node"))
@@ -3822,10 +3794,14 @@ def dd_threshold_curve(spark: SparkSession, d: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, threshold=0.1)
     thr = spark.createDataFrame(
         [(t,) for t in (0.1, 0.3, 0.5, 0.7, 0.9)], "thr double")
-    return (thr.crossJoin(pairs.select("jaccard"))
+    # LEFT join from the threshold frame (not crossJoin): on an empty
+    # pair set every threshold still emits with n_pairs = 0, matching
+    # the oracle's LEFT JOIN ... ON TRUE degeneration (ADVICE r9)
+    return (thr.join(pairs.select("jaccard"), F.lit(True), "left")
             .groupBy("thr")
-            .agg(F.sum((F.col("jaccard") >= F.col("thr")).cast("int"))
-                 .cast("long").alias("n_pairs"))
+            .agg(F.coalesce(
+                F.sum((F.col("jaccard") >= F.col("thr")).cast("int")),
+                F.lit(0)).cast("long").alias("n_pairs"))
             .orderBy("thr"))
 
 # ===========================================================================
@@ -4143,11 +4119,19 @@ def a29_equidepth_histogram(spark: SparkSession, d: str) -> DataFrame:
                         lo.cast("long").alias("lo_cents"),
                         F.col(f"h{i}").alias("hi_cents"))
         rows = r if rows is None else rows.unionByName(r)
-    return (v.crossJoin(F.broadcast(rows))
-            .filter((F.col("cents") > F.col("lo_cents"))
-                    & (F.col("cents") <= F.col("hi_cents")))
-            .groupBy("bucket", "lo_cents", "hi_cents")
-            .agg(F.count("*").alias("n_rows"))
+    # left-join the boundary table against the conditional counts so
+    # a bucket whose quantile boundaries tie (hi == lo on heavily
+    # duplicated values) still emits its row with n_rows = 0, exactly
+    # like the oracle's correlated count (ADVICE r9)
+    cnt = (v.crossJoin(F.broadcast(rows))
+           .filter((F.col("cents") > F.col("lo_cents"))
+                   & (F.col("cents") <= F.col("hi_cents")))
+           .groupBy("bucket")
+           .agg(F.count("*").alias("n_in")))
+    return (rows.join(cnt, "bucket", "left")
+            .select("bucket", "lo_cents", "hi_cents",
+                    F.coalesce(F.col("n_in"), F.lit(0)).cast("long")
+                     .alias("n_rows"))
             .orderBy("bucket"))
 
 

@@ -276,39 +276,83 @@ def main() -> None:
     res["funnel_approx_vs_exact_10x"] = round(
         T["cc_release_funnel_approx_10x"] / T["cc_release_funnel_10x"], 2)
 
-    # --- triangle census tiers: the exact all-pairs kNN build is the
-    # value-oracled catalog form (timed at 1x only — at 10x it is a
-    # 4e8-pair window, the quadratic wall the docstring names); the
-    # ivf-edge census is the documented 100 TB swap, timed at BOTH
-    # tiers so the ratio reads the census's own k-bounded scaling ----
+    # --- triangle census tiers over the SHARED graph store (VERDICT
+    # r9 #1/#4): the one-off edge-store BUILD is ledgered separately
+    # from the census READ (the store amortizes across the whole
+    # g5–g9 family — the actual 100 TB shape, where the ingest
+    # pipeline writes the edge list once per corpus snapshot), and
+    # the ivf build is timed both fit-INCLUDED (cold: KMeans fit +
+    # candidate join + write) and fit-EXCLUDED (a prebuilt centroid
+    # layout passed in — the amortized marginal cost; at toy tier
+    # sizes the two in-loop KMeans fits dominated the r9 numbers:
+    # g6_census_ivf_1x read 24.4 s vs 4.4 s exact purely on fit
+    # overhead).  Exact build timed at 1x only — at 10x it is a
+    # 4e8-pair window, the quadratic wall the docstring names.
+    # n_lists scales with the corpus (the bitext-tier convention):
+    # sqrt(n)-ish list growth keeps per-query candidate cells
+    # near-constant ------------------------------------------------
+    from production_grade_rag_spark.operators.similarity import \
+        fit_centroids
     from production_grade_rag_spark.plans.catalog_r9 import (
         _census_from_und, _g6_und)
+    _, t = _timed(lambda: _g6_und(spark, SF_DIR, rebuild=True).count())
+    T["g6_knn_build_exact_1x"] = t
     _, t = _timed_steady(
         lambda: _census_from_und(_g6_und(spark, SF_DIR)).count())
     T["g6_census_exact_1x"] = t
-    print(f"# g6 census exact 1x: {t}s", file=sys.stderr)
-    # n_lists scales with the corpus (the bitext-tier convention): at
-    # fixed lists the per-query candidate set grows linearly and the
-    # first cut of this tier scored 100M pairs at 10x (451 s, ratio
-    # 20.6x) — sqrt(n)-ish list growth keeps cells near-constant
+    print(f"# g6 exact 1x: store build {T['g6_knn_build_exact_1x']}s, "
+          f"census over store {t}s", file=sys.stderr)
     for tag, d, nl in (("1x", SF_DIR, 16), ("10x", STRESS_DIR, 64)):
+        _, t = _timed(lambda d=d, nl=nl: _g6_und(
+            spark, d, method="ivf", n_lists=nl, rebuild=True).count())
+        T[f"g6_knn_build_ivf_{tag}"] = t
+        # fit_centroids computes eagerly (ingest-time prebuilt layout,
+        # the ivf_build_store shape) — the rebuild below therefore
+        # times candidate join + write alone
+        cents = fit_centroids(load_table(spark, d, "embeddings"), nl)
+        _, t = _timed(lambda d=d, nl=nl, c=cents: _g6_und(
+            spark, d, method="ivf", n_lists=nl, centroids=c,
+            rebuild=True).count())
+        T[f"g6_knn_build_ivf_prefit_{tag}"] = t
         n, t = _timed_steady(
             lambda d=d, nl=nl: _census_from_und(
                 _g6_und(spark, d, method="ivf", n_lists=nl)).count())
         T[f"g6_census_ivf_{tag}"] = t
-        print(f"# g6 census ivf {tag} ({nl} lists): {t}s",
-              file=sys.stderr)
+        print(f"# g6 ivf {tag} ({nl} lists): build "
+              f"{T[f'g6_knn_build_ivf_{tag}']}s (prefit "
+              f"{T[f'g6_knn_build_ivf_prefit_{tag}']}s), census over "
+              f"store {t}s", file=sys.stderr)
     res["g6_census_ivf_scale_ratio"] = round(
         T["g6_census_ivf_10x"] / T["g6_census_ivf_1x"], 2)
+    res["g6_knn_build_ivf_prefit_scale_ratio"] = round(
+        T["g6_knn_build_ivf_prefit_10x"]
+        / T["g6_knn_build_ivf_prefit_1x"], 2)
 
-    # --- fixed-eval-set IR tier (VERDICT r8 #3): the SAME 40-query
-    # eval set at both tiers (40 = the 1x tier's full held-out set,
-    # and the cap selects first-by-qid, so the 10x tier scores the
-    # identical queries), so the ratio reads the operator's own
+    # --- fixed-eval-set IR tier (VERDICT r8 #3, pinned per r9 #6):
+    # the eval set is min(100, the 1x tier's full held-out count) —
+    # an actual constant across tiers — and the tier VERIFIES the
+    # identity (capped qid set + md5 of each query's embedding must
+    # be byte-equal at 1x and 10x; the synthesis keeps replica 0
+    # untouched and offsets replica ids by 10M, so the first-N-by-qid
+    # cap lands on the identical vectors — asserted, not assumed,
+    # per ADVICE r9).  The ratio then reads the operator's own
     # corpus-linear scaling — the default entry's eval set grows
     # WITH the corpus, making scored pairs grow 100x across tiers ---
     from production_grade_rag_spark.plans.catalog_r8 import _ir_per_query
-    n_fixed = _ir_per_query(spark, SF_DIR).count()
+    n_fixed = min(100, _ir_per_query(spark, SF_DIR).count())
+
+    def _eval_fingerprint(d: str):
+        emb = load_table(spark, d, "embeddings")
+        return [(r["vec_id"], r["h"]) for r in
+                (emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 7)
+                 .orderBy("vec_id").limit(n_fixed)
+                 .select("vec_id",
+                         F.md5(F.to_json(F.col("embedding"))).alias("h"))
+                 .collect())]
+
+    fp1, fp10 = _eval_fingerprint(SF_DIR), _eval_fingerprint(STRESS_DIR)
+    assert fp1 == fp10, "fixed-eval tier: qid/embedding sets diverged"
+    res["ir1_fixed_eval_identical"] = True
     for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
         n, t = _timed_steady(
             lambda d=d: _ir_per_query(spark, d,

@@ -1,0 +1,70 @@
+"""Round-10 entries: shared kNN-graph store, KMV sketch, approx
+per-domain cut, soft-dedup sampling composition."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from production_grade_rag_spark.plans.catalog import CATALOG
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from production_grade_rag_spark.session import get_spark
+    s = get_spark("test-r10", cpus=4, shuffle_partitions=4)
+    yield s
+
+
+def test_knn_store_materializes_once(spark):
+    from production_grade_rag_spark.operators import knn_graph as KG
+    und1 = KG.knn_und(spark, SF001)
+    path = KG._warehouse(KG._tag("knn_und", SF001, 5, "exact", 16, 4))
+    assert os.path.exists(path)
+    mtime = max(os.path.getmtime(os.path.join(path, f))
+                for f in os.listdir(path))
+    # second call serves from the store — no rewrite
+    und2 = KG.knn_und(spark, SF001)
+    mtime2 = max(os.path.getmtime(os.path.join(path, f))
+                 for f in os.listdir(path))
+    assert mtime2 == mtime
+    assert und1.count() == und2.count()
+
+
+def test_knn_store_edges_canonical_and_k_bounded(spark):
+    from production_grade_rag_spark.operators import knn_graph as KG
+    und = KG.knn_und(spark, SF001)
+    assert und.filter(F.col("u") >= F.col("v")).count() == 0
+    assert und.count() == und.distinct().count()
+    nb = KG.knn_nb(spark, SF001)
+    n_vec = nb.select("src").distinct().count()
+    # directed fanout exactly k per src; undirected <= k*n
+    assert nb.count() == 5 * n_vec
+    assert und.count() <= 5 * n_vec
+
+
+def test_knn_ivf_recall_gate_green(spark):
+    row = (CATALOG["g_knn_edges_ivf_recall"].build(spark, SF001)
+           .collect()[0])
+    assert row["floor_met"] is True
+    assert row["n_exact"] > 0
+
+
+def test_graph_consumers_share_the_store(spark):
+    # g6/g7/g8/g9 all read the same materialized edge list: their
+    # edge counts must agree with the store's
+    from production_grade_rag_spark.operators import knn_graph as KG
+    n_edges = KG.knn_und(spark, SF001).count()
+    census = CATALOG["g6_triangle_census"].build(spark, SF001).collect()[0]
+    assert census["n_edges"] == n_edges
+    kcore0 = (CATALOG["g7_kcore_peel"].build(spark, SF001)
+              .filter(F.col("round") == 0).collect()[0])
+    assert kcore0["n_edges"] == n_edges
+    g8 = CATALOG["g8_hub_attack"].build(spark, SF001).collect()[0]
+    assert g8["n_edges"] == n_edges
+    g9 = CATALOG["g9_assortativity"].build(spark, SF001).collect()[0]
+    assert g9["n_edges"] == n_edges
