@@ -110,3 +110,214 @@ def g_knn_edges_ivf_recall(spark: SparkSession, d: str) -> DataFrame:
     exact = knn_und(spark, d)
     approx = knn_und(spark, d, method="ivf", n_probe=_IVF_EDGE_PROBE)
     return _recall_summary(exact, approx, ["u", "v"], floor=0.9)
+
+
+# ===========================================================================
+# Approx-percentile knob for the per-domain quality cut (VERDICT r9
+# #3 — the last exact-percentile barrier gets its gated sketch twin)
+# ===========================================================================
+
+def _pernorm_keep(spark: SparkSession, d: str,
+                  cuts: str = "exact") -> DataFrame:
+    """The w10 keep set under the chosen cut mode.  cuts='exact' is
+    the value-oracled catalog form (catalog_r8b.w10_quality_pernorm);
+    cuts='approx' swaps the per-source exact percentile for the
+    Greenwald-Khanna sketch (percentile_approx, accuracy 10000) —
+    bounded-state, partial-aggregable map-side, the form a 100 TB run
+    compiles (tests pin that this path contains NO exact percentile
+    aggregate)."""
+    from ..functions import text as X
+    docs = _t(spark, d, "documents")
+    q = docs.select(
+        "doc_id", "source",
+        F.round(X.quality_components(F.col("text"))["quality_score"], 6)
+         .alias("q_score"))
+    cut = (F.expr("percentile_approx(q_score, 0.75, 10000)")
+           if cuts == "approx"
+           else F.percentile("q_score", F.lit(0.75)))
+    th = q.groupBy("source").agg(cut.alias("p75"))
+    return (q.join(F.broadcast(th), "source")
+            .filter(F.col("q_score") >= F.col("p75"))
+            .select("doc_id", "source", "q_score",
+                    F.round("p75", 6).alias("p75")))
+
+
+def _w10_approx_oracle() -> str:
+    from .catalog_r8b import _pernorm_cte
+    return _pernorm_cte() + """
+SELECT (SELECT count(*) FROM q)::BIGINT AS n_docs,
+       (SELECT count(*) FROM q JOIN th USING (source)
+        WHERE q.q_score >= th.p75)::BIGINT AS n_keep_exact,
+       TRUE AS agree_ok
+"""
+
+
+@register("w10_quality_pernorm_approx", oracle=_w10_approx_oracle())
+def w10_quality_pernorm_approx(spark: SparkSession, d: str) -> DataFrame:
+    """The approx-percentile knob for w10's per-domain quartile cut,
+    gated a11-style (VERDICT r9 #3 — the ta_perplexity_approx recipe
+    applied to the one entry whose sketch mode was still prose): the
+    EXACT per-source keep count is value-oracled (DuckDB recomputes
+    the quantile_cont cuts and the join), and the GK-sketch cuts must
+    produce the SAME keep/drop decision for >= 99% of documents
+    (agree_ok).
+
+    Why it matters at 100 TB: F.percentile buffers every q_score of a
+    source in ONE aggregation buffer — fine for balanced sources,
+    a single-reducer funnel for a dominant domain; percentile_approx
+    partial-aggregates map-side at bounded state, so the cut table
+    costs one ordinary two-phase aggregate at any corpus size.  GK
+    rank error is n/accuracy, so only documents between the exact and
+    sketch cut candidates can flip decision — the 99% floor bounds
+    exactly that band."""
+    from ..functions import text as X
+    docs = _t(spark, d, "documents")
+    q = docs.select(
+        "source",
+        F.round(X.quality_components(F.col("text"))["quality_score"], 6)
+         .alias("q_score"))
+    th = q.groupBy("source").agg(
+        F.percentile("q_score", F.lit(0.75)).alias("p75"),
+        F.expr("percentile_approx(q_score, 0.75, 10000)").alias("p75a"))
+    j = q.join(F.broadcast(th), "source")
+    keep_e = (F.col("q_score") >= F.col("p75")).cast("long")
+    keep_a = (F.col("q_score") >= F.col("p75a")).cast("long")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep_e).cast("long").alias("n_keep_exact"),
+        ((F.sum((keep_e == keep_a).cast("long")).cast("double")
+          / F.count("*").cast("double")) >= 0.99).alias("agree_ok"))
+
+
+# ===========================================================================
+# Soft-dedup end-to-end composition (VERDICT r9 #5): the weight
+# column actually driving the weighted sampler, with the achieved-mix
+# data card beside hard dedup's kept set
+# ===========================================================================
+
+_T41_K = 100
+
+
+def _t41_cte() -> str:
+    from .catalog_r9 import _softdedup_oracle
+    return f"""
+WITH sd AS ({_softdedup_oracle()}),
+q41 AS (
+  SELECT sd.doc_id, d.source, sd.sample_weight AS w,
+         ((('0x' || substr(md5(sd.doc_id::VARCHAR || ':sdw'), 1, 8))::BIGINT
+           % 1000000) + 1)::DOUBLE / 1000000.0::DOUBLE AS u
+  FROM sd JOIN documents d ON d.doc_id = sd.doc_id
+), keyed41 AS (
+  SELECT doc_id, source, w,
+         CAST(round(ln(u) / w * 1000000.0) AS BIGINT) AS key_s
+  FROM q41
+)"""
+
+
+@register("t41_soft_dedup_sample", oracle=_t41_cte() + f"""
+SELECT doc_id, source, w, key_s
+FROM keyed41 ORDER BY key_s DESC, doc_id LIMIT {_T41_K}
+""")
+def t41_soft_dedup_sample(spark: SparkSession, d: str) -> DataFrame:
+    """A-Res weighted sampling UNDER the soft-dedup weights (VERDICT
+    r9 #5 — dd_soft_dedup's docstring promised its weight column
+    'feeds t27's weighted sampler directly'; this entry is that
+    composition as code): each document draws its deterministic
+    md5-bucket uniform and ranks by ln(u)/w with w = the
+    inverse-gram-frequency soft-dedup weight (He et al. 2024), so
+    boilerplate-heavy documents are sampled DOWN in proportion to
+    their corpus-wide duplication instead of being dropped — the
+    reweighting alternative to hard dedup, end to end.
+
+    Exactness: the t27 machinery verbatim (u is an exact rational,
+    the priority key is quantized to a 1e-6 BIGINT grid before the
+    rank, tiebreak (key DESC, doc_id)); w is dd_soft_dedup's exact
+    BIGINT ratio rounded once.
+
+    Scale shape: dd_soft_dedup's one gram-count aggregate + hash
+    join back, then TakeOrderedAndProject (per-partition heaps) for
+    the top-k — no global sort, no window."""
+    from ..operators.dedup import md5_int32
+    from .catalog_r9 import dd_soft_dedup
+    sd = dd_soft_dedup(spark, d).select("doc_id", "sample_weight")
+    docs = _t(spark, d, "documents").select("doc_id", "source")
+    u = ((F.pmod(md5_int32(F.concat(F.col("doc_id").cast("string"),
+                                    F.lit(":sdw"))), F.lit(1000000))
+          + F.lit(1)).cast("double") / F.lit(1000000.0))
+    keyed = (sd.join(docs, "doc_id")
+             .select("doc_id", "source",
+                     F.col("sample_weight").alias("w"),
+                     F.round(F.log(u) / F.col("sample_weight")
+                             * F.lit(1000000.0)).cast("long")
+                      .alias("key_s")))
+    return keyed.orderBy(F.desc("key_s"), "doc_id").limit(_T41_K)
+
+
+@register("t41_softsample_mix", oracle=_t41_cte() + f""",
+samp AS (
+  SELECT source FROM keyed41 ORDER BY key_s DESC, doc_id LIMIT {_T41_K}
+), hard AS (
+  SELECT source, count(*)::BIGINT AS n_hard_kept FROM (
+    SELECT source,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1 GROUP BY source
+), corpus AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+), insamp AS (
+  SELECT source, count(*)::BIGINT AS n_in_sample FROM samp GROUP BY source
+)
+SELECT c.source, c.n_docs,
+       coalesce(i.n_in_sample, 0)::BIGINT AS n_in_sample,
+       round(coalesce(i.n_in_sample, 0)::DOUBLE / {_T41_K}, 6)
+         AS sample_share,
+       round(c.n_docs::DOUBLE
+             / (SELECT sum(n_docs) FROM corpus)::DOUBLE, 6)
+         AS corpus_share,
+       h.n_hard_kept,
+       round(h.n_hard_kept::DOUBLE / c.n_docs::DOUBLE, 6)
+         AS hard_keep_share
+FROM corpus c
+LEFT JOIN insamp i ON i.source = c.source
+JOIN hard h ON h.source = c.source
+ORDER BY c.source
+""")
+def t41_softsample_mix(spark: SparkSession, d: str) -> DataFrame:
+    """The hard-vs-soft dedup data card: per source, the corpus mass,
+    the achieved soft-sample mix (how many of t41's 100 A-Res draws
+    landed there), and beside it hard dedup's kept set (exact-hash
+    keeper election — weight-0/1 is the degenerate soft weight).  The
+    one table a curation review reads to see what reweighting does to
+    the source mixture that hard removal would have done by deletion;
+    the corresponding effective-sample-size comparison is pinned in
+    pytest (ESS(soft) >= ESS(hard-as-weights) = kept count).
+
+    Scale shape: the sample is k-bounded; hard keeper election is a
+    hash-keyed window over content digests (the dd_exact shape);
+    everything else is sources-sized aggregates joined broadcast."""
+    samp = (t41_soft_dedup_sample(spark, d)
+            .groupBy("source").agg(F.count("*").alias("n_in_sample")))
+    docs = _t(spark, d, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    hard = (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("source").agg(F.count("*").alias("n_hard_kept")))
+    corpus = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = corpus.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    return (corpus.join(samp, "source", "left")
+            .join(hard, "source")
+            .crossJoin(F.broadcast(total))
+            .select("source", "n_docs",
+                    F.coalesce("n_in_sample", F.lit(0)).cast("long")
+                     .alias("n_in_sample"),
+                    F.round(F.coalesce("n_in_sample", F.lit(0))
+                            .cast("double") / _T41_K, 6)
+                     .alias("sample_share"),
+                    F.round(F.col("n_docs").cast("double")
+                            / F.col("n_total").cast("double"), 6)
+                     .alias("corpus_share"),
+                    "n_hard_kept",
+                    F.round(F.col("n_hard_kept").cast("double")
+                            / F.col("n_docs").cast("double"), 6)
+                     .alias("hard_keep_share"))
+            .orderBy("source"))

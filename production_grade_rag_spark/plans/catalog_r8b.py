@@ -330,8 +330,10 @@ def w10_quality_pernorm(spark: SparkSession, d: str) -> DataFrame:
     back broadcast; the keep decision is then MAP-SIDE (no
     percent_rank window partitioned by source, which would funnel a
     100 TB domain into one reducer).  Exact percentile is the oracle
-    contract at test scale; approx_percentile (partial-aggregable
-    GK sketch, see a11) is the documented 100 TB knob."""
+    contract at test scale; the approx_percentile 100 TB knob is
+    registered and GATED as w10_quality_pernorm_approx
+    (catalog_r10 — >= 99% keep-decision agreement, plan pinned to
+    compile no exact percentile)."""
     from ..functions import text as X
     docs = _t(spark, d, "documents")
     q = docs.select(

@@ -68,3 +68,44 @@ def test_graph_consumers_share_the_store(spark):
     assert g8["n_edges"] == n_edges
     g9 = CATALOG["g9_assortativity"].build(spark, SF001).collect()[0]
     assert g9["n_edges"] == n_edges
+
+
+def test_w10_approx_path_has_no_exact_percentile(spark):
+    # the cuts='approx' keep set must not compile the exact percentile
+    # aggregate anywhere (the gate entry intentionally runs BOTH)
+    from production_grade_rag_spark.plans.catalog_r10 import _pernorm_keep
+    plan = (_pernorm_keep(spark, SF001, cuts="approx")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan
+
+
+def test_w10_approx_gate_true_at_sf001(spark):
+    row = (CATALOG["w10_quality_pernorm_approx"].build(spark, SF001)
+           .collect()[0])
+    assert row["agree_ok"]
+    assert 0 < row["n_keep_exact"] <= row["n_docs"]
+
+
+def test_soft_dedup_ess_beats_hard_kept_count(spark):
+    # the hard-vs-soft tradeoff t41's data card quantifies: against a
+    # hard rule reading the SAME duplication signal (drop every doc
+    # whose soft weight falls below 0.8, i.e. mean gram frequency
+    # > 1.25 — hard removal is the degenerate 0/1 weighting, and ESS
+    # of 0/1 weights IS the kept count), soft dedup's Kish effective
+    # sample size must be >= the hard kept count: reweighting retains
+    # more effective data at the same duplication.  (Exact-hash hard
+    # dedup is NOT the comparator — it sees no near-duplication, so
+    # its kept count is the whole corpus.)
+    ess = (CATALOG["dd_soft_dedup_ess"].build(spark, SF001)
+           .collect()[0]["effective_sample_size"])
+    hard_kept = (CATALOG["dd_soft_dedup"].build(spark, SF001)
+                 .filter(F.col("sample_weight") >= 0.8).count())
+    assert ess >= hard_kept
+
+
+def test_soft_sample_downweights_duplicated_sources(spark):
+    rows = CATALOG["t41_softsample_mix"].build(spark, SF001).collect()
+    assert sum(r["n_in_sample"] for r in rows) == 100
+    # every source's corpus mass is accounted for
+    assert all(r["n_docs"] >= r["n_hard_kept"] >= 1 for r in rows)
