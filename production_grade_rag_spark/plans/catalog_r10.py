@@ -321,3 +321,327 @@ def t41_softsample_mix(spark: SparkSession, d: str) -> DataFrame:
                             / F.col("n_docs").cast("double"), 6)
                      .alias("hard_keep_share"))
             .orderBy("source"))
+
+
+# ===========================================================================
+# Bounded-state KMV distinct sketch (VERDICT r9 #2): the cap-k
+# adaptive form whose state is FIXED-SIZE for a never-ending crawl —
+# the production shape a22's fixed-theta docstring named
+# ===========================================================================
+
+_KMV_K = 64
+_H60_SPACE = float(1 << 60)
+# map-side coarse pre-filter: keep h < hash_space/4.  Sizing rule:
+# expected survivors = NDV/4 must clear k with margin, i.e. the
+# filter is safe whenever every group's NDV >> 4k (the smallest
+# per-source NDV here is ~1.1e3 vs 4k = 256; the original 1/16
+# a22 threshold left one source at 60 < k survivors — the kmv_ok
+# column caught exactly that, and at 100 TB the threshold is
+# sized from an NDV lower bound the same way)
+_KMV_RATE_INV = 4
+_KMV_PREFILTER = (1 << 60) // _KMV_RATE_INV
+
+
+def _kmv_sketch(spark: SparkSession, d: str,
+                with_exact: bool = True) -> DataFrame:
+    """Per-source KMV (k-minimum-values, Bar-Yossef et al. 2002 /
+    the DataSketches cap-k theta form): keep the k smallest distinct
+    60-bit shingle hashes per source, theta = the k-th smallest,
+    estimate NDV = (k-1) * 2^60 / theta.  Unlike the fixed-theta
+    sketch (a22, survivor state ~ NDV/16 — the 6.07x @10x stress
+    reading), state here is EXACTLY k hashes per source forever.
+
+    The plan is three bounded stages, none of which windows the
+    corpus: (1) a MAP-SIDE coarse pre-filter at the fixed a22
+    threshold (h < 2^60/4 — the k smallest hashes are all below it
+    whenever a source keeps >= k surviving distinct hashes, which
+    the kmv_ok column verifies in-plan; sizing rule at the
+    _KMV_PREFILTER constant); (2) per-(source, input-partition)
+    local top-k over survivors (dense_rank over a partition-bounded
+    group — the w12 two-phase distributed-rank pattern, so no
+    per-source window ever sees more than one partition's survivors);
+    (3) a global top-k over the <= partitions x k candidates.
+
+    ``with_exact`` adds the exact countDistinct twin (the catalog
+    audit column); the pure-sketch form (what a 100 TB run compiles)
+    is stress-timed at the 10x tier."""
+    from ..operators.dedup import word_shingles
+    from .catalog_r9 import _h60
+    docs = _t(spark, d, "documents")
+    s = (docs.select("source",
+                     F.explode(word_shingles(F.col("text"), 3))
+                     .alias("sh"))
+         .select("source", _h60(F.col("sh")).alias("h")))
+    surv = s.filter(F.col("h") < _KMV_PREFILTER)
+    w_loc = Window.partitionBy("source", "p").orderBy("h")
+    cand = (surv.withColumn("p", F.spark_partition_id())
+            .withColumn("dr", F.dense_rank().over(w_loc))
+            .filter(F.col("dr") <= _KMV_K)
+            .select("source", "h").distinct())
+    w_glob = Window.partitionBy("source").orderBy("h")
+    kept = (cand.withColumn("rn", F.row_number().over(w_glob))
+            .filter(F.col("rn") <= _KMV_K))
+    kmv = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_keep"),
+        F.max("h").alias("theta_k"))
+    # degenerate fallback (n_keep < k): the pre-filter itself is
+    # the theta — the a22 fixed-rate estimate; kmv_ok flags it
+    est = (F.when(F.col("n_keep") < _KMV_K,
+                  F.col("n_keep") * _KMV_RATE_INV)
+           .otherwise(F.round((_KMV_K - 1) * F.lit(_H60_SPACE)
+                              / F.col("theta_k").cast("double"))
+                      .cast("long")))
+    out = kmv.select("source", "n_keep", "theta_k",
+                     est.alias("est_ndv"))
+    if not with_exact:
+        return out.orderBy("source")
+    exact = s.groupBy("source").agg(
+        F.countDistinct("h").alias("exact_ndv"))
+    return (out.join(exact, "source")
+            .select("source", "exact_ndv", "n_keep", "theta_k",
+                    "est_ndv",
+                    F.round(F.abs(F.col("est_ndv") - F.col("exact_ndv"))
+                            .cast("double")
+                            / F.col("exact_ndv").cast("double"), 6)
+                     .alias("rel_err"),
+                    # in-plan verification that the coarse pre-filter
+                    # kept the full k-minimum set (>= k survivors, or
+                    # the source's whole distinct set survived)
+                    ((F.col("n_keep") == _KMV_K)
+                     | (F.col("n_keep") == F.col("exact_ndv")))
+                    .alias("kmv_ok"))
+            .orderBy("source"))
+
+
+def _kmv_oracle() -> str:
+    from .catalog_r9 import _theta_shingle_cte
+    K, SP = _KMV_K, int(1 << 60)
+    return _theta_shingle_cte() + f""",
+dist AS (SELECT DISTINCT source, h FROM s),
+kept AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM dist WHERE h < {_KMV_PREFILTER}) WHERE rn <= {K}
+), kmv AS (
+  SELECT source, count(*)::BIGINT AS n_keep,
+         max(h)::BIGINT AS theta_k
+  FROM kept GROUP BY source
+), ex AS (
+  SELECT source, count(*)::BIGINT AS exact_ndv FROM dist GROUP BY source
+)
+SELECT k.source, e.exact_ndv, k.n_keep, k.theta_k,
+       CASE WHEN k.n_keep < {K} THEN k.n_keep * {_KMV_RATE_INV}
+            ELSE CAST(round(({K} - 1) * {SP}::DOUBLE
+                            / k.theta_k::DOUBLE) AS BIGINT)
+       END AS est_ndv,
+       round(abs(CASE WHEN k.n_keep < {K} THEN k.n_keep * {_KMV_RATE_INV}
+                      ELSE CAST(round(({K} - 1) * {SP}::DOUBLE
+                                      / k.theta_k::DOUBLE) AS BIGINT)
+                 END - e.exact_ndv)::DOUBLE / e.exact_ndv::DOUBLE, 6)
+         AS rel_err,
+       (k.n_keep = {K} OR k.n_keep = e.exact_ndv) AS kmv_ok
+FROM kmv k JOIN ex e ON e.source = k.source
+ORDER BY k.source
+"""
+
+
+@register("a30_kmv_ndv", oracle=_kmv_oracle())
+def a30_kmv_ndv(spark: SparkSession, d: str) -> DataFrame:
+    """Bounded-state KMV distinct sketch per source (VERDICT r9 #2):
+    the cap-k adaptive form of a22 — keep the k = 64 smallest
+    distinct shingle hashes, theta adapts to the k-th smallest, and
+    the estimate (k-1)*2^60/theta_k tracks NDV with ~1/sqrt(k-2)
+    relative error while the sketch state NEVER exceeds k hashes per
+    source (a22's fixed-theta survivors grow linearly with the
+    corpus — its 6.07x @10x stress ratio was exactly that bill; the
+    pure-sketch form of THIS entry is stress-timed at the same tier).
+    Everything is deterministic md5 arithmetic, so the kept set, the
+    adaptive theta, the estimate AND the exact twin are all
+    value-oracled — the a22 gate pattern, upgraded to the
+    bounded-state estimator.
+
+    kmv_ok verifies in-plan that the map-side coarse pre-filter
+    (h < 2^60/4) retained the complete k-minimum set; at 100 TB the
+    pre-filter threshold is sized from a lower bound on per-source
+    NDV (expected survivors NDV/4 >> k) and this column is the
+    audit — at 1/16 one test source with NDV ~ 16k kept only 60
+    survivors and the column flagged it."""
+    return _kmv_sketch(spark, d, with_exact=True)
+
+
+def _kmv_merge_oracle() -> str:
+    from .catalog_r9 import _theta_shingle_cte
+    K, SP = _KMV_K, int(1 << 60)
+    return _theta_shingle_cte() + f""",
+dist AS (SELECT DISTINCT source, h FROM s),
+kept AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM dist WHERE h < {_KMV_PREFILTER}) WHERE rn <= {K}
+), gk AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM kept)) WHERE rn <= {K}
+), gkmv AS (
+  SELECT count(*)::BIGINT AS n_keep, max(h)::BIGINT AS theta_k FROM gk
+)
+SELECT n_keep, theta_k,
+       CASE WHEN n_keep < {K} THEN n_keep
+            ELSE CAST(round(({K} - 1) * {SP}::DOUBLE
+                            / theta_k::DOUBLE) AS BIGINT)
+       END AS est_ndv_merged,
+       (SELECT count(*) FROM (SELECT DISTINCT h FROM s))::BIGINT
+         AS exact_ndv_corpus
+FROM gkmv
+"""
+
+
+@register("a31_kmv_merge", oracle=_kmv_merge_oracle())
+def a31_kmv_merge(spark: SparkSession, d: str) -> DataFrame:
+    """KMV MERGEABILITY as a value-oracled fact: union the per-source
+    k-minimum sets, re-cap to the k smallest, and the result is a
+    valid corpus-level KMV — union-then-recap is a semilattice
+    (idempotent, commutative, associative), so partial sketches from
+    any sharding merge to the same state the corpus-level sketch
+    would have built (the property the streaming twin st_kmv_ingest
+    leans on, and the reason a 1000-executor run can sketch every
+    partition independently and combine k-sized states at the
+    driver).  The merged estimate and the corpus exact twin sit side
+    by side.
+
+    Scale shape: inputs are the per-source k-sets (sources x k rows);
+    the merge is one tiny window.  The exact corpus NDV is the
+    catalog-scale audit column."""
+    from ..operators.dedup import word_shingles
+    from .catalog_r9 import _h60
+    docs = _t(spark, d, "documents")
+    s = (docs.select("source",
+                     F.explode(word_shingles(F.col("text"), 3))
+                     .alias("sh"))
+         .select("source", _h60(F.col("sh")).alias("h")))
+    surv = s.filter(F.col("h") < _KMV_PREFILTER)
+    w_loc = Window.partitionBy("source", "p").orderBy("h")
+    cand = (surv.withColumn("p", F.spark_partition_id())
+            .withColumn("dr", F.dense_rank().over(w_loc))
+            .filter(F.col("dr") <= _KMV_K)
+            .select("source", "h").distinct())
+    w_src = Window.partitionBy("source").orderBy("h")
+    per_src = (cand.withColumn("rn", F.row_number().over(w_src))
+               .filter(F.col("rn") <= _KMV_K).select("source", "h"))
+    w_g = Window.orderBy("h")
+    gk = (per_src.select("h").distinct()
+          .withColumn("rn", F.row_number().over(w_g))
+          .filter(F.col("rn") <= _KMV_K))
+    gkmv = gk.agg(F.count("*").cast("long").alias("n_keep"),
+                  F.max("h").alias("theta_k"))
+    exact = s.select("h").distinct().agg(
+        F.count("*").cast("long").alias("exact_ndv_corpus"))
+    est = (F.when(F.col("n_keep") < _KMV_K, F.col("n_keep"))
+           .otherwise(F.round((_KMV_K - 1) * F.lit(_H60_SPACE)
+                              / F.col("theta_k").cast("double"))
+                      .cast("long")))
+    return (gkmv.crossJoin(F.broadcast(exact))
+            .select("n_keep", "theta_k", est.alias("est_ndv_merged"),
+                    "exact_ndv_corpus"))
+
+
+def _st_kmv_oracle() -> str:
+    from .catalog_r9 import _theta_shingle_cte
+    return _theta_shingle_cte() + f"""
+SELECT h FROM (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM s)) WHERE rn <= {_KMV_K}
+ORDER BY h
+"""
+
+
+@register("st_kmv_ingest", oracle=_st_kmv_oracle())
+def st_kmv_ingest(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming KMV maintenance — the BOUNDED-STATE member of the
+    streaming-summary family (VERDICT r9 #2: st_theta_ingest's
+    fixed-theta survivor store grows linearly with the corpus; this
+    store is <= k rows FOREVER): documents arrive through the
+    checkpointed paged-dump stream in two tranches (even ids, then
+    odd), each micro-batch computes its own k smallest distinct
+    shingle hashes (a batch-bounded TakeOrdered, per-partition heaps)
+    and the store merge is union-then-recap — keep the k smallest of
+    (prior k-set UNION batch k-set).  Union-then-recap is a
+    semilattice (idempotent, commutative, associative — a31_kmv_merge
+    value-oracles the same algebra in batch), so out-of-order and
+    duplicated deliveries cannot corrupt the state, and the drained
+    k-set must equal the batch-built corpus KMV row for row (this
+    oracle: DuckDB recomputes the k smallest distinct hashes of the
+    whole corpus).
+
+    Scale shape: per-batch work is the batch's own shingle scan +
+    a k-row TakeOrdered; the merge reads and writes k rows — the
+    never-ending-crawl registry whose state genuinely never grows."""
+    import shutil
+    from pathlib import Path
+
+    from ..operators.dedup import word_shingles
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..sources.tables import list_versions, read_version, write_version
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+    from .catalog_r9 import _h60
+
+    docs = _t(spark, d, "documents")
+    dump = _scratch("st_kmv_dump")
+    store = _scratch("st_kmv_store")
+    ckpt = _scratch("st_kmv_ckpt")
+    for p in (dump, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(part: DataFrame) -> DataFrame:
+        return part.select(F.to_json(F.struct(
+            F.col("doc_id").cast("string").alias("page_id"),
+            F.col("text").alias("title"),
+            "lang", "n_chars")).alias("value"))
+
+    page_rows(docs.filter(F.col("doc_id") % 2 == 0)) \
+        .repartition(2).write.text(dump)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+
+        def merge(batch_df: DataFrame, epoch_id: int) -> None:
+            import os
+            batch_docs = (batch_df.filter(~F.col("malformed"))
+                          .select(F.col("title").alias("text")))
+            inc = (batch_docs
+                   .select(F.explode(word_shingles(F.col("text"), 3))
+                           .alias("sh"))
+                   .select(_h60(F.col("sh")).alias("h"))
+                   .distinct().orderBy("h").limit(_KMV_K))
+            sp = batch_df.sparkSession
+            versions = (list_versions(sp, store)
+                        if os.path.exists(store) else [])
+            if versions:
+                prior = read_version(sp, store)
+                merged = (prior.unionByName(inc).distinct()
+                          .orderBy("h").limit(_KMV_K))
+            else:
+                merged = inc
+            write_version(merged, store,
+                          (versions[-1] + 1) if versions else 1)
+
+        SP._run_foreach(stream, merge, 120, ckpt)
+
+    drain()
+
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(docs.filter(F.col("doc_id") % 2 == 1)) \
+        .repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    return read_version(spark, store).select("h").orderBy("h")

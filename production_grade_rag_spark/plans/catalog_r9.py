@@ -1259,9 +1259,12 @@ def a22_theta_ndv(spark: SparkSession, d: str) -> DataFrame:
     per source; the exact_ndv twin is the catalog-scale audit column
     (at 100 TB you publish the estimate and spot-audit strata — the
     a10 argument).  Production theta sketches also CAP survivors at
-    k and lower theta adaptively; the fixed-theta form here is the
-    relational reduction whose state is exactly mergeable by union
-    (the st_cms_ingest story, with union instead of addition)."""
+    k and lower theta adaptively — that bounded-state form is now
+    REGISTERED as a30_kmv_ndv / a31_kmv_merge (catalog_r10, VERDICT
+    r9 #2) with its pure-sketch stress tier; the fixed-theta form
+    here stays as the relational reduction whose survivor SET feeds
+    the a23 set operations (union-mergeable — the st_cms_ingest
+    story, with union instead of addition)."""
     from ..operators.dedup import word_shingles
     docs = _t(spark, d, "documents")
     s = (docs.select("source",
@@ -1865,9 +1868,10 @@ def st_theta_ingest(spark: SparkSession, d: str) -> DataFrame:
     fixed-state streaming summary reduces to.
 
     Scale shape: per-batch work is the batch's own shingle scan +
-    a 1/16 map-side filter; the store carries only survivors (a
-    fixed fraction of DISTINCT keys; with the production k-cap,
-    a fixed count)."""
+    a 1/16 map-side filter; the store carries only survivors — a
+    fixed FRACTION of distinct keys, i.e. still corpus-linear.  The
+    k-capped twin whose store never exceeds k rows is st_kmv_ingest
+    (catalog_r10, VERDICT r9 #2)."""
     import shutil
     from pathlib import Path
 

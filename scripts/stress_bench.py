@@ -276,6 +276,22 @@ def main() -> None:
     res["funnel_approx_vs_exact_10x"] = round(
         T["cc_release_funnel_approx_10x"] / T["cc_release_funnel_10x"], 2)
 
+    # --- bounded-state KMV tier (VERDICT r9 #2): the PURE-sketch
+    # per-source KMV (no exact countDistinct twin in plan — what a
+    # 100 TB run compiles) at both tiers.  Cap-k state means only the
+    # shingle scan + map-side pre-filter grow with the corpus; the
+    # fixed-theta entry's 6.07x @10x (a22, survivors ~ NDV/16) is the
+    # bill this form retires -----------------------------------------
+    from production_grade_rag_spark.plans.catalog_r10 import _kmv_sketch
+    for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+        n, t = _timed_steady(
+            lambda d=d: _kmv_sketch(spark, d, with_exact=False).count())
+        T[f"kmv_pure_{tag}"] = t
+        print(f"# kmv pure-sketch {tag}: {t}s ({n} sources)",
+              file=sys.stderr)
+    res["kmv_pure_scale_ratio"] = round(
+        T["kmv_pure_10x"] / T["kmv_pure_1x"], 2)
+
     # --- triangle census tiers over the SHARED graph store (VERDICT
     # r9 #1/#4): the one-off edge-store BUILD is ledgered separately
     # from the census READ (the store amortizes across the whole

@@ -109,3 +109,34 @@ def test_soft_sample_downweights_duplicated_sources(spark):
     assert sum(r["n_in_sample"] for r in rows) == 100
     # every source's corpus mass is accounted for
     assert all(r["n_docs"] >= r["n_hard_kept"] >= 1 for r in rows)
+
+
+def test_kmv_prefilter_kept_full_minimum_set(spark):
+    rows = CATALOG["a30_kmv_ndv"].build(spark, SF001).collect()
+    assert rows and all(r["kmv_ok"] for r in rows)
+    # state bound: never more than k survivors kept per source
+    assert all(r["n_keep"] <= 64 for r in rows)
+
+
+def test_kmv_merge_equals_direct_corpus_sketch(spark):
+    # union-then-recap of the per-source k-sets must estimate from
+    # the same theta as a direct corpus-level KMV (the semilattice
+    # property the streaming twin leans on): the merged k smallest of
+    # per-source k-minima ARE the corpus k smallest
+    row = CATALOG["a31_kmv_merge"].build(spark, SF001).collect()[0]
+    st = {r["h"] for r in
+          CATALOG["st_kmv_ingest"].build(spark, SF001).collect()}
+    assert row["n_keep"] == 64 == len(st)
+    assert row["theta_k"] == max(st)
+
+
+def test_st_kmv_store_stays_k_bounded(spark):
+    # every persisted version of the streaming store holds <= k rows
+    # (the bounded-state claim st_theta_ingest could not make)
+    from production_grade_rag_spark.plans.catalog_more import _scratch
+    from production_grade_rag_spark.sources.tables import (
+        list_versions, read_version)
+    CATALOG["st_kmv_ingest"].build(spark, SF001).collect()
+    store = _scratch("st_kmv_store")
+    for v in list_versions(spark, store):
+        assert read_version(spark, store, v).count() <= 64
