@@ -140,3 +140,16 @@ def test_st_kmv_store_stays_k_bounded(spark):
     store = _scratch("st_kmv_store")
     for v in list_versions(spark, store):
         assert read_version(spark, store, v).count() <= 64
+
+
+def test_bpe64_prefix_consistency_and_curve_monotone(spark):
+    # greedy BPE is deterministic, so depth 16 must be exactly the
+    # first 16 rows of depth 64 (the r9 depth-4-of-16 convention)
+    m16 = CATALOG["t20_bpe_merges16"].build(spark, SF001).collect()
+    m64 = CATALOG["t20_bpe_merges64"].build(spark, SF001).collect()
+    assert [tuple(r) for r in m16] == [tuple(r) for r in m64[:16]]
+    curve = sorted(CATALOG["t20_bpe_curve64"].build(spark, SF001)
+                   .collect(), key=lambda r: r["n_merges"])
+    spw = [r["symbols_per_word"] for r in curve]
+    # compression strictly improves with merges
+    assert all(a > b for a, b in zip(spw, spw[1:]))
