@@ -736,3 +736,142 @@ def t20_bpe_curve64(spark: SparkSession, d: str) -> DataFrame:
     for a in out[1:]:
         res = res.unionByName(a)
     return res.orderBy("n_merges")
+
+
+# ===========================================================================
+# Watermarked streaming sessionize (VERDICT r9 #8): the event-
+# analytics member of the streaming family — session_window +
+# watermark, two checkpointed tranches, closed sessions == batch
+# ===========================================================================
+
+@register("st_sessionize", oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+""")
+def st_sessionize(spark: SparkSession, d: str) -> DataFrame:
+    """Watermarked streaming sessionization with CHECKPOINT RESUME —
+    the event-analytics member of the streaming family (VERDICT r9
+    #8; until now sessionize/funnel had only batch forms plus the
+    late-data audit): events arrive as a file-source stream in two
+    time-split tranches (first half of the time range, then the
+    second — so sessions spanning the split exist and MUST be merged
+    by the state store across the two checkpointed drains), the plan
+    is the native session_window(ts, '30 min') under a 2-hour
+    watermark in APPEND mode (only CLOSED sessions ever emit — the
+    state store holds exactly the open-session frontier, which is
+    what bounds memory on an unbounded feed), and a far-future
+    sentinel tranche then advances the watermark past every real
+    session so the full closed set is flushed.  The drained closed
+    sessions must equal batch ev_sessionize's session extents row for
+    row — this oracle recomputes the batch lag+prefix-sum form in
+    DuckDB, so the streaming path is fully value-oracled (start/end/
+    count/sum per session).
+
+    Why the tranche split can't lose data: tranche 2's events all
+    sit at or after the split instant, while the watermark after
+    tranche 1 is max(t1) - 2 h < split — nothing in tranche 2 is
+    ever late beyond the watermark, the st_late_data audit's
+    admission condition.
+
+    At 100 TB/day this is the production sessionize: per-batch work
+    is the batch's own events + the open-frontier state keyed by
+    (user, session), closed sessions append to the sink partitioned
+    by day, and a restart resumes from the checkpoint exactly as the
+    second drain here does."""
+    return _st_sessionize_run(spark, d)
+
+
+def _st_sessionize_run(spark: SparkSession, d: str,
+                       split_at=None) -> DataFrame:
+    """The st_sessionize pipeline with an injectable tranche split:
+    tests pick a split INSIDE a known session to pin that the state
+    store merges a boundary-spanning session across the checkpointed
+    drains; the entry uses the time-range midpoint.  ``split_at`` is
+    a normalized-timestamp datetime; any split is output-equivalent
+    (the oracle does not depend on it), the knob only moves WHERE the
+    resume boundary falls."""
+    import datetime as _dt
+    import shutil
+    from pathlib import Path
+
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+
+    raw = spark.read.parquet(f"{d}/events.parquet")
+    ts_type = dict(raw.dtypes)["ts"]
+    # normalized-domain ts expression over the RAW rows (the tranche
+    # files must keep the raw schema byte-compatible with the source)
+    nts = (F.timestamp_micros(F.expr("ts div 1000"))
+           if ts_type == "bigint" else F.col("ts").cast("timestamp"))
+    mm = raw.agg(F.min(nts).alias("lo"), F.max(nts).alias("hi")).first()
+    split = (split_at if split_at is not None
+             else mm["lo"] + (mm["hi"] - mm["lo"]) / 2)
+    sent_dt = mm["hi"] + _dt.timedelta(hours=10)
+    sent_col = ((F.unix_micros(F.lit(sent_dt).cast("timestamp"))
+                 * F.lit(1000)).cast("bigint")
+                if ts_type == "bigint"
+                else F.lit(sent_dt).cast(ts_type))
+
+    sdir = _scratch("st_sess_stream")
+    store = _scratch("st_sess_store")
+    ckpt = _scratch("st_sess_ckpt")
+    for p in (sdir, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def ship(part: DataFrame, tag: str) -> None:
+        tmp = sdir + "_" + tag
+        shutil.rmtree(tmp, ignore_errors=True)
+        part.repartition(2).write.parquet(tmp)
+        Path(sdir).mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(sorted(Path(tmp).glob("part-*"))):
+            f.rename(Path(sdir) / f"{tag}-{i:05d}.parquet")
+
+    ship(raw.filter(nts <= F.lit(split)), "t1")
+
+    def drain() -> None:
+        stream = (spark.readStream.schema(raw.schema).parquet(sdir))
+        ev = (SP.normalize_event_ts(stream)
+              .withWatermark("ts", "2 hours"))
+        sess = SP.sessionized(ev)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(store)
+
+        SP._run_foreach(sess, sink, 180, ckpt)
+
+    drain()
+    ship(raw.filter(nts > F.lit(split)), "t2")
+    drain()
+    # sentinel: one far-future event advances the watermark past every
+    # real session's close, flushing the full closed set
+    sent = raw.limit(1).select(*[
+        F.lit(-1).cast(dict(raw.dtypes)["event_id"]).alias("event_id")
+        if c == "event_id" else
+        F.lit(-1).cast(dict(raw.dtypes)["user_id"]).alias("user_id")
+        if c == "user_id" else
+        sent_col.alias("ts") if c == "ts"
+        else F.col(c)
+        for c in raw.columns])
+    ship(sent, "t3")
+    drain()
+
+    return (spark.read.parquet(store)
+            .filter(F.col("user_id") != -1)
+            .select("user_id", "session_start", "session_end",
+                    "n_events", F.col("sum_value"))
+            .orderBy("user_id", "session_start"))

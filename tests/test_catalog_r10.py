@@ -153,3 +153,30 @@ def test_bpe64_prefix_consistency_and_curve_monotone(spark):
     spw = [r["symbols_per_word"] for r in curve]
     # compression strictly improves with merges
     assert all(a > b for a, b in zip(spw, spw[1:]))
+
+
+def test_st_sessionize_checkpoint_resume_merges_boundary_sessions(spark):
+    # the entry ingests two time-split tranches through a persistent
+    # checkpoint: a session spanning the split must appear exactly
+    # once with extents straddling the split instant — state merged
+    # across drains, not re-emitted
+    from production_grade_rag_spark.plans.catalog_r10 import \
+        _st_sessionize_run
+    batch = CATALOG["ev_sessionize"].build(spark, SF001).collect()
+    # pick a split INSIDE a real multi-event session so the resume
+    # boundary is guaranteed to cut one: its events land in both
+    # tranches and the state store must merge them across drains
+    target = max((r for r in batch if r["n_events"] >= 2),
+                 key=lambda r: r["session_end"] - r["session_start"])
+    split = (target["session_start"]
+             + (target["session_end"] - target["session_start"]) / 2)
+    out = _st_sessionize_run(spark, SF001, split_at=split).collect()
+    key = lambda r: (r["user_id"], str(r["session_start"]),
+                     str(r["session_end"]), r["n_events"])
+    assert sorted(map(key, out)) == sorted(map(key, batch))
+    # no duplicates from the restart, and the cut session came back
+    # as ONE merged row with its batch extents
+    assert len({key(r) for r in out}) == len(out)
+    spanning = [r for r in out
+                if r["session_start"] <= split <= r["session_end"]]
+    assert any(key(r) == key(target) for r in spanning)
