@@ -875,3 +875,253 @@ def _st_sessionize_run(spark: SparkSession, d: str,
             .select("user_id", "session_start", "session_end",
                     "n_events", F.col("sum_value"))
             .orderBy("user_id", "session_start"))
+
+
+# ===========================================================================
+# Graph family consumers of the shared store, wave 2: components
+# (min-label AND log-round star contraction) + personalized PageRank
+# ===========================================================================
+
+def _knn_closure_oracle() -> str:
+    return (_und_cte().replace("\nWITH e AS", "\nWITH RECURSIVE e AS")
+            + """,
+gedges AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION SELECT v, u FROM und
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM gedges
+  UNION SELECT r.src, g.dst FROM reach r JOIN gedges g ON g.src = r.dst
+)
+SELECT em.vec_id,
+       least(em.vec_id, coalesce(min(r.dst), em.vec_id))::BIGINT
+         AS component
+FROM embeddings em LEFT JOIN reach r ON r.src = em.vec_id
+GROUP BY em.vec_id ORDER BY em.vec_id
+""")
+
+
+@register("g10_knn_components", oracle=_knn_closure_oracle())
+def g10_knn_components(spark: SparkSession, d: str) -> DataFrame:
+    """Connected components of the symmetrized 5-NN graph by min-label
+    propagation over the SHARED edge store — the corpus-fragmentation
+    read beside the census (one giant component = a connected
+    embedding manifold; many components = isolated topical islands
+    that label propagation can never bridge and SemDeDup treats as
+    independent cells).  The DuckDB oracle computes the transitive
+    closure recursively, so propagation convergence is value-checked,
+    not assumed (the dd_components pattern on the vector graph).
+
+    Scale shape: each round is one k-bounded edge join + a min
+    aggregate with early fixed-point exit; round count is
+    diameter-bounded — the log-round production swap is
+    g10_components_star below, value-oracled to the SAME closure."""
+    from ..operators.dedup import connected_components
+    from ..operators.knn_graph import knn_und
+    und = knn_und(spark, d)
+    emb = _t(spark, d, "embeddings")
+    pairs = und.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    return (connected_components(pairs, emb.select("vec_id"),
+                                 id_col="vec_id", max_iter=32)
+            .select("vec_id", F.col("component").cast("long")
+                    .alias("component"))
+            .orderBy("vec_id"))
+
+
+@register("g10_components_star", oracle=_knn_closure_oracle())
+def g10_components_star(spark: SparkSession, d: str) -> DataFrame:
+    """The SAME components by alternating large-star/small-star
+    contraction (Kiveris et al. 2014) — the O(log^2 n)-round
+    production algorithm whose round count does NOT depend on
+    component diameter (min-label propagation needs diameter rounds;
+    a 100 TB near-dup chain can be arbitrarily long and the diameter
+    is unknowable in advance).  Value-oracled against the identical
+    recursive-closure SQL as g10_knn_components: two independent
+    algorithms, one truth — the strongest cross-check the driver can
+    see.
+
+    Scale shape: each round is two groupBy-min passes + canonical
+    dedup over the (shrinking) edge list; fixed point checked with
+    limit(1) anti-join probes."""
+    from ..operators.knn_graph import connected_components_star, knn_und
+    und = knn_und(spark, d)
+    emb = _t(spark, d, "embeddings")
+    return (connected_components_star(und, emb.select("vec_id"),
+                                      id_col="vec_id")
+            .orderBy("vec_id"))
+
+
+# ===========================================================================
+# Personalized PageRank from a seed document over the directed 5-NN
+# graph — "what is reachable-by-similarity from here" as one ranking
+# ===========================================================================
+
+_PPR_ITERS = 4
+_PPR_SEED = 0
+_PPR_TOP = 20
+
+
+def _ppr_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8b import _LP_K
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), nb AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+), r0 AS MATERIALIZED (
+  SELECT vec_id,
+         (CASE WHEN vec_id = {_PPR_SEED} THEN 1000000 ELSE 0 END)::BIGINT
+           AS r
+  FROM e
+)"""]
+    for k in range(_PPR_ITERS):
+        parts.append(f""", s{k} AS MATERIALIZED (
+  SELECT nb.dst AS vec_id, CAST(sum((17 * r.r) // 100) AS BIGINT) AS m
+  FROM nb JOIN r{k} r ON r.vec_id = nb.src GROUP BY nb.dst
+), r{k + 1} AS MATERIALIZED (
+  SELECT e.vec_id,
+         ((CASE WHEN e.vec_id = {_PPR_SEED} THEN 150000 ELSE 0 END)
+          + coalesce(s.m, 0))::BIGINT AS r
+  FROM e LEFT JOIN s{k} s ON s.vec_id = e.vec_id
+)""")
+    parts.append(f"""
+SELECT vec_id, r AS ppr_scaled FROM r{_PPR_ITERS}
+WHERE r > 0 ORDER BY r DESC, vec_id LIMIT {_PPR_TOP}
+""")
+    return "".join(parts)
+
+
+@register("g11_ppr_seed", oracle=_ppr_oracle())
+def g11_ppr_seed(spark: SparkSession, d: str) -> DataFrame:
+    """Personalized PageRank from the seed document (vec_id 0) over
+    the directed 5-NN graph (Page et al. 1999 / the random-surfer
+    form with restart — the similarity-REACHABILITY ranking: cosine
+    top-k reads one hop, PPR reads multi-hop neighborhood mass, the
+    standard related-content expansion a retrieval engine runs on its
+    own kNN graph).  Damping 0.85, restart mass to the seed, 4
+    bounded iterations — iterative family member #8.
+
+    The exactness trick: rank mass lives on a 1e-6 BIGINT grid; each
+    hop moves floor(17·r/100) per out-edge (out-degree is exactly k=5,
+    so 0.85·r/5 = 17r/100 — one truncating division per edge, the
+    ev_attribution_removal convention), making all four iterations
+    engine-exact; truncation leakage is deterministic and identical
+    on both engines.
+
+    Scale shape: edges come from the SHARED store; each iteration is
+    one k-bounded join + partial-agg sum + a broadcast-able left
+    join back to the node table.  No window, no cartesian; the
+    final top-20 is TakeOrdered."""
+    from ..operators.knn_graph import knn_nb
+    from .catalog_r8b import _LP_K  # noqa: F401 (oracle parity: k=5)
+    emb = _t(spark, d, "embeddings")
+    nb = knn_nb(spark, d)
+    r = emb.select("vec_id",
+                   F.when(F.col("vec_id") == _PPR_SEED, F.lit(1000000))
+                    .otherwise(F.lit(0)).cast("long").alias("r"))
+    for _ in range(_PPR_ITERS):
+        contrib = (nb.join(r.withColumnRenamed("vec_id", "src"), "src")
+                   .groupBy(F.col("dst").alias("vec_id"))
+                   .agg(F.sum(F.expr("(17 * r) div 100")).cast("long")
+                        .alias("m")))
+        r = (emb.select("vec_id").join(contrib, "vec_id", "left")
+             .select("vec_id",
+                     (F.when(F.col("vec_id") == _PPR_SEED,
+                             F.lit(150000)).otherwise(F.lit(0))
+                      + F.coalesce("m", F.lit(0))).cast("long")
+                     .alias("r")))
+    return (r.filter(F.col("r") > 0)
+            .orderBy(F.desc("r"), "vec_id").limit(_PPR_TOP)
+            .select("vec_id", F.col("r").alias("ppr_scaled")))
+
+
+# ===========================================================================
+# CUSUM shift detection on daily volume — the sequential change test
+# beside the p-chart (dq6 reads single-day excursions; CUSUM reads
+# small persistent shifts that never trip a per-day limit)
+# ===========================================================================
+
+@register("dq7_cusum_shift", oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT count(*)::BIGINT AS n_days, CAST(sum(n_events) AS BIGINT) AS total
+  FROM daily
+), y AS (
+  SELECT d.day, d.n_events,
+         (t.n_days * d.n_events - t.total - t.total // 10)::BIGINT AS y_up,
+         (t.total - t.n_days * d.n_events - t.total // 10)::BIGINT AS y_dn,
+         (4 * (t.total // 10))::BIGINT AS h_n
+  FROM daily d CROSS JOIN tot t
+), p AS (
+  SELECT day, n_events, h_n,
+         CAST(sum(y_up) OVER w AS BIGINT) AS p_up,
+         CAST(sum(y_dn) OVER w AS BIGINT) AS p_dn
+  FROM y
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), s AS (
+  SELECT day, n_events, h_n,
+         (p_up - least(0, min(p_up) OVER w))::BIGINT AS s_up,
+         (p_dn - least(0, min(p_dn) OVER w))::BIGINT AS s_dn
+  FROM p
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT day, n_events, s_up AS cusum_up, s_dn AS cusum_down,
+       (s_up > h_n OR s_dn > h_n) AS is_alarm
+FROM s ORDER BY day
+""")
+def dq7_cusum_shift(spark: SparkSession, d: str) -> DataFrame:
+    """Two-sided CUSUM shift detection (Page 1954, public) on daily
+    event volume: S+_t = max(0, S+_{t-1} + (x_t - mu - K)) accumulates
+    sustained upward drift, S-_t the mirror — the sequential test
+    that catches a small persistent level shift long before any
+    single day trips dq6's p-chart limits (the complementary pair
+    every SPC deployment runs).  Allowance K = mu/10, decision
+    interval h = 4K — the standard small-shift tuning, stated.
+
+    The exactness trick: everything rides the n_days-scaled integer
+    grid (y_t = n·x_t - total - total div 10 — mu never divides), and
+    the max(0, ...) recurrence is computed CLOSED-FORM as
+    S_t = P_t - min(0, min_{j<=t} P_j) over the prefix sums P — two
+    ordered windows instead of an inherently sequential loop, both
+    engine-exact BIGINTs.
+
+    Scale shape: one scan to the calendar-bounded day table; the two
+    windows run over days, never events."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, d, "events")
+    daily = (ev.groupBy(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                        .cast("date").cast("string").alias("day"))
+             .agg(F.count("*").alias("n_events")))
+    tot = daily.agg(F.count("*").alias("n_days"),
+                    F.sum("n_events").cast("long").alias("total"))
+    y = (daily.crossJoin(F.broadcast(tot))
+         .select("day", "n_events",
+                 (F.col("n_days") * F.col("n_events") - F.col("total")
+                  - F.expr("total div 10")).cast("long").alias("y_up"),
+                 (F.col("total") - F.col("n_days") * F.col("n_events")
+                  - F.expr("total div 10")).cast("long").alias("y_dn"),
+                 (4 * F.expr("total div 10")).cast("long").alias("h_n")))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    p = y.select("day", "n_events", "h_n",
+                 F.sum("y_up").over(w).cast("long").alias("p_up"),
+                 F.sum("y_dn").over(w).cast("long").alias("p_dn"))
+    s_up = (F.col("p_up")
+            - F.least(F.lit(0), F.min("p_up").over(w))).cast("long")
+    s_dn = (F.col("p_dn")
+            - F.least(F.lit(0), F.min("p_dn").over(w))).cast("long")
+    return (p.select("day", "n_events",
+                     s_up.alias("cusum_up"), s_dn.alias("cusum_down"),
+                     ((s_up > F.col("h_n")) | (s_dn > F.col("h_n")))
+                     .alias("is_alarm"))
+            .orderBy("day"))

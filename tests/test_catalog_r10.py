@@ -180,3 +180,75 @@ def test_st_sessionize_checkpoint_resume_merges_boundary_sessions(spark):
     spanning = [r for r in out
                 if r["session_start"] <= split <= r["session_end"]]
     assert any(key(r) == key(target) for r in spanning)
+
+
+def test_components_two_algorithms_agree(spark):
+    # min-label propagation and large/small-star contraction are
+    # independent algorithms; identical labelings on the same store
+    ml = {(r["vec_id"], r["component"]) for r in
+          CATALOG["g10_knn_components"].build(spark, SF001).collect()}
+    st = {(r["vec_id"], r["component"]) for r in
+          CATALOG["g10_components_star"].build(spark, SF001).collect()}
+    assert ml == st and len(ml) > 0
+
+
+def test_star_contraction_on_path_graph(spark):
+    # a path is the adversarial case for min-label (diameter rounds);
+    # the star contraction must label it in its bounded round budget
+    from production_grade_rag_spark.operators.knn_graph import \
+        connected_components_star
+    n = 200
+    und = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(500, 501)], "u long, v long")
+    ids = spark.range(0, 502).withColumnRenamed("id", "vec_id")
+    out = {r["vec_id"]: r["component"]
+           for r in connected_components_star(und, ids).collect()}
+    assert all(out[i] == 0 for i in range(n))
+    assert out[500] == out[501] == 500
+    assert out[300] == 300   # singleton keeps its id
+
+
+def test_ppr_seed_dominates_and_mass_bounded(spark):
+    rows = CATALOG["g11_ppr_seed"].build(spark, SF001).collect()
+    assert rows[0]["vec_id"] == 0          # the restart node ranks first
+    assert rows[0]["ppr_scaled"] >= 150000  # at least the restart mass
+    # truncating grid never creates mass: total <= 1e6
+    assert sum(r["ppr_scaled"] for r in rows) <= 1_000_000
+
+
+def test_cusum_flags_sustained_shift(spark):
+    # synthetic: 30 flat days then 30 days at +50% — a persistent
+    # shift that accumulates past h = 4K (a +25% shift integrates to
+    # 900 < h = 1080 over this horizon: below the decision interval
+    # BY DESIGN, the allowance is what buys the low false-alarm rate)
+    import datetime as dt
+    rows = []
+    eid = 0
+    for day in range(60):
+        n = 40 if day < 30 else 60
+        for i in range(n):
+            rows.append((eid, 1, "view",
+                         dt.datetime(2024, 1, 1) + dt.timedelta(
+                             days=day, seconds=i), 1.0, "{}"))
+            eid += 1
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "ts timestamp, value double, properties string") \
+            .write.parquet(f"{tmp}/events.parquet")
+        out = CATALOG["dq7_cusum_shift"].build(spark, tmp).collect()
+    # self-referenced two-sided CUSUM: relative to the GLOBAL mean the
+    # first regime sits low and the second high, so the DOWN side must
+    # accumulate past h only in the flat regime and the UP side only
+    # in the shifted one — per-side localization, not a blanket flag
+    h = 4 * (sum(1 for _ in rows) // 10)   # 4 * (total_events div 10)
+    up = [r["day"] for r in out if r["cusum_up"] > h]
+    dn = [r["day"] for r in out if r["cusum_down"] > h]
+    # up-side accumulates ONLY in the shifted regime
+    assert up and all(day >= "2024-01-31" for day in up)
+    # down-side arms during the flat regime (not instantly — the
+    # allowance buys a few quiet days) and DECAYS after the regime
+    # flips: -900/day against a 9000 peak clears within ~10 days
+    assert dn and min(dn) <= "2024-01-30" and min(dn) >= "2024-01-03"
+    assert max(dn) <= "2024-02-10"
