@@ -1125,3 +1125,146 @@ def dq7_cusum_shift(spark: SparkSession, d: str) -> DataFrame:
                      ((s_up > F.col("h_n")) | (s_dn > F.col("h_n")))
                      .alias("is_alarm"))
             .orderBy("day"))
+
+
+# ===========================================================================
+# Incremental EXACT kNN-graph maintenance — the streaming ingest form
+# of the shared graph store (the missing member after cells/semdedup:
+# the graph itself, maintained as vectors arrive)
+# ===========================================================================
+
+def _st_knn_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8b import _LP_K
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), nb AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+)
+SELECT src, dst FROM nb ORDER BY src, dst
+"""
+
+
+@register("st_knn_edges", oracle=_st_knn_oracle())
+def st_knn_edges(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental EXACT kNN-graph maintenance: vectors arrive through
+    the checkpointed paged-dump stream in two out-of-order tranches
+    (even vec_ids, then odd), and each micro-batch updates a versioned
+    edge store so that after the drain the DIRECTED 5-NN edge list is
+    byte-identical to the batch build (this oracle: DuckDB recomputes
+    the full all-pairs kNN) — the ingest form of the shared graph
+    store operators/knn_graph.py builds offline, completing the
+    streaming family's graph story (cells: st_ivf_ingest; semantic
+    keepers: st_semdedup; now the graph itself).
+
+    Why exact incrementality is possible: per-node top-k under a
+    total order (cos DESC, dst ASC) is a bounded-merge SEMILATTICE —
+    top5(S1 u S2) = top5(top5(S1) u S2) — so each batch only has to
+    (a) score arrivals against the full resident set (the honest
+    incremental cost: |batch| x |store| map-side products, vs the
+    |store|^2 rebuild), (b) union those candidate edges into the
+    stored per-node top-5, and (c) re-rank k-bounded lists.
+    Out-of-order tranches cannot corrupt the result for the same
+    reason KMV's union-then-recap cannot (a31).  Vectors travel as
+    JSON double arrays (float->double exact), so streamed cosines are
+    bit-identical to batch ones.
+
+    At 100 TB this is the production graph pipeline: per-ingest cost
+    is arrivals x residents (cell-pruned via the IVF layout when the
+    recall gate's operating point allows — g_knn_edges_ivf), touched
+    nodes' lists update in place, untouched partitions never
+    rewrite."""
+    import shutil
+    from pathlib import Path
+
+    from ..functions.vector import cosine, to_double_array
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..sources.tables import list_versions, read_version, write_version
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+    from .catalog_r8b import _LP_K
+
+    emb = _t(spark, d, "embeddings")
+    dump = _scratch("st_knn_dump")
+    vstore = _scratch("st_knn_vstore")
+    estore = _scratch("st_knn_estore")
+    ckpt = _scratch("st_knn_ckpt")
+    for p in (dump, vstore, estore, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(part: DataFrame) -> DataFrame:
+        return part.select(F.to_json(F.struct(
+            F.col("vec_id").cast("string").alias("page_id"),
+            F.to_json(to_double_array(F.col("embedding"))).alias("title"),
+            F.lit("vec").alias("lang"),
+            F.lit(64).cast("long").alias("n_chars"))).alias("value"))
+
+    page_rows(emb.filter(F.col("vec_id") % 2 == 0)) \
+        .repartition(2).write.text(dump)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+
+        def merge(batch_df: DataFrame, epoch_id: int) -> None:
+            import os
+            sp = batch_df.sparkSession
+            B = (batch_df.filter(~F.col("malformed"))
+                 .select(F.col("page_id").cast("long").alias("vec_id"),
+                         F.from_json("title", "array<double>")
+                         .alias("emb")))
+            if B.isEmpty():
+                return
+            ev = (list_versions(sp, vstore)
+                  if os.path.exists(vstore) else [])
+            V = read_version(sp, vstore) if ev else None
+            resid = B.unionByName(V) if V is not None else B
+            # arrivals score against the FULL resident set (and each
+            # other), residents score against arrivals only — the
+            # bounded-merge semilattice makes that sufficient
+            q = B.select(F.col("vec_id").alias("src"),
+                         F.col("emb").alias("qv"))
+            c = resid.select(F.col("vec_id").alias("dst"),
+                             F.col("emb").alias("cv"))
+            e1 = (c.crossJoin(F.broadcast(q))
+                  .filter(F.col("src") != F.col("dst"))
+                  .select("src", "dst",
+                          cosine(F.col("qv"), F.col("cv")).alias("cos")))
+            cand = e1.unionByName(
+                e1.select(F.col("dst").alias("src"),
+                          F.col("src").alias("dst"), "cos"))
+            ee = (list_versions(sp, estore)
+                  if os.path.exists(estore) else [])
+            if ee:
+                cand = cand.unionByName(read_version(sp, estore))
+            w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+            nb = (cand.dropDuplicates(["src", "dst"])
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= _LP_K)
+                  .select("src", "dst", "cos"))
+            write_version(nb, estore, (ee[-1] + 1) if ee else 1)
+            write_version(resid, vstore, (ev[-1] + 1) if ev else 1)
+
+        SP._run_foreach(stream, merge, 180, ckpt)
+
+    drain()
+
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(emb.filter(F.col("vec_id") % 2 == 1)) \
+        .repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    return (read_version(spark, estore)
+            .select("src", "dst").orderBy("src", "dst"))

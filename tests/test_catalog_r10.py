@@ -252,3 +252,13 @@ def test_cusum_flags_sustained_shift(spark):
     # flips: -900/day against a 9000 peak clears within ~10 days
     assert dn and min(dn) <= "2024-01-30" and min(dn) >= "2024-01-03"
     assert max(dn) <= "2024-02-10"
+
+
+def test_st_knn_edges_fanout_and_versions(spark):
+    from production_grade_rag_spark.plans.catalog_more import _scratch
+    from production_grade_rag_spark.sources.tables import list_versions
+    out = CATALOG["st_knn_edges"].build(spark, SF001)
+    fan = out.groupBy("src").count()
+    assert fan.filter(F.col("count") != 5).count() == 0
+    # the store really went through multiple incremental merges
+    assert len(list_versions(spark, _scratch("st_knn_estore"))) >= 2
