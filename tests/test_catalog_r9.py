@@ -63,7 +63,10 @@ def test_engine_default_is_adaptive():
     from production_grade_rag_spark.config import EngineConfig
     c = EngineConfig()
     assert c.ann_mass_target == 0.8
-    assert c.ann_n_probe_max is None
+    # ADVICE r9: the adaptive worst case is CAPPED at 4x the probe
+    # floor (16 = every cell at the default n_lists=16, so the default
+    # operating point is unchanged; larger deployments get a ceiling)
+    assert c.ann_n_probe_max == 4 * c.ann_n_probe
 
 
 def test_st_semdedup_stream_matches_batch(spark):
