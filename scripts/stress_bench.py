@@ -291,6 +291,15 @@ def main() -> None:
               file=sys.stderr)
     res["kmv_pure_scale_ratio"] = round(
         T["kmv_pure_10x"] / T["kmv_pure_1x"], 2)
+    # the boundedness evidence: sketch STATE (kept hashes) must be
+    # identical across tiers while the corpus grows 10x — the residual
+    # wall-clock growth is the one-pass shingle scan, which no sketch
+    # removes (contrast a22 fixed-theta, whose survivor STATE grows
+    # ~NDV/16 and whose tier ratio reads that growth)
+    for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+        res[f"kmv_state_rows_{tag}"] = int(
+            _kmv_sketch(spark, d, with_exact=False)
+            .agg(F.sum("n_keep")).first()[0])
 
     # --- triangle census tiers over the SHARED graph store (VERDICT
     # r9 #1/#4): the one-off edge-store BUILD is ledgered separately
