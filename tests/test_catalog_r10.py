@@ -262,3 +262,18 @@ def test_st_knn_edges_fanout_and_versions(spark):
     assert fan.filter(F.col("count") != 5).count() == 0
     # the store really went through multiple incremental merges
     assert len(list_versions(spark, _scratch("st_knn_estore"))) >= 2
+
+
+def test_order_clumping_interleave_kills_bucket_adjacency(spark):
+    rows = {r["ordering"]: r for r in
+            CATALOG["t43_order_clumping"].build(spark, SF001).collect()}
+    cur, nat = rows["curriculum"], rows["doc_id"]
+    assert cur["n_pairs"] == nat["n_pairs"] > 0
+    # the audit's honest read on this corpus: quality mass is
+    # concentrated in one decile, so BOTH orders clump near the
+    # distribution's mixing floor (interleave <= natural, but far
+    # from zero) — the card surfaces the floor, it cannot beat it
+    assert cur["same_bucket_rate"] <= nat["same_bucket_rate"]
+    assert cur["same_bucket_rate"] > 0.3   # the floor is real
+    # sources ARE balanced, and there the interleave mixes fine
+    assert cur["same_source_rate"] < 0.05
