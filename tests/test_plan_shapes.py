@@ -581,3 +581,53 @@ def test_pchart_map_side_flags(spark):
     assert "CartesianProduct" not in plan
     # day table + broadcast 1-row total; flags are projections
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- round-10 pins -----------------------------------------------------
+
+
+def test_graph_consumers_read_the_store_not_a_rebuild(spark):
+    # the shared-store contract in plan form: the exact edge entry is
+    # a parquet scan with NO join anywhere — a rebuild would show the
+    # all-pairs non-equi self-join
+    plan = _plan(spark, "g_knn_edges")
+    assert "Scan parquet" in plan
+    assert "Join" not in plan
+    # and the k-core peel consumes the same store: its only joins are
+    # the per-round semi-joins on the flat node key, never a cartesian
+    plan7 = _plan(spark, "g7_kcore_peel")
+    assert "CartesianProduct" not in plan7
+
+
+def test_kmv_no_cartesian_and_bounded_windows(spark):
+    plan = _plan(spark, "a30_kmv_ndv")
+    assert "CartesianProduct" not in plan
+    # phase-1 local top-k runs keyed by (source, input partition) —
+    # there is a window, but never an unpartitioned global one over
+    # the corpus-sized survivor set
+    assert "Window" in plan
+    assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+
+def test_soft_sample_is_take_ordered(spark):
+    # A-Res top-100 under soft weights: per-partition heaps, not a
+    # global sort
+    plan = _plan(spark, "t41_soft_dedup_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ppr_iterations_are_edge_joins(spark):
+    plan = _plan(spark, "g11_ppr_seed")
+    assert "CartesianProduct" not in plan
+    # four iterations = four k-bounded aggregate/join rounds, and the
+    # final top-20 is a heap, not a sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cusum_windows_run_over_the_day_table(spark):
+    plan = _plan(spark, "dq7_cusum_shift")
+    assert "CartesianProduct" not in plan
+    # the event-grain work is one partial-aggregable groupBy; the
+    # sequential-looking recurrence compiles to day-table windows
+    assert "Window" in plan
