@@ -201,7 +201,8 @@ _BITEXT_PROBE = 4
 def _bitext_ivf_frame(spark: SparkSession, d: str,
                       n_lists: int = _BITEXT_LISTS,
                       n_probe: int = _BITEXT_PROBE,
-                      k: int = _BITEXT_K) -> DataFrame:
+                      k: int = _BITEXT_K,
+                      cents_a=None, cents_b=None) -> DataFrame:
     """Margin-based bitext mining over IVF-generated candidates: the
     all-pairs stage of r9_bitext_pairs (catalog_r8) replaced by
     ivf_knn_join candidate generation PER SIDE — each query scores
@@ -221,7 +222,9 @@ def _bitext_ivf_frame(spark: SparkSession, d: str,
     (hundreds to low thousands of rows) the exact broadcast
     all-pairs form is FASTER — the two KMeans fits dominate.  The
     IVF form wins once |A| x |B| outgrows the one-off fit cost
-    (which prebuilt stores amortize to zero); the stress ledger
+    (which prebuilt stores amortize to zero — ``cents_a``/``cents_b``
+    accept those prebuilt layouts and the stress ledger times the
+    prefit form separately); the stress ledger
     reports exact scored pairs growing ~100x across a 10x tier
     while the candidate set stays k-per-query bounded."""
     from ..functions.vector import to_double_array
@@ -235,13 +238,13 @@ def _bitext_ivf_frame(spark: SparkSession, d: str,
                  to_double_array(F.col("embedding")).alias("bv")))
     ab = (ivf_knn_join(A, B, k=k, n_lists=n_lists,
                        n_probe=n_probe, q_vec="av", q_id="a_id",
-                       c_vec="bv", c_id="b_id")
+                       c_vec="bv", c_id="b_id", centroids=cents_b)
           .select(F.col("query_id").alias("a_id"),
                   F.col("result_id").alias("b_id"),
                   F.round("score", 6).alias("cos")))
     ba = (ivf_knn_join(B, A, k=k, n_lists=n_lists,
                        n_probe=n_probe, q_vec="bv", q_id="b_id",
-                       c_vec="av", c_id="a_id")
+                       c_vec="av", c_id="a_id", centroids=cents_a)
           .select(F.col("result_id").alias("a_id"),
                   F.col("query_id").alias("b_id"),
                   F.round("score", 6).alias("cos")))
