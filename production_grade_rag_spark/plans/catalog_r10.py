@@ -446,7 +446,7 @@ ORDER BY k.source
 """
 
 
-@register("a30_kmv_ndv", oracle=_kmv_oracle())
+@register("a30_kmv_ndv", headline=True, oracle=_kmv_oracle())
 def a30_kmv_ndv(spark: SparkSession, d: str) -> DataFrame:
     """Bounded-state KMV distinct sketch per source (VERDICT r9 #2):
     the cap-k adaptive form of a22 — keep the k = 64 smallest
@@ -997,7 +997,7 @@ WHERE r > 0 ORDER BY r DESC, vec_id LIMIT {_PPR_TOP}
     return "".join(parts)
 
 
-@register("g11_ppr_seed", oracle=_ppr_oracle())
+@register("g11_ppr_seed", headline=True, oracle=_ppr_oracle())
 def g11_ppr_seed(spark: SparkSession, d: str) -> DataFrame:
     """Personalized PageRank from the seed document (vec_id 0) over
     the directed 5-NN graph (Page et al. 1999 / the random-surfer
