@@ -209,13 +209,23 @@ def connected_components_star(und: DataFrame, all_ids: DataFrame,
         self_link = m.select(F.col("a").alias("x"), F.col("m").alias("y"))
         return canon(hang.unionAll(self_link))
 
+    converged = False
     for _ in range(max_rounds):
         nxt = small_star(large_star(edges)).localCheckpoint()
         changed = (nxt.exceptAll(edges).limit(1).count() > 0
                    or edges.exceptAll(nxt).limit(1).count() > 0)
         edges = nxt
         if not changed:
+            converged = True
             break
+    if not converged:
+        # a non-fixed-point edge set is NOT star-shaped and reading
+        # labels off it would be silently wrong — fail loudly instead
+        # (O(log^2 n) bound means max_rounds=12 covers any graph this
+        # engine will ever see; a raise here means a bug, not data)
+        raise RuntimeError(
+            "connected_components_star: no fixed point within "
+            f"max_rounds={max_rounds}; raise max_rounds")
     # terminal state: stars rooted at component minima — (v, root=u)
     labels = edges.select(F.col("v").alias("id"),
                           F.col("u").alias("component"))
