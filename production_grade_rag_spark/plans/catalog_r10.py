@@ -1382,3 +1382,228 @@ def w12_order_frame(spark: SparkSession, d: str) -> DataFrame:
     from .catalog_r9 import w12_curriculum_interleave
     return (w12_curriculum_interleave(spark, d)
             .select("doc_id", "bucket", "curriculum_pos"))
+
+
+# ===========================================================================
+# Privacy: quasi-identifier k-anonymity audit (the aggregate privacy
+# read beside ta_redact's PII masking)
+# ===========================================================================
+
+_KANON_K = 5
+
+
+@register("dq8_kanonymity", oracle=f"""
+WITH g AS (
+  SELECT source, lang, (n_chars // 100)::BIGINT AS len_bucket,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY source, lang, n_chars // 100
+)
+SELECT count(*)::BIGINT AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_at_risk,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       round(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)::DOUBLE
+             / sum(n)::DOUBLE, 6) AS risk_share,
+       min(n)::BIGINT AS min_group_size
+FROM g
+""")
+def dq8_kanonymity(spark: SparkSession, d: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (source,
+    lang, length-bucket) — the aggregate privacy read (Sweeney 2002,
+    public) beside ta_redact's field-level PII masking: a row whose
+    quasi-identifier combination matches fewer than k = {K} corpus
+    rows is re-identifiable by linkage even with direct identifiers
+    scrubbed, and a release data card publishes the at-risk share
+    before the corpus ships.  Length is bucketed to 100-char bins
+    (the standard generalization step; the knob a real release
+    coarsens until risk_share clears policy).
+
+    Exactness: group sizes and the risk census are exact integers;
+    one display division.
+
+    Scale shape: one partial-aggregable groupBy on the
+    quasi-identifier key, then a groups-sized census aggregate — the
+    group table is bounded by the identifier domain, not the
+    corpus."""
+    docs = _t(spark, d, "documents")
+    g = (docs.groupBy("source", "lang",
+                      F.expr("n_chars div 100").alias("len_bucket"))
+         .agg(F.count("*").alias("n")))
+    risk = F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(F.lit(0))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum((F.col("n") < _KANON_K).cast("int")).cast("long")
+         .alias("n_groups_at_risk"),
+        F.sum(risk).cast("long").alias("n_rows_at_risk"),
+        F.round(F.sum(risk).cast("double")
+                / F.sum("n").cast("double"), 6).alias("risk_share"),
+        F.min("n").cast("long").alias("min_group_size"))
+
+
+dq8_kanonymity.__doc__ = dq8_kanonymity.__doc__.format(K=_KANON_K)
+
+
+# ===========================================================================
+# Embedding-space health: anisotropy + norm profile (the index-side
+# audit every vector store should publish before anyone tunes recall)
+# ===========================================================================
+
+@register("m5_embedding_isotropy", oracle="""
+WITH n AS (
+  SELECT vec_id,
+         CAST(round(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * 1000000) AS BIGINT) AS norm_q
+  FROM embeddings
+), p AS (
+  SELECT CAST(round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE)))
+           / sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           / sqrt(list_sum(list_transform(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * 1000000) AS BIGINT) AS cos_q
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)
+SELECT (SELECT count(*) FROM n)::BIGINT AS n_vectors,
+       round((SELECT sum(norm_q) FROM n)::DOUBLE
+             / (SELECT count(*) FROM n)::DOUBLE / 1000000, 6)
+         AS mean_norm,
+       round((SELECT min(norm_q) FROM n)::DOUBLE / 1000000, 6)
+         AS min_norm,
+       round((SELECT max(norm_q) FROM n)::DOUBLE / 1000000, 6)
+         AS max_norm,
+       (SELECT count(*) FROM p)::BIGINT AS n_pairs,
+       round((SELECT sum(cos_q) FROM p)::DOUBLE
+             / (SELECT count(*) FROM p)::DOUBLE / 1000000, 6)
+         AS anisotropy
+FROM (SELECT 1)
+""")
+def m5_embedding_isotropy(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding-space health card: norm profile + ANISOTROPY (the
+    expected cosine between unrelated vectors — Ethayarajh 2019,
+    public: contextual embedding spaces collapse into a narrow cone,
+    and a mean pair cosine far above 0 inflates every similarity
+    score, shifts dedup thresholds, and hides true neighbors).  The
+    pair sample is the consecutive-id chain (vec_id, vec_id+1) —
+    ids are content-uncorrelated in this corpus, so adjacent pairs
+    read as random pairs while staying deterministic, linear, and
+    oracle-able (no sampling RNG).
+
+    Exactness: norms and cosines are quantized to the 1e-6 grid
+    BEFORE summation (the commutative-sum rule), so the aggregates
+    are exact BIGINTs; display divisions at the end.
+
+    Scale shape: one scan for norms; the pair chain is a self-join
+    on vec_id+1 (equi-join, k=1 fanout) — corpus-linear, no window,
+    no cartesian."""
+    from ..functions.vector import to_double_array
+    emb = _t(spark, d, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    dot_self = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    n = emb.select(
+        "vec_id",
+        F.round(F.sqrt(dot_self) * 1000000).cast("long").alias("norm_q"))
+    a = emb.select(F.col("vec_id").alias("ia"), v.alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("ia"), v.alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    p = (a.join(b, "ia")
+         .select(F.round(dot / na / nb * 1000000).cast("long")
+                 .alias("cos_q")))
+    ns = n.agg(F.count("*").alias("n_vectors"),
+               F.sum("norm_q").cast("long").alias("s_norm"),
+               F.min("norm_q").alias("mn"), F.max("norm_q").alias("mx"))
+    ps = p.agg(F.count("*").alias("n_pairs"),
+               F.sum("cos_q").cast("long").alias("s_cos"))
+    return (ns.crossJoin(F.broadcast(ps))
+            .select("n_vectors",
+                    F.round(F.col("s_norm").cast("double")
+                            / F.col("n_vectors").cast("double")
+                            / 1000000, 6).alias("mean_norm"),
+                    F.round(F.col("mn").cast("double") / 1000000, 6)
+                     .alias("min_norm"),
+                    F.round(F.col("mx").cast("double") / 1000000, 6)
+                     .alias("max_norm"),
+                    "n_pairs",
+                    F.round(F.col("s_cos").cast("double")
+                            / F.col("n_pairs").cast("double")
+                            / 1000000, 6).alias("anisotropy")))
+
+
+# ===========================================================================
+# Classifier bias audit: quality-score vs length correlation (the
+# known quality-classifier failure mode, as one number)
+# ===========================================================================
+
+def _t44_oracle() -> str:
+    from .oracle_sql import quality_sql
+    return f"""
+WITH q AS (
+  SELECT CAST(round({quality_sql('text')} * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(greatest(n_chars, 1)) * 1000) AS BIGINT) AS y
+  FROM documents
+), s AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM q
+)
+SELECT n AS n_docs,
+       round((n * sxy - sx * sy)::DOUBLE
+             / sqrt((n * sxx - sx * sx)::DOUBLE)
+             / sqrt((n * syy - sy * sy)::DOUBLE), 6)
+         AS quality_length_corr
+FROM s
+"""
+
+
+@register("t44_quality_length_corr", oracle=_t44_oracle())
+def t44_quality_length_corr(spark: SparkSession, d: str) -> DataFrame:
+    """Pearson correlation between the T2 quality score and
+    log document length — the classifier-bias audit every
+    quality-filtered release publishes: quality classifiers are
+    KNOWN to learn length as a shortcut (long pages score high, the
+    C4/Gopher-era failure mode), and a correlation near 1 means the
+    'quality' cut is silently a length cut, double-counting t4's
+    min-length rule and skewing the kept mix toward verbosity.
+    One signed number beside w10's per-domain cuts.
+
+    Exactness: both variables quantized to integer grids BEFORE the
+    five product sums (quality x1e6, ln-length x1e3 — the ta_zipf
+    least-squares convention; grid coarseness bounds every term
+    below 1e18), so the correlation's numerator and radicands are
+    exact BIGINTs; two sqrt + one division at display.
+
+    Scale shape: one corpus scan into a 6-cell partial aggregate —
+    nothing corpus-sized survives the map side."""
+    from ..functions import text as X
+    docs = _t(spark, d, "documents")
+    q = docs.select(
+        F.round(X.quality_components(F.col("text"))["quality_score"]
+                * 1000000).cast("long").alias("x"),
+        F.round(F.log(F.greatest(F.col("n_chars"), F.lit(1))
+                      .cast("double")) * 1000).cast("long").alias("y"))
+    s = q.agg(F.count("*").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(num.cast("double") / F.sqrt(dx.cast("double"))
+                / F.sqrt(dy.cast("double")), 6)
+         .alias("quality_length_corr"))

@@ -277,3 +277,26 @@ def test_order_clumping_interleave_kills_bucket_adjacency(spark):
     assert cur["same_bucket_rate"] > 0.3   # the floor is real
     # sources ARE balanced, and there the interleave mixes fine
     assert cur["same_source_rate"] < 0.05
+
+
+def test_kanonymity_census_consistent(spark):
+    row = CATALOG["dq8_kanonymity"].build(spark, SF001).collect()[0]
+    assert row["n_rows"] == 500
+    assert 0 <= row["n_rows_at_risk"] <= row["n_rows"]
+    assert row["n_groups_at_risk"] <= row["n_groups"]
+    assert row["min_group_size"] >= 1
+
+
+def test_isotropy_bounds(spark):
+    row = (CATALOG["m5_embedding_isotropy"].build(spark, SF001)
+           .collect()[0])
+    assert row["n_pairs"] == row["n_vectors"] - 1
+    assert -1.0 <= row["anisotropy"] <= 1.0
+    assert 0 < row["min_norm"] <= row["mean_norm"] <= row["max_norm"]
+
+
+def test_quality_length_corr_bounds(spark):
+    row = (CATALOG["t44_quality_length_corr"].build(spark, SF001)
+           .collect()[0])
+    assert -1.0 <= row["quality_length_corr"] <= 1.0
+    assert row["n_docs"] == 500
