@@ -104,12 +104,14 @@ class EngineConfig:
     # adaptive FLOOR.  ann_n_probe_max bounds the worst case — an
     # ambiguous query otherwise probes every cell and the rerank
     # shortlist (scaled by probed-cell share) approaches a full-store
-    # scan; the 4x-of-floor default keeps the per-query ceiling at
-    # probe-16-of-16 under EngineConfig defaults, i.e. no observable
-    # change at defaults, while capping larger n_lists deployments
-    # (ADVICE r9).
+    # scan.  None (the default) means the cap is DERIVED as
+    # 4 * ann_n_probe at the use site (engine.resolved_probe_cap) —
+    # ratio-based, so a deployment that raises the floor keeps its 4x
+    # adaptive headroom instead of silently hitting an absolute 16
+    # (ADVICE r10); at EngineConfig defaults that resolves to the same
+    # 16-of-16 ceiling as before.  An explicit int is an absolute cap.
     ann_mass_target: float | None = 0.8
-    ann_n_probe_max: int | None = 16
+    ann_n_probe_max: int | None = None
     # "lsh" backend: MLlib BucketedRandomProjectionLSH (random
     # hyperplane-offset buckets, Datar et al. 2004) queried via
     # approxNearestNeighbors — the hash-bucket alternative to the

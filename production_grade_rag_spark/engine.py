@@ -32,6 +32,18 @@ from .operators.similarity import knn_topk
 from .operators.attribution import attribution_join
 
 
+def resolved_probe_cap(config: EngineConfig) -> int | None:
+    """The adaptive-probe ceiling actually passed to the searcher:
+    ``ann_n_probe_max`` when set (absolute cap), else 4x the adaptive
+    floor ``ann_n_probe`` — ratio-based, so raising the floor keeps
+    the documented 4x headroom instead of silently shrinking it
+    against a stale absolute (ADVICE r10).  At EngineConfig defaults
+    this resolves to 16, the pre-r11 behavior."""
+    if config.ann_n_probe_max is not None:
+        return config.ann_n_probe_max
+    return 4 * config.ann_n_probe
+
+
 def query_intent(query_text: str) -> str:
     """Keyword intent detection (advanced_search.py:125-146) — the
     driver-side twin of functions.text.classify_intent, same
@@ -180,7 +192,7 @@ class SparkRagEngine:
                 n_candidates=c.ann_n_candidates, id_col=id_col,
                 round_to=None,
                 mass_target=c.ann_mass_target,
-                n_probe_max=c.ann_n_probe_max)
+                n_probe_max=resolved_probe_cap(c))
             return (index.join(F.broadcast(hits), id_col)
                     .orderBy(F.desc("score"), F.col(id_col)))
         if c.ann_backend == "lsh":

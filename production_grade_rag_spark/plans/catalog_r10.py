@@ -488,7 +488,7 @@ kept AS (
   SELECT count(*)::BIGINT AS n_keep, max(h)::BIGINT AS theta_k FROM gk
 )
 SELECT n_keep, theta_k,
-       CASE WHEN n_keep < {K} THEN n_keep
+       CASE WHEN n_keep < {K} THEN n_keep * {_KMV_RATE_INV}
             ELSE CAST(round(({K} - 1) * {SP}::DOUBLE
                             / theta_k::DOUBLE) AS BIGINT)
        END AS est_ndv_merged,
@@ -538,7 +538,13 @@ def a31_kmv_merge(spark: SparkSession, d: str) -> DataFrame:
                   F.max("h").alias("theta_k"))
     exact = s.select("h").distinct().agg(
         F.count("*").cast("long").alias("exact_ndv_corpus"))
-    est = (F.when(F.col("n_keep") < _KMV_K, F.col("n_keep"))
+    # degenerate branch (merged n_keep < k): kept hashes are the
+    # SURVIVORS of the h < 2^60/4 prefilter, so the estimate must
+    # carry the same x{_KMV_RATE_INV} rate correction a30's fallback
+    # applies — n_keep alone would undercount corpus NDV ~4x on a
+    # low-NDV corpus (ADVICE r10).
+    est = (F.when(F.col("n_keep") < _KMV_K,
+                  F.col("n_keep") * _KMV_RATE_INV)
            .otherwise(F.round((_KMV_K - 1) * F.lit(_H60_SPACE)
                               / F.col("theta_k").cast("double"))
                       .cast("long")))

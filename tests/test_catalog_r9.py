@@ -63,10 +63,17 @@ def test_engine_default_is_adaptive():
     from production_grade_rag_spark.config import EngineConfig
     c = EngineConfig()
     assert c.ann_mass_target == 0.8
-    # ADVICE r9: the adaptive worst case is CAPPED at 4x the probe
-    # floor (16 = every cell at the default n_lists=16, so the default
-    # operating point is unchanged; larger deployments get a ceiling)
-    assert c.ann_n_probe_max == 4 * c.ann_n_probe
+    # ADVICE r9/r10: the adaptive worst case is CAPPED at 4x the probe
+    # floor, now RATIO-derived at the use site (None -> 4x floor), so
+    # raising the floor keeps the headroom; the default operating
+    # point resolves to the same 16-of-16 ceiling as before.
+    from production_grade_rag_spark.engine import resolved_probe_cap
+    assert c.ann_n_probe_max is None
+    assert resolved_probe_cap(c) == 4 * c.ann_n_probe == 16
+    assert resolved_probe_cap(
+        EngineConfig(ann_n_probe=8)) == 32            # ratio follows floor
+    assert resolved_probe_cap(
+        EngineConfig(ann_n_probe_max=12)) == 12       # explicit = absolute
 
 
 def test_st_semdedup_stream_matches_batch(spark):
