@@ -1028,6 +1028,14 @@ def g11_ppr_seed(spark: SparkSession, d: str) -> DataFrame:
     from .catalog_r8b import _LP_K  # noqa: F401 (oracle parity: k=5)
     emb = _t(spark, d, "embeddings")
     nb = knn_nb(spark, d)
+    return _ppr_rank(emb, nb)
+
+
+def _ppr_rank(emb: DataFrame, nb: DataFrame) -> DataFrame:
+    """The g11 PPR loop over an arbitrary directed edge frame ``nb``
+    (src, dst) — shared with the r11 IVF-fidelity card, which runs the
+    IDENTICAL iteration over the approximate store to measure what
+    missing edges do to the ranking a user actually reads."""
     r = emb.select("vec_id",
                    F.when(F.col("vec_id") == _PPR_SEED, F.lit(1000000))
                     .otherwise(F.lit(0)).cast("long").alias("r"))

@@ -1,0 +1,708 @@
+"""Round-11 catalog entries.
+
+VERDICT r10 task list: metric-level fidelity gates for the
+approximate kNN graph (g_ivf_fidelity — what 6% missing edges do to
+the census/components/PPR a user actually reads, VERDICT #2), the
+gated approx-NDV twin of the stats table (s32_analyze_stats_approx,
+VERDICT #3), the streaming funnel (st_funnel, VERDICT #5), the
+whitening operator that makes the isotropy card actionable
+(m6_whiten_embeddings, VERDICT #6), and the one-scan release-audit
+card (cc_release_audit, VERDICT #7).  VERDICT #1 (the IVF crossover)
+and #4 (the kmv_pure tier) are ledger/operator work in
+operators/similarity.py and scripts/stress_bench.py.
+
+Registered after catalog_r10 so the driver's existing correctness
+window is unchanged (REGISTRATION ORDER IS LOAD-BEARING — see
+plans/catalog.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _t, register
+
+
+# ===========================================================================
+# Metric-level fidelity gates for the approximate graph (VERDICT r10
+# #2): g_knn_edges_ivf_recall certifies the edge SET (0.94/0.96 vs
+# floor 0.9); this card certifies the DOWNSTREAM READS — triangle
+# census, component structure, PPR top-k — over the IVF store against
+# the exact store, value-oracling every exact-derivable number.
+# ===========================================================================
+
+# floors, from measured deltas at the gated probe point (16 cells,
+# probe 8; sf0.001 / sf0.01): triangle rel err 0.19 / 0.14 (IVF counts
+# MORE triangles — the cross-cell neighbors it loses are the
+# long-range edges, and their in-cell replacements close more
+# wedges); clustering-coefficient abs delta 0.0050 / 0.0029;
+# components identical; PPR top-20 overlap 18/20 / 17/20.
+_TRI_TOL_NUM, _TRI_TOL_DEN = 1, 4      # |tri_ivf - tri| / tri <= 1/4
+_CC_TOL = 0.02                         # |cc_ivf - cc| <= 0.02
+_PPR_OVERLAP_FLOOR = 0.75              # |top-k ∩| / |top-k exact|
+
+
+def _fidelity_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r10 import _PPR_ITERS, _PPR_SEED, _PPR_TOP
+    from .catalog_r8b import _LP_K
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    parts = [f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding FROM embeddings
+), nb AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM nb
+), deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node
+), tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), cc AS (
+  SELECT round((SELECT n_triangles FROM tri)::DOUBLE * 3
+               / (SELECT sum(deg * (deg - 1) // 2) FROM deg)::DOUBLE, 6)
+    AS clustering
+), gedges AS (
+  SELECT u AS src, v AS dst FROM und UNION SELECT v, u FROM und
+), reach(src, dst) AS (
+  SELECT src, dst FROM gedges
+  UNION SELECT r.src, g.dst FROM reach r JOIN gedges g ON g.src = r.dst
+), ncomp AS (
+  SELECT count(DISTINCT component)::BIGINT AS n_components FROM (
+    SELECT em.vec_id,
+           least(em.vec_id, coalesce(min(r.dst), em.vec_id)) AS component
+    FROM embeddings em LEFT JOIN reach r ON r.src = em.vec_id
+    GROUP BY em.vec_id)
+), r0 AS MATERIALIZED (
+  SELECT vec_id,
+         (CASE WHEN vec_id = {_PPR_SEED} THEN 1000000 ELSE 0 END)::BIGINT
+           AS r
+  FROM e
+)"""]
+    for k in range(_PPR_ITERS):
+        parts.append(f""", s{k} AS MATERIALIZED (
+  SELECT nb.dst AS vec_id, CAST(sum((17 * r.r) // 100) AS BIGINT) AS m
+  FROM nb JOIN r{k} r ON r.vec_id = nb.src GROUP BY nb.dst
+), r{k + 1} AS MATERIALIZED (
+  SELECT e.vec_id,
+         ((CASE WHEN e.vec_id = {_PPR_SEED} THEN 150000 ELSE 0 END)
+          + coalesce(s.m, 0))::BIGINT AS r
+  FROM e LEFT JOIN s{k} s ON s.vec_id = e.vec_id
+)""")
+    parts.append(f""", ppr AS (
+  SELECT count(*)::BIGINT AS n_top FROM (
+    SELECT vec_id FROM r{_PPR_ITERS} WHERE r > 0
+    ORDER BY r DESC, vec_id LIMIT {_PPR_TOP})
+)
+SELECT metric, exact_q, floor_met FROM (
+  SELECT 'clustering_coef' AS metric,
+         (SELECT clustering FROM cc) AS exact_q, TRUE AS floor_met
+  UNION ALL
+  SELECT 'components', (SELECT n_components FROM ncomp)::DOUBLE, TRUE
+  UNION ALL
+  SELECT 'ppr_top{_PPR_TOP}_overlap', (SELECT n_top FROM ppr)::DOUBLE,
+         TRUE
+  UNION ALL
+  SELECT 'triangles', (SELECT n_triangles FROM tri)::DOUBLE, TRUE
+) ORDER BY metric
+""")
+    return "".join(parts)
+
+
+@register("g_ivf_fidelity", oracle=_fidelity_oracle())
+def g_ivf_fidelity(spark: SparkSession, d: str) -> DataFrame:
+    """Metric-level robustness gates for the IVF-built graph store
+    (VERDICT r10 #2): g_knn_edges_ivf_recall certifies that the
+    approximate store recovers >= 0.9 of the exact EDGES, but a user
+    never reads edges — they read the census, the component structure,
+    and the PPR ranking.  This card runs each of those reads over BOTH
+    stores at the gated operating point (16 cells, probe 8) and gates
+    the deltas: triangle count within 25% relative (measured 19%/14% —
+    the IVF store counts MORE triangles: the cross-cell neighbors it
+    loses are long-range edges whose in-cell replacements close more
+    wedges), global clustering coefficient within 0.02 absolute
+    (measured 0.005), component count within max(1, 10%) (measured
+    identical — cell boundaries do not fragment the manifold at k=5
+    symmetrization), PPR top-20 overlap >= 0.75 (measured 0.90/0.85).
+
+    Every exact-side number is value-oracled (DuckDB recomputes the
+    census, the recursive-closure component count, and the 4-iteration
+    BIGINT PPR chain); the IVF-side deltas are floored — the
+    dd_semdedup_recall pattern lifted from the edge level to the
+    metric level, which is what the graph family's 100 TB story
+    actually needs: the exact build is infeasible there, so these
+    floors are the contract the IVF swap ships under.
+
+    Scale shape: both stores come from operators/knn_graph.py
+    (build-once parquet; the IVF build is the candidate-bounded
+    ivf_knn_join); every read over them is k-bounded joins + tiny
+    aggregates; star contraction is O(log^2 n) rounds."""
+    from ..operators.knn_graph import (connected_components_star, knn_nb,
+                                       knn_und)
+    from .catalog_r10 import _IVF_EDGE_PROBE, _PPR_TOP, _ppr_rank
+    from .catalog_r9 import _census_from_und
+    emb = _t(spark, d, "embeddings")
+    ids = emb.select("vec_id")
+    ue = knn_und(spark, d)
+    ui = knn_und(spark, d, method="ivf", n_probe=_IVF_EDGE_PROBE)
+    ce = _census_from_und(ue).select(
+        F.col("n_triangles").alias("tri_e"),
+        F.col("global_clustering").alias("cc_e"))
+    ci = _census_from_und(ui).select(
+        F.col("n_triangles").alias("tri_i"),
+        F.col("global_clustering").alias("cc_i"))
+    comp_e = (connected_components_star(ue, ids)
+              .agg(F.countDistinct("component").alias("comp_e")))
+    comp_i = (connected_components_star(ui, ids)
+              .agg(F.countDistinct("component").alias("comp_i")))
+    te = _ppr_rank(emb, knn_nb(spark, d)).select("vec_id")
+    ti = _ppr_rank(emb, knn_nb(spark, d, method="ivf",
+                               n_probe=_IVF_EDGE_PROBE)).select("vec_id")
+    ovl = te.join(ti, "vec_id").agg(F.count("*").alias("n_overlap"))
+    nte = te.agg(F.count("*").alias("n_top_e"))
+    base = (ce.crossJoin(F.broadcast(ci))
+            .crossJoin(F.broadcast(comp_e))
+            .crossJoin(F.broadcast(comp_i))
+            .crossJoin(F.broadcast(ovl))
+            .crossJoin(F.broadcast(nte)))
+    # integer-exact gates wherever the metric is an integer
+    tri_ok = (F.abs(F.col("tri_i") - F.col("tri_e")) * _TRI_TOL_DEN
+              <= F.col("tri_e") * _TRI_TOL_NUM)
+    cc_ok = F.abs(F.col("cc_i") - F.col("cc_e")) <= _CC_TOL
+    comp_ok = (F.abs(F.col("comp_i") - F.col("comp_e"))
+               <= F.greatest(F.lit(1).cast("long"),
+                             F.expr("comp_e div 10")))
+    ppr_ok = (F.col("n_overlap").cast("double")
+              / F.col("n_top_e").cast("double") >= _PPR_OVERLAP_FLOOR)
+    rows = F.array(
+        F.struct(F.lit("clustering_coef").alias("metric"),
+                 F.col("cc_e").cast("double").alias("exact_q"),
+                 cc_ok.alias("floor_met")),
+        F.struct(F.lit("components").alias("metric"),
+                 F.col("comp_e").cast("double").alias("exact_q"),
+                 comp_ok.alias("floor_met")),
+        F.struct(F.lit(f"ppr_top{_PPR_TOP}_overlap").alias("metric"),
+                 F.col("n_top_e").cast("double").alias("exact_q"),
+                 ppr_ok.alias("floor_met")),
+        F.struct(F.lit("triangles").alias("metric"),
+                 F.col("tri_e").cast("double").alias("exact_q"),
+                 tri_ok.alias("floor_met")))
+    return (base.select(F.explode(rows).alias("r")).select("r.*")
+            .orderBy("metric"))
+
+
+# ===========================================================================
+# Gated approx-NDV twin of the stats table (VERDICT r10 #3): the last
+# docstring-only sketch swap becomes compiled, gated code
+# ===========================================================================
+
+_S32_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+_S32_RSD = 0.02          # HLL++ relative standard deviation knob
+_S32_NDV_TOL = 0.05      # |approx - exact| / exact gate (2.5 sigma)
+
+
+def _s32_stats_r11(spark: SparkSession, d: str,
+                   ndv: str = "both") -> DataFrame:
+    """The s32 one-scan stats table with the NDV mode as a knob:
+    ndv='both' is the gated catalog form (exact NDV value-oracled,
+    HLL++ estimate checked against it in-plan); ndv='approx' is the
+    form a 100 TB run compiles — approx_count_distinct ONLY, no exact
+    distinct aggregate anywhere in the plan (pinned by
+    tests/test_catalog_r11.py)."""
+    o = _t(spark, d, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for i, c in enumerate(_S32_COLS, 1):
+        mn = F.min(c).cast("double")
+        mx = F.max(c).cast("double")
+        if c == "o_totalprice":
+            mn, mx = (F.round(F.min(c), 2).cast("double"),
+                      F.round(F.max(c), 2).cast("double"))
+        elif c == "o_orderdate":
+            ep = F.datediff(F.col(c).cast("date"), F.lit("1970-01-01"))
+            mn = F.min(ep).cast("double")
+            mx = F.max(ep).cast("double")
+        aggs += [F.sum(F.col(c).isNull().cast("long")).cast("long")
+                  .alias(f"nn{i}"),
+                 F.approx_count_distinct(F.col(c), _S32_RSD)
+                  .alias(f"na{i}"),
+                 mn.alias(f"mn{i}"), mx.alias(f"mx{i}")]
+        if ndv == "both":
+            aggs.append(F.count_distinct(F.col(c)).alias(f"nd{i}"))
+    a = o.agg(*aggs)
+
+    def row(i, c):
+        fields = [F.lit(c).alias("col"),
+                  F.col("n_rows").alias("n_rows"),
+                  F.col(f"nn{i}").alias("n_nulls")]
+        if ndv == "both":
+            fields += [
+                F.col(f"nd{i}").alias("ndv"),
+                F.col(f"mn{i}").alias("min_v"),
+                F.col(f"mx{i}").alias("max_v"),
+                (F.abs(F.col(f"na{i}") - F.col(f"nd{i}")).cast("double")
+                 <= F.col(f"nd{i}").cast("double") * _S32_NDV_TOL)
+                .alias("ndv_ok")]
+        else:
+            fields += [F.col(f"na{i}").alias("ndv"),
+                       F.col(f"mn{i}").alias("min_v"),
+                       F.col(f"mx{i}").alias("max_v")]
+        return F.struct(*fields)
+
+    return (a.select(F.explode(F.array(
+        *[row(i, c) for i, c in enumerate(_S32_COLS, 1)])).alias("r"))
+        .select("r.*").orderBy("col"))
+
+
+def _s32_approx_oracle() -> str:
+    from .catalog import CATALOG
+    base = CATALOG["s32_analyze_stats"].oracle
+    return base.replace(
+        "SELECT col, n_rows, n_nulls, ndv, min_v, max_v FROM (",
+        "SELECT col, n_rows, n_nulls, ndv, min_v, max_v, "
+        "TRUE AS ndv_ok FROM (")
+
+
+@register("s32_analyze_stats_approx", oracle=_s32_approx_oracle())
+def s32_analyze_stats_approx(spark: SparkSession, d: str) -> DataFrame:
+    """The approx-NDV knob for the ANALYZE stats table, gated
+    a10-style (VERDICT r10 #3 — s32's docstring promised the
+    approx_count_distinct swap; this entry compiles it): per column
+    of `orders`, the EXACT NDV is value-oracled (DuckDB recomputes
+    it) and the HLL++ estimate (rsd 0.02) must land within 5%
+    relative — ndv_ok is the in-plan audit, per column.
+
+    Why it matters at 100 TB: count(DISTINCT col) per column is a
+    shuffle of every distinct value of every profiled column through
+    one aggregation path per column; approx_count_distinct carries a
+    fixed few-KB HLL++ register set per column that partial-aggregates
+    map-side, so the whole stats table costs ONE ordinary two-phase
+    scan regardless of column cardinality.  The CBO consumer
+    (Selinger a17) tolerates 5% NDV error by design — selectivity
+    estimates are order-of-magnitude tools.
+
+    The pure-approx form (_s32_stats_r11 ndv='approx') compiles NO
+    exact distinct aggregate — pinned by plan inspection in
+    tests/test_catalog_r11.py."""
+    return _s32_stats_r11(spark, d, ndv="both")
+
+
+# ===========================================================================
+# Whitening: close the isotropy loop (VERDICT r10 #6) — remove the
+# top principal direction g4 already computes ("all-but-the-top",
+# Mu & Viswanath 2018 / Ethayarajh 2019), BIGINT-exact
+# ===========================================================================
+
+def _m6_oracle() -> str:
+    from .catalog_r8b import _PCA_D, _PCA_ITERS, _pca_cte
+    D, IT = _PCA_D, _PCA_ITERS
+    rng = f"range(1, {D} + 1)"
+    return _pca_cte() + f""", jw AS MATERIALIZED (
+  SELECT c.vec_id, c.cv, vt.v,
+         list_sum(list_transform({rng}, i -> c.cv[i] * vt.v[i])) AS s,
+         list_sum(list_transform(vt.v, x -> x * x)) AS vvq
+  FROM c CROSS JOIN v{IT} vt
+), wf AS MATERIALIZED (
+  SELECT vec_id, cv, v, s, vvq,
+         list_transform({rng}, i -> cv[i] - ((s * v[i]) // vvq)) AS w
+  FROM jw
+), resid AS (
+  SELECT CAST(sum((s // 1000) * (s // 1000)) AS BIGINT) AS before_q,
+         CAST(sum((wv // 1000) * (wv // 1000)) AS BIGINT) AS resid_q
+  FROM (SELECT s,
+               list_sum(list_transform({rng}, i -> w[i] * v[i])) AS wv
+        FROM wf)
+), pb AS (
+  SELECT CAST(round(
+    list_sum(list_transform({rng},
+      i -> a.cv[i]::DOUBLE * b.cv[i]::DOUBLE))
+    / sqrt(list_sum(list_transform(a.cv, x -> x::DOUBLE * x::DOUBLE)))
+    / sqrt(list_sum(list_transform(b.cv, x -> x::DOUBLE * x::DOUBLE)))
+    * 1000000) AS BIGINT) AS cq
+  FROM wf a JOIN wf b ON b.vec_id = a.vec_id + 1
+  WHERE list_sum(list_transform(a.cv, x -> x * x)) > 0
+    AND list_sum(list_transform(b.cv, x -> x * x)) > 0
+), pa AS (
+  SELECT CAST(round(
+    list_sum(list_transform({rng},
+      i -> a.w[i]::DOUBLE * b.w[i]::DOUBLE))
+    / sqrt(list_sum(list_transform(a.w, x -> x::DOUBLE * x::DOUBLE)))
+    / sqrt(list_sum(list_transform(b.w, x -> x::DOUBLE * x::DOUBLE)))
+    * 1000000) AS BIGINT) AS cq
+  FROM wf a JOIN wf b ON b.vec_id = a.vec_id + 1
+  WHERE list_sum(list_transform(a.w, x -> x * x)) > 0
+    AND list_sum(list_transform(b.w, x -> x * x)) > 0
+)
+SELECT (SELECT count(*) FROM wf)::BIGINT AS n_vectors,
+       (SELECT before_q FROM resid) AS before_q,
+       (SELECT resid_q FROM resid) AS resid_q,
+       (SELECT resid_q * 100 <= before_q FROM resid) AS removed_ok,
+       round((SELECT sum(cq) FROM pb)::DOUBLE
+             / (SELECT count(*) FROM pb)::DOUBLE / 1000000, 6)
+         AS anis_before,
+       round((SELECT sum(cq) FROM pa)::DOUBLE
+             / (SELECT count(*) FROM pa)::DOUBLE / 1000000, 6)
+         AS anis_after
+"""
+
+
+@register("m6_whiten_embeddings", oracle=_m6_oracle())
+def m6_whiten_embeddings(spark: SparkSession, d: str) -> DataFrame:
+    """All-but-the-top whitening (Mu & Viswanath 2018 / Ethayarajh
+    2019, public — VERDICT r10 #6): mean-center the 16-dim serving
+    slice and project out the top principal direction g4_pca_power
+    already computes, making the m5 anisotropy card ACTIONABLE
+    instead of observational.  Everything stays on the BIGINT grid:
+    the centered store cv is 1e-4-grid longs, the direction v is the
+    converged power-iteration frame, and each whitened coordinate is
+    w_i = cv_i - (cv·v * v_i) div (v·v) — one truncating integer
+    division per cell, identical in both engines, so the whitened
+    corpus, the removal invariant AND the before/after pair-cosine
+    card are all value-oracled.
+
+    The gate is the mathematical invariant, not a data hope:
+    removing the projection must kill the variance ALONG v —
+    removed_ok pins sum((w·v) div 1000)^2 <= 1% of the pre-removal
+    sum((cv·v) div 1000)^2 (measured ~6e-7: truncation residue
+    only).  anis_before/anis_after are the m5 consecutive-pair mean
+    cosines over cv and w; on THIS near-isotropic hash corpus they
+    sit near 0 and barely move (|anis| < 0.03 both sides) — the
+    honest reading, stated here so the card is not oversold: the
+    operator's value shows on anisotropic encoder outputs
+    (Ethayarajh measures mean-cos > 0.5 on GPT-2), where removing v1
+    collapses the common-direction mass by construction.
+
+    Scale shape: v is a 1-row broadcast; whitening is one map over
+    the narrow centered store (built once, catalog_r8b._pca_centered);
+    the pair chain is the m5 vec_id+1 equi-join; every aggregate is a
+    few-cell partial agg."""
+    from .catalog_r8b import _pca_frames
+    c, v = _pca_frames(spark, d)
+    j = c.crossJoin(F.broadcast(v))
+    s = F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+    vv = F.aggregate(F.transform("v", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda a, x: a + x)
+    wf = (j.withColumn("s", s).withColumn("vvq", vv)
+          .withColumn("w", F.expr(
+              "zip_with(cv, v, (cvi, vi) -> cvi - ((s * vi) div vvq))")))
+    wv = F.aggregate(F.zip_with("w", "v", lambda a, b: a * b),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    resid = (wf.withColumn("wv", wv)
+             .agg(F.sum(F.expr("(s div 1000) * (s div 1000)"))
+                  .cast("long").alias("before_q"),
+                  F.sum(F.expr("(wv div 1000) * (wv div 1000)"))
+                  .cast("long").alias("resid_q")))
+
+    def anis(col: str, name: str) -> DataFrame:
+        sq = F.aggregate(F.transform(col, lambda x: x * x),
+                         F.lit(0).cast("long"), lambda a, x: a + x)
+        side = wf.select("vec_id", F.col(col).alias("vc"),
+                         sq.alias("sq"))
+        a = side.select(F.col("vec_id").alias("ia"),
+                        F.col("vc").alias("va"), F.col("sq").alias("qa"))
+        b = side.select((F.col("vec_id") - 1).alias("ia"),
+                        F.col("vc").alias("vb"), F.col("sq").alias("qb"))
+        dot = F.aggregate(
+            F.zip_with("va", "vb",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(
+            F.transform("va", lambda x: x.cast("double")
+                        * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+        nb = F.sqrt(F.aggregate(
+            F.transform("vb", lambda x: x.cast("double")
+                        * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+        p = (a.join(b, "ia")
+             .filter((F.col("qa") > 0) & (F.col("qb") > 0))
+             .select(F.round(dot / na / nb * 1000000).cast("long")
+                     .alias("cq")))
+        return p.agg(F.round(F.sum("cq").cast("double")
+                             / F.count("*").cast("double") / 1000000, 6)
+                     .alias(name))
+
+    n = wf.agg(F.count("*").alias("n_vectors"))
+    return (n.crossJoin(F.broadcast(resid))
+            .crossJoin(F.broadcast(anis("cv", "anis_before")))
+            .crossJoin(F.broadcast(anis("w", "anis_after")))
+            .select("n_vectors", "before_q", "resid_q",
+                    (F.col("resid_q") * 100 <= F.col("before_q"))
+                    .alias("removed_ok"),
+                    "anis_before", "anis_after"))
+
+
+# ===========================================================================
+# One-scan release-audit card (VERDICT r10 #7): the four round-10
+# audits a release manager reads together, as one exploded frame
+# ===========================================================================
+
+_AUDIT_RISK_MAX = 0.05      # k-anonymity at-risk row share policy
+_AUDIT_ANIS_MAX = 0.1       # |mean pair cosine| policy
+_AUDIT_CLUMP_SLACK = 0.05   # curriculum same-bucket rate vs doc_id +
+_AUDIT_CORR_MAX = 0.5       # |quality-length correlation| policy
+
+
+def _audit_oracle() -> str:
+    from .catalog import CATALOG
+    m5 = CATALOG["m5_embedding_isotropy"].oracle
+    dq8 = CATALOG["dq8_kanonymity"].oracle
+    t43 = CATALOG["t43_order_clumping"].oracle
+    t44 = CATALOG["t44_quality_length_corr"].oracle
+    return f"""
+WITH t43v AS MATERIALIZED ({t43}),
+vals AS (
+  SELECT
+    (SELECT anisotropy FROM ({m5})) AS anis,
+    (SELECT risk_share FROM ({dq8})) AS risk,
+    (SELECT same_bucket_rate FROM t43v
+     WHERE ordering = 'curriculum') AS cur_rate,
+    (SELECT same_bucket_rate FROM t43v
+     WHERE ordering = 'doc_id') AS nat_rate,
+    (SELECT quality_length_corr FROM ({t44})) AS corr
+)
+SELECT audit, value_q, flag_ok FROM (
+  SELECT 'isotropy' AS audit, anis AS value_q,
+         abs(anis) <= {_AUDIT_ANIS_MAX} AS flag_ok FROM vals
+  UNION ALL
+  SELECT 'kanonymity_risk', risk, risk <= {_AUDIT_RISK_MAX} FROM vals
+  UNION ALL
+  SELECT 'order_clumping', cur_rate,
+         cur_rate <= nat_rate + {_AUDIT_CLUMP_SLACK} FROM vals
+  UNION ALL
+  SELECT 'quality_length_bias', corr,
+         abs(corr) <= {_AUDIT_CORR_MAX} FROM vals
+) ORDER BY audit
+"""
+
+
+@register("cc_release_audit", oracle=_audit_oracle())
+def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
+    """One release-audit card (VERDICT r10 #7): the four round-10
+    audits — k-anonymity risk share (dq8), embedding anisotropy (m5),
+    training-order clumping (t43) and quality-length bias (t44) — as
+    ONE frame, one row per audit with its headline number and a
+    pass/flag against a stated policy.  pytest cross-checks every row
+    equals its standalone entry (tests/test_catalog_r11.py).
+
+    The documents-side audits share ONE grouped scan: the
+    quasi-identifier groupBy carries the t44 correlation moments as
+    extra cells (sums over QI groups of group sums == corpus sums —
+    distributive aggregates), so risk census AND correlation both
+    derive from the same small group table instead of two corpus
+    scans.  t43 reads the w12 curriculum manifest (its own ordered
+    scan — inherently an ordering audit); m5 reads embeddings.
+
+    What the flags show on THIS corpus is the card doing its job:
+    kanonymity_risk flags RED (0.884 at-risk share at sf0.01 — a
+    500-row corpus cannot 5-anonymize a 297-cell identifier grid;
+    the release action is coarsening the length bucket) and
+    quality_length_bias flags RED (corr -0.84: the quality score
+    strongly ANTI-correlates with length here — short documents score
+    high, the inverse of the classic failure mode, and exactly the
+    bias t44 exists to surface); isotropy and order_clumping pass.
+    Both engines compute the same flags, so the card is value-oracled
+    red-and-green alike.
+
+    Scale shape: every branch is partial-aggregable or
+    manifest-bounded; the card itself is 4 rows."""
+    from ..functions import text as X
+    docs = _t(spark, d, "documents")
+    q = docs.select(
+        "source", "lang", F.expr("n_chars div 100").alias("len_bucket"),
+        F.round(X.quality_components(F.col("text"))["quality_score"]
+                * 1000000).cast("long").alias("x"),
+        F.round(F.log(F.greatest(F.col("n_chars"), F.lit(1))
+                      .cast("double")) * 1000).cast("long").alias("y"))
+    g = (q.groupBy("source", "lang", "len_bucket")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    from .catalog_r10 import _KANON_K
+    riskn = F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(F.lit(0))
+    both = g.agg(
+        F.round(F.sum(riskn).cast("double")
+                / F.sum("n").cast("double"), 6).alias("risk"),
+        F.sum("n").cast("long").alias("cn"),
+        F.sum("sx").cast("long").alias("csx"),
+        F.sum("sy").cast("long").alias("csy"),
+        F.sum("sxy").cast("long").alias("csxy"),
+        F.sum("sxx").cast("long").alias("csxx"),
+        F.sum("syy").cast("long").alias("csyy"))
+    num = (F.col("cn") * F.col("csxy") - F.col("csx") * F.col("csy"))
+    dx = (F.col("cn") * F.col("csxx") - F.col("csx") * F.col("csx"))
+    dy = (F.col("cn") * F.col("csyy") - F.col("csy") * F.col("csy"))
+    both = both.select(
+        "risk",
+        F.round(num.cast("double") / F.sqrt(dx.cast("double"))
+                / F.sqrt(dy.cast("double")), 6).alias("corr"))
+    from .catalog_r10 import (m5_embedding_isotropy,  # noqa: F401
+                              t43_order_clumping)
+    m5f = m5_embedding_isotropy(spark, d).select("anisotropy")
+    rates = t43_order_clumping(spark, d).agg(
+        F.max(F.when(F.col("ordering") == "curriculum",
+                     F.col("same_bucket_rate"))).alias("cur_rate"),
+        F.max(F.when(F.col("ordering") == "doc_id",
+                     F.col("same_bucket_rate"))).alias("nat_rate"))
+    base = (both.crossJoin(F.broadcast(m5f))
+            .crossJoin(F.broadcast(rates)))
+    rows = F.array(
+        F.struct(F.lit("isotropy").alias("audit"),
+                 F.col("anisotropy").alias("value_q"),
+                 (F.abs(F.col("anisotropy")) <= _AUDIT_ANIS_MAX)
+                 .alias("flag_ok")),
+        F.struct(F.lit("kanonymity_risk").alias("audit"),
+                 F.col("risk").alias("value_q"),
+                 (F.col("risk") <= _AUDIT_RISK_MAX).alias("flag_ok")),
+        F.struct(F.lit("order_clumping").alias("audit"),
+                 F.col("cur_rate").alias("value_q"),
+                 (F.col("cur_rate")
+                  <= F.col("nat_rate") + _AUDIT_CLUMP_SLACK)
+                 .alias("flag_ok")),
+        F.struct(F.lit("quality_length_bias").alias("audit"),
+                 F.col("corr").alias("value_q"),
+                 (F.abs(F.col("corr")) <= _AUDIT_CORR_MAX)
+                 .alias("flag_ok")))
+    return (base.select(F.explode(rows).alias("r")).select("r.*")
+            .orderBy("audit"))
+
+
+# ===========================================================================
+# Streaming funnel (VERDICT r10 #5): the staged-conversion twin of
+# ev_funnel — session_window state, two out-of-order tranches,
+# checkpoint resume, drained conversions == batch row for row
+# ===========================================================================
+
+def _st_funnel_oracle() -> str:
+    from .catalog import CATALOG
+    return CATALOG["ev_funnel"].oracle
+
+
+@register("st_funnel", oracle=_st_funnel_oracle())
+def st_funnel(spark: SparkSession, d: str) -> DataFrame:
+    """Watermarked streaming funnel with CHECKPOINT RESUME (VERDICT
+    r10 #5 — the event-analytics member after st_sessionize): events
+    arrive as a file-source stream in two time-split tranches (so
+    sessions spanning the split MUST be merged by the session_window
+    state across the two checkpointed drains), the stateful plan is
+    session_window(ts, '30 min') under a 2-hour watermark in APPEND
+    mode collecting each session's (ts, event_id, event_type) triples
+    — state is exactly the open-session frontier, which is what
+    bounds memory on an unbounded feed — and a far-future sentinel
+    advances the watermark past every real session to flush the full
+    closed set.  The staged conversion is then computed on the CLOSED
+    sessions with pure array expressions: first view = min view ts,
+    first click = min click ts AT-OR-AFTER the first view, first
+    purchase = min purchase ts at-or-after the first click (null
+    propagation makes a stage without its predecessor impossible by
+    construction).  The drained totals must equal batch ev_funnel
+    row for row — this oracle IS ev_funnel's (the lag+prefix-sum
+    sessionization + order-constrained conditional mins in DuckDB),
+    so the streaming path is fully value-oracled.
+
+    Why the tranche split can't lose data: tranche 2's events all sit
+    at or after the split instant, while the watermark after tranche
+    1 is max(t1) - 2 h < split — nothing arrives late beyond the
+    watermark (the st_sessionize argument, same machinery).
+
+    At 100 TB/day this is the production funnel: per-batch work is
+    the batch's own events + open-frontier state keyed by (user,
+    session); per-session state is that session's event triples
+    (bounded by session length, not stream length); conversions
+    append to the sink and the final counters are a partial agg over
+    closed sessions."""
+    import datetime as _dt
+    import shutil
+    from pathlib import Path
+
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+
+    raw = spark.read.parquet(f"{d}/events.parquet")
+    ts_type = dict(raw.dtypes)["ts"]
+    nts = (F.timestamp_micros(F.expr("ts div 1000"))
+           if ts_type == "bigint" else F.col("ts").cast("timestamp"))
+    mm = raw.agg(F.min(nts).alias("lo"), F.max(nts).alias("hi")).first()
+    split = mm["lo"] + (mm["hi"] - mm["lo"]) / 2
+    sent_dt = mm["hi"] + _dt.timedelta(hours=10)
+    sent_col = ((F.unix_micros(F.lit(sent_dt).cast("timestamp"))
+                 * F.lit(1000)).cast("bigint")
+                if ts_type == "bigint"
+                else F.lit(sent_dt).cast(ts_type))
+
+    sdir = _scratch("st_funnel_stream")
+    store = _scratch("st_funnel_store")
+    ckpt = _scratch("st_funnel_ckpt")
+    for p in (sdir, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def ship(part: DataFrame, tag: str) -> None:
+        tmp = sdir + "_" + tag
+        shutil.rmtree(tmp, ignore_errors=True)
+        part.repartition(2).write.parquet(tmp)
+        Path(sdir).mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(sorted(Path(tmp).glob("part-*"))):
+            f.rename(Path(sdir) / f"{tag}-{i:05d}.parquet")
+
+    ship(raw.filter(nts <= F.lit(split)), "t1")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(raw.schema).parquet(sdir)
+        ev = (SP.normalize_event_ts(stream)
+              .withWatermark("ts", "2 hours"))
+        sess = (ev.groupBy(F.session_window("ts", "30 minutes")
+                           .alias("w"), "user_id")
+                .agg(F.collect_list(
+                    F.struct(F.col("ts"), F.col("event_id"),
+                             F.col("event_type"))).alias("evs")))
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(store)
+
+        SP._run_foreach(sess, sink, 180, ckpt)
+
+    drain()
+    ship(raw.filter(nts > F.lit(split)), "t2")
+    drain()
+    sent = raw.limit(1).select(*[
+        F.lit(-1).cast(dict(raw.dtypes)["event_id"]).alias("event_id")
+        if c == "event_id" else
+        F.lit(-1).cast(dict(raw.dtypes)["user_id"]).alias("user_id")
+        if c == "user_id" else
+        sent_col.alias("ts") if c == "ts"
+        else F.col(c)
+        for c in raw.columns])
+    ship(sent, "t3")
+    drain()
+
+    closed = (spark.read.parquet(store)
+              .filter(F.col("user_id") != -1))
+    fv = F.array_min(F.expr(
+        "transform(filter(evs, e -> e.event_type = 'view'), "
+        "e -> e.ts)"))
+    staged = closed.withColumn("fv", fv)
+    fc = F.array_min(F.expr(
+        "transform(filter(evs, e -> e.event_type = 'click' "
+        "AND e.ts >= fv), e -> e.ts)"))
+    staged = staged.withColumn("fc", fc)
+    fp = F.array_min(F.expr(
+        "transform(filter(evs, e -> e.event_type = 'purchase' "
+        "AND e.ts >= fc), e -> e.ts)"))
+    staged = staged.withColumn("fp", fp)
+    return staged.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("fv").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("fc").isNotNull().cast("long"))
+         .alias("n_view_click"),
+        F.sum(F.col("fp").isNotNull().cast("long"))
+         .alias("n_view_click_purchase"))
