@@ -353,7 +353,8 @@ SELECT (SELECT count(*) FROM wf)::BIGINT AS n_vectors,
 """
 
 
-@register("m6_whiten_embeddings", oracle=_m6_oracle())
+@register("m6_whiten_embeddings", headline=True,
+          oracle=_m6_oracle())
 def m6_whiten_embeddings(spark: SparkSession, d: str) -> DataFrame:
     """All-but-the-top whitening (Mu & Viswanath 2018 / Ethayarajh
     2019, public — VERDICT r10 #6): mean-center the 16-dim serving
@@ -484,7 +485,8 @@ SELECT audit, value_q, flag_ok FROM (
 """
 
 
-@register("cc_release_audit", oracle=_audit_oracle())
+@register("cc_release_audit", headline=True,
+          oracle=_audit_oracle())
 def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
     """One release-audit card (VERDICT r10 #7): the four round-10
     audits — k-anonymity risk share (dq8), embedding anisotropy (m5),
@@ -706,3 +708,275 @@ def st_funnel(spark: SparkSession, d: str) -> DataFrame:
          .alias("n_view_click"),
         F.sum(F.col("fp").isNotNull().cast("long"))
          .alias("n_view_click_purchase"))
+
+
+# ===========================================================================
+# Rolling windowed DISTINCT via KMV merge — the calendar composition
+# of the bounded-state sketch family: per-day k-minimum sets merged
+# across a 7-day window (union-then-recap is a semilattice, so the
+# k smallest of the union of per-day k-sets IS the window's k-minimum
+# set — no accuracy lost to pre-aggregation)
+# ===========================================================================
+
+_RD_K = 64
+_RD_WIN = 7          # rolling window, days
+_RD_SP = float(1 << 60)
+
+
+def _rolling_distinct_oracle() -> str:
+    K, SP = _RD_K, int(1 << 60)
+    est = (f"CASE WHEN s.n_keep < {K} THEN s.n_keep "
+           f"ELSE CAST(round(({K} - 1) * {SP}::DOUBLE "
+           f"/ s.theta_k::DOUBLE) AS BIGINT) END")
+    return f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), u AS (SELECT DISTINCT day, h FROM ev),
+daily AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM u) WHERE rn <= {K}
+), days AS (SELECT DISTINCT day FROM u),
+win AS (
+  SELECT d.day, x.h FROM days d JOIN daily x
+    ON x.day BETWEEN d.day - {_RD_WIN - 1} AND d.day
+  GROUP BY d.day, x.h
+), kept AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM win) WHERE rn <= {K}
+), sk AS (
+  SELECT day, count(*)::BIGINT AS n_keep, max(h)::BIGINT AS theta_k
+  FROM kept GROUP BY day
+), ex AS (
+  SELECT d.day, count(DISTINCT x.h)::BIGINT AS exact_rolling
+  FROM days d JOIN u x ON x.day BETWEEN d.day - {_RD_WIN - 1} AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(s.day AS VARCHAR) AS day, e.exact_rolling,
+       s.n_keep, s.theta_k,
+       {est} AS est_rolling,
+       round(abs({est} - e.exact_rolling)::DOUBLE
+             / e.exact_rolling::DOUBLE, 6) AS rel_err
+FROM sk s JOIN ex e USING (day) ORDER BY day
+"""
+
+
+@register("ev_rolling_distinct_kmv", oracle=_rolling_distinct_oracle())
+def ev_rolling_distinct_kmv(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — the windowed-NDV read
+    (daily/weekly active users) that is a classic scale wall: exact
+    rolling COUNT(DISTINCT) re-touches every event in the window for
+    every day.  The scale path composes two things the engine already
+    certifies: per-day KMV k-minimum sets (bounded state, a30) and
+    the union-then-recap semilattice (a31) — because the k smallest
+    of a union of per-day k-minimum sets IS the window's k-minimum
+    set, the rolling sketch merges DAYS-SIZED inputs (7 x k rows per
+    output day), never events.  No prefilter here, so the degenerate
+    branch (window NDV < k) is EXACT by construction — n_keep is the
+    answer, not an estimate.
+
+    Everything is deterministic md5 arithmetic, so per-day sets, the
+    merged theta, the estimate, the exact twin AND rel_err are all
+    value-oracled (the a30 gate pattern on the calendar axis).
+
+    Scale shape: one corpus scan to distinct (day, user-hash) —
+    map-side partial distinct; per-day k-min is a day-bounded window;
+    the rolling merge is a calendar-bounded range join over
+    days x 7 x k rows.  The exact twin (the audit column) is the only
+    event-scale window read, and at 100 TB a run drops it — the
+    sketch column is the product, rel_err ~1/sqrt(k-2)."""
+    from .catalog_r9 import _h60
+    ev = _t(spark, d, "events")
+    from pyspark.sql import Window as W
+    u = (ev.select(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+             .cast("date").alias("day"),
+            _h60(F.col("user_id").cast("string")).alias("h"))
+         .distinct())
+    w_day = W.partitionBy("day").orderBy("h")
+    daily = (u.withColumn("rn", F.row_number().over(w_day))
+             .filter(F.col("rn") <= _RD_K).select("day", "h"))
+    days = u.select("day").distinct().withColumnRenamed("day", "d")
+    win = (daily.join(F.broadcast(days),
+                      (F.col("day") >= F.date_sub(F.col("d"),
+                                                  _RD_WIN - 1))
+                      & (F.col("day") <= F.col("d")))
+           .select(F.col("d").alias("day"), "h").distinct())
+    kept = (win.withColumn("rn", F.row_number().over(w_day))
+            .filter(F.col("rn") <= _RD_K))
+    sk = kept.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_keep"),
+        F.max("h").alias("theta_k"))
+    ex = (u.join(F.broadcast(days),
+                 (F.col("day") >= F.date_sub(F.col("d"), _RD_WIN - 1))
+                 & (F.col("day") <= F.col("d")))
+          .groupBy(F.col("d").alias("day"))
+          .agg(F.countDistinct("h").alias("exact_rolling")))
+    est = (F.when(F.col("n_keep") < _RD_K, F.col("n_keep"))
+           .otherwise(F.round((_RD_K - 1) * F.lit(_RD_SP)
+                              / F.col("theta_k").cast("double"))
+                      .cast("long")))
+    return (sk.join(ex, "day")
+            .select(F.col("day").cast("string").alias("day"),
+                    "exact_rolling", "n_keep", "theta_k",
+                    est.alias("est_rolling"),
+                    F.round(F.abs(est - F.col("exact_rolling"))
+                            .cast("double")
+                            / F.col("exact_rolling").cast("double"), 6)
+                     .alias("rel_err"))
+            .orderBy("day"))
+
+
+# ===========================================================================
+# Neighborhood function via mergeable per-node sketches (ANF /
+# HyperBall) — graph-distance structure at sketch cost: iterative
+# family member #9, composing the KMV family with the shared graph
+# store
+# ===========================================================================
+
+_HB_K = 16
+_HB_H = 3
+
+
+def _hyperball_oracle() -> str:
+    from . import oracle_vec as OV
+    from .catalog_r8b import _LP_K
+    cos = OV.cosine_sql("a.embedding", "b.embedding")
+    K, SP = _HB_K, int(1 << 60)
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), nb AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= {_LP_K}
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM nb
+), ged AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und UNION SELECT v, u FROM und
+), s0 AS MATERIALIZED (
+  SELECT vec_id AS node,
+         ('0x' || substr(md5('hb:' || vec_id::VARCHAR), 1, 15))::BIGINT
+           AS h
+  FROM e
+), b0 AS MATERIALIZED (
+  SELECT vec_id AS node, vec_id AS m FROM e
+)"""]
+    for r in range(1, _HB_H + 1):
+        parts.append(f""", su{r} AS (
+  SELECT node, h FROM s{r - 1}
+  UNION
+  SELECT g.src AS node, s.h FROM ged g JOIN s{r - 1} s ON s.node = g.dst
+), s{r} AS MATERIALIZED (
+  SELECT node, h FROM (
+    SELECT node, h, row_number() OVER (PARTITION BY node ORDER BY h)
+      AS rn
+    FROM su{r}) WHERE rn <= {K}
+), b{r} AS MATERIALIZED (
+  SELECT node, m FROM b{r - 1}
+  UNION
+  SELECT g.src, b.m FROM ged g JOIN b{r - 1} b ON b.node = g.dst
+), hop{r} AS (
+  SELECT {r}::BIGINT AS hop,
+    (SELECT CAST(sum(cnt) AS BIGINT) FROM (
+       SELECT node, count(*) AS cnt FROM b{r} GROUP BY node)) AS nf_exact,
+    (SELECT CAST(sum(est) AS BIGINT) FROM (
+       SELECT node,
+              CASE WHEN count(*) < {K} THEN count(*)
+                   ELSE CAST(round(({K} - 1) * {SP}::DOUBLE
+                                   / max(h)::DOUBLE) AS BIGINT)
+              END AS est
+       FROM s{r} GROUP BY node)) AS nf_est
+)""")
+    hops = "\nUNION ALL\n".join(
+        f"SELECT * FROM hop{r}" for r in range(1, _HB_H + 1))
+    parts.append(f"""
+SELECT hop, nf_exact, nf_est,
+       round(abs(nf_est - nf_exact)::DOUBLE / nf_exact::DOUBLE, 6)
+         AS rel_err
+FROM ({hops}) ORDER BY hop
+""")
+    return "".join(parts)
+
+
+@register("g12_neighborhood_function", oracle=_hyperball_oracle())
+def g12_neighborhood_function(spark: SparkSession, d: str) -> DataFrame:
+    """Neighborhood function N(h) of the symmetrized 5-NN graph via
+    MERGEABLE PER-NODE SKETCHES — the ANF / HyperBall algorithm
+    (Palmer et al. 2002; Boldi & Vigna 2011, public) with the KMV
+    sketch the engine already certifies standing in for their
+    Flajolet-Martin/HLL registers: every node carries the k smallest
+    hashes of the node ids within h hops, and one round of
+    "absorb your neighbors' sketches, re-cap to k" advances every
+    ball radius by one — union-then-recap is the a31 semilattice, so
+    the per-node state is k rows FOREVER while exact ball membership
+    grows with the ball.  N(h) = sum over nodes of |ball(v, h)| is
+    the distance-structure read (effective diameter, median distance,
+    expansion rate) that exact all-pairs BFS cannot produce at scale.
+
+    Iterative family member #9, and the composition capstone of the
+    sketch family: a30 proved bounded state on the corpus axis,
+    ev_rolling_distinct_kmv on the calendar axis, this entry on the
+    GRAPH axis.  All hashes are deterministic md5 arithmetic, so the
+    per-hop sketch states, the estimates AND the exact twin are fully
+    value-oracled (DuckDB re-walks the identical h unrolled rounds).
+    Nodes whose ball is still smaller than k report EXACT counts by
+    construction (the k-min set of a < k set is the set).
+
+    Scale shape: each round is one k-bounded edge join (<= 2kn edge
+    rows x k sketch rows), a distinct, and a per-node top-k window
+    over <= (deg+1) x k rows — never a ball-sized or corpus-sized
+    group.  The exact twin b{{r}} (the audit column) is the part a
+    100 TB run drops: its state IS the ball membership, which is the
+    quadratic-ish wall ANF exists to avoid."""
+    from pyspark.sql import Window as W
+    from .catalog_r10 import _IVF_EDGE_PROBE  # noqa: F401 (family doc)
+    from .catalog_r9 import _h60
+    from ..operators.knn_graph import knn_und
+    emb = _t(spark, d, "embeddings")
+    und = knn_und(spark, d)
+    ged = (und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionByName(und.select(F.col("v").alias("src"),
+                                   F.col("u").alias("dst"))))
+    s = emb.select(
+        F.col("vec_id").alias("node"),
+        _h60(F.concat(F.lit("hb:"), F.col("vec_id").cast("string")))
+        .alias("h"))
+    b = emb.select(F.col("vec_id").alias("node"),
+                   F.col("vec_id").alias("m"))
+    w_node = W.partitionBy("node").orderBy("h")
+    est = (F.when(F.col("n_keep") < _HB_K, F.col("n_keep"))
+           .otherwise(F.round((_HB_K - 1) * F.lit(float(1 << 60))
+                              / F.col("theta_k").cast("double"))
+                      .cast("long")))
+    out = None
+    for r in range(1, _HB_H + 1):
+        absorbed = (ged.join(s.withColumnRenamed("node", "dst"), "dst")
+                    .select(F.col("src").alias("node"), "h"))
+        s = (s.unionByName(absorbed).distinct()
+             .withColumn("rn", F.row_number().over(w_node))
+             .filter(F.col("rn") <= _HB_K).select("node", "h")
+             .localCheckpoint())
+        babs = (ged.join(b.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "m"))
+        b = b.unionByName(babs).distinct().localCheckpoint()
+        per_node = s.groupBy("node").agg(
+            F.count("*").cast("long").alias("n_keep"),
+            F.max("h").alias("theta_k"))
+        nf_est = per_node.agg(F.sum(est).cast("long").alias("nf_est"))
+        nf_exact = (b.groupBy("node").agg(F.count("*").alias("cnt"))
+                    .agg(F.sum("cnt").cast("long").alias("nf_exact")))
+        row = (nf_exact.crossJoin(F.broadcast(nf_est))
+               .select(F.lit(r).cast("long").alias("hop"),
+                       "nf_exact", "nf_est",
+                       F.round(F.abs(F.col("nf_est")
+                                     - F.col("nf_exact")).cast("double")
+                               / F.col("nf_exact").cast("double"), 6)
+                        .alias("rel_err")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("hop")

@@ -291,6 +291,38 @@ def main() -> None:
               file=sys.stderr)
     res["kmv_pure_scale_ratio"] = round(
         T["kmv_pure_10x"] / T["kmv_pure_1x"], 2)
+    # the scan floor (VERDICT r10 #4 — attribute the tier ratio):
+    # time the bare shingle explode + md5 + map-side prefilter with a
+    # 2-cell aggregate on top — everything BELOW the sketch machinery.
+    # Measured clean (no co-running sessions): 1.03 s @1x / 4.38 s
+    # @10x vs kmv_pure 1.43 / 4.42 — at 10x the whole sketch runs AT
+    # the scan floor, i.e. the r10 5.05x reading was the corpus-linear
+    # scan plus small-tier noise, not sketch-state growth (state is
+    # pinned at k rows both tiers above).  A distinct-first variant
+    # (map-side partial dedup before the local rank) measured WORSE
+    # at 10x (5.15 s) — the current two-phase bounded-rank shape
+    # already sits on the floor, so it stays.
+    from production_grade_rag_spark.operators.dedup import word_shingles
+    from production_grade_rag_spark.plans.catalog_r10 import _KMV_PREFILTER
+    from production_grade_rag_spark.plans.catalog_r9 import _h60
+
+    def _kmv_scan(d: str):
+        docs = load_table(spark, d, "documents")
+        s = (docs.select("source",
+                         F.explode(word_shingles(F.col("text"), 3))
+                         .alias("sh"))
+             .select("source", _h60(F.col("sh")).alias("h")))
+        return (s.filter(F.col("h") < _KMV_PREFILTER)
+                .agg(F.count("*"), F.max("h")))
+
+    for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+        _, t = _timed_steady(lambda d=d: _kmv_scan(d).collect())
+        T[f"kmv_scan_floor_{tag}"] = t
+        print(f"# kmv scan floor {tag}: {t}s", file=sys.stderr)
+    res["kmv_pure_over_floor_10x"] = round(
+        T["kmv_pure_10x"] - T["kmv_scan_floor_10x"], 3)
+    res["kmv_scan_floor_scale_ratio"] = round(
+        T["kmv_scan_floor_10x"] / T["kmv_scan_floor_1x"], 2)
     # the boundedness evidence: sketch STATE (kept hashes) must be
     # identical across tiers while the corpus grows 10x — the residual
     # wall-clock growth is the one-pass shingle scan, which no sketch

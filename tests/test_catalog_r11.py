@@ -22,10 +22,42 @@ def _rows(spark, name):
 # ivf_knn_join: the expression fast path (VERDICT r10 #1)
 # ---------------------------------------------------------------------------
 
-def test_ivf_knn_join_fast_path_matches_join_path(spark):
-    """The codegen-projection path and the broadcast-join path must be
-    byte-identical — same distance arithmetic, same (distance,
-    cell_id) tiebreaks — so the recall gates certify both."""
+def _ivf_join_reference(spark, queries, corpus, cents, k, n_probe):
+    """The r10 join-shape reference: assign_cells groupBy election for
+    the corpus, crossJoin + per-query window for probe selection —
+    kept here as the independent implementation the packed-row
+    projection path must reproduce byte-for-byte."""
+    from pyspark.sql import Window
+    from production_grade_rag_spark.functions.vector import to_double_array
+    from production_grade_rag_spark.operators import similarity as S
+    assigned = S.assign_cells(corpus, cents, vec_col="embedding",
+                              id_col="vec_id")
+    q = queries.select(F.col("query_id"),
+                       to_double_array(F.col("embedding")).alias("__qv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(),
+                                                F.col("cell_id").asc())
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("__d", S._sqdist_to_centroid("__qv"))
+              .withColumn("__r", F.row_number().over(wq))
+              .filter(F.col("__r") <= n_probe)
+              .select("query_id", "__qv", F.col("cell_id").alias("cell")))
+    c = assigned.select(F.col("vec_id").alias("result_id"),
+                        to_double_array(F.col("embedding")).alias("__cv"),
+                        "cell")
+    scored = (c.join(probes, "cell")
+              .withColumn("score", S._score("cosine", F.col("__cv"),
+                                            F.col("__qv")))
+              .drop("__qv", "__cv", "cell"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.col("result_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def test_ivf_knn_join_matches_join_shape_reference(spark):
+    """The packed-centroid projection path and the r10 join shape must
+    be byte-identical — same distance arithmetic, same (distance,
+    cell_id) tiebreaks — so the recall gates certify the new shape."""
     from production_grade_rag_spark.operators import similarity
     from production_grade_rag_spark.sources import load_table
     emb = load_table(spark, SF001, "embeddings")
@@ -35,24 +67,19 @@ def test_ivf_knn_join_fast_path_matches_join_path(spark):
                                    centroids=cents)
     rows_fast = sorted((r["query_id"], r["result_id"], r["rank"],
                         round(r["score"], 9)) for r in fast.collect())
-    old = similarity._MAX_EXPR_CENTROIDS
-    try:
-        similarity._MAX_EXPR_CENTROIDS = 0
-        slow = similarity.ivf_knn_join(qs, emb, k=6, n_lists=16,
-                                       n_probe=8, centroids=cents)
-        rows_slow = sorted((r["query_id"], r["result_id"], r["rank"],
-                            round(r["score"], 9))
-                           for r in slow.collect())
-    finally:
-        similarity._MAX_EXPR_CENTROIDS = old
-    assert rows_fast == rows_slow
+    ref = _ivf_join_reference(spark, qs, emb, cents, k=6, n_probe=8)
+    rows_ref = sorted((r["query_id"], r["result_id"], r["rank"],
+                       round(r["score"], 9)) for r in ref.collect())
+    assert rows_fast == rows_ref
 
 
-def test_ivf_knn_join_fast_path_plan_is_one_equijoin(spark):
+def test_ivf_knn_join_plan_is_one_equijoin(spark):
     """The 100 TB claim as a plan pin: cell assignment and probe
-    selection are PROJECTIONS (no crossJoin node, no groupBy-and-join-
-    back), so the whole join is one cell equi-join + the per-query
-    window — at most 3 hash exchanges, zero nested-loop joins."""
+    selection are single-pass projections against the 1-row packed
+    centroid broadcast (the only nested-loop join in the plan — one
+    row, no shuffle), so the whole join is one cell equi-join + the
+    per-query window — at most 3 hash exchanges, no cartesian, no
+    groupBy-based assignment."""
     from production_grade_rag_spark.operators import similarity
     from production_grade_rag_spark.sources import load_table
     emb = load_table(spark, SF001, "embeddings")
@@ -61,9 +88,11 @@ def test_ivf_knn_join_fast_path_plan_is_one_equijoin(spark):
     j = similarity.ivf_knn_join(qs, emb, k=5, n_lists=16, n_probe=4,
                                 centroids=cents)
     plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+    # assignment is NOT a groupBy election: the only aggregates in the
+    # plan would come from assign_cells' min-struct groupBy
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
 
 
 # ---------------------------------------------------------------------------
@@ -183,3 +212,87 @@ def test_st_funnel_matches_batch_funnel(spark):
     for c in ("n_sessions", "n_view", "n_view_click",
               "n_view_click_purchase"):
         assert st[c] == bt[c], c
+
+
+# ---------------------------------------------------------------------------
+# ev_rolling_distinct_kmv: the calendar-axis KMV composition
+# ---------------------------------------------------------------------------
+
+def test_rolling_distinct_exact_when_under_k(spark):
+    """No prefilter -> a window whose NDV is below k reports the EXACT
+    count (the k-min set of a < k set is the set); estimated days must
+    carry exactly k kept hashes and bounded error."""
+    rows = _rows(spark, "ev_rolling_distinct_kmv")
+    assert rows, "no days"
+    from production_grade_rag_spark.plans.catalog_r11 import _RD_K
+    for r in rows:
+        assert r["n_keep"] <= _RD_K
+        if r["n_keep"] < _RD_K:
+            assert r["est_rolling"] == r["exact_rolling"] == r["n_keep"]
+        else:
+            # KMV rel err ~ 1/sqrt(k-2) = 0.127 at k=64; 3 sigma bound
+            assert r["rel_err"] <= 0.40, (r["day"], r["rel_err"])
+
+
+def test_rolling_distinct_window_dominates_daily(spark):
+    """The 7-day rolling distinct can never be below any single day's
+    distinct count inside its window — spot-check via the max day."""
+    from production_grade_rag_spark.plans.catalog_r9 import _h60
+    from production_grade_rag_spark.sources import load_table
+    ev = load_table(spark, SF001, "events")
+    daily = (ev.select(
+                F.date_trunc("day", F.col("ts").cast("timestamp"))
+                 .cast("date").cast("string").alias("day"),
+                _h60(F.col("user_id").cast("string")).alias("h"))
+             .groupBy("day").agg(F.countDistinct("h").alias("n")))
+    per_day = {r["day"]: r["n"] for r in daily.collect()}
+    for r in _rows(spark, "ev_rolling_distinct_kmv"):
+        assert r["exact_rolling"] >= per_day[r["day"]]
+
+
+# ---------------------------------------------------------------------------
+# g12_neighborhood_function: ANF / HyperBall over the shared store
+# ---------------------------------------------------------------------------
+
+def test_neighborhood_function_monotone_and_exact_small_balls(spark):
+    rows = _rows(spark, "g12_neighborhood_function")
+    from production_grade_rag_spark.plans.catalog_r11 import _HB_H, _HB_K
+    assert [r["hop"] for r in rows] == list(range(1, _HB_H + 1))
+    # N(h) is monotone non-decreasing in h, both exact and estimated
+    for a, b in zip(rows, rows[1:]):
+        assert b["nf_exact"] >= a["nf_exact"]
+        assert b["nf_est"] >= a["nf_est"]
+    # hop 1 balls are deg+1 <= 2k_graph+1 = 11 < k=16 -> every node
+    # reports EXACT counts, so the hop-1 estimate IS the exact N(1)
+    assert rows[0]["nf_est"] == rows[0]["nf_exact"]
+    assert rows[0]["rel_err"] == 0.0
+
+
+def test_neighborhood_function_sketch_state_is_bounded(spark):
+    """The per-node sketch never exceeds k rows at any hop — the
+    bounded-state claim on the graph axis (exact ball membership
+    grows with the ball; the sketch does not)."""
+    from pyspark.sql import Window as W
+    from production_grade_rag_spark.operators.knn_graph import knn_und
+    from production_grade_rag_spark.plans.catalog_r11 import _HB_H, _HB_K
+    from production_grade_rag_spark.plans.catalog_r9 import _h60
+    from production_grade_rag_spark.sources import load_table
+    emb = load_table(spark, SF001, "embeddings")
+    und = knn_und(spark, SF001)
+    ged = (und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionByName(und.select(F.col("v").alias("src"),
+                                   F.col("u").alias("dst"))))
+    s = emb.select(
+        F.col("vec_id").alias("node"),
+        _h60(F.concat(F.lit("hb:"), F.col("vec_id").cast("string")))
+        .alias("h"))
+    w_node = W.partitionBy("node").orderBy("h")
+    for _ in range(_HB_H):
+        absorbed = (ged.join(s.withColumnRenamed("node", "dst"), "dst")
+                    .select(F.col("src").alias("node"), "h"))
+        s = (s.unionByName(absorbed).distinct()
+             .withColumn("rn", F.row_number().over(w_node))
+             .filter(F.col("rn") <= _HB_K).select("node", "h")
+             .localCheckpoint())
+        mx = s.groupBy("node").count().agg(F.max("count")).first()[0]
+        assert mx <= _HB_K
