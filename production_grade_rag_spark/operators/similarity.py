@@ -25,12 +25,6 @@ from ..functions.vector import cosine, dot, euclidean, to_double_array
 
 METRICS = {"cosine": cosine, "dotProduct": dot, "euclidean": euclidean}
 
-# ceiling for the expression-based IVF cell assignment: beyond this the
-# n_lists x dim literal tree hits the Catalyst codegen-inlining blowup
-# (see build notes); the join path takes over.
-_MAX_EXPR_CENTROIDS = 64
-
-
 def _score(metric: str, a, b):
     fn = METRICS[metric]
     s = fn(a, b)
@@ -113,19 +107,21 @@ def _cell_struct_col(vcol):
             F.element_at(F.col("cell_ids"), i + 1).alias("c")))
 
 
-def _packed_centroids(cent_df: DataFrame) -> DataFrame:
+def _packed_centroids(cent_df: DataFrame) -> tuple[DataFrame, int]:
     """The (cell_id, centroid) table packed into ONE broadcastable row
     (cell_ids array<int>, cents array<array<double>>), ids ascending —
     n_lists x dim doubles, metadata scale at any realistic list count
-    (1024 lists x 64 dims = 512 KB)."""
+    (1024 lists x 64 dims = 512 KB).  Returns (frame, centroid dim);
+    mixed-dim tables raise (zip_with would pad with silent nulls)."""
     crows = sorted((int(r["cell_id"]), [float(x) for x in r["centroid"]])
                    for r in cent_df.collect())
     dims = {len(c) for _, c in crows}
     if len(dims) != 1:
         raise ValueError(f"centroids have mixed dims {sorted(dims)}")
-    return cent_df.sparkSession.createDataFrame(
+    frame = cent_df.sparkSession.createDataFrame(
         [([cid for cid, _ in crows], [c for _, c in crows])],
         "cell_ids array<int>, cents array<array<double>>")
+    return frame, dims.pop()
 
 
 def ivf_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
@@ -167,7 +163,7 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     (distance, cell_id) tiebreaks — pinned in tests)."""
     cent_df = centroids if centroids is not None \
         else fit_centroids(corpus, n_lists, vec_col=c_vec)
-    cent_row = _packed_centroids(cent_df)
+    cent_row, _ = _packed_centroids(cent_df)
 
     cpre = corpus.select(F.col(c_id).alias("result_id"),
                          to_double_array(F.col(c_vec)).alias("__cv"))
@@ -286,53 +282,26 @@ def ivf_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
             centroids, ["cell_id", "centroid"])
     else:
         cent_df = centroids
-        # centroid table is n_lists rows — driver-side collect is the
-        # broadcast, and assignment stays a pure column expression
-        # (whole-stage codegen, no Python in the per-row path): one
-        # squared-distance expression per centroid, packed into an
-        # array of (dist, cell_id) structs; array_sort orders by field
-        # order, so element 0 is the nearest cell (ties -> lowest id).
-        cents = sorted((r["cell_id"], [float(x) for x in r["centroid"]])
-                       for r in cent_df.collect())
-        # guard against silent nulls from zip_with padding: every
-        # centroid must match the query dim — and the query must match
-        # the corpus dim for the search to mean anything, so this
-        # driver-side check covers the corpus too WITHOUT launching a
-        # per-query sampling job (the online path stays job-free until
-        # the actual probe scan).
-        dims = {len(c) for _, c in cents}
-        if len(dims) != 1:
-            raise ValueError(f"centroids have mixed dims {sorted(dims)}")
-        if dims.pop() != len(query_vec):
+        # assignment against the 1-row PACKED centroid broadcast: one
+        # transform loop per row over the n_lists cells, the features
+        # array a bound attribute — the measured-fastest shape (see
+        # _cell_struct_col; the per-centroid literal-tree and the
+        # crossJoin+groupBy forms are both strictly slower).  The
+        # packing collect doubles as the mixed-dim guard; the query
+        # dim must match the centroid dim for the search to mean
+        # anything, so this driver-side check covers the corpus too
+        # WITHOUT launching a per-query sampling job (the online path
+        # stays job-free until the actual probe scan).
+        cent_row, cent_dim = _packed_centroids(cent_df)
+        if cent_dim != len(query_vec):
             raise ValueError(
-                f"centroid dim {len(cents[0][1])} != query dim "
+                f"centroid dim {cent_dim} != query dim "
                 f"{len(query_vec)}")
         v = vector_to_array(F.col("__features"))
-
-        if len(cents) <= _MAX_EXPR_CENTROIDS:
-            nearest = F.element_at(
-                F.array_sort(_cell_structs(v, cents)), 1)["c"]
-            assigned = feats.withColumn("__cell", nearest)
-        else:
-            # n_lists x dim literal sub-expressions in one projection
-            # re-inline per downstream reference and blow up codegen
-            # (documented build-notes pitfall).  Above the ceiling,
-            # assign via a broadcast join against the centroid table:
-            # one small shuffle-free crossJoin + min-struct agg.
-            d = F.aggregate(
-                F.zip_with(v, F.col("centroid").cast("array<double>"),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            assign = (feats.select(F.col(id_col), "__features")
-                      .crossJoin(F.broadcast(cent_df))
-                      .withColumn("__d", d)
-                      .groupBy(id_col)
-                      .agg(F.min(F.struct(F.col("__d").alias("d"),
-                                          F.col("cell_id").alias("c")))
-                           .alias("__m"))
-                      .select(F.col(id_col),
-                              F.col("__m.c").alias("__cell")))
-            assigned = feats.join(assign, id_col)
+        assigned = (feats.join(F.broadcast(cent_row))
+                    .withColumn("__cell",
+                                F.array_min(_cell_struct_col(v))["c"])
+                    .drop("cell_ids", "cents"))
 
     # probe selection is centroid-count work (n_lists rows) — driver-side
     probe_cells = _probe_cells(cent_df, query_vec, n_probe)

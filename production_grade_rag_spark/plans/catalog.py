@@ -29,8 +29,18 @@ from . import oracle_sql as O
 @dataclass(frozen=True)
 class QuerySpec:
     build: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None      # None -> rows-only check (non-SQL op)
+    # None -> rows-only check (non-SQL op).  A zero-arg CALLABLE is a
+    # LAZY oracle, resolved at oracle_sql() time: entries whose oracle
+    # text is assembled from OTHER entries' oracles must not read
+    # CATALOG at registration time — when a test imports a mid-chain
+    # catalog module directly, that module's own registrations run
+    # LAST (re-entrant partial import), so an eager cross-entry read
+    # during the chain KeyErrors.
+    oracle: str | Callable[[], str] | None = None
     headline: bool = False         # include in bench.py
+
+    def oracle_text(self) -> str | None:
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 CATALOG: dict[str, QuerySpec] = {}
@@ -473,7 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in CATALOG.items()
+    return {name: spec.oracle_text() for name, spec in CATALOG.items()
             if spec.oracle is not None}
 
 

@@ -270,7 +270,7 @@ def _s32_approx_oracle() -> str:
         "TRUE AS ndv_ok FROM (")
 
 
-@register("s32_analyze_stats_approx", oracle=_s32_approx_oracle())
+@register("s32_analyze_stats_approx", oracle=_s32_approx_oracle)
 def s32_analyze_stats_approx(spark: SparkSession, d: str) -> DataFrame:
     """The approx-NDV knob for the ANALYZE stats table, gated
     a10-style (VERDICT r10 #3 — s32's docstring promised the
@@ -486,7 +486,7 @@ SELECT audit, value_q, flag_ok FROM (
 
 
 @register("cc_release_audit", headline=True,
-          oracle=_audit_oracle())
+          oracle=_audit_oracle)
 def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
     """One release-audit card (VERDICT r10 #7): the four round-10
     audits — k-anonymity risk share (dq8), embedding anisotropy (m5),
@@ -590,7 +590,7 @@ def _st_funnel_oracle() -> str:
     return CATALOG["ev_funnel"].oracle
 
 
-@register("st_funnel", oracle=_st_funnel_oracle())
+@register("st_funnel", oracle=_st_funnel_oracle)
 def st_funnel(spark: SparkSession, d: str) -> DataFrame:
     """Watermarked streaming funnel with CHECKPOINT RESUME (VERDICT
     r10 #5 — the event-analytics member after st_sessionize): events

@@ -359,6 +359,15 @@ def main() -> None:
     T["g6_census_exact_1x"] = t
     print(f"# g6 exact 1x: store build {T['g6_knn_build_exact_1x']}s, "
           f"census over store {t}s", file=sys.stderr)
+    # the exact build at the 10x tier (VERDICT r10 #1 — the crossover
+    # ON the ledger): 20k vectors = 4e8 scored pairs through the
+    # per-node window, the quadratic wall itself, measured once so the
+    # IVF build's win is a same-tier number instead of an asymptotic
+    # argument.  One timed run (it IS the expensive thing).
+    _, t = _timed(lambda: _g6_und(spark, STRESS_DIR, rebuild=True).count())
+    T["g6_knn_build_exact_10x"] = t
+    print(f"# g6 exact 10x: store build {t}s (4e8-pair window)",
+          file=sys.stderr)
     # the build + census are timed at the GATED operating point
     # (n_probe=_IVF_EDGE_PROBE=8, the g_knn_edges_ivf_recall >=0.9
     # floor) — ADVICE r10: r10's rows ran knn_und's default probe 4,
@@ -401,6 +410,11 @@ def main() -> None:
     res["g6_knn_build_ivf_prefit_scale_ratio"] = round(
         T["g6_knn_build_ivf_prefit_10x"]
         / T["g6_knn_build_ivf_prefit_1x"], 2)
+    # the crossover, stated as the ratio the verdict asked to see:
+    # exact/IVF build wall-clock at the SAME tier, gated probe point
+    res["g6_build_exact_over_ivf_prefit_10x"] = round(
+        T["g6_knn_build_exact_10x"]
+        / T["g6_knn_build_ivf_prefit_10x"], 2)
 
     # --- fixed-eval-set IR tier (VERDICT r8 #3, pinned per r9 #6):
     # the eval set is min(100, the 1x tier's full held-out count) —

@@ -48,7 +48,7 @@ def test_oracle_parity(spark, duck, name):
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
-    rel = duck.execute(spec.oracle)
+    rel = duck.execute(spec.oracle_text())
     duck_cols = [c[0] for c in rel.description]
     duck_rows = rel.fetchall()
 

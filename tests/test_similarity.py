@@ -77,20 +77,27 @@ def test_ivf_precomputed_centroid_dim_mismatch_raises(spark):
         similarity.ivf_topk(emb, QUERY_VEC, k=5, n_probe=2, centroids=bad)
 
 
-def test_ivf_join_fallback_matches_expression_path(spark, monkeypatch):
+def test_ivf_topk_packed_assignment_matches_join_election(spark):
+    """The packed-row transform assignment (current shape) must pick
+    the same cells as an independent crossJoin + min-struct groupBy
+    election — same distances, same (distance, cell_id) tiebreak."""
+    from pyspark.sql import functions as F
     emb = load_table(spark, SF001, "embeddings")
     rows = emb.limit(4).collect()
     cents = spark.createDataFrame(
         [(i, [float(x) for x in r["embedding"]])
          for i, r in enumerate(rows)], ["cell_id", "centroid"])
-    expr = [r["vec_id"] for r in
-            similarity.ivf_topk(emb, QUERY_VEC, k=10, n_probe=4,
-                                centroids=cents).collect()]
-    monkeypatch.setattr(similarity, "_MAX_EXPR_CENTROIDS", 0)
-    join = [r["vec_id"] for r in
-            similarity.ivf_topk(emb, QUERY_VEC, k=10, n_probe=4,
-                                centroids=cents).collect()]
-    assert expr == join and len(expr) == 10
+    packed = [r["vec_id"] for r in
+              similarity.ivf_topk(emb, QUERY_VEC, k=10, n_probe=4,
+                                  centroids=cents).collect()]
+    assigned = similarity.assign_cells(emb, cents, id_col="vec_id")
+    probe = similarity._probe_cells(cents, QUERY_VEC, 4)
+    ref = [r["vec_id"] for r in
+           similarity.knn_topk(
+               assigned.filter(F.col("cell").isin(probe))
+               .drop("cell", "cell_dist"),
+               QUERY_VEC, k=10).collect()]
+    assert packed == ref and len(packed) == 10
 
 
 def test_ivf_partitioned_store_prunes_cells(spark, tmp_path):
