@@ -980,3 +980,153 @@ def g12_neighborhood_function(spark: SparkSession, d: str) -> DataFrame:
                         .alias("rel_err")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("hop")
+
+
+# ===========================================================================
+# Streaming rolling-distinct maintenance — the calendar-axis member
+# of the streaming-summary family (corpus axis: st_kmv_ingest; graph
+# axis: st_knn_edges; now the per-day sketch registry a DAU/WAU
+# dashboard reads)
+# ===========================================================================
+
+def _st_rolling_oracle() -> str:
+    K, SP = _RD_K, int(1 << 60)
+    est = (f"CASE WHEN s.n_keep < {K} THEN s.n_keep "
+           f"ELSE CAST(round(({K} - 1) * {SP}::DOUBLE "
+           f"/ s.theta_k::DOUBLE) AS BIGINT) END")
+    return f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), u AS (SELECT DISTINCT day, h FROM ev),
+daily AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM u) WHERE rn <= {K}
+), days AS (SELECT DISTINCT day FROM u),
+win AS (
+  SELECT d.day, x.h FROM days d JOIN daily x
+    ON x.day BETWEEN d.day - {_RD_WIN - 1} AND d.day
+  GROUP BY d.day, x.h
+), kept AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM win) WHERE rn <= {K}
+), sk AS (
+  SELECT day, count(*)::BIGINT AS n_keep, max(h)::BIGINT AS theta_k
+  FROM kept GROUP BY day
+)
+SELECT CAST(s.day AS VARCHAR) AS day, s.n_keep, s.theta_k,
+       {est} AS est_rolling
+FROM sk s ORDER BY day
+"""
+
+
+@register("st_rolling_distinct", oracle=_st_rolling_oracle)
+def st_rolling_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming maintenance of the per-day KMV registry behind
+    ev_rolling_distinct_kmv — the calendar-axis member of the
+    streaming-summary family (corpus axis: st_kmv_ingest; graph axis:
+    st_knn_edges): events arrive through the checkpointed file stream
+    in two tranches split BY USER PARITY — every day's users arrive
+    across BOTH tranches, completely out of calendar order — and each
+    micro-batch folds its own per-day k-minimum sets into a versioned
+    (day, h) store by per-day union-then-recap.  The semilattice
+    (a31) is what makes user-parity tranching safe: per-day merge is
+    idempotent, commutative and associative, so arrival order cannot
+    corrupt any day's k-set, and the drained store must equal the
+    batch-built per-day registry exactly.  The rolling read then runs
+    OVER THE STORE (days x 7 x k rows — never events), producing the
+    same est_rolling column as the batch entry; the exact twin is the
+    one column bounded state cannot produce, which is precisely the
+    sketch's reason to exist (stated in ev_rolling_distinct_kmv).
+
+    Fully value-oracled: DuckDB rebuilds the per-day k-sets and the
+    rolling merge from the raw events; every drained day, theta and
+    estimate must match.
+
+    Scale shape: per-batch work is the batch's own scan + day-bounded
+    top-k; store state is days x k rows forever; checkpoint resume is
+    the second drain."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import Window as W
+    from ..sources.tables import list_versions, read_version, write_version
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+    from .catalog_r9 import _h60
+
+    raw = spark.read.parquet(f"{d}/events.parquet")
+    sdir = _scratch("st_rdist_stream")
+    store = _scratch("st_rdist_store")
+    ckpt = _scratch("st_rdist_ckpt")
+    for p in (sdir, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def ship(part: DataFrame, tag: str) -> None:
+        tmp = sdir + "_" + tag
+        shutil.rmtree(tmp, ignore_errors=True)
+        part.repartition(2).write.parquet(tmp)
+        Path(sdir).mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(sorted(Path(tmp).glob("part-*"))):
+            f.rename(Path(sdir) / f"{tag}-{i:05d}.parquet")
+
+    w_day = W.partitionBy("day").orderBy("h")
+
+    def day_ksets(df: DataFrame) -> DataFrame:
+        u = (SP.normalize_event_ts(df)
+             .select(F.date_trunc("day", F.col("ts")).cast("date")
+                     .alias("day"),
+                     _h60(F.col("user_id").cast("string")).alias("h"))
+             .distinct())
+        return (u.withColumn("rn", F.row_number().over(w_day))
+                .filter(F.col("rn") <= _RD_K).select("day", "h"))
+
+    def drain() -> None:
+        stream = spark.readStream.schema(raw.schema).parquet(sdir)
+
+        def merge(batch_df: DataFrame, epoch_id: int) -> None:
+            import os
+            sp = batch_df.sparkSession
+            inc = day_ksets(batch_df)
+            versions = (list_versions(sp, store)
+                        if os.path.exists(store) else [])
+            if versions:
+                prior = read_version(sp, store)
+                merged = (prior.unionByName(inc).distinct()
+                          .withColumn("rn", F.row_number().over(w_day))
+                          .filter(F.col("rn") <= _RD_K)
+                          .select("day", "h"))
+            else:
+                merged = inc
+            write_version(merged, store,
+                          (versions[-1] + 1) if versions else 1)
+
+        SP._run_foreach(stream, merge, 180, ckpt)
+
+    ship(raw.filter(F.col("user_id") % 2 == 0), "t1")
+    drain()
+    ship(raw.filter(F.col("user_id") % 2 == 1), "t2")
+    drain()
+
+    daily = read_version(spark, store)
+    days = daily.select("day").distinct().withColumnRenamed("day", "d")
+    win = (daily.join(F.broadcast(days),
+                      (F.col("day") >= F.date_sub(F.col("d"),
+                                                  _RD_WIN - 1))
+                      & (F.col("day") <= F.col("d")))
+           .select(F.col("d").alias("day"), "h").distinct())
+    kept = (win.withColumn("rn", F.row_number().over(w_day))
+            .filter(F.col("rn") <= _RD_K))
+    sk = kept.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_keep"),
+        F.max("h").alias("theta_k"))
+    est = (F.when(F.col("n_keep") < _RD_K, F.col("n_keep"))
+           .otherwise(F.round((_RD_K - 1) * F.lit(_RD_SP)
+                              / F.col("theta_k").cast("double"))
+                      .cast("long")))
+    return (sk.select(F.col("day").cast("string").alias("day"),
+                      "n_keep", "theta_k", est.alias("est_rolling"))
+            .orderBy("day"))

@@ -93,6 +93,10 @@ def test_ivf_knn_join_plan_is_one_equijoin(spark):
     # assignment is NOT a groupBy election: the only aggregates in the
     # plan would come from assign_cells' min-struct groupBy
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    # the cell join must NOT be a sort-merge on the n_lists-ary key
+    # (the skew trap probe_side='broadcast' exists to avoid)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 # ---------------------------------------------------------------------------
@@ -296,3 +300,14 @@ def test_neighborhood_function_sketch_state_is_bounded(spark):
              .localCheckpoint())
         mx = s.groupBy("node").count().agg(F.max("count")).first()[0]
         assert mx <= _HB_K
+
+
+def test_st_rolling_distinct_matches_batch(spark):
+    """Out-of-order user-parity tranches through the versioned store
+    must reproduce the batch rolling registry exactly (semilattice
+    merge; the exact column is the one thing bounded state drops)."""
+    st = {r["day"]: (r["n_keep"], r["theta_k"], r["est_rolling"])
+          for r in _rows(spark, "st_rolling_distinct")}
+    bt = {r["day"]: (r["n_keep"], r["theta_k"], r["est_rolling"])
+          for r in _rows(spark, "ev_rolling_distinct_kmv")}
+    assert st == bt
