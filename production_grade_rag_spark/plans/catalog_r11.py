@@ -1130,3 +1130,59 @@ def st_rolling_distinct(spark: SparkSession, d: str) -> DataFrame:
     return (sk.select(F.col("day").cast("string").alias("day"),
                       "n_keep", "theta_k", est.alias("est_rolling"))
             .orderBy("day"))
+
+
+# ===========================================================================
+# Multimodal: scene table — the gaps-and-islands composition over the
+# keyframe election (the per-scene manifest a video curation pipeline
+# materializes; one row per contiguous shot)
+# ===========================================================================
+
+def _mm_scene_oracle() -> str:
+    from .catalog_r8 import _mm_keyframes_oracle
+    return f"""
+WITH kf AS ({_mm_keyframes_oracle()}),
+sc AS (
+  SELECT doc_id, frame_index, frame_ts,
+         CAST(sum(is_keyframe::INT) OVER (
+           PARTITION BY doc_id ORDER BY frame_index
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS scene_id
+  FROM kf
+)
+SELECT doc_id, scene_id, count(*)::BIGINT AS n_frames,
+       min(frame_ts) AS scene_start, max(frame_ts) AS scene_end
+FROM sc GROUP BY doc_id, scene_id
+ORDER BY doc_id, scene_id
+"""
+
+
+@register("mm_scene_table", oracle=_mm_scene_oracle)
+def mm_scene_table(spark: SparkSession, d: str) -> DataFrame:
+    """Per-video SCENE manifest: the gaps-and-islands composition over
+    mm_keyframes' shot-boundary election — scene_id is the running
+    count of boundaries (every keyframe starts a scene; the frames
+    until the next boundary belong to it), then one row per scene with
+    its frame count and time extent.  This is the table a video
+    curation pipeline actually materializes (dedup at scene
+    granularity, sample one keyframe per scene for training, budget
+    screen-time per scene), one window + one grouped aggregate past
+    the keyframe election the catalog already value-oracles end to
+    end through the Arrow decode path.
+
+    Scale shape: the prefix-sum window and the aggregate are both
+    keyed by video id over a <=5-frames-per-video bounded explode —
+    uniform keys, nothing corpus-wide."""
+    from pyspark.sql import Window as W
+    from .catalog_r8 import mm_keyframes
+    kf = mm_keyframes(spark, d)
+    w = (W.partitionBy("doc_id").orderBy("frame_index")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sc = kf.withColumn(
+        "scene_id", F.sum(F.col("is_keyframe").cast("int")).over(w)
+        .cast("long"))
+    return (sc.groupBy("doc_id", "scene_id")
+            .agg(F.count("*").cast("long").alias("n_frames"),
+                 F.min("frame_ts").alias("scene_start"),
+                 F.max("frame_ts").alias("scene_end"))
+            .orderBy("doc_id", "scene_id"))
