@@ -386,6 +386,12 @@ def m6_whiten_embeddings(spark: SparkSession, d: str) -> DataFrame:
     few-cell partial agg."""
     from .catalog_r8b import _pca_frames
     c, v = _pca_frames(spark, d)
+    # v (the 6-iteration power loop) is referenced from four subtrees
+    # (removal, residual, both anisotropy sides); the broadcast
+    # exchange is REUSED by Catalyst so the loop runs once — m6's
+    # wall-clock floor is the loop's per-iteration scheduling latency,
+    # the same corpus-independent bound g4_pca_power carries
+    # (verified: an explicit localCheckpoint changes nothing).
     j = c.crossJoin(F.broadcast(v))
     s = F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
                     F.lit(0).cast("long"), lambda acc, x: acc + x)
