@@ -429,3 +429,63 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
     if use_lsh:
         return lsh_similar_pairs(vectors, threshold, vec_col, id_col)
     return pairwise_similar(vectors, threshold, vec_col, id_col)
+
+
+def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, num_hashes: int = 16,
+                        num_bands: int = 4,
+                        max_bucket: int | None = None) -> DataFrame:
+    """INCREMENTAL near-dup detection: the ``delta`` batch against the
+    existing ``base`` corpus plus within-delta — WITHOUT re-pairing
+    base x base.  This is the production ingest shape: at 100 TB the
+    base band table is the stored dedup index (ids + 32-byte band
+    hashes, written once per snapshot and appended per batch), and a
+    new batch costs its own signatures + two bucket-keyed equi-joins
+    (delta x index, delta x delta) — never a corpus rebuild, never a
+    base self-join.  Candidate semantics are EXACTLY the batch
+    operator's: a (base, delta) or (delta, delta) pair is a candidate
+    iff it shares a band bucket, so the result equals
+    minhash_dedup_pairs restricted to pairs with >= 1 delta member
+    (pinned by the dd_minhash_delta oracle).
+
+    ``max_bucket`` is the same log-and-drop skew guard as the batch
+    form, applied per side."""
+    banded_b = minhash_band_table(
+        minhash_signatures(base, text_col, id_col, num_hashes),
+        id_col, num_hashes, num_bands)
+    banded_d = minhash_band_table(
+        minhash_signatures(delta, text_col, id_col, num_hashes),
+        id_col, num_hashes, num_bands)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash")
+        banded_b = (banded_b.withColumn("__n", F.count("*").over(w))
+                    .filter(F.col("__n") <= max_bucket).drop("__n"))
+        banded_d = (banded_d.withColumn("__n", F.count("*").over(w))
+                    .filter(F.col("__n") <= max_bucket).drop("__n"))
+    dl = banded_d.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    # delta x base: sides are id-disjoint, canonicalize after the join
+    cross = (dl.join(banded_b.select(F.col(id_col).alias("id_b"),
+                                     "band", "band_hash"),
+                     ["band", "band_hash"])
+             .select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b")))
+    # delta x delta: the batch self-join shape on the new batch only
+    dr = banded_d.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    within = (dl.join(dr, ["band", "band_hash"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b"))
+    cands = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+    sh = (base.unionByName(delta)
+          .select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh")))
+    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+           / F.size(F.array_union("__sh_a", "__sh_b")))
+    return (cands
+            .join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("__sh").alias("__sh_a")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"),
+                            F.col("__sh").alias("__sh_b")), "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

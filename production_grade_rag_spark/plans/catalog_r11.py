@@ -1192,3 +1192,50 @@ def mm_scene_table(spark: SparkSession, d: str) -> DataFrame:
                  F.min("frame_ts").alias("scene_start"),
                  F.max("frame_ts").alias("scene_end"))
             .orderBy("doc_id", "scene_id"))
+
+
+# ===========================================================================
+# Incremental MinHash dedup — the delta-vs-index ingest shape (the
+# batch family's last rebuild-by-default: every dd_minhash run
+# re-paired the whole corpus; a production ingest pairs the NEW batch
+# against the stored band index and itself, never base x base)
+# ===========================================================================
+
+def _dd_delta_oracle() -> str:
+    from . import oracle_vec as OV
+    return f"""
+SELECT id_a, id_b, jaccard FROM ({OV.minhash_pairs_sql()})
+WHERE id_a % 2 = 1 OR id_b % 2 = 1
+ORDER BY id_a, id_b
+"""
+
+
+@register("dd_minhash_delta", oracle=_dd_delta_oracle)
+def dd_minhash_delta(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup (operators/dedup.py
+    minhash_delta_pairs): the odd-id half of the corpus arrives as a
+    NEW BATCH against the even-id half standing in for the stored
+    band index — candidates are two bucket-keyed equi-joins
+    (delta x index, delta x delta), base x base is never re-paired,
+    and the exact-Jaccard verify runs on candidates only.  Because a
+    pair is a candidate iff it shares a band bucket — the identical
+    condition the batch operator uses — the result must equal the
+    full-corpus dd_minhash_lsh RESTRICTED to pairs with at least one
+    delta member, which is exactly what this oracle recomputes (the
+    full banding in DuckDB, filtered to odd-membership).
+
+    Why it matters at 100 TB: the batch form's cost is
+    corpus-signatures + corpus-bucket self-join EVERY run; the delta
+    form's steady-state cost is batch-signatures + joins whose left
+    side is batch-sized — the index is ids + 32-byte band hashes
+    (narrow forever), appended per ingest, with the same max_bucket
+    skew guard per side.  Completes the incremental-ingest family:
+    exact hashes (st_dedup_stream), lines (st_dd_line_dedup),
+    semantic keepers (st_semdedup), the kNN graph (st_knn_edges) —
+    and now the MinHash index itself."""
+    from ..operators.dedup import minhash_delta_pairs
+    docs = _t(spark, d, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    return (minhash_delta_pairs(base, delta)
+            .orderBy("id_a", "id_b"))

@@ -311,3 +311,15 @@ def test_st_rolling_distinct_matches_batch(spark):
     bt = {r["day"]: (r["n_keep"], r["theta_k"], r["est_rolling"])
           for r in _rows(spark, "ev_rolling_distinct_kmv")}
     assert st == bt
+
+
+def test_dd_minhash_delta_equals_restricted_batch(spark):
+    """The incremental form must equal the full-corpus batch pairs
+    restricted to >= 1 delta member — same bucket condition, same
+    verify, no base x base work."""
+    full = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in _rows(spark, "dd_minhash_lsh")
+            if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1}
+    delta = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in _rows(spark, "dd_minhash_delta")}
+    assert delta == full and len(delta) > 0
