@@ -50,9 +50,9 @@ def main() -> None:
     print(f"# shared kNN edge store (one-off ingest build): "
           f"{knn_store_build}s", file=sys.stderr)
 
-    def _cal() -> float:
+    def _cal(name: str = "q1_pricing_summary") -> float:
         t0 = time.perf_counter()
-        CATALOG["q1_pricing_summary"].build(spark, SF_DIR).count()
+        CATALOG[name].build(spark, SF_DIR).count()
         return round(time.perf_counter() - t0, 3)
 
     # fixed calibration probe, run first and last: cal_warm is a
@@ -61,6 +61,17 @@ def main() -> None:
     # this host show 1.3-1.9x uniform noise), and cold/warm spread
     # bounds the within-run warmup drift.
     cal_cold = _cal()
+
+    # VERDICT r11 #6: one probe is too narrow a host factor — r11's
+    # table printed >1.15 "regressions" on six plan-unchanged queries
+    # while every raw number improved, because q1's own jitter WAS the
+    # denominator.  The host factor is now the MEDIAN of three warm
+    # probes spanning plan shapes (scan-bound t1, shuffle-bound q3,
+    # window-bound w4), measured after the headline loop has warmed
+    # them; raw ratios are printed beside normalized ones so the table
+    # reads signal either way.
+    _CAL_PROBES = ("t1_clean_content", "q3_top_revenue_orders",
+                   "w4_running_customer_spend")
 
     # one failing query must not lose the artifact for the healthy 14:
     # failures are recorded per-query and the JSON line is always emitted
@@ -81,6 +92,10 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     cal_warm = _cal()
+    # the 3-shape probe set: each already ran once in the headline
+    # loop, so these are warm measurements by construction
+    probe_warm = {p: _cal(p) for p in _CAL_PROBES}
+    host_factor = sorted(probe_warm.values())[len(probe_warm) // 2]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -96,31 +111,45 @@ def main() -> None:
             "warm_sec": cal_warm,
             "cold_over_warm": round(cal_cold / cal_warm, 3)
             if cal_warm else None,
+            "probes_warm": probe_warm,
+            "host_factor_median": host_factor,
         },
     }
     if errors:
         out["errors"] = errors
 
-    # noise-normalized round-over-round deltas (VERDICT r7 #7): divide
-    # each per-query time by this run's warm calibration probe, the
-    # previous round's by ITS probe, and report the ratio — sessions
-    # on this host show 1.3-1.9x uniform speed noise, so raw deltas
-    # are host lottery, not signal.  Only computed against a previous
+    # noise-normalized round-over-round deltas (VERDICT r7 #7, widened
+    # r12 per VERDICT r11 #6): divide each per-query time by this
+    # run's host factor — the MEDIAN of three warm probes spanning
+    # shapes — and the previous round's by ITS factor (its median when
+    # recorded, else its single q1 warm probe), and report BOTH the
+    # normalized and the raw ratio side by side.  Sessions on this
+    # host show 1.3-1.9x uniform speed noise, so raw deltas alone are
+    # host lottery, not signal.  Only computed against a previous
     # artifact at the SAME scale factor.
     prev = _latest_prev_bench(Path(__file__).resolve().parent)
-    if prev is not None and cal_warm:
+    if prev is not None and host_factor:
         pdata, pname = prev
-        p_warm = (pdata.get("noise_cal") or {}).get("warm_sec")
-        if pdata.get("sf") == out["sf"] and p_warm:
+        pcal = pdata.get("noise_cal") or {}
+        p_factor = pcal.get("host_factor_median") or pcal.get("warm_sec")
+        if pdata.get("sf") == out["sf"] and p_factor:
             ratios = {
-                q: round((t / cal_warm) / (pdata["queries"][q] / p_warm), 3)
+                q: round((t / host_factor)
+                         / (pdata["queries"][q] / p_factor), 3)
+                for q, t in timings.items()
+                if pdata["queries"].get(q)
+            }
+            raw = {
+                q: round(t / pdata["queries"][q], 3)
                 for q, t in timings.items()
                 if pdata["queries"].get(q)
             }
             out["vs_prev_normalized"] = {
                 "prev": pname,
-                "host_speed_now_over_prev": round(p_warm / cal_warm, 3),
+                "host_speed_now_over_prev": round(p_factor / host_factor,
+                                                  3),
                 "queries": ratios,
+                "queries_raw": raw,
             }
     print(json.dumps(out))
 

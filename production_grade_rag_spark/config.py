@@ -109,7 +109,13 @@ class EngineConfig:
     # ratio-based, so a deployment that raises the floor keeps its 4x
     # adaptive headroom instead of silently hitting an absolute 16
     # (ADVICE r10); at EngineConfig defaults that resolves to the same
-    # 16-of-16 ceiling as before.  An explicit int is an absolute cap.
+    # 16-of-16 ceiling as before.  A positive int is an absolute cap.
+    # COMPAT NOTE (r11->r12, ADVICE r11): before r11, None meant
+    # UNCAPPED; r11 silently re-read it as "derived 4x floor".  The
+    # uncapped contract is restored as an explicit sentinel: set 0
+    # (any int <= 0) to disable the cap entirely
+    # (adaptive_probe_cells receives cap=None — an ambiguous query
+    # may probe every cell).
     ann_mass_target: float | None = 0.8
     ann_n_probe_max: int | None = None
     # "lsh" backend: MLlib BucketedRandomProjectionLSH (random

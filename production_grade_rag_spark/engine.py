@@ -34,12 +34,17 @@ from .operators.attribution import attribution_join
 
 def resolved_probe_cap(config: EngineConfig) -> int | None:
     """The adaptive-probe ceiling actually passed to the searcher:
-    ``ann_n_probe_max`` when set (absolute cap), else 4x the adaptive
-    floor ``ann_n_probe`` — ratio-based, so raising the floor keeps
-    the documented 4x headroom instead of silently shrinking it
-    against a stale absolute (ADVICE r10).  At EngineConfig defaults
-    this resolves to 16, the pre-r11 behavior."""
+    ``ann_n_probe_max`` when a positive int (absolute cap), ``0`` for
+    UNCAPPED (adaptive_probe_cells(cap=None) — every cell probeable;
+    the pre-r11 meaning of None, restored as an explicit sentinel per
+    ADVICE r11), else — None — 4x the adaptive floor ``ann_n_probe``,
+    ratio-based so raising the floor keeps the documented 4x headroom
+    instead of silently shrinking it against a stale absolute (ADVICE
+    r10).  At EngineConfig defaults this resolves to 16, the pre-r11
+    behavior."""
     if config.ann_n_probe_max is not None:
+        if config.ann_n_probe_max <= 0:
+            return None
         return config.ann_n_probe_max
     return 4 * config.ann_n_probe
 

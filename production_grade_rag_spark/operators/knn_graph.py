@@ -76,6 +76,19 @@ def _load_emb(spark: SparkSession, d: str) -> DataFrame:
     return load_table(spark, d, "embeddings")
 
 
+# Probe-side broadcast ceiling for the all-corpus build (ADVICE r11):
+# the kNN-graph build's "query" set IS the corpus, so ivf_knn_join's
+# default F.broadcast on the exploded probe side (n x n_probe rows
+# carrying full embedding arrays) would ship the whole corpus to every
+# task — at 1e9 vectors that is a multi-TB broadcast, an OOM by
+# construction.  Below this row ceiling broadcast stays the measured
+# 1.9-4.2x win (local tiers: <=4M exploded rows ~ 2 GB at 64 dims);
+# above it the build switches to the hash-exchange join, where the
+# corpus side is the cell-partitioned store and the shuffle is
+# wide-keyed at exactly the scale that needs it.
+_PROBE_BCAST_MAX_ROWS = 4_000_000
+
+
 def _build_nb(spark: SparkSession, d: str, k: int, method: str,
               n_lists: int, n_probe: int,
               centroids: DataFrame | None) -> DataFrame:
@@ -83,13 +96,18 @@ def _build_nb(spark: SparkSession, d: str, k: int, method: str,
     e = _load_emb(spark, d)
     if method == "ivf":
         from .similarity import ivf_knn_join
+        # corpus-sized probe side: pick the join strategy by measured
+        # size (one parquet-footer count), never broadcast-by-default
+        n = e.count()
+        side = ("broadcast" if n * n_probe <= _PROBE_BCAST_MAX_ROWS
+                else "shuffle")
         # k+1 candidates so the self-hit never displaces a neighbor;
         # re-rank after dropping self so the fanout is exactly k per
         # src (the exact side's bound)
         cand = (ivf_knn_join(
                     e.withColumnRenamed("vec_id", "query_id"), e,
                     k=k + 1, n_lists=n_lists, n_probe=n_probe,
-                    centroids=centroids)
+                    centroids=centroids, probe_side=side)
                 .filter(F.col("query_id") != F.col("result_id")))
         w = Window.partitionBy("query_id").orderBy("rank")
         return (cand.withColumn("__r", F.row_number().over(w))

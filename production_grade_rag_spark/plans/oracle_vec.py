@@ -156,12 +156,15 @@ FROM hashed h JOIN groups g USING (content_hash)
 
 
 def minhash_pairs_sql(threshold: float = 0.8, num_hashes: int = 16,
-                      num_bands: int = 4, k: int = 3) -> str:
+                      num_bands: int = 4, k: int = 3,
+                      min_band_overlap: int = 1) -> str:
     """MinHash-LSH candidate pairs + exact-Jaccard verify, replicating
     the banding exactly (an LSH miss is a semantic outcome, not an
     error, so the oracle must band identically).  Universal-hash family
     and constants imported from operators.dedup so both sides compute
-    bit-identical signatures."""
+    bit-identical signatures.  ``min_band_overlap`` mirrors the
+    operator's >= m shared-bucket precision filter (GROUP BY + HAVING
+    instead of DISTINCT; identical at 1)."""
     from ..operators.dedup import HASH_A, HASH_B, MINHASH_PRIME
     rows = num_hashes // num_bands
     toks = tokens_sql("text")
@@ -190,9 +193,11 @@ WITH sh AS (
          CASE band::INT {band_cases} END AS band_hash
   FROM sig, (SELECT unnest(range(0, {num_bands})) AS band)
 ), cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {min_band_overlap}
 )
 SELECT c.id_a, c.id_b,
        round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
