@@ -181,6 +181,27 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     banded = minhash_band_table(sigs, id_col, num_hashes, num_bands)
+    return minhash_pairs_from_index(banded, df, text_col=text_col,
+                                    id_col=id_col, threshold=threshold,
+                                    max_bucket=max_bucket,
+                                    min_band_overlap=min_band_overlap)
+
+
+def minhash_pairs_from_index(banded: DataFrame, df: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             threshold: float = 0.8,
+                             max_bucket: int | None = 1000,
+                             min_band_overlap: int = 1) -> DataFrame:
+    """Near-dup pairs from a STORED band index (id, band, band_hash)
+    plus the document table for the exact-Jaccard verify — the tail of
+    minhash_dedup_pairs, split out so a PERSISTED index (the
+    st_minhash_ingest registry, appended per micro-batch) feeds the
+    identical candidate-generation + verify plan the batch operator
+    compiles.  Same skew cap, same shared-bucket precision filter;
+    equality with the batch form is value-oracled (the band table is a
+    pure function of document content, so registry-fed and
+    freshly-computed candidates coincide)."""
     if max_bucket is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("band", "band_hash")

@@ -89,6 +89,20 @@ def _load_emb(spark: SparkSession, d: str) -> DataFrame:
 _PROBE_BCAST_MAX_ROWS = 4_000_000
 
 
+def derived_n_lists(n: int) -> int:
+    """Corpus-size-derived IVF list count for the graph build (VERDICT
+    r11 #2): the nearest power of two to sqrt(n), floored at 16 —
+    cells then hold ~sqrt(n) vectors, so the in-cell candidate pair
+    count per cell stays ~n and the BUILD total stays ~n^1.5 / p
+    rather than quadratic; the n_lists sweep in scripts/stress_bench.py
+    measures where the build-time optimum actually sits at gated
+    recall.  Pass n_lists=None to knn_nb/knn_und to use it."""
+    import math
+    if n <= 256:
+        return 16
+    return 1 << round(math.log2(math.sqrt(n)))
+
+
 def _build_nb(spark: SparkSession, d: str, k: int, method: str,
               n_lists: int, n_probe: int,
               centroids: DataFrame | None) -> DataFrame:
@@ -127,14 +141,19 @@ def _build_nb(spark: SparkSession, d: str, k: int, method: str,
 
 
 def knn_nb(spark: SparkSession, d: str, k: int = 5,
-           method: str = "exact", n_lists: int = 16, n_probe: int = 4,
+           method: str = "exact", n_lists: int | None = 16,
+           n_probe: int = 4,
            centroids: DataFrame | None = None,
            rebuild: bool = False) -> DataFrame:
     """Directed k-NN cosine edge list (src, dst), materialized once
     per (process, dataset, method) as narrow parquet and read from
     the store thereafter.  ``centroids`` passes a PREBUILT cell
     layout to the ivf build (skips the in-loop KMeans fit — the
-    amortized ingest shape stress_bench ledgers separately)."""
+    amortized ingest shape stress_bench ledgers separately).
+    ``n_lists=None`` derives the list count from the corpus size
+    (derived_n_lists — ~sqrt(n) rounded to a power of two)."""
+    if n_lists is None:
+        n_lists = derived_n_lists(_load_emb(spark, d).count())
     tag = _tag("knn_nb", d, k, method, n_lists, n_probe)
     path = _warehouse(tag)
     if rebuild or tag not in _BUILT or not os.path.exists(path):
@@ -147,14 +166,19 @@ def knn_nb(spark: SparkSession, d: str, k: int = 5,
 
 
 def knn_und(spark: SparkSession, d: str, k: int = 5,
-            method: str = "exact", n_lists: int = 16, n_probe: int = 4,
+            method: str = "exact", n_lists: int | None = 16,
+            n_probe: int = 4,
             centroids: DataFrame | None = None,
             rebuild: bool = False) -> DataFrame:
     """Canonical undirected edge list (u < v, distinct), derived from
     the directed store and materialized beside it — the frame the
     census/k-core/attack/assortativity entries reference many times
     each (deg twice, closure joins three times): a store read per
-    reference instead of a kNN rebuild per reference."""
+    reference instead of a kNN rebuild per reference.
+    ``n_lists=None`` derives the list count from the corpus size
+    (derived_n_lists)."""
+    if n_lists is None:
+        n_lists = derived_n_lists(_load_emb(spark, d).count())
     tag = _tag("knn_und", d, k, method, n_lists, n_probe)
     path = _warehouse(tag)
     if rebuild or tag not in _BUILT or not os.path.exists(path):

@@ -510,3 +510,4 @@ from . import catalog_r8b  # noqa: E402,F401  (registration side effects)
 from . import catalog_r9  # noqa: E402,F401  (registration side effects)
 from . import catalog_r10  # noqa: E402,F401  (registration side effects)
 from . import catalog_r11  # noqa: E402,F401  (registration side effects)
+from . import catalog_r12  # noqa: E402,F401  (registration side effects)

@@ -157,14 +157,19 @@ FROM hashed h JOIN groups g USING (content_hash)
 
 def minhash_pairs_sql(threshold: float = 0.8, num_hashes: int = 16,
                       num_bands: int = 4, k: int = 3,
-                      min_band_overlap: int = 1) -> str:
+                      min_band_overlap: int = 1,
+                      source: str = "documents") -> str:
     """MinHash-LSH candidate pairs + exact-Jaccard verify, replicating
     the banding exactly (an LSH miss is a semantic outcome, not an
     error, so the oracle must band identically).  Universal-hash family
     and constants imported from operators.dedup so both sides compute
     bit-identical signatures.  ``min_band_overlap`` mirrors the
     operator's >= m shared-bucket precision filter (GROUP BY + HAVING
-    instead of DISTINCT; identical at 1)."""
+    instead of DISTINCT; identical at 1).  ``source`` names the
+    (doc_id, text) relation to band — "documents" by default, or an
+    outer CTE (DuckDB resolves outer CTE names inside subqueries),
+    which is how composed oracles (cc_ingest_delta) band a derived
+    corpus."""
     from ..operators.dedup import HASH_A, HASH_B, MINHASH_PRIME
     rows = num_hashes // num_bands
     toks = tokens_sql("text")
@@ -179,7 +184,7 @@ def minhash_pairs_sql(threshold: float = 0.8, num_hashes: int = 16,
         for b in range(num_bands))
     return f"""
 WITH sh AS (
-  SELECT doc_id, {sh} AS sh FROM documents
+  SELECT doc_id, {sh} AS sh FROM {source}
 ), ex AS (
   SELECT doc_id, unnest(sh) AS shingle FROM sh
 ), h AS (
