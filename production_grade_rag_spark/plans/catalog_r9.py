@@ -1327,7 +1327,17 @@ def a23_theta_setops(spark: SparkSession, d: str) -> DataFrame:
     flag table for the pair (partial-aggregable max flags), then a
     1-row aggregate.  The exact columns scan the same flag table at
     catalog scale; at 100 TB only survivors exist and the exact
-    columns become the spot-audit (a22's argument)."""
+    columns become the spot-audit (a22's argument).
+
+    State caveat (VERDICT r11 #8, ledgered as theta_state_rows_* in
+    scripts/stress_bench.py): the fixed-theta survivor set grows
+    ~NDV/16 — linear in distinct shingles BY DESIGN, which is what
+    a22's ~6x tier ratio reads.  If all you need is NDV, use the
+    bounded-state KMV family instead (a30_kmv_ndv / a31_kmv_merge —
+    k rows per source forever); these set operations are the one
+    read that genuinely needs the fixed-threshold survivor sample
+    (equal thetas make survivor sets union/intersect-compatible,
+    which KMV's per-source adaptive thresholds break)."""
     from ..operators.dedup import word_shingles
     docs = _t(spark, d, "documents")
     s = (docs.filter(F.col("source").isin(_SETOP_A, _SETOP_B))

@@ -226,6 +226,53 @@ def main() -> None:
           f"across {cap['n_buckets_capped']} capped buckets; ratio "
           f"{res['minhash_skew_ratio']}x of uniform 10x)", file=sys.stderr)
 
+    # --- incremental delta vs full re-pair at the adversarial tier
+    # (VERDICT r11 #1): a 10% batch (including its share of the
+    # boilerplate megacluster) against the 90% resident corpus.  The
+    # stored band index is built ONCE (ledgered separately — the
+    # per-snapshot ingest cost); the steady-state delta then pays
+    # batch signatures + two bucket joins.  Rows: capped m=1 / m=2
+    # (the production settings — the megabucket is dropped with
+    # accounting on BOTH forms, so the comparison reads the re-pair
+    # work, not the clique verify), plus the UNCAPPED delta, whose
+    # delta-over-capped excess IS the clique verify bill (the
+    # kmv_scan_floor attribution pattern).
+    delta_sl = docs_skew.filter(F.col("doc_id") % 100 < 10)
+    base_sl = docs_skew.filter(F.col("doc_id") % 100 >= 10)
+    res["minhash_delta_batch_docs"] = delta_sl.count()
+    res["minhash_delta_base_docs"] = base_sl.count()
+    idx_path = f"{STRESS_DIR}/mh_band_index"
+    _, t = _timed(lambda: dedup.minhash_band_table(
+        dedup.minhash_signatures(base_sl, num_hashes=128),
+        num_hashes=128, num_bands=32)
+        .write.mode("overwrite").parquet(idx_path))
+    T["minhash_index_build_10x"] = t
+    print(f"# minhash band-index build (one-off ingest): {t}s",
+          file=sys.stderr)
+    stored = spark.read.parquet(idx_path)
+    for m in (1, 2):
+        n, t = _timed_steady(lambda m=m: dedup.minhash_delta_pairs(
+            base_sl, delta_sl, num_hashes=128, num_bands=32,
+            max_bucket=1000, base_banded=stored,
+            min_band_overlap=m).count())
+        T[f"minhash_delta_skew_m{m}_10x"] = t
+        res[f"minhash_delta_skew_pairs_m{m}"] = n
+        res[f"minhash_full_over_delta_m{m}"] = round(
+            T["minhash_skew_10x"] / t, 2)
+        print(f"# minhash delta (stored index, cap 1000, m={m}): {t}s "
+              f"({n} pairs) — full re-pair is "
+              f"{res[f'minhash_full_over_delta_m{m}']}x", file=sys.stderr)
+    n, t = _timed_steady(lambda: dedup.minhash_delta_pairs(
+        base_sl, delta_sl, num_hashes=128, num_bands=32,
+        max_bucket=None, base_banded=stored).count())
+    T["minhash_delta_skew_uncapped_10x"] = t
+    res["minhash_delta_skew_pairs_uncapped"] = n
+    res["minhash_delta_verify_bill_10x"] = round(
+        t - T["minhash_delta_skew_m1_10x"], 3)
+    print(f"# minhash delta UNCAPPED: {t}s ({n} pairs; clique verify "
+          f"bill over capped = {res['minhash_delta_verify_bill_10x']}s)",
+          file=sys.stderr)
+
     # --- IVF store: build + probe sweep vs exact -----------------------
     store = f"{STRESS_DIR}/ivf64"
     _, t = _timed(lambda: similarity.ivf_build_store(
@@ -332,6 +379,29 @@ def main() -> None:
         res[f"kmv_state_rows_{tag}"] = int(
             _kmv_sketch(spark, d, with_exact=False)
             .agg(F.sum("n_keep")).first()[0])
+    # fixed-theta's state beside it (VERDICT r11 #8): a22's survivor
+    # set is ~NDV/16 rows BY DESIGN — it grows linearly with distinct
+    # shingles, which is exactly what its 6.2x tier ratio reads.  The
+    # rows below make that growth a ledger number next to KMV's
+    # pinned state, so the a22/a30 trade (set-operable survivors vs
+    # bounded state) is measured, not narrated.  NDV-only consumers
+    # should be on KMV (a30/a31) — a23's set operations are the one
+    # read that needs the theta survivor set.
+    from production_grade_rag_spark.plans.catalog_r9 import _THETA, _h60
+    for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
+        docs_t = load_table(spark, d, "documents")
+        res[f"theta_state_rows_{tag}"] = int(
+            docs_t.select("source",
+                          F.explode(word_shingles(F.col("text"), 3))
+                          .alias("sh"))
+            .select("source", _h60(F.col("sh")).alias("h"))
+            .filter(F.col("h") < _THETA)
+            .agg(F.count_distinct("source", "h")).first()[0])
+    print(f"# sketch state ledger: kmv {res['kmv_state_rows_1x']} -> "
+          f"{res['kmv_state_rows_10x']} rows across the 10x tier "
+          f"(bounded); fixed-theta {res['theta_state_rows_1x']} -> "
+          f"{res['theta_state_rows_10x']} (linear by design)",
+          file=sys.stderr)
 
     # --- triangle census tiers over the SHARED graph store (VERDICT
     # r9 #1/#4): the one-off edge-store BUILD is ledgered separately
@@ -415,6 +485,53 @@ def main() -> None:
     res["g6_build_exact_over_ivf_prefit_10x"] = round(
         T["g6_knn_build_exact_10x"]
         / T["g6_knn_build_ivf_prefit_10x"], 2)
+
+    # --- IVF build linearity sweep (VERDICT r11 #2): the r11 ledger
+    # showed the prefit build growing 16.8x for 10x data (3.44 ->
+    # 57.7 s at n_lists 16 -> 64) — per-query candidates are
+    # n_probe * n / n_lists, so sqrt-ish list growth at fixed probe
+    # leaves candidate TOTALS superlinear.  This sweep measures the
+    # cure at the 10x tier: n_lists in {64, 128, 256} with probe
+    # started at the gated 1/8 fraction and DOUBLED until edge recall
+    # vs the exact store clears the g_knn_edges_ivf_recall 0.9 floor
+    # (re-gated at every point — an uncertified fast point is not a
+    # point).  The 100 TB statement this makes measurable: hold the
+    # CELL SIZE n/n_lists constant as n grows and the per-query
+    # candidate count — hence build time per vector — stays flat;
+    # the fit cost (ledgered per point) is the one superlinear term
+    # left, which the ingest pipeline amortizes per snapshot.
+    from production_grade_rag_spark.operators.knn_graph import (
+        derived_n_lists, knn_und)
+    exact_und = knn_und(spark, STRESS_DIR)
+    n_exact_edges = exact_und.count()
+    res["g6_derived_n_lists_10x"] = derived_n_lists(n_emb10)
+    sweep = {}
+    for nl in (64, 128, 256):
+        cents, tf = _timed(lambda nl=nl: fit_centroids(emb10, nl))
+        probe = max(2, nl // 8)
+        tried = []
+        while True:
+            _, tb = _timed(lambda nl=nl, p=probe, c=cents: knn_und(
+                spark, STRESS_DIR, method="ivf", n_lists=nl, n_probe=p,
+                centroids=c, rebuild=True).count())
+            e = knn_und(spark, STRESS_DIR, method="ivf", n_lists=nl,
+                        n_probe=probe)
+            rec = round(e.join(exact_und, ["u", "v"]).count()
+                        / n_exact_edges, 3)
+            tried.append({"n_probe": probe, "build_prefit_sec": tb,
+                          "edge_recall": rec})
+            if rec >= 0.9 or probe >= nl:
+                break
+            probe *= 2
+        sweep[str(nl)] = {"fit_sec": tf, "gated": tried[-1],
+                          "tried": tried}
+        print(f"# g6 ivf sweep n_lists={nl}: fit {tf}s, gated point "
+              f"probe {tried[-1]['n_probe']} build "
+              f"{tried[-1]['build_prefit_sec']}s recall "
+              f"{tried[-1]['edge_recall']}"
+              + (f" (after {len(tried) - 1} ungated tries)"
+                 if len(tried) > 1 else ""), file=sys.stderr)
+    res["g6_ivf_nlists_sweep_10x"] = sweep
 
     # --- fixed-eval-set IR tier (VERDICT r8 #3, pinned per r9 #6):
     # the eval set is min(100, the 1x tier's full held-out count) —
