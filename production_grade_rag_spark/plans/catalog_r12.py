@@ -1225,24 +1225,42 @@ def dq9_embedding_drift(spark: SparkSession, d: str) -> DataFrame:
     partial-aggregable moment sums — 2d rows out of the shuffle,
     d = 64); everything after is a d-row aggregate and a 1-row
     finish.  No window, no join, corpus-linear."""
+    return _dq9_card(_dq9_moments(_t(spark, d, "embeddings")))
+
+
+def _dq9_moments(emb: DataFrame) -> DataFrame:
+    """Per-(side, dim) exact integer moment sums (n, s1, s2) on the
+    1e-6 grid — the drift card's sufficient statistics.  Pure sums,
+    so the frame is MERGEABLE by addition across batches (the CMS
+    merge property st_drift_monitor relies on)."""
     from ..functions.vector import to_double_array
-    emb = _t(spark, d, "embeddings")
     x = (emb.select((F.col("vec_id") % 2).alias("side"),
                     F.posexplode(to_double_array(F.col("embedding")))
                     .alias("pos", "xv"))
-         .select("side", (F.col("pos") + 1).alias("dim"),
+         .select("side", (F.col("pos") + 1).cast("long").alias("dim"),
                  F.round(F.col("xv") * _DQ9_G).cast("long").alias("q")))
+    return x.groupBy("side", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"))
+
+
+def _dq9_card(moments: DataFrame) -> DataFrame:
+    """The 1-row drift card from the per-(side, dim) moment sums —
+    shared by the batch entry and its streaming twin (identical
+    arithmetic, so stream == batch reduces to the sums being
+    equal)."""
+    ref, cur = F.col("side") == 0, F.col("side") == 1
 
     def sides(cond, col, alias):
         return F.sum(F.when(cond, col).otherwise(F.lit(0))) \
             .cast("long").alias(alias)
 
-    ref, cur = F.col("side") == 0, F.col("side") == 1
-    pd_ = x.groupBy("dim").agg(
-        sides(ref, F.lit(1), "nr"), sides(ref, F.col("q"), "s1r"),
-        sides(ref, F.col("q") * F.col("q"), "s2r"),
-        sides(cur, F.lit(1), "nc"), sides(cur, F.col("q"), "s1c"),
-        sides(cur, F.col("q") * F.col("q"), "s2c"))
+    pd_ = moments.groupBy("dim").agg(
+        sides(ref, F.col("n"), "nr"), sides(ref, F.col("s1"), "s1r"),
+        sides(ref, F.col("s2"), "s2r"),
+        sides(cur, F.col("n"), "nc"), sides(cur, F.col("s1"), "s1c"),
+        sides(cur, F.col("s2"), "s2c"))
     mr = F.col("s1r").cast("double") / F.col("nr").cast("double")
     mc = F.col("s1c").cast("double") / F.col("nc").cast("double")
     e2r = F.col("s2r").cast("double") / F.col("nr").cast("double")
@@ -1271,3 +1289,336 @@ def dq9_embedding_drift(spark: SparkSession, d: str) -> DataFrame:
          .alias("var_cur"),
         F.round(F.sum("vc_q").cast("double")
                 / F.sum("vr_q").cast("double"), 6).alias("var_ratio"))
+
+
+# ===========================================================================
+# Newman modularity of the label-propagation communities — the
+# quality number for g5's partition (g5_label_prop_report scores
+# accuracy against held-out truth; modularity scores the PARTITION
+# against the graph itself, truth-free — the number a clustering
+# run publishes when no labels exist).
+# ===========================================================================
+
+def _g14_oracle() -> str:
+    from .catalog_r8b import _LP_ITERS, _lp_cte
+    return _lp_cte() + f""",
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM nb
+), lf AS (
+  SELECT vec_id, lab FROM lab{_LP_ITERS} WHERE lab IS NOT NULL
+), le AS (
+  SELECT a.lab AS cu, b.lab AS cv
+  FROM und e JOIN lf a ON a.vec_id = e.u JOIN lf b ON b.vec_id = e.v
+), mm AS (
+  SELECT count(*)::BIGINT AS m FROM le
+), din AS (
+  SELECT cu AS c, count(*)::BIGINT AS e_in FROM le WHERE cu = cv
+  GROUP BY cu
+), dg AS (
+  SELECT c, count(*)::BIGINT AS deg FROM (
+    SELECT cu AS c FROM le UNION ALL SELECT cv FROM le)
+  GROUP BY c
+), qn AS (
+  SELECT d.c,
+         4 * m.m * coalesce(i.e_in, 0) - d.deg * d.deg AS qnum
+  FROM dg d CROSS JOIN mm m LEFT JOIN din i ON i.c = d.c
+)
+SELECT (SELECT count(*) FROM lf)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM dg)::BIGINT AS n_communities,
+       (SELECT m FROM mm) AS n_edges,
+       round((SELECT CAST(sum(qnum) AS BIGINT) FROM qn)::DOUBLE
+             / (4.0 * (SELECT m FROM mm)::DOUBLE
+                * (SELECT m FROM mm)::DOUBLE), 6) AS modularity
+"""
+
+
+@register("g14_modularity", oracle=_g14_oracle())
+def g14_modularity(spark: SparkSession, d: str) -> DataFrame:
+    """Newman modularity (Newman & Girvan 2004, public) of the g5
+    label-propagation partition over the symmetrized 5-NN cosine
+    graph: Q = sum_c (e_c/m - (deg_c/2m)^2) — how much denser inside
+    the communities than a degree-preserving random rewiring.  The
+    TRUTH-FREE quality read beside g5_label_prop_report's held-out
+    accuracy: a production clustering run has no held-out labels,
+    and modularity is the number it publishes instead (Q near 0 =
+    the partition is noise; the embedding-affinity communities are
+    real exactly when this is high).  Restricted to LABELED nodes
+    (propagation coverage is its own reported number); edges with an
+    unlabeled endpoint drop with them.
+
+    Exactness: per-community terms use the common denominator 4m^2
+    — q_num_c = 4*m*e_c - deg_c^2 is an exact BIGINT (m, e_c, deg_c
+    are integers), summed exactly; ONE display division.  At 1e9
+    edges 4*m*e_c stays under 4e18 only if e_c <= 1e9/4 per
+    community — beyond that, shift the common denominator to the
+    g2/g4 coarser grid (docstring convention).
+
+    Scale shape: final labels are the bounded-iteration g5 frames
+    (k-bounded joins over the shared graph store); the three
+    modularity aggregates are one edge-community join (k-bounded),
+    one partial-agg per community, one 1-row finish.  No window, no
+    cartesian."""
+    from .catalog_r8b import _lp_frames
+    from .catalog_r9 import _g6_und
+    _, lab = _lp_frames(spark, d)
+    lf = (lab.filter(F.col("lab").isNotNull())
+          .select("vec_id", "lab"))
+    und = _g6_und(spark, d)
+    le = (und.join(lf.select(F.col("vec_id").alias("u"),
+                             F.col("lab").alias("cu")), "u")
+          .join(lf.select(F.col("vec_id").alias("v"),
+                          F.col("lab").alias("cv")), "v")
+          .select("cu", "cv").localCheckpoint())
+    mm = le.agg(F.count("*").cast("long").alias("m"))
+    din = (le.filter(F.col("cu") == F.col("cv"))
+           .groupBy(F.col("cu").alias("c"))
+           .agg(F.count("*").cast("long").alias("e_in")))
+    dg = (le.select(F.col("cu").alias("c"))
+          .unionAll(le.select(F.col("cv").alias("c")))
+          .groupBy("c").agg(F.count("*").cast("long").alias("deg")))
+    qn = (dg.join(din, "c", "left")
+          .crossJoin(F.broadcast(mm))
+          .select((4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                   - F.col("deg") * F.col("deg")).cast("long")
+                  .alias("qnum")))
+    nn = lf.agg(F.count("*").cast("long").alias("n_nodes"))
+    nc = dg.agg(F.count("*").cast("long").alias("n_communities"))
+    qs = qn.agg(F.sum("qnum").cast("long").alias("qsum"))
+    return (nn.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(mm))
+            .crossJoin(F.broadcast(qs))
+            .select("n_nodes", "n_communities",
+                    F.col("m").alias("n_edges"),
+                    F.round(F.col("qsum").cast("double")
+                            / (F.lit(4.0) * F.col("m").cast("double")
+                               * F.col("m").cast("double")), 6)
+                    .alias("modularity")))
+
+
+# ===========================================================================
+# RFM segmentation — the classic customer-value quartile grid
+# (recency / frequency / monetary) over the orders table.
+# ===========================================================================
+
+@register("q_rfm_segments", oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         max(datediff('day', DATE '1970-01-01', o_orderdate::DATE))
+           ::BIGINT AS r_days,
+         count(*)::BIGINT AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS mon_cents
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT CAST(round(quantile_cont(r_days, 0.25)) AS BIGINT) AS r1,
+         CAST(round(quantile_cont(r_days, 0.50)) AS BIGINT) AS r2,
+         CAST(round(quantile_cont(r_days, 0.75)) AS BIGINT) AS r3,
+         CAST(round(quantile_cont(freq, 0.25)) AS BIGINT) AS f1,
+         CAST(round(quantile_cont(freq, 0.50)) AS BIGINT) AS f2,
+         CAST(round(quantile_cont(freq, 0.75)) AS BIGINT) AS f3,
+         CAST(round(quantile_cont(mon_cents, 0.25)) AS BIGINT) AS m1,
+         CAST(round(quantile_cont(mon_cents, 0.50)) AS BIGINT) AS m2,
+         CAST(round(quantile_cont(mon_cents, 0.75)) AS BIGINT) AS m3
+  FROM c
+), s AS (
+  SELECT (1 + (r_days > r1)::INT + (r_days > r2)::INT
+            + (r_days > r3)::INT)::BIGINT AS r_score,
+         (1 + (freq > f1)::INT + (freq > f2)::INT
+            + (freq > f3)::INT)::BIGINT AS f_score,
+         (1 + (mon_cents > m1)::INT + (mon_cents > m2)::INT
+            + (mon_cents > m3)::INT)::BIGINT AS m_score,
+         freq, mon_cents
+  FROM c CROSS JOIN cuts
+)
+SELECT r_score, f_score, m_score,
+       count(*)::BIGINT AS n_customers,
+       ((2 * CAST(sum(freq) AS BIGINT) * 1000000 + count(*))
+        // (2 * count(*)))::DOUBLE / 1000000 AS avg_frequency,
+       ((2 * CAST(sum(mon_cents) AS BIGINT) * 10000 + count(*))
+        // (2 * count(*)))::DOUBLE / 1000000 AS avg_monetary
+FROM s GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""")
+def q_rfm_segments(spark: SparkSession, d: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994, public — the classic
+    recency/frequency/monetary customer-value grid): per customer,
+    recency = last order day (epoch days, BIGINT), frequency = order
+    count, monetary = lifetime spend in exact cents; each metric is
+    quartile-scored 1-4 against the interpolated 25/50/75 cuts over
+    the customer table (score 4 = most recent / most frequent /
+    highest spend — "greater than cut" on all three, so higher is
+    uniformly better), and the output is the segment grid with
+    member counts and average frequency/spend — the marketing-
+    analytics staple that doubles, for a data pipeline, as the
+    contributor-value segmentation of any user-sourced corpus.
+
+    Exactness: per-customer aggregates are exact BIGINTs (cents
+    quantized per ROW before the sum — the commutative-sum rule);
+    the quartile cuts are interpolated percentiles rounded to the
+    integer grid (the a29 convention: F.percentile ==
+    quantile_cont), so every score is an exact integer comparison;
+    averages divide once for display.
+
+    Scale shape: one partial-aggregable groupBy(custkey); the cuts
+    are ONE aggregate over the customer table broadcast back (the
+    exact-percentile barrier runs over customers, not orders — and
+    percentile_approx is the documented 100 TB knob, the a29_approx
+    pattern); scoring is map-side; the final groupBy lands on <= 64
+    segment keys."""
+    orders = _t(spark, d, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.max(F.datediff(F.col("o_orderdate"),
+                         F.lit("1970-01-01").cast("date")))
+         .cast("long").alias("r_days"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+         .cast("long").alias("mon_cents"))
+    aggs = []
+    for col, pfx in (("r_days", "r"), ("freq", "f"),
+                     ("mon_cents", "m")):
+        for i, q in enumerate((0.25, 0.50, 0.75), 1):
+            aggs.append(F.round(F.percentile(col, F.lit(q)))
+                        .cast("long").alias(f"{pfx}{i}"))
+    cuts = c.agg(*aggs)
+
+    def score(col, pfx):
+        return (F.lit(1)
+                + (F.col(col) > F.col(f"{pfx}1")).cast("int")
+                + (F.col(col) > F.col(f"{pfx}2")).cast("int")
+                + (F.col(col) > F.col(f"{pfx}3")).cast("int")) \
+            .cast("long")
+
+    s = (c.crossJoin(F.broadcast(cuts))
+         .select(score("r_days", "r").alias("r_score"),
+                 score("freq", "f").alias("f_score"),
+                 score("mon_cents", "m").alias("m_score"),
+                 "freq", "mon_cents"))
+    # display averages via EXACT half-up integer rounding on the 1e-6
+    # grid — (2*s*G + n) div (2*n), all BIGINT — so neither engine
+    # ever rounds a tie-adjacent double (a plain round(sum/n, 6)
+    # differed by 1 ulp on one segment)
+    g = (s.groupBy("r_score", "f_score", "m_score")
+         .agg(F.count("*").cast("long").alias("n_customers"),
+              F.sum("freq").cast("long").alias("__sf"),
+              F.sum("mon_cents").cast("long").alias("__sm")))
+    return (g.select(
+        "r_score", "f_score", "m_score", "n_customers",
+        (F.expr("(2 * __sf * 1000000 + n_customers)"
+                " div (2 * n_customers)").cast("double") / 1000000)
+        .alias("avg_frequency"),
+        (F.expr("(2 * __sm * 10000 + n_customers)"
+                " div (2 * n_customers)").cast("double") / 1000000)
+        .alias("avg_monetary"))
+        .orderBy("r_score", "f_score", "m_score"))
+
+
+# ===========================================================================
+# Streaming drift monitor — the checkpointed ingest twin of the dq9
+# card: moment sums are a pure-addition merge (the CMS property), so
+# the monitor maintains 2d rows of state forever and re-emits the
+# card per batch.
+# ===========================================================================
+
+@register("st_drift_monitor", oracle=_dq9_oracle())
+def st_drift_monitor(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming embedding-drift MONITOR: the dq9 card maintained
+    through checkpointed micro-batches — vectors arrive through the
+    paged-dump stream in two out-of-order tranches (even vec_ids,
+    then odd), each batch folds its per-(side, dim) integer moment
+    sums (n, s1, s2 on the 1e-6 grid — _dq9_moments) into a
+    versioned store by PURE ADDITION (the CMS merge property:
+    mergeable sufficient statistics are what make a drift monitor a
+    streaming operator at all), and the drained card — computed by
+    the IDENTICAL _dq9_card arithmetic the batch entry compiles —
+    must equal batch dq9_embedding_drift through its own value
+    oracle.  Vectors travel PRE-QUANTIZED (the st_ivf_ingest
+    convention), so serialization is integer-exact and the stream
+    sums are bit-equal to the batch scan's.
+
+    This is the production shape: a vector-ingest pipeline never
+    re-scans the resident corpus to re-check drift — it adds each
+    batch's 2d-row moment delta to 2d rows of state and re-reads
+    the card, at any corpus size.
+
+    Scale shape: per-batch work is batch-sized (one posexplode +
+    partial-agg); state is 2d rows of BIGINTs regardless of corpus;
+    the card is a d-row aggregate off the state."""
+    import shutil
+    from pathlib import Path
+
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..sources.tables import list_versions, read_version, write_version
+    from ..streaming import pipeline as SP
+    from .catalog_more import _scratch
+    from ..functions.vector import to_double_array
+
+    emb = _t(spark, d, "embeddings")
+    qv = F.transform(to_double_array(F.col("embedding")),
+                     lambda x: F.round(x * _DQ9_G).cast("long"))
+
+    dump = _scratch("st_dq9_dump")
+    store = _scratch("st_dq9_store")
+    ckpt = _scratch("st_dq9_ckpt")
+    for p in (dump, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(part: DataFrame) -> DataFrame:
+        return part.select(F.to_json(F.struct(
+            F.col("vec_id").cast("string").alias("page_id"),
+            F.to_json(qv).alias("title"),
+            F.lit("vec").alias("lang"),
+            F.lit(0).cast("long").alias("n_chars"))).alias("value"))
+
+    page_rows(emb.filter(F.col("vec_id") % 2 == 0)) \
+        .repartition(2).write.text(dump)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+
+        def merge(batch_df: DataFrame, epoch_id: int) -> None:
+            import os
+            b = (batch_df.filter(~F.col("malformed"))
+                 .select(F.col("page_id").cast("long").alias("vec_id"),
+                         F.from_json(F.col("title"), "array<bigint>")
+                          .alias("qv")))
+            inc = (b.select((F.col("vec_id") % 2).alias("side"),
+                            F.posexplode(F.col("qv")).alias("pos", "q"))
+                   .select("side", (F.col("pos") + 1).cast("long")
+                           .alias("dim"), "q")
+                   .groupBy("side", "dim")
+                   .agg(F.count("*").cast("long").alias("n"),
+                        F.sum("q").cast("long").alias("s1"),
+                        F.sum(F.col("q") * F.col("q")).cast("long")
+                        .alias("s2")))
+            sp = batch_df.sparkSession
+            versions = (list_versions(sp, store)
+                        if os.path.exists(store) else [])
+            if versions:
+                prior = read_version(sp, store)
+                merged = (prior.unionByName(inc)
+                          .groupBy("side", "dim")
+                          .agg(F.sum("n").cast("long").alias("n"),
+                               F.sum("s1").cast("long").alias("s1"),
+                               F.sum("s2").cast("long").alias("s2")))
+            else:
+                merged = inc
+            write_version(merged, store,
+                          (versions[-1] + 1) if versions else 1)
+
+        SP._run_foreach(stream, merge, 120, ckpt)
+
+    drain()
+
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(emb.filter(F.col("vec_id") % 2 == 1)) \
+        .repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    return _dq9_card(read_version(spark, store))

@@ -387,21 +387,38 @@ def main() -> None:
     # bounded state) is measured, not narrated.  NDV-only consumers
     # should be on KMV (a30/a31) — a23's set operations are the one
     # read that needs the theta survivor set.
+    # survivors are ledgered BESIDE the tier's true NDV: the claim is
+    # "state ~ NDV * theta-fraction", and the 10x synthesis (global
+    # hash-order word permutation — see the module docstring's
+    # shingle-structure note) COLLAPSES distinct shingles, so the
+    # raw survivor count can legitimately fall across tiers; the
+    # survivors/NDV ratio is the invariant the ledger pins.
     from production_grade_rag_spark.plans.catalog_r9 import _THETA, _h60
     for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
         docs_t = load_table(spark, d, "documents")
-        res[f"theta_state_rows_{tag}"] = int(
-            docs_t.select("source",
-                          F.explode(word_shingles(F.col("text"), 3))
-                          .alias("sh"))
-            .select("source", _h60(F.col("sh")).alias("h"))
-            .filter(F.col("h") < _THETA)
-            .agg(F.count_distinct("source", "h")).first()[0])
+        hashed = (docs_t.select("source",
+                                F.explode(word_shingles(F.col("text"), 3))
+                                .alias("sh"))
+                  .select("source", _h60(F.col("sh")).alias("h")))
+        row = hashed.agg(
+            F.count_distinct("source", "h").alias("ndv"),
+            F.count_distinct(
+                F.when(F.col("h") < _THETA, F.col("source")),
+                F.when(F.col("h") < _THETA, F.col("h")))
+            .alias("surv")).first()
+        res[f"theta_ndv_rows_{tag}"] = int(row["ndv"])
+        res[f"theta_state_rows_{tag}"] = int(row["surv"])
+        res[f"theta_state_over_ndv_{tag}"] = round(
+            row["surv"] / row["ndv"], 5)
     print(f"# sketch state ledger: kmv {res['kmv_state_rows_1x']} -> "
           f"{res['kmv_state_rows_10x']} rows across the 10x tier "
-          f"(bounded); fixed-theta {res['theta_state_rows_1x']} -> "
-          f"{res['theta_state_rows_10x']} (linear by design)",
-          file=sys.stderr)
+          f"(bounded); fixed-theta survivors "
+          f"{res['theta_state_rows_1x']} -> "
+          f"{res['theta_state_rows_10x']} tracking NDV "
+          f"{res['theta_ndv_rows_1x']} -> {res['theta_ndv_rows_10x']} "
+          f"(ratio {res['theta_state_over_ndv_1x']} / "
+          f"{res['theta_state_over_ndv_10x']} — linear in NDV by "
+          f"design)", file=sys.stderr)
 
     # --- triangle census tiers over the SHARED graph store (VERDICT
     # r9 #1/#4): the one-off edge-store BUILD is ledgered separately
@@ -532,6 +549,31 @@ def main() -> None:
               + (f" (after {len(tried) - 1} ungated tries)"
                  if len(tried) > 1 else ""), file=sys.stderr)
     res["g6_ivf_nlists_sweep_10x"] = sweep
+    # the CERTIFIED crossover (the r12 finding): the probe-8/64-lists
+    # point the r11 ledger used was gated at the 1x tier's (16 lists,
+    # probe 8) = probe fraction 1/2 — at the 10x tier and fraction
+    # 1/8 its measured edge recall is BELOW the 0.9 floor, so the
+    # honest exact-over-ivf number is the best GATED sweep point.
+    # On this near-isotropic hash-embedding corpus (m5 anisotropy
+    # ~ 0) certified pruning needs probe fractions ~1/4-1/2; real
+    # clustered embeddings are where small fractions hold recall.
+    best_nl, best = min(sweep.items(),
+                        key=lambda kv: kv[1]["gated"]["build_prefit_sec"])
+    res["g6_ivf_probe8_edge_recall_10x"] = \
+        sweep["64"]["tried"][0]["edge_recall"]
+    res["g6_ivf_certified_build_10x"] = {"n_lists": int(best_nl),
+                                         **best["gated"]}
+    res["g6_build_exact_over_ivf_certified_10x"] = round(
+        T["g6_knn_build_exact_10x"] / best["gated"]["build_prefit_sec"], 2)
+    print(f"# g6 certified crossover: exact "
+          f"{T['g6_knn_build_exact_10x']}s / ivf "
+          f"{best['gated']['build_prefit_sec']}s "
+          f"({best_nl} lists, probe {best['gated']['n_probe']}, recall "
+          f"{best['gated']['edge_recall']}) = "
+          f"{res['g6_build_exact_over_ivf_certified_10x']}x "
+          f"(probe-8 point recall "
+          f"{res['g6_ivf_probe8_edge_recall_10x']} — under the floor "
+          f"at this tier)", file=sys.stderr)
 
     # --- fixed-eval-set IR tier (VERDICT r8 #3, pinned per r9 #6):
     # the eval set is min(100, the 1x tier's full held-out count) —

@@ -343,3 +343,49 @@ def test_dq9_swap_symmetry_and_self_null(spark):
     assert row["centroid_l2"] >= 0
     assert abs(row["var_ratio"]
                - row["var_cur"] / row["var_ref"]) < 1e-4
+
+# ---------------------------------------------------------------------------
+# g14_modularity
+# ---------------------------------------------------------------------------
+
+def test_g14_modularity_bounds_and_inputs(spark):
+    """Q is in [-0.5, 1]; node/edge counts are consistent with the g5
+    labeling and the shared edge store."""
+    row = _rows(spark, "g14_modularity")[0]
+    assert -0.5 <= row["modularity"] <= 1.0
+    labels = _rows(spark, "g5_label_prop")
+    n_labeled = sum(1 for r in labels if r["label_pred"] != -1)
+    assert row["n_nodes"] == n_labeled
+    assert 1 <= row["n_communities"] <= row["n_nodes"]
+    census = _rows(spark, "g6_triangle_census")[0]
+    assert row["n_edges"] <= census["n_edges"]
+
+
+# ---------------------------------------------------------------------------
+# q_rfm_segments
+# ---------------------------------------------------------------------------
+
+def test_rfm_segments_partition_customers(spark):
+    """Every purchasing customer lands in exactly one segment; scores
+    stay in 1..4; segment member counts sum to the customer count."""
+    rows = _rows(spark, "q_rfm_segments")
+    orders = spark.read.parquet(f"{SF001}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["avg_frequency"] >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# st_drift_monitor
+# ---------------------------------------------------------------------------
+
+def test_st_drift_monitor_equals_batch_card(spark):
+    """Two checkpointed tranches of pre-quantized vectors through the
+    moment-sum store must reproduce the batch drift card exactly."""
+    st = _rows(spark, "st_drift_monitor")[0].asDict()
+    bt = _rows(spark, "dq9_embedding_drift")[0].asDict()
+    assert st == bt
