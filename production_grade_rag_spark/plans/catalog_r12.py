@@ -1622,3 +1622,152 @@ def st_drift_monitor(spark: SparkSession, d: str) -> DataFrame:
     drain()
 
     return _dq9_card(read_version(spark, store))
+
+
+# ===========================================================================
+# EWMA control chart on the daily error rate — the third classic
+# control chart, completing the triad: dq6 is the Shewhart p-chart
+# (big isolated shifts), dq7_cusum localizes a sustained level
+# change, EWMA (Roberts 1959) catches SMALL persistent drifts the
+# other two are least sensitive to.
+# ===========================================================================
+
+_EW_G = 1000000          # rate grid
+_EW_WG = 100000000       # weight grid (1e8)
+_EW_H = 40               # max day horizon for the weight tables
+# lambda = 0.2: WL[j] = round(0.2 * 0.8^j * 1e8) weights x_{t-j} for
+# j < t; WP[t] = round(0.8^t * 1e8) weights the chart's seed x_0.
+# Module literals — both engines consume the SAME integers (the ir1
+# injected-weights convention), so the chart is engine-exact.
+_EW_WL = tuple(round(0.2 * 0.8 ** j * _EW_WG) for j in range(_EW_H))
+_EW_WP = tuple(round(0.8 ** t * _EW_WG) for t in range(_EW_H))
+
+
+def _dq10_oracle() -> str:
+    wl = ", ".join(f"({j}, {w})" for j, w in enumerate(_EW_WL))
+    wp = ", ".join(f"({t}, {w})" for t, w in enumerate(_EW_WP))
+    return f"""
+WITH days AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+         - (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+            FROM events) AS day_idx,
+         count(*)::BIGINT AS n_events,
+         CAST(sum((event_type = 'error')::INT) AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+), x AS (
+  SELECT day_idx, n_events, n_errors,
+         ((2 * n_errors * {_EW_G} + n_events)
+          // (2 * n_events))::BIGINT AS x_q
+  FROM days
+), wl(j, w) AS (VALUES {wl}),
+wp(t, w) AS (VALUES {wp}),
+z AS (
+  SELECT t.day_idx,
+         CAST(sum(CASE WHEN i.day_idx = 0
+                       THEN p.w ELSE l.w END * i.x_q) AS BIGINT)
+         // CAST(sum(CASE WHEN i.day_idx = 0
+                          THEN p.w ELSE l.w END) AS BIGINT) AS z_q
+  FROM x t JOIN x i ON i.day_idx <= t.day_idx
+  LEFT JOIN wl l ON l.j = t.day_idx - i.day_idx
+  LEFT JOIN wp p ON p.t = t.day_idx
+  GROUP BY t.day_idx
+), tot AS (
+  SELECT ((2 * CAST(sum(n_errors) AS BIGINT) * {_EW_G}
+           + CAST(sum(n_events) AS BIGINT))
+          // (2 * CAST(sum(n_events) AS BIGINT)))::BIGINT AS pbar_q
+  FROM days
+)
+SELECT x.day_idx AS day, x.n_events, x.n_errors,
+       round(x.x_q::DOUBLE / {_EW_G}, 6) AS rate,
+       z.z_q AS ewma_q,
+       round(z.z_q::DOUBLE / {_EW_G}, 6) AS ewma,
+       ((z.z_q - t.pbar_q) * (z.z_q - t.pbar_q) * x.n_events
+        > t.pbar_q * ({_EW_G} - t.pbar_q)) AS ooc
+FROM x JOIN z USING (day_idx) CROSS JOIN tot t
+ORDER BY day
+"""
+
+
+@register("dq10_ewma_chart", oracle=_dq10_oracle())
+def dq10_ewma_chart(spark: SparkSession, d: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959, public) on the daily error
+    rate: z_t = 0.2·x_t + 0.8·z_(t-1) with 3-sigma binomial limits —
+    the small-persistent-drift detector that completes the classic
+    control-chart triad (dq6's Shewhart p-chart catches big isolated
+    shifts, dq7_cusum localizes one sustained change, EWMA is the
+    between case every SPC text pairs with them).
+
+    Two exactness tricks.  (1) The recurrence is compiled to its
+    CLOSED FORM — z_t = sum_j w_j · x_(t-j) with the lambda(1-l)^j
+    geometric weights PRE-QUANTIZED to a 1e-8 integer grid as module
+    literals both engines consume (the ir1 injected-weights
+    convention); z_q = (sum w·x_q) div (sum w) is one BIGINT
+    division, so no engine ever evaluates a sequential float
+    recurrence.  (2) With lambda = 0.2 and L = 3 the control test
+    collapses: sigma_z^2 = [l/(2-l)]·p(1-p)/n and 9·l/(2-l) = 1
+    exactly, so out-of-control is the pure-integer comparison
+    (z_q - pbar_q)^2 · n_t > pbar_q·(1e6 - pbar_q) — no sqrt, no
+    float anywhere in the decision.
+
+    Scale shape: one partial-aggregable scan to the DAYS-sized
+    table; the weight convolution is a days x days self-join (the
+    calendar is bounded — 30 rows here, never corpus-sized) against
+    two broadcast literal weight tables; one 1-row total.  The
+    window-free closed form is also the 100 TB shape: daily partial
+    sums append incrementally and any day's z recomputes from the
+    last {H} days' rates alone (weights below the grid round to 0
+    past j ~ 80, truncating the convolution naturally)."""
+    from pyspark.sql import Row
+    ev = _t(spark, d, "events")
+    day = F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400")
+    days = (ev.groupBy(day.alias("d"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum((F.col("event_type") == "error").cast("int"))
+                 .cast("long").alias("n_errors")))
+    mn = days.agg(F.min("d").alias("d0"))
+    x = (days.crossJoin(F.broadcast(mn))
+         .select((F.col("d") - F.col("d0")).alias("day_idx"),
+                 "n_events", "n_errors",
+                 F.expr(f"(2 * n_errors * {_EW_G} + n_events)"
+                        " div (2 * n_events)").cast("long")
+                 .alias("x_q"))
+         .localCheckpoint())
+    wl = spark.createDataFrame(
+        [Row(j=j, w=w) for j, w in enumerate(_EW_WL)])
+    wp = spark.createDataFrame(
+        [Row(t=t, wpv=w) for t, w in enumerate(_EW_WP)])
+    t_ = x.select(F.col("day_idx").alias("t"))
+    i_ = x.select(F.col("day_idx").alias("i"), F.col("x_q"))
+    pairs = (t_.join(i_, F.col("i") <= F.col("t"))
+             .join(F.broadcast(wl), F.col("j") == F.col("t") - F.col("i"),
+                   "left")
+             .join(F.broadcast(wp), "t", "left")
+             .select("t", "i", "x_q",
+                     F.when(F.col("i") == 0, F.col("wpv"))
+                     .otherwise(F.col("w")).alias("wt")))
+    z = (pairs.groupBy("t")
+         .agg(F.sum(F.col("wt") * F.col("x_q")).cast("long").alias("zn"),
+              F.sum("wt").cast("long").alias("zd"))
+         .select(F.col("t").alias("day_idx"),
+                 F.expr("zn div zd").cast("long").alias("z_q")))
+    tot = days.agg(
+        F.expr(f"(2 * CAST(sum(n_errors) AS BIGINT) * {_EW_G}"
+               " + CAST(sum(n_events) AS BIGINT))"
+               " div (2 * CAST(sum(n_events) AS BIGINT))").cast("long")
+        .alias("pbar_q"))
+    dz = F.col("z_q") - F.col("pbar_q")
+    return (x.join(z, "day_idx").crossJoin(F.broadcast(tot))
+            .select(F.col("day_idx").alias("day"),
+                    "n_events", "n_errors",
+                    F.round(F.col("x_q").cast("double") / _EW_G, 6)
+                    .alias("rate"),
+                    F.col("z_q").alias("ewma_q"),
+                    F.round(F.col("z_q").cast("double") / _EW_G, 6)
+                    .alias("ewma"),
+                    (dz * dz * F.col("n_events")
+                     > F.col("pbar_q") * (_EW_G - F.col("pbar_q")))
+                    .alias("ooc"))
+            .orderBy("day"))
+
+
+dq10_ewma_chart.__doc__ = dq10_ewma_chart.__doc__.format(H=_EW_H)

@@ -389,3 +389,27 @@ def test_st_drift_monitor_equals_batch_card(spark):
     st = _rows(spark, "st_drift_monitor")[0].asDict()
     bt = _rows(spark, "dq9_embedding_drift")[0].asDict()
     assert st == bt
+
+# ---------------------------------------------------------------------------
+# dq10_ewma_chart
+# ---------------------------------------------------------------------------
+
+def test_ewma_chart_smooths_and_flags_exactly(spark):
+    """z is a convex combination of observed rates (stays inside the
+    running min/max envelope); day 0's EWMA equals its own rate; the
+    ooc flag reproduces the exact integer comparison."""
+    rows = sorted(_rows(spark, "dq10_ewma_chart"),
+                  key=lambda r: r["day"])
+    assert len(rows) >= 10
+    assert rows[0]["ewma_q"] == int(round(rows[0]["rate"] * 1000000))
+    tot_e = sum(r["n_errors"] for r in rows)
+    tot_n = sum(r["n_events"] for r in rows)
+    pbar_q = (2 * tot_e * 1000000 + tot_n) // (2 * tot_n)
+    lo = hi = rows[0]["ewma_q"]
+    for r in rows:
+        xq = int(round(r["rate"] * 1000000))
+        lo, hi = min(lo, xq), max(hi, xq)
+        assert lo - 1 <= r["ewma_q"] <= hi + 1
+        expect = ((r["ewma_q"] - pbar_q) ** 2 * r["n_events"]
+                  > pbar_q * (1000000 - pbar_q))
+        assert r["ooc"] == expect
