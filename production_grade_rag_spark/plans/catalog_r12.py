@@ -1771,3 +1771,130 @@ def dq10_ewma_chart(spark: SparkSession, d: str) -> DataFrame:
 
 
 dq10_ewma_chart.__doc__ = dq10_ewma_chart.__doc__.format(H=_EW_H)
+
+
+# ===========================================================================
+# Good-Turing frequency-of-frequencies — the unseen-mass axis of the
+# vocabulary trio (ta_heaps_curve reads growth, ta_zipf_fit reads
+# decay, this reads how much probability the corpus has NOT seen).
+# ===========================================================================
+
+_GT_R = 10
+
+
+def _gt_oracle() -> str:
+    from . import oracle_vec as OV
+    return f"""
+WITH ta AS (
+  SELECT {OV.tokens_sql('text')} AS a FROM documents
+), toks AS (
+  SELECT unnest(CASE WHEN len(a) >= 3
+    THEN list_transform(range(1, len(a) - 1),
+                        i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2])
+    ELSE [] END) AS tok
+  FROM ta
+), tc AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+), ff AS (
+  SELECT c AS r, count(*)::BIGINT AS n_r FROM tc GROUP BY c
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*)::BIGINT AS v_types
+  FROM tc
+), grid AS (
+  SELECT unnest(range(0, {_GT_R} + 1))::BIGINT AS r
+), rows_ AS (
+  SELECT g.r,
+         coalesce(f.n_r, 0)::BIGINT AS n_r,
+         coalesce(f2.n_r, 0)::BIGINT AS n_r1
+  FROM grid g
+  LEFT JOIN ff f ON f.r = g.r
+  LEFT JOIN ff f2 ON f2.r = g.r + 1
+)
+SELECT w.r, w.n_r,
+       (CASE WHEN w.r = 0 THEN 0
+             ELSE ((w.r + 1) * w.n_r1 * 1000000)
+                  // greatest(w.n_r, 1) END)::BIGINT AS r_star_q,
+       (CASE WHEN w.r = 0 THEN (w.n_r1 * 1000000) // t.n_tokens
+             ELSE (w.r * w.n_r * 1000000) // t.n_tokens END)::BIGINT
+         AS mass_q,
+       round((CASE WHEN w.r = 0 THEN (w.n_r1 * 1000000) // t.n_tokens
+                   ELSE (w.r * w.n_r * 1000000) // t.n_tokens
+              END)::DOUBLE / 1000000, 6) AS mass
+FROM rows_ w CROSS JOIN tot t
+ORDER BY w.r
+"""
+
+
+@register("ta_goodturing", oracle=_gt_oracle())
+def ta_goodturing(spark: SparkSession, d: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies over word TRIGRAMS
+    (Good 1953, public — the missing-mass estimator behind every
+    smoothed n-gram language model, and trigrams are its canonical
+    habitat: the r8 backoff entry smooths exactly these unseen
+    events): the N_r table (how many trigram types occur exactly r
+    times) for r <= {R}, the Turing-adjusted count
+    r* = (r+1)·N_(r+1)/N_r per row, and each count class's share of
+    total trigram mass — with the r = 0 row carrying the famous
+    headline: the UNSEEN mass N_1/N, the probability the next
+    trigram drawn is one the corpus has never produced.  Completes
+    the vocabulary trio (ta_heaps_curve = growth, ta_zipf_fit =
+    decay, this = what is still missing): a corpus whose unseen
+    mass stays high after ingesting a new source genuinely
+    diversified; one whose N_1 collapsed is saturated — the
+    measured "is more of this data worth it" signal data-mixing
+    decisions want.  (Unigrams are the degenerate case on this
+    closed-vocabulary corpus — every type repeats, N_1 = 0 — which
+    is itself the saturation reading; the trigram space is where
+    the estimator has events to estimate.)
+
+    Exactness: N_r, N and V are exact integers; r* and the masses
+    are published as 1e-6-grid truncating quotients (BIGINT — no
+    float in any comparison), with one display division.  Trigram
+    assembly is 1-based element_at on both engines; docs under 3
+    tokens contribute nothing.
+
+    Scale shape: one tokens() scan (map-side trigram transform) to
+    the trigram-vocab-sized count table, one partial-agg to the
+    frequency-of-frequencies table, a {R}+1-row literal grid
+    left-joined against it, a 1-row total broadcast.  Nothing after
+    the first groupBy is corpus-sized."""
+    from ..operators.dedup import tokens
+    docs = _t(spark, d, "documents")
+    tri = F.expr(
+        "CASE WHEN size(__a) >= 3 THEN transform("
+        "sequence(1, size(__a) - 2), i -> concat("
+        "element_at(__a, i), ' ', element_at(__a, i + 1), ' ',"
+        " element_at(__a, i + 2))) ELSE array() END")
+    tc = (docs.select(tokens(F.col("text")).alias("__a"))
+          .select(F.explode(tri).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("c")))
+    ff = tc.groupBy(F.col("c").alias("r")) \
+        .agg(F.count("*").cast("long").alias("n_r"))
+    tot = tc.agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("v_types"))
+    grid = spark.range(0, _GT_R + 1).select(F.col("id").alias("r"))
+    ff1 = ff.select((F.col("r") - 1).alias("r"),
+                    F.col("n_r").alias("n_r1"))
+    rows = (grid.join(F.broadcast(ff), "r", "left")
+            .join(F.broadcast(ff1), "r", "left")
+            .select("r",
+                    F.coalesce("n_r", F.lit(0)).cast("long").alias("n_r"),
+                    F.coalesce("n_r1", F.lit(0)).cast("long")
+                    .alias("n_r1")))
+    out = rows.crossJoin(F.broadcast(tot))
+    r_star = F.when(F.col("r") == 0, F.lit(0).cast("long")) \
+        .otherwise(F.expr(
+            "((r + 1) * n_r1 * 1000000) div greatest(n_r, 1)"))
+    mass_q = F.when(F.col("r") == 0,
+                    F.expr("(n_r1 * 1000000) div n_tokens")) \
+        .otherwise(F.expr("(r * n_r * 1000000) div n_tokens"))
+    return (out.select("r", "n_r",
+                       r_star.cast("long").alias("r_star_q"),
+                       mass_q.cast("long").alias("mass_q"),
+                       F.round(mass_q.cast("double") / 1000000, 6)
+                       .alias("mass"))
+            .orderBy("r"))
+
+
+ta_goodturing.__doc__ = ta_goodturing.__doc__.format(R=_GT_R)

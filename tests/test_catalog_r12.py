@@ -413,3 +413,34 @@ def test_ewma_chart_smooths_and_flags_exactly(spark):
         expect = ((r["ewma_q"] - pbar_q) ** 2 * r["n_events"]
                   > pbar_q * (1000000 - pbar_q))
         assert r["ooc"] == expect
+
+# ---------------------------------------------------------------------------
+# ta_goodturing
+# ---------------------------------------------------------------------------
+
+def test_goodturing_identities(spark):
+    """The unseen-mass row equals N1/N on the grid; class masses are
+    r*N_r/N; the adjusted count r* discounts singletons below 1 when
+    N2 < 2*N1 (the standard GT discount direction)."""
+    rows = {r["r"]: r for r in _rows(spark, "ta_goodturing")}
+    assert sorted(rows) == list(range(11))
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    from production_grade_rag_spark.operators.dedup import tokens
+    import pyspark.sql.functions as FF
+    tri = FF.expr(
+        "CASE WHEN size(__a) >= 3 THEN transform("
+        "sequence(1, size(__a) - 2), i -> concat("
+        "element_at(__a, i), ' ', element_at(__a, i + 1), ' ',"
+        " element_at(__a, i + 2))) ELSE array() END")
+    tc = (docs.select(tokens(FF.col("text")).alias("__a"))
+          .select(FF.explode(tri).alias("t"))
+          .groupBy("t").count())
+    n_tokens = tc.agg(FF.sum("count")).first()[0]
+    n1 = tc.filter(FF.col("count") == 1).count()
+    assert rows[0]["mass_q"] == (n1 * 1000000) // n_tokens
+    assert rows[1]["n_r"] == n1
+    for r in range(1, 11):
+        assert rows[r]["mass_q"] == \
+            (r * rows[r]["n_r"] * 1000000) // n_tokens
+    if rows[1]["n_r"] > 0 and rows[2]["n_r"] < 2 * rows[1]["n_r"]:
+        assert rows[1]["r_star_q"] < 1000000
