@@ -1715,8 +1715,11 @@ def dq10_ewma_chart(spark: SparkSession, d: str) -> DataFrame:
     two broadcast literal weight tables; one 1-row total.  The
     window-free closed form is also the 100 TB shape: daily partial
     sums append incrementally and any day's z recomputes from the
-    last {H} days' rates alone (weights below the grid round to 0
-    past j ~ 80, truncating the convolution naturally)."""
+    last {H} days' rates alone — the weight tables cap the horizon
+    at {H} days by construction (both engines drop unmatched-weight
+    terms identically, renormalizing by the same truncated weight
+    sum; the mass beyond day {H} is (0.8)^{H} < 1.4e-4 of the
+    chart)."""
     from pyspark.sql import Row
     ev = _t(spark, d, "events")
     day = F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400")
