@@ -119,22 +119,36 @@ def main() -> None:
         out["errors"] = errors
 
     # noise-normalized round-over-round deltas (VERDICT r7 #7, widened
-    # r12 per VERDICT r11 #6): divide each per-query time by this
-    # run's host factor — the MEDIAN of three warm probes spanning
-    # shapes — and the previous round's by ITS factor (its median when
-    # recorded, else its single q1 warm probe), and report BOTH the
-    # normalized and the raw ratio side by side.  Sessions on this
-    # host show 1.3-1.9x uniform speed noise, so raw deltas alone are
-    # host lottery, not signal.  Only computed against a previous
-    # artifact at the SAME scale factor.
-    prev = _latest_prev_bench(Path(__file__).resolve().parent)
+    # r12 per VERDICT r11 #6, compacted r13 per VERDICT r12 #1): divide
+    # each per-query time by this run's host factor and the previous
+    # round's by ITS factor, and keep BOTH the normalized and the raw
+    # ratio.  Sessions on this host show 1.3-1.9x uniform speed noise,
+    # so raw deltas alone are host lottery, not signal.  Only computed
+    # against a previous artifact at the SAME scale factor.
+    #
+    # The PRINTED line carries only summary stats + the 3 worst
+    # normalized deltas — r12's full 27+27-entry tables pushed the line
+    # past the driver's 2000-char tail capture and the round record
+    # came back ``parsed: null``.  The full tables go to stderr and to
+    # BENCH_LOCAL.json beside this script.
+    repo = Path(__file__).resolve().parent
+    full_out = dict(out)
+    prev = _latest_prev_bench(repo)
     if prev is not None and host_factor:
         pdata, pname = prev
         pcal = pdata.get("noise_cal") or {}
-        p_factor = pcal.get("host_factor_median") or pcal.get("warm_sec")
-        if pdata.get("sf") == out["sf"] and p_factor:
+        p_factor = pcal.get("host_factor_median")
+        now_factor = host_factor
+        if not p_factor:
+            # transition round (VERDICT r12 #1b): prev recorded only the
+            # single q1 warm probe, so the comparison must be
+            # like-for-like — q1-warm against q1-warm — NOT our 3-probe
+            # median against its q1 (mixed bases flipped the host-speed
+            # sign in the r12 artifact).
+            p_factor, now_factor = pcal.get("warm_sec"), cal_warm
+        if pdata.get("sf") == out["sf"] and p_factor and now_factor:
             ratios = {
-                q: round((t / host_factor)
+                q: round((t / now_factor)
                          / (pdata["queries"][q] / p_factor), 3)
                 for q, t in timings.items()
                 if pdata["queries"].get(q)
@@ -144,33 +158,57 @@ def main() -> None:
                 for q, t in timings.items()
                 if pdata["queries"].get(q)
             }
+            vals = sorted(ratios.values())
+            rvals = sorted(raw.values())
+            worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:3])
             out["vs_prev_normalized"] = {
                 "prev": pname,
-                "host_speed_now_over_prev": round(p_factor / host_factor,
-                                                  3),
+                "host_speed_now_over_prev": round(p_factor / now_factor, 3),
+                "n": len(ratios),
+                "median": vals[len(vals) // 2] if vals else None,
+                "median_raw": rvals[len(rvals) // 2] if rvals else None,
+                "worst3": worst,
+            }
+            full_out["vs_prev_normalized"] = {
+                **out["vs_prev_normalized"],
                 "queries": ratios,
                 "queries_raw": raw,
             }
-    print(json.dumps(out))
+            print(f"# vs {pname} normalized: {ratios}", file=sys.stderr)
+            print(f"# vs {pname} raw: {raw}", file=sys.stderr)
+
+    line = json.dumps(out)
+    # hard guard on the driver's 2000-char tail capture: shed detail
+    # fields (never the per-query timings) until the line fits
+    for victim in ("vs_prev_normalized", "store_build", "errors"):
+        if len(line) <= 1900:
+            break
+        out.pop(victim, None)
+        line = json.dumps(out)
+    try:
+        (repo / "BENCH_LOCAL.json").write_text(json.dumps(full_out, indent=1))
+    except OSError:
+        pass  # the printed line is the artifact of record
+    print(line)
 
 
 def _latest_prev_bench(repo: Path):
-    """(data, name) of the newest BENCH_r*.json at the repo root, or
-    None.  Never raises — the bench artifact must survive a corrupt
-    or absent predecessor."""
-    try:
-        paths = sorted(repo.glob("BENCH_r*.json"))
-        if not paths:
-            return None
-        data = json.loads(paths[-1].read_text())
-        # the round driver wraps the emitted JSON line under "parsed"
-        if isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        if not isinstance(data.get("queries"), dict):
-            return None
-        return data, paths[-1].name
-    except Exception:  # noqa: BLE001
-        return None
+    """(data, name) of the newest BENCH_r*.json that actually carries a
+    per-query table, or None.  Walks newest-first PAST parsed-null
+    driver wrappers (VERDICT r12 #1c: BENCH_r12.json is such a wrapper —
+    stopping at it would silently drop the vs_prev table).  Never raises
+    — the bench artifact must survive a corrupt or absent predecessor."""
+    for path in sorted(repo.glob("BENCH_r*.json"), reverse=True):
+        try:
+            data = json.loads(path.read_text())
+            # the round driver wraps the emitted JSON line under "parsed"
+            if isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            if isinstance(data.get("queries"), dict):
+                return data, path.name
+        except Exception:  # noqa: BLE001
+            continue
+    return None
 
 
 if __name__ == "__main__":
