@@ -513,9 +513,13 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
     A re-ingested id present in BOTH sides never emits a self-pair
     (the delta x base join canonicalizes then drops id_a == id_b —
     ADVICE r11) and cannot double-count buckets into
-    ``min_band_overlap`` (the cross/within legs partition pairs by
-    type: (base,delta) pairs exist only in the cross leg, (delta,
-    delta) only in the within leg)."""
+    ``min_band_overlap``: a pair with one member in both sides meets
+    in the SAME bucket through the cross leg (delta x base) AND the
+    within leg (delta x delta), so the shared-bucket count is taken
+    as countDistinct(band, band_hash) over the unioned legs, not a
+    row count — a row count would halve the effective m for exactly
+    those pairs (VERDICT r12 #5; pinned by
+    tests/test_catalog_r13.py::test_delta_overlap_no_double_count)."""
     banded_b = base_banded if base_banded is not None \
         else minhash_band_table(
         minhash_signatures(base, text_col, id_col, num_hashes),
@@ -539,34 +543,48 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
                                      "band", "band_hash"),
                      ["band", "band_hash"])
              .select(F.least("id_a", "id_b").alias("id_a"),
-                     F.greatest("id_a", "id_b").alias("id_b"))
+                     F.greatest("id_a", "id_b").alias("id_b"),
+                     "band", "band_hash")
              .filter(F.col("id_a") != F.col("id_b")))
     # delta x delta: the batch self-join shape on the new batch only
     dr = banded_d.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     within = (dl.join(dr, ["band", "band_hash"])
               .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b"))
+              .select("id_a", "id_b", "band", "band_hash"))
     # the candidate pair set is referenced three times below (both id
     # sides of the verify + the shingle semi-join) and its plan embeds
     # the signature builds — materialize the (small) set once so the
     # banding never recomputes per reference.  The same aggregate that
-    # dedups the pairs carries the shared-bucket count, so the
-    # min_band_overlap filter is free at overlap 1 and one comparison
-    # otherwise.
+    # dedups the pairs carries the shared-bucket count; it must count
+    # DISTINCT buckets, because a pair whose member was re-ingested
+    # (present in base AND delta) reaches the same bucket through both
+    # legs and a plain row count would double it (VERDICT r12 #5).
     cands = (cross.unionByName(within)
              .groupBy("id_a", "id_b")
-             .agg(F.count("*").alias("__n_shared")))
+             .agg(F.countDistinct("band", "band_hash")
+                   .alias("__n_shared")))
     if min_band_overlap > 1:
         cands = cands.filter(F.col("__n_shared") >= min_band_overlap)
     cands = cands.select("id_a", "id_b").localCheckpoint()
     # exact-Jaccard verify reads shingles for CANDIDATE documents only
     # (left-semi before the shingle computation): at scale the base
-    # table is read back just for the docs the index flagged
+    # table is read back just for the docs the index flagged.  A
+    # re-ingested id exists in BOTH sides — keep exactly one text row
+    # per id (the DELTA version: a re-ingest supersedes the resident
+    # copy) or the verify joins fan every pair it touches out twice;
+    # the dedup window runs AFTER the semi-join, over candidate docs
+    # only, never the corpus.
     need = (cands.select(F.col("id_a").alias(id_col))
             .unionByName(cands.select(F.col("id_b").alias(id_col)))
             .distinct())
-    sh = (base.unionByName(delta)
+    from pyspark.sql import Window
+    pick = Window.partitionBy(id_col).orderBy("__pri")
+    sh = (delta.select(id_col, text_col).withColumn("__pri", F.lit(0))
+          .unionByName(base.select(id_col, text_col)
+                       .withColumn("__pri", F.lit(1)))
           .join(F.broadcast(need), id_col, "left_semi")
+          .withColumn("__rn", F.row_number().over(pick))
+          .filter(F.col("__rn") == 1)
           .select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh"))
           .localCheckpoint())
     jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")

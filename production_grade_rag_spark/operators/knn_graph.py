@@ -96,11 +96,44 @@ def derived_n_lists(n: int) -> int:
     count per cell stays ~n and the BUILD total stays ~n^1.5 / p
     rather than quadratic; the n_lists sweep in scripts/stress_bench.py
     measures where the build-time optimum actually sits at gated
-    recall.  Pass n_lists=None to knn_nb/knn_und to use it."""
+    recall.  The DEFAULT since r13 (n_lists=None resolves here —
+    VERDICT r12 #3)."""
     import math
     if n <= 256:
         return 16
     return 1 << round(math.log2(math.sqrt(n)))
+
+
+def derived_n_probe(n_lists: int) -> int:
+    """Default probe count for the derived-list build: HALF the cells,
+    floored at 4.  The r12 n_lists sweep (STRESS_r12
+    g6_ivf_nlists_sweep_10x) showed that on near-isotropic embeddings
+    (the hash corpus, m5 anisotropy ~ 0 — IVF's worst case) the
+    g_knn_edges_ivf_recall 0.9 floor needs probe fractions 1/4-1/2,
+    and 1/2 is the fraction that cleared it at EVERY swept list count
+    (16/8 -> 0.94-0.96, 64/32 -> 0.958, 128/64 -> 0.972), so half is
+    the geometry-safe default; clustered anisotropic corpora certify
+    at smaller fractions (the r13 clustered stress tier measures how
+    much smaller) and can pass an explicit n_probe.  The default
+    still prunes: the candidate bill is n_probe/n_lists of the
+    corpus, so derived lists + half-probe reads ~n^1.5/2 pairs where
+    exact reads n^2."""
+    return max(4, n_lists // 2)
+
+
+def _resolve_ivf(spark: SparkSession, d: str, method: str,
+                 n_lists: int | None, n_probe: int | None) -> tuple[int, int]:
+    """Resolve the (n_lists, n_probe) operating point.  Exact builds
+    ignore both (the store tag says just "exact"), so they resolve to
+    0 WITHOUT counting the corpus; ivf derives missing values from
+    the measured corpus size (one parquet-footer count)."""
+    if method != "ivf":
+        return 0, 0
+    if n_lists is None:
+        n_lists = derived_n_lists(_load_emb(spark, d).count())
+    if n_probe is None:
+        n_probe = derived_n_probe(n_lists)
+    return n_lists, n_probe
 
 
 def _build_nb(spark: SparkSession, d: str, k: int, method: str,
@@ -141,8 +174,8 @@ def _build_nb(spark: SparkSession, d: str, k: int, method: str,
 
 
 def knn_nb(spark: SparkSession, d: str, k: int = 5,
-           method: str = "exact", n_lists: int | None = 16,
-           n_probe: int = 4,
+           method: str = "exact", n_lists: int | None = None,
+           n_probe: int | None = None,
            centroids: DataFrame | None = None,
            rebuild: bool = False) -> DataFrame:
     """Directed k-NN cosine edge list (src, dst), materialized once
@@ -150,10 +183,12 @@ def knn_nb(spark: SparkSession, d: str, k: int = 5,
     the store thereafter.  ``centroids`` passes a PREBUILT cell
     layout to the ivf build (skips the in-loop KMeans fit — the
     amortized ingest shape stress_bench ledgers separately).
-    ``n_lists=None`` derives the list count from the corpus size
-    (derived_n_lists — ~sqrt(n) rounded to a power of two)."""
-    if n_lists is None:
-        n_lists = derived_n_lists(_load_emb(spark, d).count())
+    The ivf defaults derive from the measured corpus size (VERDICT
+    r12 #3): n_lists=None -> derived_n_lists (~sqrt(n) rounded to a
+    power of two), n_probe=None -> derived_n_probe (half the cells —
+    the fraction that cleared the 0.9 recall floor at every swept
+    list count on isotropic geometry)."""
+    n_lists, n_probe = _resolve_ivf(spark, d, method, n_lists, n_probe)
     tag = _tag("knn_nb", d, k, method, n_lists, n_probe)
     path = _warehouse(tag)
     if rebuild or tag not in _BUILT or not os.path.exists(path):
@@ -166,19 +201,17 @@ def knn_nb(spark: SparkSession, d: str, k: int = 5,
 
 
 def knn_und(spark: SparkSession, d: str, k: int = 5,
-            method: str = "exact", n_lists: int | None = 16,
-            n_probe: int = 4,
+            method: str = "exact", n_lists: int | None = None,
+            n_probe: int | None = None,
             centroids: DataFrame | None = None,
             rebuild: bool = False) -> DataFrame:
     """Canonical undirected edge list (u < v, distinct), derived from
     the directed store and materialized beside it — the frame the
     census/k-core/attack/assortativity entries reference many times
     each (deg twice, closure joins three times): a store read per
-    reference instead of a kNN rebuild per reference.
-    ``n_lists=None`` derives the list count from the corpus size
-    (derived_n_lists)."""
-    if n_lists is None:
-        n_lists = derived_n_lists(_load_emb(spark, d).count())
+    reference instead of a kNN rebuild per reference.  ivf defaults
+    derive from corpus size (see knn_nb)."""
+    n_lists, n_probe = _resolve_ivf(spark, d, method, n_lists, n_probe)
     tag = _tag("knn_und", d, k, method, n_lists, n_probe)
     path = _warehouse(tag)
     if rebuild or tag not in _BUILT or not os.path.exists(path):

@@ -70,22 +70,17 @@ def g_knn_edges_ivf(spark: SparkSession, d: str) -> DataFrame:
     (ivf_knn_join cell-pruned candidates: every vector scores
     n_probe/n_lists of the corpus instead of all of it, so the edge
     build is candidate-bounded where the exact form is a quadratic
-    window).  Edge-set recall vs the exact store is gated by
+    window).  Since r13 the build runs at the DERIVED operating
+    point (VERDICT r12 #3): ~sqrt(n) lists, half of them probed —
+    at the local SFs that resolves to the same certified (16, 8)
+    point the r10-r12 gates measured at 0.94/0.96 recall, and at
+    the stress tiers to (32, 16) / (128, 64), re-gated per tier by
+    stress_bench.  Edge-set recall vs the exact store is gated by
     g_knn_edges_ivf_recall; stress_bench times the census over these
     edges at the 10x tier with the KMeans fit ledgered separately
     from the amortized read."""
     from ..operators.knn_graph import knn_und
-    return (knn_und(spark, d, method="ivf", n_probe=_IVF_EDGE_PROBE)
-            .orderBy("u", "v"))
-
-
-# the gated IVF operating point: 16 cells, probe 8 — measured edge
-# recall 0.94 (sf0.001) / 0.96 (sf0.01) against floor 0.9; probe 4
-# measured 0.82 at both SFs, probe 6 measured 0.91 (too tight a
-# margin for a gate).  At scale n_lists grows ~sqrt(n) (the stress
-# tier uses 64 lists at 10x) so the probed corpus share FALLS as the
-# corpus grows at fixed probe count.
-_IVF_EDGE_PROBE = 8
+    return knn_und(spark, d, method="ivf").orderBy("u", "v")
 
 
 def _knn_recall_oracle() -> str:
@@ -100,15 +95,18 @@ def g_knn_edges_ivf_recall(spark: SparkSession, d: str) -> DataFrame:
     """Recall gate for the IVF edge build with a data-dependent
     oracle: n_exact is DuckDB's own count of the exact undirected
     edge set, and floor_met gates the IVF store's edge recovery at
-    >= 0.9 (16 cells, probe 8; measured 0.94 at sf0.001 AND 0.96 at
-    sf0.01 — cross-cell neighbors are the designed loss, exactly the
-    dd_semdedup_recall trade).  This is the gate the r9 verdict
-    asked to pin the g5–g9 family's scale path with: all five
-    consumers read the store this entry certifies."""
+    >= 0.9 AT THE DERIVED OPERATING POINT (~sqrt(n) lists, half
+    probed — at the local SFs that is the (16, 8) point measured at
+    0.94 sf0.001 / 0.96 sf0.01; cross-cell neighbors are the
+    designed loss, exactly the dd_semdedup_recall trade).  This is
+    the gate the r9 verdict asked to pin the g5–g9 family's scale
+    path with: all five consumers read the store this entry
+    certifies, and since r13 it certifies the DEFAULT build
+    (VERDICT r12 #3)."""
     from ..operators.knn_graph import knn_und
     from .catalog_more import _recall_summary
     exact = knn_und(spark, d)
-    approx = knn_und(spark, d, method="ivf", n_probe=_IVF_EDGE_PROBE)
+    approx = knn_und(spark, d, method="ivf")
     return _recall_summary(exact, approx, ["u", "v"], floor=0.9)
 
 

@@ -147,12 +147,12 @@ def g_ivf_fidelity(spark: SparkSession, d: str) -> DataFrame:
     aggregates; star contraction is O(log^2 n) rounds."""
     from ..operators.knn_graph import (connected_components_star, knn_nb,
                                        knn_und)
-    from .catalog_r10 import _IVF_EDGE_PROBE, _PPR_TOP, _ppr_rank
+    from .catalog_r10 import _PPR_TOP, _ppr_rank
     from .catalog_r9 import _census_from_und
     emb = _t(spark, d, "embeddings")
     ids = emb.select("vec_id")
     ue = knn_und(spark, d)
-    ui = knn_und(spark, d, method="ivf", n_probe=_IVF_EDGE_PROBE)
+    ui = knn_und(spark, d, method="ivf")
     ce = _census_from_und(ue).select(
         F.col("n_triangles").alias("tri_e"),
         F.col("global_clustering").alias("cc_e"))
@@ -164,8 +164,7 @@ def g_ivf_fidelity(spark: SparkSession, d: str) -> DataFrame:
     comp_i = (connected_components_star(ui, ids)
               .agg(F.countDistinct("component").alias("comp_i")))
     te = _ppr_rank(emb, knn_nb(spark, d)).select("vec_id")
-    ti = _ppr_rank(emb, knn_nb(spark, d, method="ivf",
-                               n_probe=_IVF_EDGE_PROBE)).select("vec_id")
+    ti = _ppr_rank(emb, knn_nb(spark, d, method="ivf")).select("vec_id")
     ovl = te.join(ti, "vec_id").agg(F.count("*").alias("n_overlap"))
     nte = te.agg(F.count("*").alias("n_top_e"))
     base = (ce.crossJoin(F.broadcast(ci))
@@ -941,7 +940,6 @@ def g12_neighborhood_function(spark: SparkSession, d: str) -> DataFrame:
     100 TB run drops: its state IS the ball membership, which is the
     quadratic-ish wall ANF exists to avoid."""
     from pyspark.sql import Window as W
-    from .catalog_r10 import _IVF_EDGE_PROBE  # noqa: F401 (family doc)
     from .catalog_r9 import _h60
     from ..operators.knn_graph import knn_und
     emb = _t(spark, d, "embeddings")

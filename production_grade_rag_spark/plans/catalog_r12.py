@@ -683,6 +683,15 @@ def mm_scene_dedup(spark: SparkSession, d: str) -> DataFrame:
     return pairs.orderBy("doc_a", "scene_a", "doc_b", "scene_b")
 
 
+# Node-packing stride for (doc_id, scene_id) -> flat BIGINT keys
+# (VERDICT r12 #4b: the r12 stride of 100 would silently corrupt
+# components for a video with >= 100 scenes; 1e6 leaves doc_id * 1e6
+# far inside BIGINT for any plausible id space and any frame-sampling
+# policy).  Shared by the Spark plan and the DuckDB oracle — the two
+# sides must pack identically or the component labels diverge.
+_SCENE_STRIDE = 1_000_000
+
+
 def _scene_hash_frame(spark: SparkSession, d: str) -> DataFrame:
     """(doc_id, scene_id, ahash) for every representative keyframe:
     the mm_scene_table election over the Arrow decode path + the
@@ -702,7 +711,8 @@ def _scene_hash_frame(spark: SparkSession, d: str) -> DataFrame:
                F.concat(F.col("text").substr(
                    (F.col("frame_index") * 7 + 1).cast("int"), F.lit(64)),
                    F.lit(":"), F.col("frame_index").cast("string")))
-           .withColumn("fid", F.col("doc_id") * 100 + F.col("frame_index")))
+           .withColumn("fid", F.col("doc_id") * _SCENE_STRIDE
+                       + F.col("frame_index")))
     bin_df = pay.select(F.col("fid").alias("doc_id"),
                         F.encode(F.col("payload_str"), "utf-8")
                         .alias("content_bytes"))
@@ -815,12 +825,14 @@ hd AS (
     ON bit_count(xor(s.ahash, x.h)) <= 1
    AND (x.n_docs >= 2 OR x.one_doc <> s.doc_id)
 ), lab AS (
-  SELECT c.hc, min(a.doc_id * 100 + a.scene_id)::BIGINT AS component
+  SELECT c.hc, min(a.doc_id * {_SCENE_STRIDE} + a.scene_id)::BIGINT
+           AS component
   FROM att a JOIN hcomp c ON c.h = a.ahash
   GROUP BY c.hc
 )
 SELECT s.doc_id, s.scene_id,
-       coalesce(l.component, s.doc_id * 100 + s.scene_id)::BIGINT
+       coalesce(l.component,
+                s.doc_id * {_SCENE_STRIDE} + s.scene_id)::BIGINT
          AS component
 FROM hsh s
 LEFT JOIN att a ON a.doc_id = s.doc_id AND a.scene_id = s.scene_id
@@ -859,15 +871,16 @@ def mm_scene_components(spark: SparkSession, d: str) -> DataFrame:
     from ..operators import dedup
     hsh = _scene_hash_frame(spark, d)
     pairs = _scene_pair_frame(hsh).select(
-        (F.col("doc_a") * 100 + F.col("scene_a")).alias("id_a"),
-        (F.col("doc_b") * 100 + F.col("scene_b")).alias("id_b"))
-    nodes = hsh.select((F.col("doc_id") * 100 + F.col("scene_id"))
-                       .alias("node"))
+        (F.col("doc_a") * _SCENE_STRIDE + F.col("scene_a")).alias("id_a"),
+        (F.col("doc_b") * _SCENE_STRIDE + F.col("scene_b")).alias("id_b"))
+    nodes = hsh.select((F.col("doc_id") * _SCENE_STRIDE
+                        + F.col("scene_id")).alias("node"))
     comp = dedup.connected_components(pairs, nodes, id_col="node",
                                       max_iter=20)
     return (comp.select(
-        F.expr("node div 100").cast("long").alias("doc_id"),
-        F.pmod(F.col("node"), F.lit(100)).cast("long").alias("scene_id"),
+        F.expr(f"node div {_SCENE_STRIDE}").cast("long").alias("doc_id"),
+        F.pmod(F.col("node"), F.lit(_SCENE_STRIDE)).cast("long")
+         .alias("scene_id"),
         F.col("component").cast("long").alias("component"))
         .orderBy("doc_id", "scene_id"))
 

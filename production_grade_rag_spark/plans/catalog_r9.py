@@ -1525,7 +1525,7 @@ def g6_triangle_census(spark: SparkSession, d: str) -> DataFrame:
 
 
 def _g6_und(spark: SparkSession, d: str, method: str = "exact",
-            n_lists: int = 16, n_probe: int = 4,
+            n_lists: int | None = None, n_probe: int | None = None,
             centroids=None, rebuild: bool = False) -> DataFrame:
     """Symmetrized 5-NN edge list, served from the SHARED materialized
     graph store (operators/knn_graph.py — VERDICT r9 #1): built once
