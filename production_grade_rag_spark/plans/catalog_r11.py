@@ -455,16 +455,40 @@ _AUDIT_RISK_MAX = 0.05      # k-anonymity at-risk row share policy
 _AUDIT_ANIS_MAX = 0.1       # |mean pair cosine| policy
 _AUDIT_CLUMP_SLACK = 0.05   # curriculum same-bucket rate vs doc_id +
 _AUDIT_CORR_MAX = 0.5       # |quality-length correlation| policy
+# r13 rows (VERDICT r12 #5): LSH recall audited on a deterministic
+# 1-in-_AUDIT_MH_MOD md5 doc stratum — the a24 key-sampling shape
+# dd_minhash_pr's own docstring names as the 100 TB form (the full
+# exact pair set is O(n^2/2): 52 s at sf0.1, which no release card
+# can carry); the drift and EWMA policies are the dq9/dq10 ones.
+_AUDIT_MH_RECALL_MIN = 0.9
+_AUDIT_MH_MOD = 4
 
 
 def _audit_oracle() -> str:
+    from . import oracle_vec as OV
     from .catalog import CATALOG
+    from .catalog_r12 import _DQ9_L2_MAX, _DQ9_VR_HI, _DQ9_VR_LO
     m5 = CATALOG["m5_embedding_isotropy"].oracle
     dq8 = CATALOG["dq8_kanonymity"].oracle
     t43 = CATALOG["t43_order_clumping"].oracle
     t44 = CATALOG["t44_quality_length_corr"].oracle
+    dq9 = CATALOG["dq9_embedding_drift"].oracle_text()
+    dq10 = CATALOG["dq10_ewma_chart"].oracle_text()
+    mhc = OV.minhash_pairs_sql(threshold=0.0, source="prdocs")
+    exs = OV.ngram_pairs_sql(threshold=0.8, source="prdocs")
     return f"""
 WITH t43v AS MATERIALIZED ({t43}),
+d9 AS ({dq9}),
+d10 AS MATERIALIZED ({dq10}),
+prdocs AS (
+  SELECT doc_id, text FROM documents
+  WHERE (('0x' || substr(md5('pr:' || doc_id::VARCHAR), 1, 8))::BIGINT)
+        % {_AUDIT_MH_MOD} = 0
+), mh AS (
+  SELECT (SELECT count(*) FROM ({mhc}) WHERE jaccard >= 0.8)::BIGINT
+           AS tp,
+         (SELECT count(*) FROM ({exs}))::BIGINT AS nex
+),
 vals AS (
   SELECT
     (SELECT anisotropy FROM ({m5})) AS anis,
@@ -473,7 +497,14 @@ vals AS (
      WHERE ordering = 'curriculum') AS cur_rate,
     (SELECT same_bucket_rate FROM t43v
      WHERE ordering = 'doc_id') AS nat_rate,
-    (SELECT quality_length_corr FROM ({t44})) AS corr
+    (SELECT quality_length_corr FROM ({t44})) AS corr,
+    (SELECT centroid_l2 FROM d9) AS drift_l2,
+    (SELECT var_ratio FROM d9) AS drift_vr,
+    (SELECT ewma FROM d10 ORDER BY day DESC LIMIT 1) AS ewma_last,
+    (SELECT bool_or(ooc) FROM d10) AS any_ooc,
+    (SELECT round(tp::DOUBLE / greatest(nex, 1)::DOUBLE, 6) FROM mh)
+      AS mh_recall,
+    (SELECT nex FROM mh) AS mh_nex
 )
 SELECT audit, value_q, flag_ok FROM (
   SELECT 'isotropy' AS audit, anis AS value_q,
@@ -486,6 +517,15 @@ SELECT audit, value_q, flag_ok FROM (
   UNION ALL
   SELECT 'quality_length_bias', corr,
          abs(corr) <= {_AUDIT_CORR_MAX} FROM vals
+  UNION ALL
+  SELECT 'embedding_drift', drift_l2,
+         drift_l2 <= {_DQ9_L2_MAX}
+         AND drift_vr BETWEEN {_DQ9_VR_LO} AND {_DQ9_VR_HI} FROM vals
+  UNION ALL
+  SELECT 'error_rate_ewma', ewma_last, NOT any_ooc FROM vals
+  UNION ALL
+  SELECT 'minhash_lsh_recall', mh_recall,
+         mh_recall >= {_AUDIT_MH_RECALL_MIN} OR mh_nex = 0 FROM vals
 ) ORDER BY audit
 """
 
@@ -493,12 +533,22 @@ SELECT audit, value_q, flag_ok FROM (
 @register("cc_release_audit", headline=True,
           oracle=_audit_oracle)
 def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
-    """One release-audit card (VERDICT r10 #7): the four round-10
-    audits — k-anonymity risk share (dq8), embedding anisotropy (m5),
-    training-order clumping (t43) and quality-length bias (t44) — as
-    ONE frame, one row per audit with its headline number and a
-    pass/flag against a stated policy.  pytest cross-checks every row
-    equals its standalone entry (tests/test_catalog_r11.py).
+    """One release-audit card (VERDICT r10 #7, widened r13 per r12
+    #5): the four round-10 audits — k-anonymity risk share (dq8),
+    embedding anisotropy (m5), training-order clumping (t43) and
+    quality-length bias (t44) — PLUS the three r12 monitors:
+    embedding drift (dq9 card, policy = the same _DQ9_L2_MAX /
+    var-ratio bounds that gate cc_ingest_delta's publish stage),
+    error-rate EWMA (dq10, policy = no out-of-control day in the
+    horizon), and MinHash-LSH recall on a deterministic 1-in-4 md5
+    doc stratum (the a24 key-sampling shape dd_minhash_pr's docstring
+    names as the 100 TB form — the full exact pair set is O(n^2/2),
+    52 s at sf0.1, which no release card can carry; the row passes
+    vacuously when the stratum holds no exact pair, stated here).
+    One row per audit with its headline number and a pass/flag
+    against a stated policy.  pytest cross-checks every row equals
+    its standalone entry (tests/test_catalog_r11.py,
+    tests/test_catalog_r13.py).
 
     The documents-side audits share ONE grouped scan: the
     quasi-identifier groupBy carries the t44 correlation moments as
@@ -561,8 +611,39 @@ def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
                      F.col("same_bucket_rate"))).alias("cur_rate"),
         F.max(F.when(F.col("ordering") == "doc_id",
                      F.col("same_bucket_rate"))).alias("nat_rate"))
+    # --- r13 rows (VERDICT r12 #5): the vector, event and dedup
+    # monitors join as broadcast 1-row frames (each a bounded
+    # aggregate over its own table — documents-side rows above stay
+    # on the shared grouped scan)
+    from ..operators.dedup import (md5_int32, minhash_dedup_pairs,
+                                   ngram_jaccard_pairs)
+    from .catalog_r12 import (_DQ9_L2_MAX, _DQ9_VR_HI, _DQ9_VR_LO,
+                              _dq9_card, _dq9_moments, dq10_ewma_chart)
+    drift = (_dq9_card(_dq9_moments(_t(spark, d, "embeddings")))
+             .select(F.col("centroid_l2").alias("drift_l2"),
+                     F.col("var_ratio").alias("drift_vr")))
+    ew = dq10_ewma_chart(spark, d).agg(
+        F.max_by("ewma", "day").alias("ewma_last"),
+        F.bool_or("ooc").alias("any_ooc"))
+    strat = docs.select("doc_id", "text").filter(
+        F.pmod(md5_int32(F.concat(F.lit("pr:"),
+                                  F.col("doc_id").cast("string"))),
+               F.lit(_AUDIT_MH_MOD)) == 0)
+    mh = (minhash_dedup_pairs(strat, threshold=0.0)
+          .agg(F.coalesce(F.sum((F.col("jaccard") >= 0.8).cast("int")),
+                          F.lit(0)).cast("long").alias("tp"))
+          .crossJoin(F.broadcast(
+              ngram_jaccard_pairs(strat, threshold=0.8)
+              .agg(F.count("*").cast("long").alias("nex"))))
+          .select(F.round(F.col("tp").cast("double")
+                          / F.greatest("nex", F.lit(1)).cast("double"),
+                          6).alias("mh_recall"),
+                  F.col("nex").alias("mh_nex")))
     base = (both.crossJoin(F.broadcast(m5f))
-            .crossJoin(F.broadcast(rates)))
+            .crossJoin(F.broadcast(rates))
+            .crossJoin(F.broadcast(drift))
+            .crossJoin(F.broadcast(ew))
+            .crossJoin(F.broadcast(mh)))
     rows = F.array(
         F.struct(F.lit("isotropy").alias("audit"),
                  F.col("anisotropy").alias("value_q"),
@@ -579,7 +660,19 @@ def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
         F.struct(F.lit("quality_length_bias").alias("audit"),
                  F.col("corr").alias("value_q"),
                  (F.abs(F.col("corr")) <= _AUDIT_CORR_MAX)
-                 .alias("flag_ok")))
+                 .alias("flag_ok")),
+        F.struct(F.lit("embedding_drift").alias("audit"),
+                 F.col("drift_l2").alias("value_q"),
+                 ((F.col("drift_l2") <= _DQ9_L2_MAX)
+                  & (F.col("drift_vr") >= _DQ9_VR_LO)
+                  & (F.col("drift_vr") <= _DQ9_VR_HI)).alias("flag_ok")),
+        F.struct(F.lit("error_rate_ewma").alias("audit"),
+                 F.col("ewma_last").alias("value_q"),
+                 (~F.col("any_ooc")).alias("flag_ok")),
+        F.struct(F.lit("minhash_lsh_recall").alias("audit"),
+                 F.col("mh_recall").alias("value_q"),
+                 ((F.col("mh_recall") >= _AUDIT_MH_RECALL_MIN)
+                  | (F.col("mh_nex") == 0)).alias("flag_ok")))
     return (base.select(F.explode(rows).alias("r")).select("r.*")
             .orderBy("audit"))
 

@@ -418,7 +418,8 @@ fresh AS (
   WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ), nraw AS (
   SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id % 2 = 1
-), counts AS (
+), drift AS ({_dq9_oracle()}),
+counts AS (
   SELECT 0 AS stage_no, 'raw' AS stage, (SELECT n FROM nraw) AS docs
   UNION ALL
   SELECT 1, 'gated', (SELECT count(*) FROM bg)::BIGINT
@@ -430,6 +431,14 @@ fresh AS (
   SELECT 4, 'neardup_new', (SELECT count(*) FROM surv)::BIGINT
   UNION ALL
   SELECT 5, 'committed', (SELECT count(*) FROM surv)::BIGINT
+  UNION ALL
+  SELECT 6, 'published',
+         CASE WHEN (SELECT centroid_l2 <= {_DQ9_L2_MAX}
+                          AND var_ratio BETWEEN {_DQ9_VR_LO}
+                                            AND {_DQ9_VR_HI}
+                    FROM drift)
+              THEN (SELECT count(*) FROM surv)::BIGINT
+              ELSE 0::BIGINT END
 )
 SELECT stage_no::BIGINT AS stage_no, stage, docs::BIGINT AS docs,
        round(docs::DOUBLE / (SELECT n FROM nraw)::DOUBLE, 6)
@@ -458,7 +467,14 @@ def cc_ingest_delta(spark: SparkSession, d: str) -> DataFrame:
     is already committed — or with a smaller-id keeper) ->
     committed (the survivors APPENDED to the versioned store,
     sources/tables.write_version, and the ledger row read back from
-    the store — the count that survived the actual commit).
+    the store — the count that survived the actual commit) ->
+    published (VERDICT r12 #7: the dq9 embedding-drift card computed
+    between the batch's vectors and the resident store's INSIDE this
+    plan gates the publish step — docs = committed when the
+    distribution is stable under the stated _DQ9_L2_MAX/_DQ9_VR
+    policy, 0 when drift would poison downstream ANN gates; pinned
+    against the standalone dq9 entry on the same split in
+    tests/test_catalog_r13.py).
 
     Even doc_ids play the resident store, odd the incoming batch;
     near-dup runs on the CLEANED text both sides (the pipeline
@@ -567,12 +583,36 @@ def cc_ingest_delta(spark: SparkSession, d: str) -> DataFrame:
             .select(F.lit(no).cast("long").alias("stage_no"),
                     F.lit(name).alias("stage"), "docs")
 
+    # --- drift gate on the publish step (VERDICT r12 #7): the dq9
+    # card between the incoming batch's vectors (odd vec parity —
+    # mirroring the odd-doc batch split) and the resident store's
+    # (even), computed INSIDE the ingest plan; the commit is written
+    # either way (it is the versioned staging area), but the batch
+    # only PUBLISHES — ships to consumers — when the embedding
+    # distribution is stable under the stated policy (_DQ9_L2_MAX /
+    # _DQ9_VR bounds; see the policy comment above _DQ9_L2_MAX for
+    # why centroid cosine is NOT the gate).  One extra scan of the
+    # vectors, partial-aggregated to a 1-row broadcast frame.
+    drift_ok = (_dq9_card(_dq9_moments(_t(spark, d, "embeddings")))
+                .select(((F.col("centroid_l2") <= _DQ9_L2_MAX)
+                         & (F.col("var_ratio") >= _DQ9_VR_LO)
+                         & (F.col("var_ratio") <= _DQ9_VR_HI))
+                        .alias("__drift_ok")))
+    published = (committed.agg(F.count("*").cast("long").alias("__c"))
+                 .crossJoin(F.broadcast(drift_ok))
+                 .select(F.lit(6).cast("long").alias("stage_no"),
+                         F.lit("published").alias("stage"),
+                         F.when(F.col("__drift_ok"), F.col("__c"))
+                          .otherwise(F.lit(0)).cast("long")
+                          .alias("docs")))
+
     stages = (stage(0, "raw", batch_raw)
               .unionByName(stage(1, "gated", g_batch))
               .unionByName(stage(2, "exact_new", fresh))
               .unionByName(stage(3, "batch_keeper", keepers))
               .unionByName(stage(4, "neardup_new", survivors))
-              .unionByName(stage(5, "committed", committed)))
+              .unionByName(stage(5, "committed", committed))
+              .unionByName(published))
     nraw = batch_raw.agg(F.count("*").cast("long").alias("__nraw"))
     return (stages.crossJoin(F.broadcast(nraw))
             .select("stage_no", "stage", "docs",
@@ -1156,6 +1196,19 @@ ir6_bootstrap_ci.__doc__ = ir6_bootstrap_ci.__doc__.format(
 # ===========================================================================
 
 _DQ9_G = 1000000
+
+# Drift POLICY (one policy, two consumers — the cc_ingest_delta
+# publish gate and the cc_release_audit embedding_drift row): the
+# centroid may move at most this far in L2 (mean_norm is ~1 on this
+# corpus, so 0.25 is a quarter of a typical vector) and total
+# variance may at most halve or double.  Centroid COSINE is published
+# on the card but is NOT the gate: on a near-zero-mean (isotropic)
+# space the mean vector's direction is noise — measured 0.105 between
+# parity splits of the SAME corpus at sf0.01 — so gating on it would
+# red-flag identical distributions.
+_DQ9_L2_MAX = 0.25
+_DQ9_VR_LO = 0.5
+_DQ9_VR_HI = 2.0
 
 
 def _dq9_oracle() -> str:

@@ -215,13 +215,18 @@ WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
 """
 
 
-def ngram_pairs_sql(threshold: float = 0.5, k: int = 3) -> str:
+def ngram_pairs_sql(threshold: float = 0.5, k: int = 3,
+                    source: str = "documents") -> str:
+    """``source`` names the (doc_id, text) relation to pair —
+    "documents" by default, or an outer CTE (the minhash_pairs_sql
+    convention), which is how the release-audit card restricts the
+    exact pair set to its sampled stratum."""
     toks = tokens_sql("text")
     sh = word_shingles_sql(toks, k)
     jac = ("len(list_intersect(a.sh, b.sh))::DOUBLE"
            " / len(list_distinct(a.sh || b.sh))")
     return f"""
-WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+WITH sh AS (SELECT doc_id, {sh} AS sh FROM {source})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({jac}, 6) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE {jac} >= {threshold}

@@ -128,7 +128,7 @@ def synthesize(spark) -> None:
 
 def synthesize_clustered(spark, n: int, dim: int = 64,
                          n_clusters: int = 64,
-                         sigma: float = 0.25) -> None:
+                         sigma: float = 1.0) -> None:
     """Clustered ANISOTROPIC embedding corpus at the same row count
     as the 10x tier (VERDICT r12 #2): every ANN stress row before
     r13 ran on the near-isotropic hash corpus — IVF's worst case —
@@ -144,10 +144,14 @@ def synthesize_clustered(spark, n: int, dim: int = 64,
     - ``n_clusters`` centers (xxhash64-uniform per (cluster, dim));
       membership skewed quadratically (cluster = floor(C*u^2)) the
       way topic corpora skew, so cells are NOT balanced;
-    - in-cluster noise at ``sigma`` of the center scatter — tight
-      enough that most true 5-NN neighbors are in-cluster (the
-      property that lets IVF certify at small probe fractions),
-      loose enough that boundaries exist.
+    - in-cluster noise at ``sigma`` of the center scatter's own
+      per-dim scale.  sigma=1.0 (default) measured at 2k rows:
+      anisotropy 0.29, IVF edge recall 0.961 at probe fraction 1/16
+      — clusters dominate (the property that lets IVF certify at
+      small probe fractions) but boundaries are REAL (recall is not
+      a flat 1.0, so the sweep's gate does work); tighter sigmas
+      (0.25-0.6) gave recall 1.0 at every fraction, which reads as
+      a toy.
 
     Schema matches the embeddings table (vec_id BIGINT, embedding
     FLOAT[], label INT = true cluster).  Idempotent."""

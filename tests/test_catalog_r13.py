@@ -102,6 +102,90 @@ def _t_docs(spark):
 # component operator: pack -> propagate -> unpack roundtrips.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# VERDICT r12 #5: the widened release-audit card's r13 rows equal
+# their standalone entries (the r11 cross-check discipline extended).
+# ---------------------------------------------------------------------------
+
+def _card(spark):
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    return {r["audit"]: r for r in
+            CATALOG["cc_release_audit"].build(spark, SF01).collect()}
+
+
+def test_audit_has_seven_rows(spark):
+    assert sorted(_card(spark)) == [
+        "embedding_drift", "error_rate_ewma", "isotropy",
+        "kanonymity_risk", "minhash_lsh_recall", "order_clumping",
+        "quality_length_bias"]
+
+
+def test_audit_drift_row_matches_dq9(spark):
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    from production_grade_rag_spark.plans.catalog_r12 import (
+        _DQ9_L2_MAX, _DQ9_VR_HI, _DQ9_VR_LO)
+    row = _card(spark)["embedding_drift"]
+    dq9 = CATALOG["dq9_embedding_drift"].build(spark, SF01).collect()[0]
+    assert row["value_q"] == dq9["centroid_l2"]
+    assert row["flag_ok"] == (
+        dq9["centroid_l2"] <= _DQ9_L2_MAX
+        and _DQ9_VR_LO <= dq9["var_ratio"] <= _DQ9_VR_HI)
+    assert row["flag_ok"]   # parity splits of one corpus: no drift
+
+
+def test_audit_ewma_row_matches_dq10(spark):
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    row = _card(spark)["error_rate_ewma"]
+    days = CATALOG["dq10_ewma_chart"].build(spark, SF01).collect()
+    last = max(days, key=lambda r: r["day"])
+    assert row["value_q"] == last["ewma"]
+    assert row["flag_ok"] == (not any(r["ooc"] for r in days))
+
+
+def test_audit_minhash_row_matches_stratum_standalone(spark):
+    """The card's recall row == dd_minhash_pr's arithmetic run on the
+    SAME 1-in-4 md5 stratum (the a24 sampling shape)."""
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.operators.dedup import (
+        md5_int32, minhash_dedup_pairs, ngram_jaccard_pairs)
+    from production_grade_rag_spark.plans.catalog_r11 import \
+        _AUDIT_MH_MOD, _AUDIT_MH_RECALL_MIN
+    from production_grade_rag_spark.sources import load_table
+    row = _card(spark)["minhash_lsh_recall"]
+    docs = load_table(spark, SF01, "documents").select("doc_id", "text")
+    strat = docs.filter(
+        F.pmod(md5_int32(F.concat(F.lit("pr:"),
+                                  F.col("doc_id").cast("string"))),
+               F.lit(_AUDIT_MH_MOD)) == 0)
+    tp = (minhash_dedup_pairs(strat, threshold=0.0)
+          .filter(F.col("jaccard") >= 0.8).count())
+    nex = ngram_jaccard_pairs(strat, threshold=0.8).count()
+    assert nex > 0   # the stratum is non-vacuous at sf0.01 (3 pairs)
+    assert row["value_q"] == round(tp / max(nex, 1), 6)
+    assert row["flag_ok"] == (row["value_q"] >= _AUDIT_MH_RECALL_MIN
+                              or nex == 0)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #7: the ingest publish stage is gated by the SAME dq9
+# card the standalone entry publishes, on the same split.
+# ---------------------------------------------------------------------------
+
+def test_ingest_publish_gated_by_drift(spark):
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    from production_grade_rag_spark.plans.catalog_r12 import (
+        _DQ9_L2_MAX, _DQ9_VR_HI, _DQ9_VR_LO)
+    stages = {r["stage"]: r for r in
+              CATALOG["cc_ingest_delta"].build(spark, SF01).collect()}
+    assert stages["published"]["stage_no"] == 6
+    dq9 = CATALOG["dq9_embedding_drift"].build(spark, SF01).collect()[0]
+    ok = (dq9["centroid_l2"] <= _DQ9_L2_MAX
+          and _DQ9_VR_LO <= dq9["var_ratio"] <= _DQ9_VR_HI)
+    want = stages["committed"]["docs"] if ok else 0
+    assert stages["published"]["docs"] == want
+    assert ok   # this corpus is stable: the batch ships
+
+
 def test_scene_stride_survives_100_scenes(spark):
     from production_grade_rag_spark.operators import dedup
     from production_grade_rag_spark.plans.catalog_r12 import _SCENE_STRIDE
