@@ -511,3 +511,4 @@ from . import catalog_r9  # noqa: E402,F401  (registration side effects)
 from . import catalog_r10  # noqa: E402,F401  (registration side effects)
 from . import catalog_r11  # noqa: E402,F401  (registration side effects)
 from . import catalog_r12  # noqa: E402,F401  (registration side effects)
+from . import catalog_r13  # noqa: E402,F401  (registration side effects)

@@ -211,3 +211,49 @@ def test_scene_stride_survives_100_scenes(spark):
     assert out[(7, 150)] == out[(8, 150)] == 7 * _SCENE_STRIDE + 150
     assert out[(7, 3)] == 7 * _SCENE_STRIDE + 3
     assert out[(8, 50)] == 8 * _SCENE_STRIDE + 50
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: sampled P/R estimator + bucket-containment card
+# ---------------------------------------------------------------------------
+
+def test_pr_sampled_matches_audit_row_and_stratum(spark):
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.operators.dedup import md5_int32
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    from production_grade_rag_spark.plans.catalog_r11 import _AUDIT_MH_MOD
+    from production_grade_rag_spark.sources import load_table
+    row = CATALOG["dd_minhash_pr_sampled"].build(spark, SF01).collect()[0]
+    docs = load_table(spark, SF01, "documents")
+    n_strat = docs.filter(
+        F.pmod(md5_int32(F.concat(F.lit("pr:"),
+                                  F.col("doc_id").cast("string"))),
+               F.lit(_AUDIT_MH_MOD)) == 0).count()
+    assert row["n_stratum"] == n_strat
+    assert row["n_exact"] > 0          # non-vacuous at sf0.01
+    assert row["recall"] == round(row["n_true_pos"]
+                                  / max(row["n_exact"], 1), 6)
+    assert row["precision"] == round(row["n_true_pos"]
+                                     / max(row["n_candidates"], 1), 6)
+    # the audit card's recall row IS this estimator's recall
+    audit = {r["audit"]: r["value_q"] for r in
+             CATALOG["cc_release_audit"].build(spark, SF01).collect()}
+    assert audit["minhash_lsh_recall"] == row["recall"]
+
+
+def test_g15_containment_nested_and_bounded(spark):
+    from production_grade_rag_spark.operators.knn_graph import knn_und
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    rows = {r["bits"]: r for r in
+            CATALOG["g15_bucket_containment"].build(spark, SF01).collect()}
+    assert sorted(rows) == [2, 4, 8]
+    n_edges = knn_und(spark, SF01).count()
+    for r in rows.values():
+        assert r["n_edges"] == n_edges
+        assert 0.0 <= r["containment"] <= 1.0
+        assert r["n_buckets"] <= 1 << r["bits"]
+    # bucket ids are NESTED (b mod 2^w), so same-bucket at 8 bits
+    # implies same-bucket at 4 implies at 2 — containment must be
+    # monotone nonincreasing in bits
+    assert (rows[2]["n_same_bucket"] >= rows[4]["n_same_bucket"]
+            >= rows[8]["n_same_bucket"])
