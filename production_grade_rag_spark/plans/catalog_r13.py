@@ -80,9 +80,10 @@ def dd_minhash_pr_sampled(spark: SparkSession, d: str) -> DataFrame:
     and the derived precision/recall — every number value-oracled.
 
     Statistical honesty: a 1-in-k doc stratum keeps ~1/k^2 of pairs,
-    so the recall denominator is small at catalog scale (3 exact
-    pairs at sf0.01, 16 at sf0.1) — the estimator's variance falls
-    as the corpus grows, which is exactly the regime it exists for.
+    so the recall denominator is small at catalog scale (MEASURED:
+    3 exact pairs at sf0.01, 11 at sf0.1 — recall 1.0 at both) —
+    the estimator's variance falls as the corpus grows, which is
+    exactly the regime it exists for.
 
     Scale shape: the stratum filter is a pushed-down scan predicate;
     everything after is the dd_minhash_lsh plan on a k-times-smaller
@@ -190,10 +191,14 @@ def g15_bucket_containment(spark: SparkSession, d: str) -> DataFrame:
     g_knn_edges oracle's own CTE — every number value-oracled.
 
     Reading the card: containment at b bits upper-bounds single-probe
-    recall of any 2^b-bucket sign-LSH index; halving per bit ~ an
-    isotropic corpus (direction carries no neighbor information —
-    expect ~1/2 per hyperplane); slow decay ~ clustered geometry
-    where bucketed ANN is cheap at high recall.
+    recall of any 2^b-bucket sign-LSH index; fast per-bit decay ~ an
+    isotropic corpus (direction carries little neighbor information);
+    slow decay ~ clustered geometry where bucketed ANN is cheap at
+    high recall.  MEASURED on this hash corpus: 0.356/0.129/0.013 at
+    2/4/8 bits (sf0.01) and 0.394/0.149/0.022 (sf0.1) — ~0.6 per
+    hyperplane, the unfavorable-geometry signature that matches the
+    STRESS_r13 finding (isotropic IVF needs probe fractions 1/4-1/2
+    where the clustered corpus certifies at 1/32).
 
     Scale shape: bucket ids are one fused map-side projection (8
     dot-sign bits per vector, no shuffle); the containment read is
