@@ -522,6 +522,14 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
     count — a row count would halve the effective m for exactly
     those pairs (VERDICT r12 #5; pinned by
     tests/test_catalog_r13.py::test_delta_overlap_no_double_count)."""
+    if num_bands > 64:
+        # the distinct-band count below is a 64-bit bitmask; band
+        # indices >= 64 would alias into it and silently undercount
+        # min_band_overlap (the delta side bands with num_bands, and
+        # the bucket equi-join means no other band value can reach
+        # the aggregate)
+        raise ValueError("minhash_delta_pairs: num_bands > 64 would "
+                         "alias the distinct-band bitmask")
     banded_b = base_banded if base_banded is not None \
         else minhash_band_table(
         minhash_signatures(base, text_col, id_col, num_hashes),

@@ -257,3 +257,12 @@ def test_g15_containment_nested_and_bounded(spark):
     # monotone nonincreasing in bits
     assert (rows[2]["n_same_bucket"] >= rows[4]["n_same_bucket"]
             >= rows[8]["n_same_bucket"])
+
+
+def test_delta_rejects_aliasing_band_width(spark):
+    import pytest
+    from production_grade_rag_spark.operators.dedup import \
+        minhash_delta_pairs
+    base, delta = _one_bucket_pair_frames(spark)
+    with pytest.raises(ValueError, match="bitmask"):
+        minhash_delta_pairs(base, delta, num_hashes=130, num_bands=65)
