@@ -179,11 +179,18 @@ def main() -> None:
 
     line = json.dumps(out)
     # hard guard on the driver's 2000-char tail capture: shed detail
-    # fields (never the per-query timings) until the line fits
-    for victim in ("vs_prev_normalized", "store_build", "errors"):
+    # fields (never the per-query timings, and never the failure
+    # evidence — ADVICE r13: a failing round must keep its errors in
+    # the committed artifact, so "errors" is compacted to names + a
+    # count rather than dropped)
+    for victim in ("vs_prev_normalized", "store_build"):
         if len(line) <= 1900:
             break
         out.pop(victim, None)
+        line = json.dumps(out)
+    if len(line) > 1900 and errors:
+        out["errors"] = {"error_count": len(errors),
+                         "failed": sorted(errors)}
         line = json.dumps(out)
     try:
         (repo / "BENCH_LOCAL.json").write_text(json.dumps(full_out, indent=1))
@@ -196,9 +203,20 @@ def _latest_prev_bench(repo: Path):
     """(data, name) of the newest BENCH_r*.json that actually carries a
     per-query table, or None.  Walks newest-first PAST parsed-null
     driver wrappers (VERDICT r12 #1c: BENCH_r12.json is such a wrapper —
-    stopping at it would silently drop the vs_prev table).  Never raises
-    — the bench artifact must survive a corrupt or absent predecessor."""
-    for path in sorted(repo.glob("BENCH_r*.json"), reverse=True):
+    stopping at it would silently drop the vs_prev table).  Newest-first
+    is NUMERIC on the round number (ADVICE r13: lexicographic reverse
+    only worked because the artifacts happen to be zero-padded — an
+    unpadded BENCH_r9.json would have sorted above BENCH_r13.json).
+    Never raises — the bench artifact must survive a corrupt or absent
+    predecessor."""
+    import re
+
+    def _round_no(p: Path) -> int:
+        m = re.search(r"r(\d+)", p.stem)
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(repo.glob("BENCH_r*.json"), key=_round_no,
+                       reverse=True):
         try:
             data = json.loads(path.read_text())
             # the round driver wraps the emitted JSON line under "parsed"

@@ -336,6 +336,56 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
              .select("id_a", "id_b", "jaccard"))
 
 
+def ngram_jaccard_pairs_index(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.5,
+                              k: int = 3) -> DataFrame:
+    """Exact pairwise word-k-gram Jaccard above threshold via a shingle
+    INVERTED INDEX — the same result set as ngram_jaccard_pairs (pinned
+    by tests/test_catalog_r14.py), but pair enumeration is index-driven
+    instead of a nested-loop theta-join: explode distinct shingles,
+    equi-join on the shingle, and the shared-shingle count per pair IS
+    the intersection size, so jaccard = inter / (|A| + |B| - inter)
+    derives from three integers with no array set-ops at all (the
+    AllPairs/PPJoin family shape — Bayardo et al. 2007, "Scaling Up
+    All Pairs Similarity Search", public).
+
+    Cost model: sum over shingles of freq^2 instead of n^2/2 pair
+    enumerations — near-linear when shingles are rare (word 3-grams
+    mostly are), and the size-bound prune (jaccard <= min/max of set
+    sizes) sits inside the join condition so disproportionate pairs
+    never reach the aggregate.  This is why the release-audit stratum
+    verify uses this form (VERDICT r13 #1): the stratum's exact pair
+    set costs an equi-join + one groupBy, not a quadratic enumeration.
+
+    Requires threshold > 0: pairs sharing NO shingle have jaccard 0
+    and never appear in the index join (the nested-loop form would
+    emit them at threshold 0.0)."""
+    if threshold <= 0:
+        raise ValueError("ngram_jaccard_pairs_index needs threshold > 0 "
+                         "(zero-overlap pairs never meet in the index); "
+                         "use ngram_jaccard_pairs for threshold 0")
+    sh = df.select(F.col(id_col),
+                   word_shingles(F.col(text_col), k).alias("__sh"))
+    ex = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
+                   F.explode("__sh").alias("__s"))
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__n_a"),
+                  "__s")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__n_b"),
+                  "__s")
+    bound = (F.least("__n_a", "__n_b").cast("double")
+             / F.greatest("__n_a", "__n_b")) >= threshold
+    inter = (a.join(b, "__s")
+             .filter((F.col("id_a") < F.col("id_b")) & bound)
+             .groupBy("id_a", "id_b", "__n_a", "__n_b")
+             .agg(F.count("*").alias("__i")))
+    jac = (F.col("__i").cast("double")
+           / (F.col("__n_a") + F.col("__n_b") - F.col("__i")).cast("double"))
+    return (inter.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit as two 32-bit words) + pigeonhole blocking
 # ---------------------------------------------------------------------------
@@ -497,7 +547,14 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
     is the batch operator's precision lever, identically applied (a
     pair must collide in >= m buckets before verify).
     ``base_banded`` passes the STORED index directly (the steady-state
-    ingest path — the base signature scan never reruns).  Measured at
+    ingest path — the base signature scan never reruns).  CONTRACT
+    (ADVICE r13): a stored index must have been banded at the SAME
+    (num_hashes, num_bands) operating point as this call — its band
+    column in [0, num_bands) and its band_hash over num_hashes//
+    num_bands signature rows — or the bucket equi-join silently
+    compares mismatched keys (no aliasing, but cross-width candidates
+    are meaningless); the st_minhash_ingest registry satisfies it by
+    building every tranche with the same module defaults.  Measured at
     the 10x stress tier (5k new docs vs a 45k resident index,
     production width 128/32): full re-pair 39.2 s vs 19.1 s with the
     stored index — and the delta's OWN work (signatures + the two
@@ -574,9 +631,11 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
     # ordinary two-phase aggregate over an 8-byte mask, NOT a
     # distinct-expand over the 32-char bucket hash (a countDistinct
     # form measured 2.4-3.6x slower on the adversarial skew tier, on
-    # candidate volumes where the mask costs nothing).  Bands are
-    # <= 64 by construction (production width is 32; asserted by the
-    # signature builders' callers).
+    # candidate volumes where the mask costs nothing).  Band indices
+    # are < num_bands <= 64: the delta side bands here with num_bands,
+    # the guard at the top of this function rejects wider requests,
+    # and a stored base_banded must honor the same-width contract
+    # documented in the docstring.
     band_mask = F.expr("shiftleft(cast(1 as bigint), cast(band as int))")
     cands = (cross.unionByName(within)
              .groupBy("id_a", "id_b")

@@ -456,12 +456,97 @@ _AUDIT_ANIS_MAX = 0.1       # |mean pair cosine| policy
 _AUDIT_CLUMP_SLACK = 0.05   # curriculum same-bucket rate vs doc_id +
 _AUDIT_CORR_MAX = 0.5       # |quality-length correlation| policy
 # r13 rows (VERDICT r12 #5): LSH recall audited on a deterministic
-# 1-in-_AUDIT_MH_MOD md5 doc stratum — the a24 key-sampling shape
-# dd_minhash_pr's own docstring names as the 100 TB form (the full
-# exact pair set is O(n^2/2): 52 s at sf0.1, which no release card
-# can carry); the drift and EWMA policies are the dq9/dq10 ones.
+# 1-in-m md5 doc stratum — the a24 key-sampling shape dd_minhash_pr's
+# own docstring names as the 100 TB form (the full exact pair set is
+# O(n^2/2): 52 s at sf0.1, which no release card can carry); the
+# drift and EWMA policies are the dq9/dq10 ones.  Since r14 the
+# modulus m DERIVES from the corpus count (VERDICT r13 #1 — the
+# derived_n_lists pattern): smallest power of two with
+# m * _AUDIT_MH_TARGET >= n, so the stratum lands in
+# (_AUDIT_MH_TARGET/2, _AUDIT_MH_TARGET] docs at ANY corpus size —
+# fixed audit cost AND fixed estimator variance, where the r13
+# hard-coded m=4 made the exact verify O(n^2/16), quadratic at 100 TB.
 _AUDIT_MH_RECALL_MIN = 0.9
-_AUDIT_MH_MOD = 4
+_AUDIT_MH_TARGET = 2048
+
+
+def audit_stratum_mod(n_docs: int) -> int:
+    """Corpus-size-derived stratum modulus: smallest power of two m
+    with m * _AUDIT_MH_TARGET >= n_docs.  Resolves to 1 below the
+    target (the whole corpus IS the stratum — exact P/R, no sampling),
+    4 at sf0.1's 5000 docs (the r13 operating point, unchanged there),
+    and ~n/2048 rounded up to a power of two beyond — the stratum size
+    is bounded by the target forever, so the O(stratum^2)-worst-case
+    exact verify is a CONSTANT audit budget, not a corpus tax."""
+    m = 1
+    while m * _AUDIT_MH_TARGET < n_docs:
+        m *= 2
+    return m
+
+
+def _pr_mod_sql() -> str:
+    """DuckDB twin of audit_stratum_mod as a scalar subquery — the
+    modulus derives from the SAME corpus count on both engines, so the
+    stratum stays replay-identical without a shared hard-coded knob."""
+    return (f"(SELECT min(CAST(power(2, g.g) AS BIGINT)) "
+            f"FROM generate_series(0, 48) g(g) "
+            f"WHERE CAST(power(2, g.g) AS BIGINT) * {_AUDIT_MH_TARGET} "
+            f">= (SELECT count(*) FROM documents))")
+
+
+def _pr_stratum_cte() -> str:
+    """The prdocs CTE body both stratum oracles share."""
+    return f"""
+  SELECT doc_id, text FROM documents
+  WHERE (('0x' || substr(md5('pr:' || doc_id::VARCHAR), 1, 8))::BIGINT)
+        % {_pr_mod_sql()} = 0
+"""
+
+
+def pr_stratum(spark: SparkSession, d: str) -> DataFrame:
+    """The deterministic md5 document stratum at the derived modulus —
+    md5('pr:' || doc_id) is content- and ingest-order-independent, so
+    the stratum reads as an unbiased doc sample under the usual
+    exchangeability argument, and both engines replay it exactly (no
+    sampling RNG — the repo's seedless-hash convention).  The modulus
+    costs one parquet-footer count."""
+    from ..operators.dedup import md5_int32
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    mod = audit_stratum_mod(docs.count())
+    return docs.filter(
+        F.pmod(md5_int32(F.concat(F.lit("pr:"),
+                                  F.col("doc_id").cast("string"))),
+               F.lit(mod)) == 0)
+
+
+def pr_stratum_counts(spark: SparkSession, d: str,
+                      threshold: float = 0.8) -> DataFrame:
+    """ONE implementation of the stratum P/R counts (VERDICT r13 #6 —
+    cc_release_audit's minhash_lsh_recall row and dd_minhash_pr_sampled
+    both consume this helper instead of rebuilding the banding + exact
+    pairs independently): a 1-row frame (n_stratum, n_candidates,
+    n_true_pos, n_exact).  Candidates come from the production LSH
+    plan at verify-threshold 0; the exact denominator comes from the
+    INVERTED-INDEX exact join (operators/dedup.py::
+    ngram_jaccard_pairs_index — sum-of-freq^2 cost, not the
+    nested-loop O(stratum^2) enumeration the r13 card paid)."""
+    from ..operators.dedup import (minhash_dedup_pairs,
+                                   ngram_jaccard_pairs_index)
+    # the stratum is BOUNDED (~2k docs) by the derived modulus, so
+    # materializing it once is a constant-size localCheckpoint at any
+    # corpus scale — the three consumers below (banding, exact index
+    # join, count) then read a tiny local table instead of each
+    # re-running the scan + filter
+    strat = pr_stratum(spark, d).localCheckpoint()
+    cand = (minhash_dedup_pairs(strat, threshold=0.0)
+            .agg(F.count("*").cast("long").alias("n_candidates"),
+                 F.coalesce(F.sum((F.col("jaccard") >= threshold)
+                                  .cast("int")), F.lit(0))
+                 .cast("long").alias("n_true_pos")))
+    ex = (ngram_jaccard_pairs_index(strat, threshold=threshold)
+          .agg(F.count("*").cast("long").alias("n_exact")))
+    ns = strat.agg(F.count("*").cast("long").alias("n_stratum"))
+    return ns.crossJoin(F.broadcast(cand)).crossJoin(F.broadcast(ex))
 
 
 def _audit_oracle() -> str:
@@ -475,16 +560,12 @@ def _audit_oracle() -> str:
     dq9 = CATALOG["dq9_embedding_drift"].oracle_text()
     dq10 = CATALOG["dq10_ewma_chart"].oracle_text()
     mhc = OV.minhash_pairs_sql(threshold=0.0, source="prdocs")
-    exs = OV.ngram_pairs_sql(threshold=0.8, source="prdocs")
+    exs = OV.ngram_pairs_index_sql(threshold=0.8, source="prdocs")
     return f"""
 WITH t43v AS MATERIALIZED ({t43}),
 d9 AS ({dq9}),
 d10 AS MATERIALIZED ({dq10}),
-prdocs AS (
-  SELECT doc_id, text FROM documents
-  WHERE (('0x' || substr(md5('pr:' || doc_id::VARCHAR), 1, 8))::BIGINT)
-        % {_AUDIT_MH_MOD} = 0
-), mh AS (
+prdocs AS MATERIALIZED ({_pr_stratum_cte()}), mh AS MATERIALIZED (
   SELECT (SELECT count(*) FROM ({mhc}) WHERE jaccard >= 0.8)::BIGINT
            AS tp,
          (SELECT count(*) FROM ({exs}))::BIGINT AS nex
@@ -540,11 +621,16 @@ def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
     embedding drift (dq9 card, policy = the same _DQ9_L2_MAX /
     var-ratio bounds that gate cc_ingest_delta's publish stage),
     error-rate EWMA (dq10, policy = no out-of-control day in the
-    horizon), and MinHash-LSH recall on a deterministic 1-in-4 md5
-    doc stratum (the a24 key-sampling shape dd_minhash_pr's docstring
-    names as the 100 TB form — the full exact pair set is O(n^2/2),
-    52 s at sf0.1, which no release card can carry; the row passes
-    vacuously when the stratum holds no exact pair, stated here).
+    horizon), and MinHash-LSH recall on a deterministic md5 doc
+    stratum at the DERIVED modulus (VERDICT r13 #1: smallest power of
+    two m with m * 2048 >= corpus count, so the stratum is a bounded
+    ~2k docs at ANY scale — m=1 at sf0.01, m=4 at sf0.1, ~n/2048 at
+    100 TB — where the r13 hard-coded m=4 made the verify O(n^2/16));
+    the exact denominator runs through the inverted-index exact join
+    (ngram_jaccard_pairs_index), and the whole row reads the SAME
+    pr_stratum_counts helper dd_minhash_pr_sampled wraps (VERDICT r13
+    #6 — one stratum implementation, not two).  The row passes
+    vacuously when the stratum holds no exact pair, stated here.
     One row per audit with its headline number and a pass/flag
     against a stated policy.  pytest cross-checks every row equals
     its standalone entry (tests/test_catalog_r11.py,
@@ -615,8 +701,6 @@ def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
     # monitors join as broadcast 1-row frames (each a bounded
     # aggregate over its own table — documents-side rows above stay
     # on the shared grouped scan)
-    from ..operators.dedup import (md5_int32, minhash_dedup_pairs,
-                                   ngram_jaccard_pairs)
     from .catalog_r12 import (_DQ9_L2_MAX, _DQ9_VR_HI, _DQ9_VR_LO,
                               _dq9_card, _dq9_moments, dq10_ewma_chart)
     drift = (_dq9_card(_dq9_moments(_t(spark, d, "embeddings")))
@@ -625,20 +709,15 @@ def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
     ew = dq10_ewma_chart(spark, d).agg(
         F.max_by("ewma", "day").alias("ewma_last"),
         F.bool_or("ooc").alias("any_ooc"))
-    strat = docs.select("doc_id", "text").filter(
-        F.pmod(md5_int32(F.concat(F.lit("pr:"),
-                                  F.col("doc_id").cast("string"))),
-               F.lit(_AUDIT_MH_MOD)) == 0)
-    mh = (minhash_dedup_pairs(strat, threshold=0.0)
-          .agg(F.coalesce(F.sum((F.col("jaccard") >= 0.8).cast("int")),
-                          F.lit(0)).cast("long").alias("tp"))
-          .crossJoin(F.broadcast(
-              ngram_jaccard_pairs(strat, threshold=0.8)
-              .agg(F.count("*").cast("long").alias("nex"))))
-          .select(F.round(F.col("tp").cast("double")
-                          / F.greatest("nex", F.lit(1)).cast("double"),
-                          6).alias("mh_recall"),
-                  F.col("nex").alias("mh_nex")))
+    # the SHARED stratum frame (VERDICT r13 #6): the card's recall row
+    # reads the same helper dd_minhash_pr_sampled wraps — one
+    # implementation of the banding + exact verify, derived modulus
+    # (VERDICT r13 #1), inverted-index exact join
+    mh = (pr_stratum_counts(spark, d, threshold=0.8)
+          .select(F.round(F.col("n_true_pos").cast("double")
+                          / F.greatest("n_exact", F.lit(1))
+                          .cast("double"), 6).alias("mh_recall"),
+                  F.col("n_exact").alias("mh_nex")))
     base = (both.crossJoin(F.broadcast(m5f))
             .crossJoin(F.broadcast(rates))
             .crossJoin(F.broadcast(drift))

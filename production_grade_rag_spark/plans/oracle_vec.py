@@ -233,6 +233,37 @@ WHERE {jac} >= {threshold}
 """
 
 
+def ngram_pairs_index_sql(threshold: float = 0.5, k: int = 3,
+                          source: str = "documents") -> str:
+    """Inverted-index twin of ngram_pairs_sql (the DuckDB side of
+    operators.dedup.ngram_jaccard_pairs_index): explode distinct
+    shingles, equi-join on the shingle, and derive jaccard from the
+    shared-shingle count — sum-of-freq^2 cost instead of the n^2/2
+    nested loop.  Exact same result set for threshold > 0 (zero-
+    overlap pairs never meet in the index); used by the stratum
+    oracles so the 406-entry check doesn't pay a quadratic
+    enumeration per sweep."""
+    assert threshold > 0, "index form needs threshold > 0"
+    toks = tokens_sql("text")
+    sh = word_shingles_sql(toks, k)
+    return f"""
+WITH shx AS (SELECT doc_id, {sh} AS sh FROM {source}),
+exx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shx),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         count(*) AS i
+  FROM exx a JOIN exx b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND least(a.n, b.n)::DOUBLE / greatest(a.n, b.n) >= {threshold}
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (n_a + n_b - i), 6) AS jaccard
+FROM inter
+WHERE i::DOUBLE / (n_a + n_b - i) >= {threshold}
+"""
+
+
 def simhash_sql() -> str:
     """64-bit simhash as (sim_hi, sim_lo): relational formulation —
     unnest tokens x range(32) bit positions, two grouped sums.  Docs

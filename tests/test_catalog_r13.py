@@ -143,24 +143,28 @@ def test_audit_ewma_row_matches_dq10(spark):
 
 
 def test_audit_minhash_row_matches_stratum_standalone(spark):
-    """The card's recall row == dd_minhash_pr's arithmetic run on the
-    SAME 1-in-4 md5 stratum (the a24 sampling shape)."""
+    """The card's recall row == independent arithmetic on the SAME
+    derived-modulus md5 stratum, with the exact denominator computed
+    through the NESTED-LOOP form (ngram_jaccard_pairs) — so this also
+    pins the inverted-index join the card uses against the original
+    exact enumeration."""
     from pyspark.sql import functions as F
     from production_grade_rag_spark.operators.dedup import (
         md5_int32, minhash_dedup_pairs, ngram_jaccard_pairs)
-    from production_grade_rag_spark.plans.catalog_r11 import \
-        _AUDIT_MH_MOD, _AUDIT_MH_RECALL_MIN
+    from production_grade_rag_spark.plans.catalog_r11 import (
+        _AUDIT_MH_RECALL_MIN, audit_stratum_mod)
     from production_grade_rag_spark.sources import load_table
     row = _card(spark)["minhash_lsh_recall"]
     docs = load_table(spark, SF01, "documents").select("doc_id", "text")
+    mod = audit_stratum_mod(docs.count())
     strat = docs.filter(
         F.pmod(md5_int32(F.concat(F.lit("pr:"),
                                   F.col("doc_id").cast("string"))),
-               F.lit(_AUDIT_MH_MOD)) == 0)
+               F.lit(mod)) == 0)
     tp = (minhash_dedup_pairs(strat, threshold=0.0)
           .filter(F.col("jaccard") >= 0.8).count())
     nex = ngram_jaccard_pairs(strat, threshold=0.8).count()
-    assert nex > 0   # the stratum is non-vacuous at sf0.01 (3 pairs)
+    assert nex > 0   # the stratum is non-vacuous at sf0.01
     assert row["value_q"] == round(tp / max(nex, 1), 6)
     assert row["flag_ok"] == (row["value_q"] >= _AUDIT_MH_RECALL_MIN
                               or nex == 0)
@@ -221,14 +225,16 @@ def test_pr_sampled_matches_audit_row_and_stratum(spark):
     from pyspark.sql import functions as F
     from production_grade_rag_spark.operators.dedup import md5_int32
     from production_grade_rag_spark.plans.catalog import CATALOG
-    from production_grade_rag_spark.plans.catalog_r11 import _AUDIT_MH_MOD
+    from production_grade_rag_spark.plans.catalog_r11 import \
+        audit_stratum_mod
     from production_grade_rag_spark.sources import load_table
     row = CATALOG["dd_minhash_pr_sampled"].build(spark, SF01).collect()[0]
     docs = load_table(spark, SF01, "documents")
+    mod = audit_stratum_mod(docs.count())
     n_strat = docs.filter(
         F.pmod(md5_int32(F.concat(F.lit("pr:"),
                                   F.col("doc_id").cast("string"))),
-               F.lit(_AUDIT_MH_MOD)) == 0).count()
+               F.lit(mod)) == 0).count()
     assert row["n_stratum"] == n_strat
     assert row["n_exact"] > 0          # non-vacuous at sf0.01
     assert row["recall"] == round(row["n_true_pos"]

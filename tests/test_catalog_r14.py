@@ -1,0 +1,78 @@
+"""Round-14 pins: VERDICT r13 #1 (derived audit stratum modulus +
+inverted-index exact verify) and the round's other additions.
+"""
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF01  # noqa: F401
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark, d=SF001):
+    from production_grade_rag_spark.sources import load_table
+    return load_table(spark, d, "documents").select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r13 #1: the inverted-index exact Jaccard join is a plan
+# change, not a semantics change — it must equal the nested-loop form
+# pair for pair, jaccard for jaccard.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_ngram_index_equals_nested_loop(spark, threshold):
+    from production_grade_rag_spark.operators.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_pairs_index)
+    docs = _docs(spark)
+    want = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                  ngram_jaccard_pairs(docs, threshold=threshold).collect())
+    got = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                 ngram_jaccard_pairs_index(docs,
+                                           threshold=threshold).collect())
+    assert got == want
+    assert len(want) > 0   # non-vacuous on this corpus
+
+
+def test_ngram_index_rejects_threshold_zero(spark):
+    from production_grade_rag_spark.operators.dedup import \
+        ngram_jaccard_pairs_index
+    with pytest.raises(ValueError, match="threshold > 0"):
+        ngram_jaccard_pairs_index(_docs(spark), threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r13 #1: the stratum modulus derives from the corpus count —
+# bounded stratum at any scale, the r13 operating point preserved at
+# sf0.1, whole-corpus (exact P/R) below the target.
+# ---------------------------------------------------------------------------
+
+def test_audit_stratum_mod_derivation():
+    from production_grade_rag_spark.plans.catalog_r11 import (
+        _AUDIT_MH_TARGET, audit_stratum_mod)
+    assert audit_stratum_mod(500) == 1      # sf0.01: whole corpus
+    assert audit_stratum_mod(2048) == 1
+    assert audit_stratum_mod(2049) == 2
+    assert audit_stratum_mod(5000) == 4     # sf0.1: the r13 point
+    assert audit_stratum_mod(50_000) == 32  # 10x stress tier
+    assert audit_stratum_mod(10**9) == 1 << 19
+    # the invariant the derivation exists for: stratum size bounded by
+    # the target (and above half of it, so variance never collapses)
+    for n in (1, 100, 2048, 4097, 123_457, 10**7, 10**9):
+        m = audit_stratum_mod(n)
+        assert n / m <= _AUDIT_MH_TARGET
+        if m > 1:
+            assert n / m > _AUDIT_MH_TARGET / 2
+
+
+def test_pr_stratum_counts_shared_by_card_and_standalone(spark):
+    """The standalone entry is EXACTLY the shared helper plus derived
+    ratios (one implementation — VERDICT r13 #6)."""
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    from production_grade_rag_spark.plans.catalog_r11 import \
+        pr_stratum_counts
+    row = CATALOG["dd_minhash_pr_sampled"].build(spark, SF01).collect()[0]
+    helper = pr_stratum_counts(spark, SF01).collect()[0]
+    for c in ("n_stratum", "n_candidates", "n_true_pos", "n_exact"):
+        assert row[c] == helper[c]
