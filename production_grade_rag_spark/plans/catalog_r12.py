@@ -1366,14 +1366,19 @@ def _dq9_card(moments: DataFrame) -> DataFrame:
 # ===========================================================================
 
 def _g14_oracle() -> str:
+    # le feeds THREE reads (mm/din/dg) and lf two — MATERIALIZED keeps
+    # the label-prop closure single-shot instead of re-running the
+    # all-pairs kNN per reference (VERDICT r13 #5: this entry alone was
+    # 14% of the full driver-check sweep; with nb/lab{k} materialized
+    # in _lp_cte and le/lf here, the oracle drops ~30x)
     from .catalog_r8b import _LP_ITERS, _lp_cte
     return _lp_cte() + f""",
 und AS (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
   FROM nb
-), lf AS (
+), lf AS MATERIALIZED (
   SELECT vec_id, lab FROM lab{_LP_ITERS} WHERE lab IS NOT NULL
-), le AS (
+), le AS MATERIALIZED (
   SELECT a.lab AS cu, b.lab AS cv
   FROM und e JOIN lf a ON a.vec_id = e.u JOIN lf b ON b.vec_id = e.v
 ), mm AS (

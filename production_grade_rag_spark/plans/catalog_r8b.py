@@ -1134,7 +1134,7 @@ def _lp_cte() -> str:
     parts = [f"""
 e AS (
   SELECT vec_id, embedding, label FROM embeddings
-), nb AS (
+), nb AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
            row_number() OVER (PARTITION BY a.vec_id
@@ -1155,7 +1155,7 @@ votes{k} AS (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY c DESC, lab) AS rn
     FROM votes{k}) WHERE rn = 1
-), lab{k + 1} AS (
+), lab{k + 1} AS MATERIALIZED (
   SELECT e.vec_id,
          CASE WHEN e.vec_id % 2 = 0 THEN e.label
               ELSE coalesce(b.lab, l.lab) END AS lab
