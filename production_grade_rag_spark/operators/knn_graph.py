@@ -104,21 +104,81 @@ def derived_n_lists(n: int) -> int:
     return 1 << round(math.log2(math.sqrt(n)))
 
 
-def derived_n_probe(n_lists: int) -> int:
-    """Default probe count for the derived-list build: HALF the cells,
-    floored at 4.  The r12 n_lists sweep (STRESS_r12
-    g6_ivf_nlists_sweep_10x) showed that on near-isotropic embeddings
-    (the hash corpus, m5 anisotropy ~ 0 — IVF's worst case) the
-    g_knn_edges_ivf_recall 0.9 floor needs probe fractions 1/4-1/2,
-    and 1/2 is the fraction that cleared it at EVERY swept list count
-    (16/8 -> 0.94-0.96, 64/32 -> 0.958, 128/64 -> 0.972), so half is
-    the geometry-safe default; clustered anisotropic corpora certify
-    at smaller fractions (the r13 clustered stress tier measures how
-    much smaller) and can pass an explicit n_probe.  The default
-    still prunes: the candidate bill is n_probe/n_lists of the
-    corpus, so derived lists + half-probe reads ~n^1.5/2 pairs where
-    exact reads n^2."""
-    return max(4, n_lists // 2)
+def measured_anisotropy(emb: DataFrame, n: int,
+                        max_pairs: int = 4096) -> float:
+    """Fit-time geometry probe: mean cosine over a deterministic
+    strided consecutive-id pair chain — the m5_embedding_isotropy
+    instrument (plans/catalog_r10.py, Ethayarajh 2019 cone geometry)
+    sampled down to <= max_pairs pairs so the read is a bounded
+    constant at any corpus size.  Ids are content-uncorrelated in
+    this corpus family, so chain pairs read as random pairs while
+    staying replay-deterministic (no sampling RNG — the repo's
+    seedless convention).  This is the number the IVF probe default
+    consumes (VERDICT r13 #2: the geometry cards — m5 anisotropy,
+    g15 bucket containment — measured exactly what derived_n_probe
+    needed, but nothing read them at fit time)."""
+    stride = max(1, n // max_pairs)
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+    v = to_double_array(F.col("embedding"))
+    a = base.select(F.col("vec_id").alias("ia"), v.alias("va"))
+    b = (emb.filter(F.pmod(F.col("vec_id") - 1, F.lit(stride)) == 0)
+         .select((F.col("vec_id") - 1).alias("ia"), v.alias("vb")))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    row = (a.join(b, "ia")
+           .select((dot / na / nb).alias("c"))
+           .agg(F.avg("c").alias("m")).collect()[0])
+    return float(row["m"] if row["m"] is not None else 0.0)
+
+
+# Probe-fraction anchors measured by scripts/stress_bench.py (both on
+# the STRESS ledger, both recall-gated >= 0.9 at the 10x tier):
+#   - isotropic hash corpus, m5 anisotropy 0.004: the 0.9 edge-recall
+#     floor needs probe fraction 1/2 (cleared at EVERY swept list
+#     count: 16/8 -> 0.94-0.96, 64/32 -> 0.958, 128/64 -> 0.972)
+#   - clustered anisotropic corpus, m5 anisotropy 0.290: certifies at
+#     probe fraction 1/32 (recall 0.955, crossover 21.64x — STRESS_r13)
+# probe_bits interpolates log2(1/fraction) linearly between them and
+# FLOORS (more probes than the line, never fewer), clamped to [1, 5].
+_PROBE_ANCHOR_ISO = (0.004, 1)
+_PROBE_ANCHOR_CLU = (0.290, 5)
+
+
+def probe_bits(anisotropy: float) -> int:
+    """log2(n_lists/n_probe) from the measured corpus anisotropy —
+    the consumption side of the geometry cards (VERDICT r13 #2).
+    Conservative by construction: floor of the two-anchor
+    interpolation, clamped to [1, 5], so an unmeasured geometry gets
+    AT LEAST the probe budget the line implies, and every default
+    build is still re-certified by its recall gate
+    (g_knn_edges_ivf_recall / the per-tier stress gates) — the
+    interpolation picks the operating point, the gate certifies it."""
+    import math
+    (lo_a, lo_b), (hi_a, hi_b) = _PROBE_ANCHOR_ISO, _PROBE_ANCHOR_CLU
+    t = (anisotropy - lo_a) / (hi_a - lo_a)
+    bits = lo_b + t * (hi_b - lo_b)
+    return int(max(1, min(5, math.floor(bits))))
+
+
+def derived_n_probe(n_lists: int, anisotropy: float | None = None) -> int:
+    """Default probe count for the derived-list build, floored at 4.
+    With NO geometry reading (anisotropy=None) this stays the
+    isotropic worst case — HALF the cells, the fraction that cleared
+    the 0.9 recall floor at every swept list count on the hash corpus
+    (STRESS_r12 g6_ivf_nlists_sweep_10x).  With a measured anisotropy
+    (the default build path measures it at fit time via
+    measured_anisotropy — VERDICT r13 #2) the fraction comes from the
+    two-anchor probe_bits map: ~1/2 on isotropic geometry (unchanged
+    there), down to the certified 1/32 on clustered geometry like the
+    r13 stress corpus — a 16x smaller probe bill exactly where the
+    measured curve says recall holds, re-gated per build.  The
+    default always prunes: the candidate bill is n_probe/n_lists of
+    the corpus."""
+    if anisotropy is None:
+        return max(4, n_lists // 2)
+    return max(4, n_lists >> probe_bits(anisotropy))
 
 
 def _resolve_ivf(spark: SparkSession, d: str, method: str,
@@ -126,13 +186,21 @@ def _resolve_ivf(spark: SparkSession, d: str, method: str,
     """Resolve the (n_lists, n_probe) operating point.  Exact builds
     ignore both (the store tag says just "exact"), so they resolve to
     0 WITHOUT counting the corpus; ivf derives missing values from
-    the measured corpus size (one parquet-footer count)."""
+    the measured corpus: n_lists from the row count (one parquet-
+    footer count), n_probe from the count AND the measured geometry
+    (a bounded <= 4096-pair anisotropy read — VERDICT r13 #2: the
+    isotropic half-the-cells worst case was a ~16x probe overpay on
+    clustered geometry the m5/g15 cards already measured)."""
     if method != "ivf":
         return 0, 0
-    if n_lists is None:
-        n_lists = derived_n_lists(_load_emb(spark, d).count())
-    if n_probe is None:
-        n_probe = derived_n_probe(n_lists)
+    if n_lists is None or n_probe is None:
+        emb = _load_emb(spark, d)
+        n = emb.count()
+        if n_lists is None:
+            n_lists = derived_n_lists(n)
+        if n_probe is None:
+            n_probe = derived_n_probe(n_lists,
+                                      measured_anisotropy(emb, n))
     return n_lists, n_probe
 
 
@@ -183,11 +251,14 @@ def knn_nb(spark: SparkSession, d: str, k: int = 5,
     the store thereafter.  ``centroids`` passes a PREBUILT cell
     layout to the ivf build (skips the in-loop KMeans fit — the
     amortized ingest shape stress_bench ledgers separately).
-    The ivf defaults derive from the measured corpus size (VERDICT
-    r12 #3): n_lists=None -> derived_n_lists (~sqrt(n) rounded to a
-    power of two), n_probe=None -> derived_n_probe (half the cells —
-    the fraction that cleared the 0.9 recall floor at every swept
-    list count on isotropic geometry)."""
+    The ivf defaults derive from the measured corpus (VERDICT r12 #3,
+    geometry-aware since r14 per VERDICT r13 #2): n_lists=None ->
+    derived_n_lists (~sqrt(n) rounded to a power of two),
+    n_probe=None -> derived_n_probe at the probe fraction the
+    MEASURED anisotropy implies (~1/2 on isotropic geometry — the
+    swept-and-certified worst case — down to 1/32 on clustered
+    geometry like the r13 stress corpus), re-certified per build by
+    the recall gates."""
     n_lists, n_probe = _resolve_ivf(spark, d, method, n_lists, n_probe)
     tag = _tag("knn_nb", d, k, method, n_lists, n_probe)
     path = _warehouse(tag)

@@ -521,13 +521,21 @@ def main() -> None:
     # r10's lesson).  The p4 census row is kept as the explicitly-
     # labeled cheaper/lower-recall point so both stay on the ledger.
     from production_grade_rag_spark.operators.knn_graph import (
-        derived_n_lists, derived_n_probe)
+        derived_n_lists, derived_n_probe, measured_anisotropy)
     n_emb1 = load_table(spark, SF_DIR, "embeddings").count()
     for tag, d, ne in (("1x", SF_DIR, n_emb1),
                        ("10x", STRESS_DIR, n_emb10)):
         nl = derived_n_lists(ne)
-        probe = derived_n_probe(nl)
-        res[f"g6_ivf_point_{tag}"] = {"n_lists": nl, "n_probe": probe}
+        # r14 (VERDICT r13 #2): the probe default now CONSUMES the
+        # measured geometry — on this near-isotropic corpus it must
+        # resolve to the same half-the-cells point the r12/r13 gates
+        # certified (anisotropy ~0 -> 1 bit)
+        anis = measured_anisotropy(load_table(spark, d, "embeddings"),
+                                   ne)
+        probe = derived_n_probe(nl, anis)
+        res[f"g6_ivf_point_{tag}"] = {"n_lists": nl, "n_probe": probe,
+                                      "measured_anisotropy":
+                                          round(anis, 4)}
         _, t = _timed(lambda d=d, nl=nl, p=probe: _g6_und(
             spark, d, method="ivf", n_lists=nl,
             n_probe=p, rebuild=True).count())
@@ -719,6 +727,36 @@ def main() -> None:
           f"probe fraction {res['g6_clustered_gated_probe_fraction']} "
           f"(isotropic certified: "
           f"{res['g6_build_exact_over_ivf_certified_10x']}x)",
+          file=sys.stderr)
+
+    # --- geometry-derived DEFAULT gate (VERDICT r13 #2): the default
+    # build (n_lists/n_probe both None) now reads the corpus geometry
+    # at fit time — on THIS clustered corpus it must land at a probe
+    # fraction <= 1/8 (the r13 default was the isotropic 1/2 — a ~16x
+    # probe overpay here) AND still clear the 0.9 edge-recall floor
+    # vs the clustered exact store.  The isotropic tier's default
+    # gate above (g6_ivf_default_gate_ok_10x) covers the other
+    # geometry; together: one default, both geometries certified.
+    nl_c = derived_n_lists(n_emb10)
+    anis_c = measured_anisotropy(embc, n_emb10)
+    probe_c = derived_n_probe(nl_c, anis_c)
+    res["g6_clustered_derived_point"] = {
+        "n_lists": nl_c, "n_probe": probe_c,
+        "measured_anisotropy": round(anis_c, 4),
+        "probe_fraction": round(probe_c / nl_c, 4)}
+    _, t = _timed(lambda: knn_und(spark, CLUSTER_DIR, method="ivf",
+                                  rebuild=True).count())
+    T["g6_knn_build_ivf_derived_clustered"] = t
+    e_def = knn_und(spark, CLUSTER_DIR, method="ivf")
+    rec_c = round(e_def.join(exact_c, ["u", "v"]).count() / n_exact_c, 3)
+    res["g6_clustered_derived_recall"] = rec_c
+    res["g6_clustered_derived_gate_ok"] = (rec_c >= 0.9
+                                           and probe_c * 8 <= nl_c)
+    print(f"# g6 CLUSTERED derived-default gate: anisotropy {anis_c:.4f}"
+          f" -> ({nl_c} lists, probe {probe_c}, fraction "
+          f"{probe_c / nl_c:.4f}), build {t}s, edge recall {rec_c} "
+          f"(floor 0.9, fraction cap 1/8) -> "
+          f"{'OK' if res['g6_clustered_derived_gate_ok'] else 'FAIL'}",
           file=sys.stderr)
 
     # --- fixed-eval-set IR tier (VERDICT r8 #3, pinned per r9 #6):

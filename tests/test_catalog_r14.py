@@ -66,6 +66,44 @@ def test_audit_stratum_mod_derivation():
             assert n / m > _AUDIT_MH_TARGET / 2
 
 
+# ---------------------------------------------------------------------------
+# VERDICT r13 #2: the IVF probe default consumes the measured corpus
+# geometry — isotropic readings keep the certified half-the-cells
+# point, clustered readings drop to the certified 1/32, and the map
+# floors (never fewer probes than the two-anchor line).
+# ---------------------------------------------------------------------------
+
+def test_probe_bits_anchors_and_clamps():
+    from production_grade_rag_spark.operators.knn_graph import (
+        derived_n_probe, probe_bits)
+    assert probe_bits(0.004) == 1     # isotropic anchor -> 1/2
+    assert probe_bits(0.290) == 5     # clustered anchor -> 1/32
+    assert probe_bits(-0.2) == 1      # clamp low
+    assert probe_bits(0.9) == 5       # clamp high
+    # floor = conservative: between anchors, never fewer probes than
+    # the interpolation line implies
+    for a in (0.05, 0.1, 0.15, 0.2, 0.25):
+        t = (a - 0.004) / (0.290 - 0.004)
+        assert probe_bits(a) <= 1 + t * 4
+    # geometry-unknown default stays the isotropic worst case
+    assert derived_n_probe(128) == 64
+    assert derived_n_probe(128, 0.004) == 64
+    assert derived_n_probe(128, 0.290) == 4
+    assert derived_n_probe(16, 0.290) == 4   # floor at 4
+
+
+def test_measured_anisotropy_isotropic_corpus(spark):
+    """The hash corpus reads near-zero anisotropy, so the default IVF
+    operating point is UNCHANGED from the r12/r13 certified (16, 8)."""
+    from production_grade_rag_spark.operators.knn_graph import (
+        _resolve_ivf, measured_anisotropy)
+    from production_grade_rag_spark.sources import load_table
+    emb = load_table(spark, SF01, "embeddings")
+    a = measured_anisotropy(emb, emb.count())
+    assert abs(a) < 0.05
+    assert _resolve_ivf(spark, SF01, "ivf", None, None) == (16, 8)
+
+
 def test_pr_stratum_counts_shared_by_card_and_standalone(spark):
     """The standalone entry is EXACTLY the shared helper plus derived
     ratios (one implementation — VERDICT r13 #6)."""
