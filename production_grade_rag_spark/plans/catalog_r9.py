@@ -3867,7 +3867,11 @@ def dd_minhash_pr(spark: SparkSession, d: str) -> DataFrame:
     verify-threshold 0 (band shuffle + candidate-only shingle join);
     the exact side is the O(n²/2) audit twin, catalog-scale only
     (the dd_ngram_jaccard caveat) — at 100 TB recall is estimated on
-    a sampled stratum instead (the a24 key-sampling shape)."""
+    a sampled stratum instead (dd_minhash_pr_sampled, the a24
+    key-sampling shape).  The ANALYTIC prior for this measured
+    posterior is dd_band_plan (plans/catalog_r14.py): the S-curve
+    says 16/4 sits at 0.8785 at j=0.8 — pick the banding there
+    BEFORE paying for a measurement."""
     from ..operators.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
     docs = _t(spark, d, "documents")
     allc = minhash_dedup_pairs(docs, threshold=0.0)
