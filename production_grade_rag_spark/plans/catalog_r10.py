@@ -1359,10 +1359,17 @@ def t43_order_clumping(spark: SparkSession, d: str) -> DataFrame:
     audit runs per training SHARD (the order within a shard is what
     a data-loader actually replays), making the window shard-bounded;
     the full-order form here is the oracle-checkable reduction."""
-    from pyspark.sql import Window as W
     docs = _t(spark, d, "documents").select("doc_id", "source")
     w12 = w12_order_frame(spark, d)
-    base = w12.join(docs, "doc_id")
+    return t43_clump_base(w12.join(docs, "doc_id"))
+
+
+def t43_clump_base(base: DataFrame) -> DataFrame:
+    """The adjacency-read tail over a (doc_id, bucket, source,
+    curriculum_pos) manifest frame — split from t43_order_clumping so
+    the streaming release audit (st_release_audit, catalog_r14) can
+    run the identical arithmetic over its drained manifest store."""
+    from pyspark.sql import Window as W
 
     def clump(order_col, label: str) -> DataFrame:
         w = W.orderBy(order_col)

@@ -530,14 +530,22 @@ def pr_stratum_counts(spark: SparkSession, d: str,
     INVERTED-INDEX exact join (operators/dedup.py::
     ngram_jaccard_pairs_index — sum-of-freq^2 cost, not the
     nested-loop O(stratum^2) enumeration the r13 card paid)."""
-    from ..operators.dedup import (minhash_dedup_pairs,
-                                   ngram_jaccard_pairs_index)
     # the stratum is BOUNDED (~2k docs) by the derived modulus, so
     # materializing it once is a constant-size localCheckpoint at any
     # corpus scale — the three consumers below (banding, exact index
     # join, count) then read a tiny local table instead of each
     # re-running the scan + filter
-    strat = pr_stratum(spark, d).localCheckpoint()
+    return pr_counts_from(pr_stratum(spark, d).localCheckpoint(),
+                          threshold=threshold)
+
+
+def pr_counts_from(strat: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """The P/R counts tail over an ALREADY-MATERIALIZED stratum frame
+    (doc_id, text) — split from pr_stratum_counts so the streaming
+    release audit (st_release_audit, plans/catalog_r14.py) can run
+    the identical arithmetic over its drained stratum registry."""
+    from ..operators.dedup import (minhash_dedup_pairs,
+                                   ngram_jaccard_pairs_index)
     cand = (minhash_dedup_pairs(strat, threshold=0.0)
             .agg(F.count("*").cast("long").alias("n_candidates"),
                  F.coalesce(F.sum((F.col("jaccard") >= threshold)
@@ -547,6 +555,54 @@ def pr_stratum_counts(spark: SparkSession, d: str,
           .agg(F.count("*").cast("long").alias("n_exact")))
     ns = strat.agg(F.count("*").cast("long").alias("n_stratum"))
     return ns.crossJoin(F.broadcast(cand)).crossJoin(F.broadcast(ex))
+
+
+def audit_doc_groups(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang, len_bucket) integer sums (n, sx, sy, sxy,
+    sxx, syy) — the ONE grouped scan the card's two documents-side
+    audits (dq8 risk census + t44 correlation) share.  Every cell is
+    a distributive sum, so the frame is MERGEABLE BY ADDITION across
+    batches — exactly the state st_release_audit (catalog_r14)
+    maintains through checkpointed tranches."""
+    from ..functions import text as X
+    q = docs.select(
+        "source", "lang", F.expr("n_chars div 100").alias("len_bucket"),
+        F.round(X.quality_components(F.col("text"))["quality_score"]
+                * 1000000).cast("long").alias("x"),
+        F.round(F.log(F.greatest(F.col("n_chars"), F.lit(1))
+                      .cast("double")) * 1000).cast("long").alias("y"))
+    return (q.groupBy("source", "lang", "len_bucket")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("x").cast("long").alias("sx"),
+                 F.sum("y").cast("long").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).cast("long").alias("syy")))
+
+
+def audit_risk_corr(g: DataFrame) -> DataFrame:
+    """1-row (risk, corr) finish off the group table — shared by the
+    batch card and the streaming drain (the k-anonymity cutoff is
+    nonlinear in the group count, so it must run on the FULLY-merged
+    groups; the correlation moments are corpus sums of group sums)."""
+    from .catalog_r10 import _KANON_K
+    riskn = F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(F.lit(0))
+    both = g.agg(
+        F.round(F.sum(riskn).cast("double")
+                / F.sum("n").cast("double"), 6).alias("risk"),
+        F.sum("n").cast("long").alias("cn"),
+        F.sum("sx").cast("long").alias("csx"),
+        F.sum("sy").cast("long").alias("csy"),
+        F.sum("sxy").cast("long").alias("csxy"),
+        F.sum("sxx").cast("long").alias("csxx"),
+        F.sum("syy").cast("long").alias("csyy"))
+    num = (F.col("cn") * F.col("csxy") - F.col("csx") * F.col("csy"))
+    dx = (F.col("cn") * F.col("csxx") - F.col("csx") * F.col("csx"))
+    dy = (F.col("cn") * F.col("csyy") - F.col("csy") * F.col("csy"))
+    return both.select(
+        "risk",
+        F.round(num.cast("double") / F.sqrt(dx.cast("double"))
+                / F.sqrt(dy.cast("double")), 6).alias("corr"))
 
 
 def _audit_oracle() -> str:
@@ -657,38 +713,8 @@ def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
 
     Scale shape: every branch is partial-aggregable or
     manifest-bounded; the card itself is 4 rows."""
-    from ..functions import text as X
     docs = _t(spark, d, "documents")
-    q = docs.select(
-        "source", "lang", F.expr("n_chars div 100").alias("len_bucket"),
-        F.round(X.quality_components(F.col("text"))["quality_score"]
-                * 1000000).cast("long").alias("x"),
-        F.round(F.log(F.greatest(F.col("n_chars"), F.lit(1))
-                      .cast("double")) * 1000).cast("long").alias("y"))
-    g = (q.groupBy("source", "lang", "len_bucket")
-         .agg(F.count("*").alias("n"),
-              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-              F.sum(F.col("x") * F.col("y")).alias("sxy"),
-              F.sum(F.col("x") * F.col("x")).alias("sxx"),
-              F.sum(F.col("y") * F.col("y")).alias("syy")))
-    from .catalog_r10 import _KANON_K
-    riskn = F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(F.lit(0))
-    both = g.agg(
-        F.round(F.sum(riskn).cast("double")
-                / F.sum("n").cast("double"), 6).alias("risk"),
-        F.sum("n").cast("long").alias("cn"),
-        F.sum("sx").cast("long").alias("csx"),
-        F.sum("sy").cast("long").alias("csy"),
-        F.sum("sxy").cast("long").alias("csxy"),
-        F.sum("sxx").cast("long").alias("csxx"),
-        F.sum("syy").cast("long").alias("csyy"))
-    num = (F.col("cn") * F.col("csxy") - F.col("csx") * F.col("csy"))
-    dx = (F.col("cn") * F.col("csxx") - F.col("csx") * F.col("csx"))
-    dy = (F.col("cn") * F.col("csyy") - F.col("csy") * F.col("csy"))
-    both = both.select(
-        "risk",
-        F.round(num.cast("double") / F.sqrt(dx.cast("double"))
-                / F.sqrt(dy.cast("double")), 6).alias("corr"))
+    both = audit_risk_corr(audit_doc_groups(docs))
     from .catalog_r10 import (m5_embedding_isotropy,  # noqa: F401
                               t43_order_clumping)
     m5f = m5_embedding_isotropy(spark, d).select("anisotropy")
@@ -718,6 +744,17 @@ def cc_release_audit(spark: SparkSession, d: str) -> DataFrame:
                           / F.greatest("n_exact", F.lit(1))
                           .cast("double"), 6).alias("mh_recall"),
                   F.col("n_exact").alias("mh_nex")))
+    return audit_card_assemble(both, m5f, rates, drift, ew, mh)
+
+
+def audit_card_assemble(both: DataFrame, m5f: DataFrame,
+                        rates: DataFrame, drift: DataFrame,
+                        ew: DataFrame, mh: DataFrame) -> DataFrame:
+    """The 7-row card finish from the six 1-row monitor frames —
+    shared by the batch card and the streaming drain (identical
+    policy constants, identical flags; st_release_audit equals
+    cc_release_audit BY CONSTRUCTION once the monitor frames do)."""
+    from .catalog_r12 import _DQ9_L2_MAX, _DQ9_VR_HI, _DQ9_VR_LO
     base = (both.crossJoin(F.broadcast(m5f))
             .crossJoin(F.broadcast(rates))
             .crossJoin(F.broadcast(drift))

@@ -1791,13 +1791,23 @@ def dq10_ewma_chart(spark: SparkSession, d: str) -> DataFrame:
     terms identically, renormalizing by the same truncated weight
     sum; the mass beyond day {H} is (0.8)^{H} < 1.4e-4 of the
     chart)."""
-    from pyspark.sql import Row
     ev = _t(spark, d, "events")
     day = F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400")
     days = (ev.groupBy(day.alias("d"))
             .agg(F.count("*").cast("long").alias("n_events"),
                  F.sum((F.col("event_type") == "error").cast("int"))
                  .cast("long").alias("n_errors")))
+    return dq10_chart_from_days(spark, days)
+
+
+def dq10_chart_from_days(spark: SparkSession, days: DataFrame) -> DataFrame:
+    """The EWMA chart tail over an already-aggregated per-day (d,
+    n_events, n_errors) frame — split from dq10_ewma_chart so the
+    streaming release audit (st_release_audit, catalog_r14) can run
+    the identical closed-form arithmetic over its drained day store
+    (per-day sums merge by pure addition — the mergeable state the
+    batch docstring's 100 TB paragraph describes)."""
+    from pyspark.sql import Row
     mn = days.agg(F.min("d").alias("d0"))
     x = (days.crossJoin(F.broadcast(mn))
          .select((F.col("d") - F.col("d0")).alias("day_idx"),

@@ -134,3 +134,324 @@ def dd_band_plan(spark: SparkSession, d: str) -> DataFrame:
                     (F.col("num_bands") == F.col("rec_b"))
                     .alias("recommended"))
             .orderBy("num_hashes", "num_bands"))
+
+
+# ===========================================================================
+# Streaming release audit (VERDICT r13 #3): the 7-row card maintained
+# through checkpointed out-of-order tranches — the release card a
+# never-ending crawl actually publishes.
+# ===========================================================================
+
+def _sra_oracle() -> str:
+    from .catalog_r11 import _audit_oracle
+    return _audit_oracle()
+
+
+@register("st_release_audit", oracle=_sra_oracle)
+def st_release_audit(spark: SparkSession, d: str) -> DataFrame:
+    """STREAMING release audit (VERDICT r13 #3): every monitor on the
+    7-row cc_release_audit card has a mergeable state, so the card
+    drains from incrementally-maintained stores instead of ever
+    re-scanning the resident corpus.  Documents, vectors and events
+    arrive MULTIPLEXED through one paged-dump stream (one ingest
+    pipeline, one checkpoint — the production shape) in two
+    checkpointed out-of-order tranches (even ids, then odd), and each
+    micro-batch folds its delta into six stores:
+
+    - qi store (dq8 risk + t44 correlation): per-(source, lang,
+      len_bucket) integer sums — PURE ADDITION (audit_doc_groups is
+      distributive; the nonlinear k-anonymity cutoff runs at drain on
+      the fully-merged groups, audit_risk_corr).
+    - manifest store (t43): (doc_id, bucket, source) — SET UNION; the
+      curriculum position is a pure function of the drained set (the
+      w12 formula, value-oracled against the two-phase rank), so the
+      adjacency read runs the batch tail (t43_clump_base) at drain.
+    - dq9 store: per-(side, dim) moment sums — ADDITION (the
+      st_drift_monitor state, identical arithmetic).
+    - day store (dq10): per-day (n_events, n_errors) — ADDITION; the
+      EWMA closed form (dq10_chart_from_days) runs off the drained
+      day table exactly as the batch entry's 100 TB paragraph says.
+    - m5 pair state: the anisotropy chain pair (i, i+1) completes
+      when its SECOND endpoint arrives — per batch, new pairs join
+      the batch against the open FRONTIER (vectors with an unseen
+      neighbor), their 1e-6-quantized cosines fold into a 1-row
+      (n_pairs, s_cos) sum by addition, and the frontier prunes every
+      vector both of whose neighbors are now seen.  Under id-ordered
+      arrival the frontier is O(1); the even/odd tranche split is the
+      adversarial order (every pair spans the tranches) and the state
+      peaks at half the corpus — a property of the test ordering, not
+      the design.  Vectors travel as JSON float arrays (bit-exact
+      roundtrip, asserted by stream==batch equality through the
+      oracle).
+    - stratum registry (minhash recall): (doc_id, text) for docs in
+      the md5 stratum at the CURRENT derived modulus, plus a 1-row
+      corpus count.  Power-of-two strata are NESTED (m | 2m), so when
+      the count crosses a power-of-two boundary the registry PRUNES
+      by re-filtering at the larger modulus — bounded ~2k docs
+      forever; at drain the P/R tail (pr_counts_from) runs over the
+      registry at the final modulus.
+
+    The drained card is assembled by the SAME audit_card_assemble /
+    policy constants the batch card compiles, and this entry's oracle
+    IS cc_release_audit's — drained == batch, value-oracled row for
+    row (and pinned against the batch entry in
+    tests/test_catalog_r14.py).  Checkpoint resume: the second
+    tranche drains against the same checkpoint directory.
+
+    Scale shape: per-batch work is batch-sized (quality scoring +
+    grouped partial sums + bounded joins against narrow stores);
+    steady state is QI-groups + manifest ids + 2d moments + calendar
+    days + the chain frontier + a ~2k-doc stratum — none corpus-sized
+    except the narrow manifest id table the batch t43 also keeps."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from ..functions import text as X
+    from ..functions.vector import to_double_array
+    from ..operators.dedup import md5_int32
+    from ..sources.paged_source import PagedDumpDataSource
+    from ..sources.tables import list_versions, read_version, write_version
+    from ..streaming import pipeline as SP
+    from .catalog import _t
+    from .catalog_more import _scratch
+    from .catalog_r10 import t43_clump_base
+    from .catalog_r11 import (audit_card_assemble, audit_risk_corr,
+                              audit_stratum_mod, pr_counts_from)
+    from .catalog_r11 import audit_doc_groups
+    from .catalog_r12 import _dq9_card, _dq9_moments, dq10_chart_from_days
+
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    ev = _t(spark, d, "events")
+
+    dump = _scratch("st_audit_dump")
+    ckpt = _scratch("st_audit_ckpt")
+    S = {k: _scratch(f"st_audit_{k}") for k in
+         ("qi", "man", "dq9", "day", "m5pair", "m5front", "m5seen",
+          "mhreg", "mhcnt")}
+    for p in (dump, ckpt, *S.values()):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def page_rows(parity: int) -> DataFrame:
+        pd_ = docs.filter(F.col("doc_id") % 2 == parity).select(
+            F.to_json(F.struct(
+                F.col("doc_id").cast("string").alias("page_id"),
+                F.to_json(F.struct(
+                    "text", "source",
+                    F.col("lang").alias("doc_lang"), "n_chars"))
+                .alias("title"),
+                F.lit("doc").alias("lang"),
+                F.col("n_chars").cast("long").alias("n_chars")))
+            .alias("value"))
+        pv = emb.filter(F.col("vec_id") % 2 == parity).select(
+            F.to_json(F.struct(
+                F.col("vec_id").cast("string").alias("page_id"),
+                F.to_json(F.col("embedding")).alias("title"),
+                F.lit("vec").alias("lang"),
+                F.lit(0).cast("long").alias("n_chars"))).alias("value"))
+        pe = ev.filter(F.col("event_id") % 2 == parity).select(
+            F.to_json(F.struct(
+                F.col("event_id").cast("string").alias("page_id"),
+                F.to_json(F.struct(
+                    F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400")
+                    .alias("dd"),
+                    (F.col("event_type") == "error").alias("err")))
+                .alias("title"),
+                F.lit("ev").alias("lang"),
+                F.lit(0).cast("long").alias("n_chars"))).alias("value"))
+        return pd_.unionByName(pv).unionByName(pe)
+
+    page_rows(0).repartition(2).write.text(dump)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDumpDataSource)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        good = batch_df.filter(~F.col("malformed")).localCheckpoint()
+
+        def vers(store):
+            return list_versions(sp, store) if os.path.exists(store) else []
+
+        def write(df, store):
+            v = vers(store)
+            write_version(df, store, (v[-1] + 1) if v else 1)
+
+        def prior(store):
+            return read_version(sp, store) if vers(store) else None
+
+        # ---- documents ----
+        bd = (good.filter(F.col("lang") == "doc")
+              .select(F.col("page_id").cast("long").alias("doc_id"),
+                      F.from_json("title", "text string, source string,"
+                                  " doc_lang string, n_chars bigint")
+                      .alias("r"))
+              .select("doc_id", F.col("r.text").alias("text"),
+                      F.col("r.source").alias("source"),
+                      F.col("r.doc_lang").alias("lang"),
+                      F.col("r.n_chars").alias("n_chars"))
+              .localCheckpoint())
+        inc = audit_doc_groups(bd)
+        p = prior(S["qi"])
+        cols = ("n", "sx", "sy", "sxy", "sxx", "syy")
+        merged = inc if p is None else (
+            p.unionByName(inc).groupBy("source", "lang", "len_bucket")
+            .agg(*[F.sum(c).cast("long").alias(c) for c in cols]))
+        write(merged, S["qi"])
+        minc = (X.with_quality(bd.select("doc_id", "text"))
+                .select("doc_id",
+                        F.least(F.lit(9),
+                                F.floor(F.round(F.col("quality_score"), 6)
+                                        * 10).cast("long")).alias("bucket"))
+                .join(bd.select("doc_id", "source"), "doc_id"))
+        p = prior(S["man"])
+        man = minc if p is None else \
+            p.unionByName(minc).dropDuplicates(["doc_id"])
+        write(man, S["man"])
+        p = prior(S["mhcnt"])
+        n_prev = p.collect()[0]["n_total"] if p is not None else 0
+        n_total = n_prev + bd.count()
+        write(sp.createDataFrame([(n_total,)], "n_total long"),
+              S["mhcnt"])
+        mod = audit_stratum_mod(n_total)
+        in_strat = (F.pmod(
+            md5_int32(F.concat(F.lit("pr:"),
+                               F.col("doc_id").cast("string"))),
+            F.lit(mod)) == 0)
+        reg_inc = bd.select("doc_id", "text").filter(in_strat)
+        p = prior(S["mhreg"])
+        reg = reg_inc if p is None else (
+            p.unionByName(reg_inc).dropDuplicates(["doc_id"])
+            .filter(in_strat))   # nested strata: prune as mod grows
+        write(reg, S["mhreg"])
+
+        # ---- vectors ----
+        bv = (good.filter(F.col("lang") == "vec")
+              .select(F.col("page_id").cast("long").alias("vec_id"),
+                      F.from_json("title", "array<float>")
+                      .alias("embedding"))
+              .localCheckpoint())
+        dinc = _dq9_moments(bv)
+        p = prior(S["dq9"])
+        dmer = dinc if p is None else (
+            p.unionByName(dinc).groupBy("side", "dim")
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("s1").cast("long").alias("s1"),
+                 F.sum("s2").cast("long").alias("s2")))
+        write(dmer, S["dq9"])
+        front = prior(S["m5front"])
+        avail = bv if front is None else \
+            front.unionByName(bv).dropDuplicates(["vec_id"])
+        avail = avail.localCheckpoint()
+        bids = bv.select("vec_id")
+        a = avail.select(F.col("vec_id").alias("ia"),
+                         to_double_array(F.col("embedding")).alias("va"))
+        b = avail.select((F.col("vec_id") - 1).alias("ia"),
+                         to_double_array(F.col("embedding")).alias("vb"))
+        dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate("va", F.lit(0.0),
+                                lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate("vb", F.lit(0.0),
+                                lambda acc, x: acc + x * x))
+        pairs = (a.join(b, "ia")
+                 .join(bids.select(F.col("vec_id").alias("ia"))
+                       .withColumn("__na", F.lit(True)), "ia", "left")
+                 .join(bids.select((F.col("vec_id") - 1).alias("ia"))
+                       .withColumn("__nb", F.lit(True)), "ia", "left")
+                 .filter(F.coalesce("__na", F.lit(False))
+                         | F.coalesce("__nb", F.lit(False)))
+                 .select(F.round(dot / na / nb * 1000000).cast("long")
+                         .alias("cos_q")))
+        pinc = pairs.agg(F.count("*").cast("long").alias("n_pairs"),
+                         F.coalesce(F.sum("cos_q"), F.lit(0))
+                         .cast("long").alias("s_cos"))
+        p = prior(S["m5pair"])
+        pmer = pinc if p is None else (
+            p.unionByName(pinc)
+            .agg(F.sum("n_pairs").cast("long").alias("n_pairs"),
+                 F.sum("s_cos").cast("long").alias("s_cos")))
+        write(pmer, S["m5pair"])
+        p = prior(S["m5seen"])
+        seen = bids if p is None else \
+            p.unionByName(bids).distinct()
+        seen = seen.localCheckpoint()
+        write(seen, S["m5seen"])
+        ls = seen.select((F.col("vec_id") + 1).alias("vec_id"),
+                         F.lit(True).alias("__ls"))
+        rs = seen.select((F.col("vec_id") - 1).alias("vec_id"),
+                         F.lit(True).alias("__rs"))
+        fnew = (avail.join(ls, "vec_id", "left")
+                .join(rs, "vec_id", "left")
+                .filter(~(F.coalesce("__ls", F.lit(False))
+                          & F.coalesce("__rs", F.lit(False))))
+                .select("vec_id", "embedding"))
+        write(fnew, S["m5front"])
+
+        # ---- events ----
+        be = (good.filter(F.col("lang") == "ev")
+              .select(F.from_json("title", "dd bigint, err boolean")
+                      .alias("r"))
+              .select(F.col("r.dd").alias("d"), F.col("r.err").alias("err")))
+        einc = be.groupBy("d").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("err").cast("int")).cast("long")
+            .alias("n_errors"))
+        p = prior(S["day"])
+        emer = einc if p is None else (
+            p.unionByName(einc).groupBy("d")
+            .agg(F.sum("n_events").cast("long").alias("n_events"),
+                 F.sum("n_errors").cast("long").alias("n_errors")))
+        write(emer, S["day"])
+
+    def drain() -> None:
+        stream = (spark.readStream.format("paged_dump")
+                  .option("path", dump).load())
+        SP._run_foreach(stream, merge, 240, ckpt)
+
+    drain()
+    tmp2 = dump + "_t2"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    page_rows(1).repartition(2).write.text(tmp2)
+    for i, f in enumerate(sorted(Path(tmp2).glob("part-*"))):
+        f.rename(Path(dump) / f"part-zz-{i:05d}.txt")
+    drain()
+
+    # ---- drained card: the batch tails over the stores ----
+    from pyspark.sql import Window as W
+    both = audit_risk_corr(read_version(spark, S["qi"]))
+    pr = read_version(spark, S["m5pair"])
+    m5f = pr.select(F.round(F.col("s_cos").cast("double")
+                            / F.col("n_pairs").cast("double")
+                            / 1000000, 6).alias("anisotropy"))
+    man = read_version(spark, S["man"])
+    pos = ((F.row_number().over(W.partitionBy("bucket")
+                                .orderBy("doc_id")) - 1) * 10
+           + F.col("bucket"))
+    rates = (t43_clump_base(man.withColumn("curriculum_pos", pos))
+             .agg(F.max(F.when(F.col("ordering") == "curriculum",
+                               F.col("same_bucket_rate")))
+                  .alias("cur_rate"),
+                  F.max(F.when(F.col("ordering") == "doc_id",
+                               F.col("same_bucket_rate")))
+                  .alias("nat_rate")))
+    drift = (_dq9_card(read_version(spark, S["dq9"]))
+             .select(F.col("centroid_l2").alias("drift_l2"),
+                     F.col("var_ratio").alias("drift_vr")))
+    ew = (dq10_chart_from_days(spark, read_version(spark, S["day"]))
+          .agg(F.max_by("ewma", "day").alias("ewma_last"),
+               F.bool_or("ooc").alias("any_ooc")))
+    n_total = read_version(spark, S["mhcnt"]).collect()[0]["n_total"]
+    mod = audit_stratum_mod(n_total)
+    strat = (read_version(spark, S["mhreg"])
+             .filter(F.pmod(
+                 md5_int32(F.concat(F.lit("pr:"),
+                                    F.col("doc_id").cast("string"))),
+                 F.lit(mod)) == 0)
+             .select("doc_id", "text").localCheckpoint())
+    mh = (pr_counts_from(strat)
+          .select(F.round(F.col("n_true_pos").cast("double")
+                          / F.greatest("n_exact", F.lit(1))
+                          .cast("double"), 6).alias("mh_recall"),
+                  F.col("n_exact").alias("mh_nex")))
+    return audit_card_assemble(both, m5f, rates, drift, ew, mh)

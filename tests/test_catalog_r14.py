@@ -104,6 +104,37 @@ def test_measured_anisotropy_isotropic_corpus(spark):
     assert _resolve_ivf(spark, SF01, "ivf", None, None) == (16, 8)
 
 
+# ---------------------------------------------------------------------------
+# VERDICT r13 #3: the streaming release audit drains to EXACTLY the
+# batch card (same monitors, same policy flags), and the stratum
+# registry's nested-modulus prune is sound.
+# ---------------------------------------------------------------------------
+
+def test_st_release_audit_equals_batch(spark):
+    from production_grade_rag_spark.plans.catalog import CATALOG
+    st = CATALOG["st_release_audit"].build(spark, SF01).collect()
+    bt = CATALOG["cc_release_audit"].build(spark, SF01).collect()
+    assert [tuple(r) for r in st] == [tuple(r) for r in bt]
+    assert len(st) == 7
+
+
+def test_stratum_nesting_prune_is_sound(spark):
+    """Power-of-two md5 strata NEST (m | 2m => stratum(2m) subset of
+    stratum(m)), so the streaming registry's re-filter-at-larger-mod
+    prune keeps exactly the docs a fresh filter at the final modulus
+    would — the invariant st_release_audit's bounded state rests on."""
+    from pyspark.sql import functions as F
+    from production_grade_rag_spark.operators.dedup import md5_int32
+    ids = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    key = md5_int32(F.concat(F.lit("pr:"), F.col("doc_id").cast("string")))
+    s2 = ids.filter(F.pmod(key, F.lit(2)) == 0)
+    pruned = s2.filter(F.pmod(key, F.lit(8)) == 0)
+    direct = ids.filter(F.pmod(key, F.lit(8)) == 0)
+    a = sorted(r["doc_id"] for r in pruned.collect())
+    b = sorted(r["doc_id"] for r in direct.collect())
+    assert a == b and len(a) > 0
+
+
 def test_pr_stratum_counts_shared_by_card_and_standalone(spark):
     """The standalone entry is EXACTLY the shared helper plus derived
     ratios (one implementation — VERDICT r13 #6)."""
