@@ -37,18 +37,25 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine, to_double_array
 
 
-def pq_train(corpus: DataFrame, m: int = 8, k_codes: int = 16,
-             sample: int = 4096, iters: int = 10,
-             vec_col: str = "embedding",
-             id_col: str = "vec_id") -> list[np.ndarray]:
-    """Fit per-subspace Lloyd k-means codebooks on a deterministic
-    hash-ordered sample (same rows every run/partitioning).  Returns
-    ``m`` arrays of shape (k_codes, d/m)."""
+def _pq_sample(corpus: DataFrame, sample: int, vec_col: str,
+               id_col: str) -> np.ndarray:
+    """Deterministic hash-ordered training sample collected to the
+    driver (same rows every run/partitioning) — the bounded metadata
+    every PQ/OPQ fit trains on; the full corpus never leaves the
+    executors."""
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":pq")))
     rows = (corpus
-            .select(to_double_array(F.col(vec_col)).alias("__v"), key.alias("__k"))
+            .select(to_double_array(F.col(vec_col)).alias("__v"),
+                    key.alias("__k"))
             .orderBy("__k").limit(sample).collect())
-    X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    return np.asarray([r["__v"] for r in rows], dtype=np.float64)
+
+
+def _lloyd_books(X: np.ndarray, m: int, k_codes: int,
+                 iters: int = 10) -> list[np.ndarray]:
+    """Per-subspace Lloyd k-means on a driver-side sample — the inner
+    fit shared by pq_train and the OPQ alternation.  Seeded init,
+    deterministic."""
     n, d = X.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -70,20 +77,100 @@ def pq_train(corpus: DataFrame, m: int = 8, k_codes: int = 16,
     return books
 
 
+def pq_train(corpus: DataFrame, m: int = 8, k_codes: int = 16,
+             sample: int = 4096, iters: int = 10,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> list[np.ndarray]:
+    """Fit per-subspace Lloyd k-means codebooks on a deterministic
+    hash-ordered sample (same rows every run/partitioning).  Returns
+    ``m`` arrays of shape (k_codes, d/m)."""
+    X = _pq_sample(corpus, sample, vec_col, id_col)
+    return _lloyd_books(X, m, k_codes, iters)
+
+
+def _pq_reconstruct(X: np.ndarray,
+                    books: list[np.ndarray]) -> np.ndarray:
+    """Nearest-codeword reconstruction of X under the codebooks —
+    the Y frame the OPQ Procrustes step aligns to."""
+    m = len(books)
+    dsub = books[0].shape[1]
+    Y = np.empty_like(X)
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        Y[:, j * dsub:(j + 1) * dsub] = books[j][d2.argmin(1)]
+    return Y
+
+
+def opq_train(corpus: DataFrame, m: int = 8, k_codes: int = 16,
+              sample: int = 4096, opq_iters: int = 8,
+              km_iters: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> tuple[np.ndarray,
+                                               list[np.ndarray]]:
+    """OPQ: learn an ORTHOGONAL ROTATION R so product-quantizing the
+    rotated vectors loses less (Ge et al. 2013, "Optimized Product
+    Quantization", non-parametric solution — public).  PQ's blind
+    d/m-dim subspace split quantizes badly when variance/correlation
+    straddles the cuts (exactly what residuals on a near-isotropic
+    corpus look like); OPQ alternates (1) per-subspace k-means in the
+    rotated frame with (2) the orthogonal Procrustes update
+    R = U V^T from SVD(X^T Y) against the reconstruction Y — each
+    step monotonically lowers ||X R - Y||^2, the quantization error
+    itself.  Driver-side numpy on the SAME bounded deterministic
+    sample pq_train uses; returns (R with rows-right convention —
+    encode z = x @ R, query lut side q @ R — and the rotated-frame
+    codebooks).
+
+    MEASURED (m=8, k_codes=32, 4096-row samples): the rotation
+    exploits CROSS-DIMENSION covariance, so its gain tracks the
+    spectrum — on correlated geometry (clustered data with a
+    decaying per-dim spectrum mixed through a non-axis-aligned
+    orthogonal frame, the shape real encoder embeddings have) sample
+    quantization error drops 2.1x vs unrotated PQ; on this repo's
+    per-dim-INDEPENDENT synthetic corpora there is almost no
+    covariance to reclaim (1.22x on raw hash embeddings, 1.02-1.03x
+    on the stress corpora's post-centroid residuals) — numbers
+    ledgered in STRESS_r14 beside the per-probe recall curves
+    (rotation fixes ADC error — shortlist quality — not probe loss,
+    which is the cell geometry's job; the honest story needs both
+    curves)."""
+    X = _pq_sample(corpus, sample, vec_col, id_col)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    R = np.eye(d)
+    books = _lloyd_books(X, m, k_codes, iters=km_iters)
+    for _ in range(opq_iters):
+        Xr = X @ R
+        books = _lloyd_books(Xr, m, k_codes, iters=km_iters)
+        Y = _pq_reconstruct(Xr, books)
+        U, _s, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    # final codebooks in the final rotated frame
+    books = _lloyd_books(X @ R, m, k_codes, iters=km_iters)
+    return R, books
+
+
 def pq_encode(corpus: DataFrame, codebooks: list[np.ndarray],
               vec_col: str = "embedding",
-              code_col: str = "pq_codes") -> DataFrame:
+              code_col: str = "pq_codes",
+              rotation: np.ndarray | None = None) -> DataFrame:
     """One offline pass: nearest-codeword index per subspace.
     Arrow-batched pandas UDF (numpy argmin over (batch, k_codes, dsub));
     the codebooks ride the closure — m*k_codes*dsub floats, broadcast
-    metadata."""
+    metadata.  ``rotation`` applies the OPQ frame first (z = x @ R,
+    one batch matmul — the codebooks must have been fit in that
+    frame)."""
     m = len(codebooks)
     dsub = codebooks[0].shape[1]
     books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    R = None if rotation is None else np.asarray(rotation, np.float64)
 
     @F.pandas_udf("array<int>")
     def enc(s: pd.Series) -> pd.Series:
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+        if R is not None:
+            X = X @ R
         out = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             sub = X[:, j * dsub:(j + 1) * dsub]
@@ -116,7 +203,8 @@ def _adc_terms(codebooks: list[np.ndarray], q: np.ndarray,
 def ivfpq_build_store(corpus: DataFrame, path: str, n_lists: int = 8,
                       m: int = 8, k_codes: int = 32,
                       vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> None:
+                      id_col: str = "vec_id",
+                      rotate: bool = False) -> None:
     """IVF x PQ composed store — the production ANN layout (FAISS
     IVFPQ shape): KMeans cells give PARTITION pruning, residual PQ
     codes give COLUMN-narrow candidate scoring, and the full vector
@@ -135,7 +223,20 @@ def ivfpq_build_store(corpus: DataFrame, path: str, n_lists: int = 8,
     reads only the codes column — parquet column pruning means the
     wide float vectors are fetched for the k*rescore candidates alone.
     At 100 TB the scan cost is (n_probe/n_lists) x (m bytes/row), not
-    the corpus."""
+    the corpus.
+
+    ``rotate=True`` (VERDICT r13 #4) inserts the OPQ orthogonal
+    rotation before the residual codebooks (opq_train — Ge et al.
+    2013): residuals are encoded in the learned frame z = r @ R, the
+    rotation is persisted at ``{path}/rotation`` beside the
+    codebooks, and search reads it back (q-side lut rotates instead:
+    <q, r> = <q @ R, z> since R is orthogonal).  Costs one extra
+    d x d metadata table and one batch matmul in the encode UDF;
+    cuts the ADC quantization error where cross-dim covariance exists
+    (2.1x on correlated-spectrum geometry; ~1x on this repo's
+    per-dim-independent synthetic corpora — see opq_train), which is
+    the SHORTLIST-quality loss — probe loss is the cell geometry's,
+    unchanged."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -155,10 +256,21 @@ def ivfpq_build_store(corpus: DataFrame, path: str, n_lists: int = 8,
              .withColumn("__resid",
                          F.zip_with(to_double_array(F.col(vec_col)),
                                     "centroid", lambda a, b: a - b)))
-    books = pq_train(resid, m=m, k_codes=k_codes, vec_col="__resid",
-                     id_col=id_col)
-    encoded = pq_encode(resid, books, vec_col="__resid",
-                        code_col="pq_codes")
+    if rotate:
+        R, books = opq_train(resid, m=m, k_codes=k_codes,
+                             vec_col="__resid", id_col=id_col)
+        encoded = pq_encode(resid, books, vec_col="__resid",
+                            code_col="pq_codes", rotation=R)
+        spark.createDataFrame(
+            [(i, [float(x) for x in R[i]]) for i in range(R.shape[0])],
+            ["row_idx", "row_vals"]) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/rotation")
+    else:
+        books = pq_train(resid, m=m, k_codes=k_codes, vec_col="__resid",
+                         id_col=id_col)
+        encoded = pq_encode(resid, books, vec_col="__resid",
+                            code_col="pq_codes")
     (encoded.select(id_col, "pq_codes", vec_col, "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/data"))
     cent_df.coalesce(1).write.mode("overwrite") \
@@ -224,6 +336,17 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
     books = [np.empty((k_codes, len(rows[0]["center"]))) for _ in range(m)]
     for r in rows:
         books[r["subspace"]][r["codeword"]] = r["center"]
+    # OPQ store (rotate=True build): codes live in the rotated frame,
+    # so the RESIDUAL lut side rotates with them — <q, r> = <q @ R, z>
+    # (R orthogonal); the centroid term below stays in the raw frame
+    import os as _os
+    q_adc = q
+    if _os.path.exists(f"{path}/rotation"):
+        rrows = spark.read.parquet(f"{path}/rotation").collect()
+        R = np.empty((len(rrows), len(rrows[0]["row_vals"])))
+        for r in rrows:
+            R[r["row_idx"]] = r["row_vals"]
+        q_adc = q @ R
 
     data = (spark.read.parquet(f"{path}/data")
             .filter(F.col("cell").isin(cells)))
@@ -233,7 +356,7 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
         branch = F.when(F.col("cell") == c, F.lit(float(cents[c] @ q)))
         qc_expr = branch if qc_expr is None else \
             qc_expr.when(F.col("cell") == c, F.lit(float(cents[c] @ q)))
-    approx = qc_expr + _adc_terms(books, q, "pq_codes")
+    approx = qc_expr + _adc_terms(books, q_adc, "pq_codes")
     shortlist = n_candidates if n_candidates is not None else k * rescore
     if mass_target is not None:
         # widening probes without widening the shortlist just moves

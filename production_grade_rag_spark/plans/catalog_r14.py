@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import register
+from .catalog import _t, register
 
 # ===========================================================================
 # MinHash-LSH band planner: the S-curve as a value-oracled card
@@ -134,6 +134,42 @@ def dd_band_plan(spark: SparkSession, d: str) -> DataFrame:
                     (F.col("num_bands") == F.col("rec_b"))
                     .alias("recommended"))
             .orderBy("num_hashes", "num_bands"))
+
+
+# ===========================================================================
+# OPQ-rotated IVFPQ recall gate (VERDICT r13 #4): the rotation is a
+# store OPTION (pq.ivfpq_build_store(rotate=True)); this entry
+# certifies the rotated store end to end at the catalog operating
+# point, beside the unrotated r4_ivfpq_recall gate.
+# ===========================================================================
+
+@register("r4_ivfpq_opq_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def r4_ivfpq_opq_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Recall gate for the OPQ-ROTATED composed IVFPQ store (VERDICT
+    r13 #4, Ge et al. 2013): build with rotate=True (residuals
+    encoded in the learned orthogonal frame, rotation persisted
+    beside the codebooks, query lut rotated at search), search at the
+    same (8 lists, probe 4) operating point as r4_ivfpq_recall, gate
+    recall vs exact top-k at the same 0.5 floor (probing is the
+    binding miss source on this corpus; MEASURED 0.9 at sf0.01 —
+    equal to the unrotated gate, as expected where the per-dim-
+    independent geometry leaves no covariance for the rotation to
+    reclaim; the 2.1x ADC-error win on correlated-spectrum geometry
+    is ledgered in STRESS_r14).  Proves the rotation path end to end:
+    train, persist, encode, rotated-lut search, exact rescore."""
+    from ..operators import pq, similarity
+    from .catalog_more import _recall_summary, _scratch
+    from .catalog_r6 import QUERY_VEC
+    emb = _t(spark, d, "embeddings")
+    path = _scratch("ivfpq_opq_recall")
+    pq.ivfpq_build_store(emb, path, n_lists=8, m=8, k_codes=32,
+                         rotate=True)
+    exact = similarity.knn_topk(emb, QUERY_VEC, k=10)
+    approx = pq.ivfpq_search_store(spark, path, QUERY_VEC, k=10,
+                                   n_probe=4)
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
 
 
 # ===========================================================================
