@@ -399,12 +399,17 @@ def main() -> None:
 
     # --- window-keyed event operators: 1x vs 10x -----------------------
     from production_grade_rag_spark.plans.catalog import CATALOG
+    # cc_release_audit joined the tier list in r14 (VERDICT r13 #1:
+    # with the DERIVED stratum modulus the audit cost must be
+    # near-flat across tiers — the stratum is a bounded ~2k docs at
+    # either scale, so the ratio reads the grouped scans, not a
+    # quadratic verify)
     for q in ("ev_asof_join", "ev_funnel", "ev_sessionize",
               "dd_line_dedup", "t21_nb_quality", "ir1_eval_per_query",
               "r12_maxsim_topk", "cc_release_funnel", "mm_keyframes",
               "t25_rule_ablation", "a20_heavy_hitters", "g4_pca_power",
               "t34_ngram_contamination", "mm_ahash_neardup",
-              "a22_theta_ndv"):
+              "a22_theta_ndv", "cc_release_audit"):
         for tag, d in (("1x", SF_DIR), ("10x", STRESS_DIR)):
             n, t = _timed_steady(
                 lambda q=q, d=d: CATALOG[q].build(spark, d).count())
