@@ -513,9 +513,14 @@ def dd_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
 
 @register("dd_ngram_jaccard", oracle=OV.ngram_pairs_sql())
 def dd_ngram_jaccard(spark: SparkSession, d: str) -> DataFrame:
-    """Exact pairwise word-3-gram Jaccard >= 0.5 — the O(n^2) oracle
-    twin of dd_minhash_lsh (test/small-corpus path only)."""
-    return dedup.ngram_jaccard_pairs(_t(spark, d, "documents"))
+    """Exact pairwise word-3-gram Jaccard >= 0.5 — the exact twin of
+    dd_minhash_lsh.  Since r14 the plan is the shingle INVERTED INDEX
+    (ngram_jaccard_pairs_index: sum-of-freq^2 pair enumeration, no
+    array set-ops), not the nested-loop theta-join — same result set
+    for threshold > 0 (pinned vs the nested form at 3 thresholds in
+    tests/test_catalog_r14.py), and the DuckDB oracle stays the
+    nested-loop SQL, so the check is algorithm-independent."""
+    return dedup.ngram_jaccard_pairs_index(_t(spark, d, "documents"))
 
 
 @register("dd_simhash_signatures", oracle=OV.simhash_sql())

@@ -200,7 +200,7 @@ def dd_keepers(spark: SparkSession, d: str) -> DataFrame:
     Uses the exact n-gram pairs so the decision itself is
     oracle-checked end-to-end."""
     docs = _t(spark, d, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs)
+    pairs = dedup.ngram_jaccard_pairs_index(docs)
     return dedup.dedup_keepers(pairs, docs)
 
 
@@ -284,7 +284,7 @@ def dd_components(spark: SparkSession, d: str) -> DataFrame:
     transitive closure recursively — equality proves the propagation
     converged."""
     docs = _t(spark, d, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs)
+    pairs = dedup.ngram_jaccard_pairs_index(docs)
     return dedup.connected_components(pairs, docs)
 
 

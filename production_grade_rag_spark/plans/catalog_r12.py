@@ -99,12 +99,14 @@ def dd_minhash_delta_pr(spark: SparkSession, d: str) -> DataFrame:
     curve is sharper — which is exactly what the measured recall
     column shows).  The stress ledger (minhash_delta_* rows,
     scripts/stress_bench.py) carries the wall-clock side."""
-    from ..operators.dedup import minhash_delta_pairs, ngram_jaccard_pairs
+    from ..operators.dedup import (minhash_delta_pairs,
+                                   ngram_jaccard_pairs_index)
     docs = _t(spark, d, "documents")
     base = docs.filter(F.col("doc_id") % 2 == 0)
     delta = docs.filter(F.col("doc_id") % 2 == 1)
     odd = (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
-    ex_n = (ngram_jaccard_pairs(docs, threshold=_DPR_THR).filter(odd)
+    ex_n = (ngram_jaccard_pairs_index(docs, threshold=_DPR_THR)
+            .filter(odd)
             .agg(F.count("*").alias("n_exact")))
     rows = None
     for m in (1, 2):

@@ -1212,7 +1212,7 @@ def t14_dedup_aware_sample(spark: SparkSession, d: str) -> DataFrame:
     already oracled alone; the composition pins the anti-join + gate
     ordering."""
     docs = _t(spark, d, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs)
+    pairs = dedup.ngram_jaccard_pairs_index(docs)
     flagged = dedup.dedup_keepers(pairs, docs)
     keepers = flagged.filter(~F.col("is_near_dup")) \
         .select("doc_id").join(docs, "doc_id")
@@ -1406,7 +1406,7 @@ def dd_cluster_sizes(spark: SparkSession, d: str) -> DataFrame:
     treatment).  Two metadata-scale aggs on top of the converged
     labels."""
     docs = _t(spark, d, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs)
+    pairs = dedup.ngram_jaccard_pairs_index(docs)
     comp = dedup.connected_components(pairs, docs)
     sizes = comp.groupBy("component").agg(
         F.count("*").alias("cluster_size"))

@@ -3806,9 +3806,9 @@ def dd_threshold_curve(spark: SparkSession, d: str) -> DataFrame:
     the same five conditional counters ride the minhash-banded
     candidate set instead (dd_minhash_lsh's output schema) — the
     curve read is one aggregate either way."""
-    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.dedup import ngram_jaccard_pairs_index
     docs = _t(spark, d, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.1)
+    pairs = ngram_jaccard_pairs_index(docs, threshold=0.1)
     thr = spark.createDataFrame(
         [(t,) for t in (0.1, 0.3, 0.5, 0.7, 0.9)], "thr double")
     # LEFT join from the threshold frame (not crossJoin): on an empty
@@ -3865,17 +3865,19 @@ def dd_minhash_pr(spark: SparkSession, d: str) -> DataFrame:
 
     Scale shape: the candidate side is the dd_minhash_lsh plan at
     verify-threshold 0 (band shuffle + candidate-only shingle join);
-    the exact side is the O(n²/2) audit twin, catalog-scale only
-    (the dd_ngram_jaccard caveat) — at 100 TB recall is estimated on
-    a sampled stratum instead (dd_minhash_pr_sampled, the a24
-    key-sampling shape).  The ANALYTIC prior for this measured
+    the exact side runs the shingle inverted index since r14
+    (ngram_jaccard_pairs_index — sum-of-freq^2, no nested loop), but
+    the FULL exact pair set still grows with the corpus — at 100 TB
+    recall is estimated on a sampled stratum instead
+    (dd_minhash_pr_sampled, the a24 key-sampling shape).  The ANALYTIC prior for this measured
     posterior is dd_band_plan (plans/catalog_r14.py): the S-curve
     says 16/4 sits at 0.8785 at j=0.8 — pick the banding there
     BEFORE paying for a measurement."""
-    from ..operators.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+    from ..operators.dedup import (minhash_dedup_pairs,
+                                   ngram_jaccard_pairs_index)
     docs = _t(spark, d, "documents")
     allc = minhash_dedup_pairs(docs, threshold=0.0)
-    ex = ngram_jaccard_pairs(docs, threshold=0.8)
+    ex = ngram_jaccard_pairs_index(docs, threshold=0.8)
     s = (allc.agg(F.count("*").alias("n_candidates"),
                   F.sum((F.col("jaccard") >= 0.8).cast("int"))
                   .cast("long").alias("n_true_pos"))
