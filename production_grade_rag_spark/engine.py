@@ -46,6 +46,14 @@ def resolved_probe_cap(config: EngineConfig) -> int | None:
         if config.ann_n_probe_max <= 0:
             return None
         return config.ann_n_probe_max
+    if config.ann_n_probe is None:
+        # derived-knob configs (ann_n_probe=None) only dispatch the
+        # inline ivf backend, which never reaches this cap; a PREBUILT
+        # ivfpq store has its own list count the engine cannot see,
+        # so it keeps explicit knobs
+        raise ValueError("ann_n_probe=None (derived) is only supported "
+                         "for ann_backend='ivf'; ivfpq stores need an "
+                         "explicit probe floor")
     return 4 * config.ann_n_probe
 
 
@@ -177,8 +185,25 @@ class SparkRagEngine:
             return knn_topk(index, query_vector, k=k, id_col=id_col)
         if c.ann_backend == "ivf":
             from .operators.similarity import ivf_topk
+            n_lists, n_probe = c.ann_n_lists, c.ann_n_probe
+            if n_lists is None or n_probe is None:
+                # derived operating point (VERDICT r13 #2 at the
+                # facade): ~sqrt(n) lists; probe fraction from the
+                # MEASURED corpus geometry — one footer count + one
+                # bounded <=4096-pair anisotropy read per dispatch
+                # (an ingest pipeline caches both with the index)
+                from .operators.knn_graph import (derived_n_lists,
+                                                  derived_n_probe,
+                                                  measured_anisotropy)
+                n = index.count()
+                if n_lists is None:
+                    n_lists = derived_n_lists(n)
+                if n_probe is None:
+                    n_probe = derived_n_probe(
+                        n_lists,
+                        measured_anisotropy(index, n, id_col=id_col))
             return ivf_topk(index, query_vector, k=k, id_col=id_col,
-                            n_lists=c.ann_n_lists, n_probe=c.ann_n_probe)
+                            n_lists=n_lists, n_probe=n_probe)
         if c.ann_backend == "ivfpq":
             # production shape: a PREBUILT compressed store (offline
             # index at ingest) answers the top-k two-stage (ADC

@@ -105,7 +105,9 @@ def derived_n_lists(n: int) -> int:
 
 
 def measured_anisotropy(emb: DataFrame, n: int,
-                        max_pairs: int = 4096) -> float:
+                        max_pairs: int = 4096,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> float:
     """Fit-time geometry probe: mean cosine over a deterministic
     strided consecutive-id pair chain — the m5_embedding_isotropy
     instrument (plans/catalog_r10.py, Ethayarajh 2019 cone geometry)
@@ -118,11 +120,11 @@ def measured_anisotropy(emb: DataFrame, n: int,
     g15 bucket containment — measured exactly what derived_n_probe
     needed, but nothing read them at fit time)."""
     stride = max(1, n // max_pairs)
-    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
-    v = to_double_array(F.col("embedding"))
-    a = base.select(F.col("vec_id").alias("ia"), v.alias("va"))
-    b = (emb.filter(F.pmod(F.col("vec_id") - 1, F.lit(stride)) == 0)
-         .select((F.col("vec_id") - 1).alias("ia"), v.alias("vb")))
+    base = emb.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+    v = to_double_array(F.col(vec_col))
+    a = base.select(F.col(id_col).alias("ia"), v.alias("va"))
+    b = (emb.filter(F.pmod(F.col(id_col) - 1, F.lit(stride)) == 0)
+         .select((F.col(id_col) - 1).alias("ia"), v.alias("vb")))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))

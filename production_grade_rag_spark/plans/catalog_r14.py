@@ -173,6 +173,42 @@ def r4_ivfpq_opq_recall(spark: SparkSession, d: str) -> DataFrame:
 
 
 # ===========================================================================
+# Engine-level derived-ANN gate: the facade consumes the measured
+# geometry too (VERDICT r13 #2 extended past the graph store).
+# ===========================================================================
+
+@register("eng_ann_derived_recall", oracle="""
+SELECT 10::BIGINT AS n_exact, TRUE AS floor_met
+""")
+def eng_ann_derived_recall(spark: SparkSession, d: str) -> DataFrame:
+    """Engine-level gate for the DERIVED ANN operating point:
+    EngineConfig(ann_backend='ivf', ann_n_lists=None,
+    ann_n_probe=None) makes the facade derive both knobs from the
+    indexed corpus at dispatch — ~sqrt(n) lists, probe fraction from
+    the MEASURED anisotropy (the knn_graph derivation the graph-store
+    builds already certify) — and the same search call must keep
+    recall >= 0.5 vs the exact backend (eng_ann_recall's floor at its
+    explicit (8, 4) point; on this corpus the derivation resolves to
+    (16, 8), measured recall 1.0 at sf0.01).  Proves a user can say
+    'ivf, figure out the knobs' and get a certified default."""
+    from ..config import EngineConfig
+    from ..engine import SparkRagEngine
+    from .catalog_more import _recall_summary
+    emb = _t(spark, d, "embeddings")
+    exact = SparkRagEngine(spark).search(
+        emb, query_vector=_qv(), limit=10, id_col="vec_id")
+    approx = SparkRagEngine(spark, EngineConfig(
+        ann_backend="ivf", ann_n_lists=None, ann_n_probe=None)).search(
+        emb, query_vector=_qv(), limit=10, id_col="vec_id")
+    return _recall_summary(exact, approx, ["vec_id"], floor=0.5)
+
+
+def _qv() -> list:
+    from .oracle_vec import QUERY_VEC
+    return QUERY_VEC
+
+
+# ===========================================================================
 # Streaming release audit (VERDICT r13 #3): the 7-row card maintained
 # through checkpointed out-of-order tranches — the release card a
 # never-ending crawl actually publishes.
