@@ -458,7 +458,9 @@ _AUDIT_CORR_MAX = 0.5       # |quality-length correlation| policy
 # r13 rows (VERDICT r12 #5): LSH recall audited on a deterministic
 # 1-in-m md5 doc stratum — the a24 key-sampling shape dd_minhash_pr's
 # own docstring names as the 100 TB form (the full exact pair set is
-# O(n^2/2): 52 s at sf0.1, which no release card can carry); the
+# corpus-sized even through the r14 inverted index — ~30 s at
+# sf0.1 and growing with the corpus, which no release card can
+# carry); the
 # drift and EWMA policies are the dq9/dq10 ones.  Since r14 the
 # modulus m DERIVES from the corpus count (VERDICT r13 #1 — the
 # derived_n_lists pattern): smallest power of two with

@@ -5,7 +5,8 @@ Two entries productizing the round's themes:
 
 - ``dd_minhash_pr_sampled``: the LSH precision/recall estimator on a
   deterministic key-sampled document stratum — the 100 TB form of
-  dd_minhash_pr (whose exact pair set is O(n^2/2): 52 s at sf0.1),
+  dd_minhash_pr (whose exact pair set is corpus-sized — ~30 s at
+  sf0.1 through the r14 inverted index and growing with the corpus),
   promoted from an embedded audit-card read to a first-class,
   fully value-oracled operator.
 - ``g15_bucket_containment``: the corpus-geometry card for ANN
@@ -70,8 +71,8 @@ def dd_minhash_pr_sampled(spark: SparkSession, d: str) -> DataFrame:
     """MinHash-LSH precision/recall estimated on a deterministic md5
     document stratum at the DERIVED modulus — the form dd_minhash_pr's
     own docstring names as the 100 TB path (the full exact pair set is
-    the O(n^2/2) audit twin: 52 s at sf0.1, quadratically worse
-    beyond), now a first-class operator instead of a read embedded
+    the corpus-sized audit twin: ~30 s at sf0.1 through the r14
+    inverted index and growing with the corpus), now a first-class operator instead of a read embedded
     in cc_release_audit.  The stratum key is md5('pr:' || doc_id) —
     content- and ingest-order-independent, so the stratum is an
     unbiased pair sample under the usual exchangeability read, and
