@@ -73,6 +73,16 @@ def main() -> None:
     _CAL_PROBES = ("t1_clean_content", "q3_top_revenue_orders",
                    "w4_running_customer_spend")
 
+    # VERDICT r14 #6: the sub-second probes under-correct whatever
+    # drifts for MULTI-second queries (r14's vs_prev read a
+    # near-uniform +16% on plan-untouched multi-second queries while
+    # the 3-probe median moved the other way) — so the calibration
+    # carries one LARGE warm probe too, and vs_prev normalizes each
+    # query by the size-matched factor (documented per query in
+    # BENCH_LOCAL.json's factor_used map).
+    _CAL_PROBE_LARGE = "dd_minhash_lsh"
+    _LARGE_QUERY_SEC = 2.0
+
     # one failing query must not lose the artifact for the healthy 14:
     # failures are recorded per-query and the JSON line is always emitted
     timings: dict[str, float] = {}
@@ -96,6 +106,11 @@ def main() -> None:
     # loop, so these are warm measurements by construction
     probe_warm = {p: _cal(p) for p in _CAL_PROBES}
     host_factor = sorted(probe_warm.values())[len(probe_warm) // 2]
+    # the large probe (also warm — it is a headline query itself)
+    try:
+        host_factor_large = _cal(_CAL_PROBE_LARGE)
+    except Exception:  # noqa: BLE001 — calibration must not kill the artifact
+        host_factor_large = None
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -113,6 +128,8 @@ def main() -> None:
             if cal_warm else None,
             "probes_warm": probe_warm,
             "host_factor_median": host_factor,
+            "probe_large": _CAL_PROBE_LARGE,
+            "host_factor_large": host_factor_large,
         },
     }
     if errors:
@@ -146,13 +163,28 @@ def main() -> None:
             # median against its q1 (mixed bases flipped the host-speed
             # sign in the r12 artifact).
             p_factor, now_factor = pcal.get("warm_sec"), cal_warm
+        # size-matched factor (VERDICT r14 #6): multi-second queries
+        # normalize by the large probe when BOTH rounds recorded it;
+        # otherwise (transition round — the previous artifact predates
+        # the large probe) everything stays on the like-for-like small
+        # factor, and this round's artifact records the large probe so
+        # the NEXT comparison can use it.
+        p_large = pcal.get("host_factor_large")
+
+        def _norm(q: str, t: float) -> tuple[float, str]:
+            if (p_large and host_factor_large
+                    and t >= _LARGE_QUERY_SEC
+                    and pdata["queries"][q] >= _LARGE_QUERY_SEC):
+                return round((t / host_factor_large)
+                             / (pdata["queries"][q] / p_large), 3), "large"
+            return round((t / now_factor)
+                         / (pdata["queries"][q] / p_factor), 3), "small"
+
         if pdata.get("sf") == out["sf"] and p_factor and now_factor:
-            ratios = {
-                q: round((t / now_factor)
-                         / (pdata["queries"][q] / p_factor), 3)
-                for q, t in timings.items()
-                if pdata["queries"].get(q)
-            }
+            ratios, factor_used = {}, {}
+            for q, t in timings.items():
+                if pdata["queries"].get(q):
+                    ratios[q], factor_used[q] = _norm(q, t)
             raw = {
                 q: round(t / pdata["queries"][q], 3)
                 for q, t in timings.items()
@@ -165,6 +197,8 @@ def main() -> None:
                 "prev": pname,
                 "host_speed_now_over_prev": round(p_factor / now_factor, 3),
                 "n": len(ratios),
+                "n_large_factor": sum(1 for v in factor_used.values()
+                                      if v == "large"),
                 "median": vals[len(vals) // 2] if vals else None,
                 "median_raw": rvals[len(rvals) // 2] if rvals else None,
                 "worst3": worst,
@@ -173,6 +207,7 @@ def main() -> None:
                 **out["vs_prev_normalized"],
                 "queries": ratios,
                 "queries_raw": raw,
+                "factor_used": factor_used,
             }
             print(f"# vs {pname} normalized: {ratios}", file=sys.stderr)
             print(f"# vs {pname} raw: {raw}", file=sys.stderr)

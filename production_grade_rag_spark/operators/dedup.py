@@ -148,9 +148,33 @@ def minhash_band_table(sigs: DataFrame, id_col: str = "doc_id",
                         F.col("__b.band_hash").alias("band_hash")))
 
 
+def recommended_bands(num_hashes: int, threshold: float = 0.8,
+                      recall_min: float = 0.9) -> int:
+    """The band planner's recommendation as a consumable default
+    (VERDICT r14 #2 — dd_band_plan published the S-curve card but
+    nothing read it): the MINIMUM divisor band count b of
+    ``num_hashes`` whose analytic OR-banding recall
+    1 - (1 - threshold^(num_hashes/b))^b clears ``recall_min``.
+    Fewest bands = fewest band-table rows and fewest candidate
+    collisions, so the returned point is the cheapest the policy
+    admits — the exact row dd_band_plan flags ``recommended``
+    (pinned equal in tests/test_catalog_r15.py).  Driver-side pure
+    math; raises if NO divisor banding clears the policy (width too
+    narrow for the asked recall — widen num_hashes)."""
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        if 1.0 - (1.0 - threshold ** r) ** b >= recall_min:
+            return b
+    raise ValueError(
+        f"no divisor banding of num_hashes={num_hashes} reaches "
+        f"analytic recall {recall_min} at threshold {threshold}")
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.8,
-                        num_hashes: int = 16, num_bands: int = 4,
+                        num_hashes: int = 16, num_bands: int | None = 4,
                         max_bucket: int | None = 1000,
                         min_band_overlap: int = 1) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
@@ -178,7 +202,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     dominates.  The recall cost is measured, not argued:
     dd_minhash_delta_pr scoreboards both operating points against the
     exact pair set.
+
+    ``num_bands=None`` (VERDICT r14 #2) resolves through
+    recommended_bands: the minimum divisor banding of ``num_hashes``
+    whose ANALYTIC recall at ``threshold`` clears the 0.9 release-
+    audit floor — the row dd_band_plan flags.  The explicit-knob form
+    stays the default (16/4 — existing oracles pin it); the planned
+    path is value-oracled by dd_minhash_planned.
     """
+    if num_bands is None:
+        num_bands = recommended_bands(num_hashes, threshold)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     banded = minhash_band_table(sigs, id_col, num_hashes, num_bands)
     return minhash_pairs_from_index(banded, df, text_col=text_col,
@@ -336,27 +369,65 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
              .select("id_a", "id_b", "jaccard"))
 
 
+def _set_key(sorted_arr: Column) -> Column:
+    """Canonical key of a SORTED shingle array: md5 over the
+    concatenation of each element's fixed-width md5 hex — injective on
+    sets regardless of element content (a separator-join would break
+    if a pathological document carried the separator byte inside a
+    token)."""
+    return F.md5(F.array_join(
+        F.transform(sorted_arr, lambda s: F.md5(s)), ""))
+
+
 def ngram_jaccard_pairs_index(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id",
                               threshold: float = 0.5,
-                              k: int = 3) -> DataFrame:
+                              k: int = 3,
+                              prefix_filter: bool = True) -> DataFrame:
     """Exact pairwise word-k-gram Jaccard above threshold via a shingle
     INVERTED INDEX — the same result set as ngram_jaccard_pairs (pinned
-    by tests/test_catalog_r14.py), but pair enumeration is index-driven
-    instead of a nested-loop theta-join: explode distinct shingles,
-    equi-join on the shingle, and the shared-shingle count per pair IS
-    the intersection size, so jaccard = inter / (|A| + |B| - inter)
-    derives from three integers with no array set-ops at all (the
-    AllPairs/PPJoin family shape — Bayardo et al. 2007, "Scaling Up
-    All Pairs Similarity Search", public).
+    by tests/test_catalog_r14.py and tests/test_catalog_r15.py), but
+    pair enumeration is index-driven instead of a nested-loop
+    theta-join (the AllPairs/PPJoin family — Bayardo et al. 2007,
+    "Scaling Up All Pairs Similarity Search"; Xiao et al. 2008 PPJoin
+    prefix filtering — both public).
 
-    Cost model: sum over shingles of freq^2 instead of n^2/2 pair
-    enumerations — near-linear when shingles are rare (word 3-grams
-    mostly are), and the size-bound prune (jaccard <= min/max of set
-    sizes) sits inside the join condition so disproportionate pairs
-    never reach the aggregate.  This is why the release-audit stratum
-    verify uses this form (VERDICT r13 #1): the stratum's exact pair
-    set costs an equi-join + one groupBy, not a quadratic enumeration.
+    The default path carries two hot-shingle guards (VERDICT r14 #4 —
+    plain sum-of-freq^2 enumeration is quadratic on exactly the
+    boilerplate megacluster ``max_bucket`` defends MinHash against),
+    while staying EXACT:
+
+    1. IDENTICAL-SET COLLAPSE: documents with the same shingle SET
+       (md5 of the sorted distinct-shingle array) collapse to one
+       representative before the index is built, so a 5,000-copy
+       boilerplate template enters the index ONCE with frequency 1.
+       Equal-set members pair at jaccard exactly 1.0 >= any threshold,
+       and a member pair across two groups has the representatives'
+       jaccard (set functions see identical sets), so the result
+       expands back member-for-member — the only quadratic step left
+       is EMITTING the clique's own output rows, which any exact
+       algorithm must produce.
+    2. PREFIX FILTERING on the representative index: under the global
+       (frequency asc, shingle asc) total order, only each set's first
+       p = |S| - ceil(t*|S|) + 1 shingles are indexed.  Completeness
+       is the standard prefix-filter theorem: two sets at jaccard >= t
+       overlap in >= ceil(t*max(|A|,|B|)) elements, and if their
+       prefixes were disjoint the whole intersection would fit inside
+       one suffix of size < that bound — so every qualifying pair
+       shares an INDEXED shingle.  Corpus-wide hot shingles sort LAST
+       and drop out of every non-tiny prefix, bounding the enumeration
+       at sum over shingles of (prefix-frequency)^2.
+
+    Candidates are then verified with candidate-bounded array set-ops
+    (array_intersect/array_union on the two sorted shingle arrays) —
+    never a full-index rejoin.  The size-bound prune (jaccard <=
+    min/max of set sizes) sits inside the candidate join.
+
+    ``prefix_filter=False`` keeps the round-14 unguarded form (one
+    equi-join + one groupBy, jaccard from the shared-shingle count) —
+    still the cheapest plan on corpora KNOWN to be clique-free, e.g.
+    the release-audit's bounded ~2k-doc stratum, and the reference
+    form the guarded path is pinned equal to in tests.
 
     Requires threshold > 0: pairs sharing NO shingle have jaccard 0
     and never appear in the index join (the nested-loop form would
@@ -365,25 +436,115 @@ def ngram_jaccard_pairs_index(df: DataFrame, text_col: str = "text",
         raise ValueError("ngram_jaccard_pairs_index needs threshold > 0 "
                          "(zero-overlap pairs never meet in the index); "
                          "use ngram_jaccard_pairs for threshold 0")
-    sh = df.select(F.col(id_col),
-                   word_shingles(F.col(text_col), k).alias("__sh"))
-    ex = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
-                   F.explode("__sh").alias("__s"))
-    a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__n_a"),
-                  "__s")
-    b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__n_b"),
-                  "__s")
+    if not prefix_filter:
+        sh = df.select(F.col(id_col),
+                       word_shingles(F.col(text_col), k).alias("__sh"))
+        ex = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
+                       F.explode("__sh").alias("__s"))
+        a = ex.select(F.col(id_col).alias("id_a"),
+                      F.col("__n").alias("__n_a"), "__s")
+        b = ex.select(F.col(id_col).alias("id_b"),
+                      F.col("__n").alias("__n_b"), "__s")
+        bound = (F.least("__n_a", "__n_b").cast("double")
+                 / F.greatest("__n_a", "__n_b")) >= threshold
+        inter = (a.join(b, "__s")
+                 .filter((F.col("id_a") < F.col("id_b")) & bound)
+                 .groupBy("id_a", "id_b", "__n_a", "__n_b")
+                 .agg(F.count("*").alias("__i")))
+        jac = (F.col("__i").cast("double")
+               / (F.col("__n_a") + F.col("__n_b") - F.col("__i"))
+               .cast("double"))
+        return (inter.withColumn("jaccard", F.round(jac, 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+    from pyspark.sql import Window
+
+    # 1. identical-set collapse: sorted array -> canonical key; one
+    #    representative (min id) per distinct shingle set.  Arrays
+    #    within a group are IDENTICAL once sorted, so F.first is
+    #    value-deterministic.
+    canon = (df.select(F.col(id_col),
+                       F.array_sort(word_shingles(F.col(text_col), k))
+                       .alias("__sh"))
+             .withColumn("__key", _set_key(F.col("__sh"))))
+    # members feeds four plan references (two expansion joins + the
+    # intra self-join's two sides) and reps feeds five (freq, prefix,
+    # both verify sides, the key map) — materialize each once so the
+    # text scan + shingle + collapse work never recomputes per
+    # reference (the minhash_delta_pairs lineage discipline)
+    members = canon.select(F.col(id_col).alias("__m"), "__key") \
+        .localCheckpoint()
+    reps = (canon.groupBy("__key")
+            .agg(F.min(id_col).alias("__rid"),
+                 F.first("__sh").alias("__sh"))
+            .withColumn("__n", F.size("__sh"))
+            .localCheckpoint())
+
+    # 2. global frequency over REPRESENTATIVES (the clique counts once)
+    #    -> per-set prefix under the (freq asc, shingle asc) order.
+    #    The 1e-9 slack counters upward float error in t*|S| — it can
+    #    only LENGTHEN a prefix (conservative, never incomplete).
+    ex = reps.select("__rid", "__n", F.explode("__sh").alias("__s"))
+    freq = ex.groupBy("__s").agg(F.count("*").alias("__f"))
+    pfx_len = (F.col("__n")
+               - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+               + 1)
+    w = Window.partitionBy("__rid").orderBy("__f", "__s")
+    pfx = (ex.join(freq, "__s")
+           .withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= pfx_len)
+           .select("__rid", "__n", "__s"))
+
+    # 3. candidate representative pairs from the prefix index, with
+    #    the size-bound prune inside the join
+    a = pfx.select(F.col("__rid").alias("ra"), F.col("__n").alias("__n_a"),
+                   "__s")
+    b = pfx.select(F.col("__rid").alias("rb"), F.col("__n").alias("__n_b"),
+                   "__s")
     bound = (F.least("__n_a", "__n_b").cast("double")
              / F.greatest("__n_a", "__n_b")) >= threshold
-    inter = (a.join(b, "__s")
-             .filter((F.col("id_a") < F.col("id_b")) & bound)
-             .groupBy("id_a", "id_b", "__n_a", "__n_b")
-             .agg(F.count("*").alias("__i")))
-    jac = (F.col("__i").cast("double")
-           / (F.col("__n_a") + F.col("__n_b") - F.col("__i")).cast("double"))
-    return (inter.withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    cand = (a.join(b, "__s")
+            .filter((F.col("ra") < F.col("rb")) & bound)
+            .select("ra", "rb").distinct())
+
+    # 4. candidate-bounded exact verify on the sorted shingle arrays
+    rsh = reps.select("__rid", "__sh")
+    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+           / F.size(F.array_union("__sh_a", "__sh_b")))
+    rep_pairs = (cand
+                 .join(rsh.select(F.col("__rid").alias("ra"),
+                                  F.col("__sh").alias("__sh_a")), "ra")
+                 .join(rsh.select(F.col("__rid").alias("rb"),
+                                  F.col("__sh").alias("__sh_b")), "rb")
+                 .withColumn("jaccard", F.round(jac, 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("ra", "rb", "jaccard"))
+
+    # 5. expand back to member pairs: cross pairs inherit the
+    #    representatives' jaccard (identical sets within a group);
+    #    intra-group pairs are jaccard 1.0 by construction.  The
+    #    expansion is OUTPUT-sized — the rows any exact algorithm must
+    #    emit — not an enumeration blowup.
+    rk = reps.select("__rid", "__key")
+    cross = (rep_pairs
+             .join(rk.select(F.col("__rid").alias("ra"),
+                             F.col("__key").alias("__ka")), "ra")
+             .join(rk.select(F.col("__rid").alias("rb"),
+                             F.col("__key").alias("__kb")), "rb")
+             .join(members.select(F.col("__key").alias("__ka"),
+                                  F.col("__m").alias("__da")), "__ka")
+             .join(members.select(F.col("__key").alias("__kb"),
+                                  F.col("__m").alias("__db")), "__kb")
+             .select(F.least("__da", "__db").alias("id_a"),
+                     F.greatest("__da", "__db").alias("id_b"), "jaccard"))
+    ma = members.select("__key", F.col("__m").alias("id_a"))
+    mb = members.select("__key", F.col("__m").alias("id_b"))
+    intra = (ma.join(mb, "__key")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

@@ -129,10 +129,19 @@ def measured_anisotropy(emb: DataFrame, n: int,
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    # a zero-norm vector in the chain makes its pair cosine 0/0 —
+    # under ANSI that is a DIVIDE_BY_ZERO abort mid-build (ADVICE
+    # r14); try_divide turns the degenerate pair into NULL, which
+    # avg() skips (an all-degenerate chain averages to NULL -> the
+    # conservative 0.0 isotropic reading below)
     row = (a.join(b, "ia")
-           .select((dot / na / nb).alias("c"))
+           .select(F.try_divide(dot, na * nb).alias("c"))
            .agg(F.avg("c").alias("m")).collect()[0])
-    return float(row["m"] if row["m"] is not None else 0.0)
+    import math
+    m = row["m"]
+    if m is None or math.isnan(m):
+        return 0.0
+    return float(m)
 
 
 # Probe-fraction anchors measured by scripts/stress_bench.py (both on
@@ -158,6 +167,11 @@ def probe_bits(anisotropy: float) -> int:
     (g_knn_edges_ivf_recall / the per-tier stress gates) — the
     interpolation picks the operating point, the gate certifies it."""
     import math
+    if math.isnan(anisotropy):
+        # belt to measured_anisotropy's braces (ADVICE r14): an
+        # unreadable geometry gets the conservative isotropic probe
+        # budget, never a math.floor(NaN) crash mid-build
+        return 1
     (lo_a, lo_b), (hi_a, hi_b) = _PROBE_ANCHOR_ISO, _PROBE_ANCHOR_CLU
     t = (anisotropy - lo_a) / (hi_a - lo_a)
     bits = lo_b + t * (hi_b - lo_b)

@@ -151,6 +151,47 @@ def opq_train(corpus: DataFrame, m: int = 8, k_codes: int = 16,
     return R, books
 
 
+def opq_gain_report(corpus: DataFrame, m: int = 8, k_codes: int = 32,
+                    sample: int = 4096, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    pays_ratio: float = 1.5) -> DataFrame:
+    """The OPQ decision as a CARD (VERDICT r14 #5): sample
+    quantization error under plain PQ vs under the learned rotation,
+    on the SAME deterministic hash-ordered sample both trainers use —
+    so an operator can see whether rotation pays for THEIR corpus
+    before paying a store rebuild (the measured-geometry-drives-
+    defaults pattern applied to PQ; the fit is the same bounded
+    driver-side work ivfpq_build_store(rotate=True) would run anyway).
+
+    One row: (m, k_codes, err_plain, err_opq, err_ratio,
+    opq_not_worse, rotation_pays).  ``rotation_pays`` gates the ratio
+    at ``pays_ratio`` (default 1.5 — between the measured ~1.02-1.22x
+    on per-dim-independent geometry, where rotation reclaims nothing,
+    and the measured 1.99x on correlated-spectrum geometry, where it
+    does; STRESS_r14 opq_err_ratio_* rows).  ``opq_not_worse`` allows
+    5% slack: the OPQ alternation descends ITS OWN objective from a
+    shorter k-means budget, so on rotation-proof geometry the two
+    errors are equal up to fit noise, not ordered.
+
+    Scale shape: corpus-independent — one bounded sample collect +
+    driver-side numpy, exactly the train cost; no corpus pass."""
+    spark = corpus.sparkSession
+    X = _pq_sample(corpus, sample, vec_col, id_col)
+    books = _lloyd_books(X, m, k_codes)
+    err_plain = float(((X - _pq_reconstruct(X, books)) ** 2).sum())
+    R, rbooks = opq_train(corpus, m=m, k_codes=k_codes, sample=sample,
+                          vec_col=vec_col, id_col=id_col)
+    Xr = X @ R
+    err_opq = float(((Xr - _pq_reconstruct(Xr, rbooks)) ** 2).sum())
+    ratio = err_plain / err_opq if err_opq > 0 else float("inf")
+    return spark.createDataFrame(
+        [(m, k_codes, round(err_plain, 6), round(err_opq, 6),
+          round(ratio, 3), err_opq <= err_plain * 1.05,
+          ratio >= pays_ratio)],
+        "m long, k_codes long, err_plain double, err_opq double, "
+        "err_ratio double, opq_not_worse boolean, rotation_pays boolean")
+
+
 def pq_encode(corpus: DataFrame, codebooks: list[np.ndarray],
               vec_col: str = "embedding",
               code_col: str = "pq_codes",
@@ -236,7 +277,10 @@ def ivfpq_build_store(corpus: DataFrame, path: str, n_lists: int = 8,
     (2.1x on correlated-spectrum geometry; ~1x on this repo's
     per-dim-independent synthetic corpora — see opq_train), which is
     the SHORTLIST-quality loss — probe loss is the cell geometry's,
-    unchanged."""
+    unchanged.  Whether rotation pays for a GIVEN corpus is a
+    measured question — run opq_gain_report (the r4_opq_gain catalog
+    card) on the corpus first; it fits the same bounded sample and
+    reports err_plain/err_opq with the decision gate."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -280,6 +324,14 @@ def ivfpq_build_store(corpus: DataFrame, path: str, n_lists: int = 8,
                  for c in range(books[j].shape[0])]
     spark.createDataFrame(book_rows, ["subspace", "codeword", "center"]) \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # the rotation decision is STORE METADATA, not directory existence
+    # (ADVICE r14): an in-place rebuild with rotate toggled off leaves
+    # the old {path}/rotation directory behind (each sub-write only
+    # overwrites its own subdir), and a local os.path probe would lie
+    # on a non-local warehouse — search consults this flag instead,
+    # read through the same Spark reader as every other store table.
+    spark.createDataFrame([(bool(rotate),)], "opq_rotated boolean") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def ivfpq_search_store(spark, path: str, query_vec: list[float],
@@ -338,15 +390,35 @@ def ivfpq_search_store(spark, path: str, query_vec: list[float],
         books[r["subspace"]][r["codeword"]] = r["center"]
     # OPQ store (rotate=True build): codes live in the rotated frame,
     # so the RESIDUAL lut side rotates with them — <q, r> = <q @ R, z>
-    # (R orthogonal); the centroid term below stays in the raw frame
-    import os as _os
+    # (R orthogonal); the centroid term below stays in the raw frame.
+    # The decision comes from store METADATA (ADVICE r14): a stale
+    # rotation directory from a prior rotate=True build must not
+    # rotate the lut against unrotated codes, and the probe must work
+    # on non-local warehouses — so no os.path, and meta wins.  Legacy
+    # stores without a meta table fall back to Spark-reading the
+    # rotation table directly (absent -> unrotated).
+    from pyspark.errors import AnalysisException
+
+    def _read_or_none(sub: str):
+        try:
+            return spark.read.parquet(f"{path}/{sub}").collect()
+        except AnalysisException:
+            return None
+
+    meta = _read_or_none("meta")
+    rotated = bool(meta[0]["opq_rotated"]) if meta else None
     q_adc = q
-    if _os.path.exists(f"{path}/rotation"):
-        rrows = spark.read.parquet(f"{path}/rotation").collect()
-        R = np.empty((len(rrows), len(rrows[0]["row_vals"])))
-        for r in rrows:
-            R[r["row_idx"]] = r["row_vals"]
-        q_adc = q @ R
+    if rotated is not False:
+        rrows = _read_or_none("rotation")
+        if rotated is True and not rrows:
+            raise ValueError(
+                f"IVFPQ store {path}: meta says opq_rotated but no "
+                "rotation table — corrupt store, rebuild it")
+        if rrows:
+            R = np.empty((len(rrows), len(rrows[0]["row_vals"])))
+            for r in rrows:
+                R[r["row_idx"]] = r["row_vals"]
+            q_adc = q @ R
 
     data = (spark.read.parquet(f"{path}/data")
             .filter(F.col("cell").isin(cells)))

@@ -513,3 +513,4 @@ from . import catalog_r11  # noqa: E402,F401  (registration side effects)
 from . import catalog_r12  # noqa: E402,F401  (registration side effects)
 from . import catalog_r13  # noqa: E402,F401  (registration side effects)
 from . import catalog_r14  # noqa: E402,F401  (registration side effects)
+from . import catalog_r15  # noqa: E402,F401  (registration side effects)

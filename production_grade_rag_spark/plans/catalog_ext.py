@@ -515,10 +515,16 @@ def dd_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
 def dd_ngram_jaccard(spark: SparkSession, d: str) -> DataFrame:
     """Exact pairwise word-3-gram Jaccard >= 0.5 — the exact twin of
     dd_minhash_lsh.  Since r14 the plan is the shingle INVERTED INDEX
-    (ngram_jaccard_pairs_index: sum-of-freq^2 pair enumeration, no
-    array set-ops), not the nested-loop theta-join — same result set
-    for threshold > 0 (pinned vs the nested form at 3 thresholds in
-    tests/test_catalog_r14.py), and the DuckDB oracle stays the
+    (ngram_jaccard_pairs_index), not the nested-loop theta-join;
+    since r15 the index carries the HOT-SHINGLE GUARD (VERDICT r14
+    #4: identical-set collapse + PPJoin prefix filtering — a
+    boilerplate megacluster enters the index once and corpus-wide hot
+    shingles drop out of every prefix, so enumeration is bounded even
+    on the adversarial skew corpus that max_bucket defends MinHash
+    against).  Same result set for threshold > 0 (pinned vs the
+    nested form at 3 thresholds in tests/test_catalog_r14.py, and vs
+    the unguarded form incl. dup-clique corpora in
+    tests/test_catalog_r15.py); the DuckDB oracle stays the
     nested-loop SQL, so the check is algorithm-independent."""
     return dedup.ngram_jaccard_pairs_index(_t(spark, d, "documents"))
 

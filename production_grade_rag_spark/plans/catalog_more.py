@@ -263,8 +263,8 @@ def ev_sliding_counts(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register("dd_components", oracle=f"""
-WITH RECURSIVE pairs AS ({OV.ngram_pairs_sql(0.5).strip()}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({OV.ngram_pairs_sql(0.5).strip()}),
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),

@@ -553,7 +553,15 @@ def pr_counts_from(strat: DataFrame, threshold: float = 0.8) -> DataFrame:
                  F.coalesce(F.sum((F.col("jaccard") >= threshold)
                                   .cast("int")), F.lit(0))
                  .cast("long").alias("n_true_pos")))
-    ex = (ngram_jaccard_pairs_index(strat, threshold=threshold)
+    # prefix_filter=False: the stratum is BOUNDED (~2k docs by the
+    # derived modulus), so even a worst-case all-boilerplate stratum
+    # caps the unguarded enumeration at shingles x 2048^2 — a bounded
+    # constant at any corpus scale; the unguarded one-join form is
+    # the documented cheapest plan on bounded frames, and the r15
+    # hot-shingle guard (collapse + PPJoin prefix) stays on the
+    # FULL-CORPUS consumers where a megacluster is unbounded
+    ex = (ngram_jaccard_pairs_index(strat, threshold=threshold,
+                                    prefix_filter=False)
           .agg(F.count("*").cast("long").alias("n_exact")))
     ns = strat.agg(F.count("*").cast("long").alias("n_stratum"))
     return ns.crossJoin(F.broadcast(cand)).crossJoin(F.broadcast(ex))

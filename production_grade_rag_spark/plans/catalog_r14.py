@@ -103,8 +103,16 @@ def dd_band_plan(spark: SparkSession, d: str) -> DataFrame:
     dd_minhash_pr / dd_minhash_pr_sampled publish the measured
     posterior beside this prior, and their docstrings cite this
     card), while 16/8 (r=2) clears at 0.9997 at ~3.9x the analytic
-    FP rate; the production 128/32 point (r=4) reads 0.99997 —
-    comfortably above policy with the FP read still at 0.4634.
+    FP rate; the production 128/32 point (r=4) reads recall
+    1.000000 (1-(1-0.8^4)^32 ~= 1-4.8e-8) — comfortably above
+    policy — at fp_at_low 0.873211, i.e. at j=0.5 most pairs still
+    become candidates and the exact-Jaccard verify is what buys
+    precision at that width (VERDICT r14 #1: this card's own output
+    row, restated).  Since round 15 the recommendation is CONSUMED:
+    operators.dedup.recommended_bands replays this S-curve and
+    minhash_dedup_pairs(num_bands=None) resolves to the flagged
+    minimum-band point (dd_minhash_planned value-oracles that
+    path).
 
     Scale shape: corpus-free integer/double arithmetic over a ~20-row
     literal grid — the planning read costs nothing at any scale; the
@@ -219,6 +227,47 @@ def _sra_oracle() -> str:
     return _audit_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Epoch-idempotent versioned store writes (ADVICE r14): the snapshot
+# version IS epoch_id + 1, so a micro-batch replayed after a crash
+# between the store writes and the checkpoint commit cannot fold its
+# delta twice — module-level so tests/test_catalog_r15.py can exercise
+# the replay semantics directly.
+# ---------------------------------------------------------------------------
+
+def epoch_write(df: DataFrame, store: str, epoch_id: int) -> None:
+    """Write ``df`` as the store snapshot for this epoch — version
+    epoch_id + 1.  A snapshot that already COMMITTED (_SUCCESS
+    present) is skipped: the fold is deterministic per epoch (the
+    checkpointed source replays the same batch), so the existing
+    snapshot IS this write.  A torn directory (no _SUCCESS) is
+    rewritten in place."""
+    import os
+
+    from ..sources.tables import write_version
+    ver = int(epoch_id) + 1
+    if os.path.exists(f"{store}/v={ver}/_SUCCESS"):
+        return
+    write_version(df, store, ver)
+
+
+def epoch_prior(sp: SparkSession, store: str,
+                epoch_id: int) -> DataFrame | None:
+    """The store snapshot AS-OF the previous epoch (version <=
+    epoch_id), or None before the first fold — so a partially-applied
+    replay merges every store against the RIGHT base independently of
+    which sibling stores already committed this epoch."""
+    import os
+
+    from ..sources.tables import list_versions, read_version
+    if not (os.path.exists(store) and list_versions(sp, store)):
+        return None
+    try:
+        return read_version(sp, store, as_of=int(epoch_id))
+    except ValueError:   # no snapshot at or before this epoch
+        return None
+
+
 @register("st_release_audit", oracle=_sra_oracle)
 def st_release_audit(spark: SparkSession, d: str) -> DataFrame:
     """STREAMING release audit (VERDICT r13 #3): every monitor on the
@@ -275,7 +324,6 @@ def st_release_audit(spark: SparkSession, d: str) -> DataFrame:
     steady state is QI-groups + manifest ids + 2d moments + calendar
     days + the chain frontier + a ~2k-doc stratum — none corpus-sized
     except the narrow manifest id table the batch t43 also keeps."""
-    import os
     import shutil
     from pathlib import Path
 
@@ -283,7 +331,7 @@ def st_release_audit(spark: SparkSession, d: str) -> DataFrame:
     from ..functions.vector import to_double_array
     from ..operators.dedup import md5_int32
     from ..sources.paged_source import PagedDumpDataSource
-    from ..sources.tables import list_versions, read_version, write_version
+    from ..sources.tables import read_version
     from ..streaming import pipeline as SP
     from .catalog import _t
     from .catalog_more import _scratch
@@ -341,16 +389,14 @@ def st_release_audit(spark: SparkSession, d: str) -> DataFrame:
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
         good = batch_df.filter(~F.col("malformed")).localCheckpoint()
-
-        def vers(store):
-            return list_versions(sp, store) if os.path.exists(store) else []
-
+        # IDEMPOTENT versioned writes (ADVICE r14): see epoch_write /
+        # epoch_prior above — replays skip committed snapshots, priors
+        # read as-of the previous epoch.
         def write(df, store):
-            v = vers(store)
-            write_version(df, store, (v[-1] + 1) if v else 1)
+            epoch_write(df, store, epoch_id)
 
         def prior(store):
-            return read_version(sp, store) if vers(store) else None
+            return epoch_prior(sp, store, epoch_id)
 
         # ---- documents ----
         bd = (good.filter(F.col("lang") == "doc")

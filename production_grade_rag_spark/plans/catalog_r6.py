@@ -1374,8 +1374,8 @@ def ev_error_bursts(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register("dd_cluster_sizes", oracle=f"""
-WITH RECURSIVE pairs AS ({{PAIRS}}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({{PAIRS}}),
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),

@@ -380,6 +380,41 @@ def main() -> None:
           f"bill over capped = {res['minhash_delta_verify_bill_10x']}s)",
           file=sys.stderr)
 
+    # --- exact-Jaccard inverted index: hot-shingle guard (r15) ---------
+    # VERDICT r14 #4: unguarded sum-of-freq^2 enumeration is quadratic
+    # in clique size, so the SAME boilerplate megacluster max_bucket
+    # defends MinHash against would detonate the exact index.  The
+    # guarded form (identical-set collapse + PPJoin prefix filtering)
+    # is timed on the FULL skew tier (5k-doc clique in 50k docs —
+    # bounded wall-clock beside minhash_skew_10x); the head-to-head
+    # guarded-vs-unguarded ratio is measured on a 10x-smaller slice
+    # (500-doc clique in 5k) where the unguarded form still terminates,
+    # with result-set equality asserted.
+    docs_slice = docs_skew.filter(F.col("doc_id") % 100 < 10)
+    n_g, t_g = _timed_steady(lambda: dedup.ngram_jaccard_pairs_index(
+        docs_slice, threshold=0.8).count())
+    n_u, t_u = _timed_steady(lambda: dedup.ngram_jaccard_pairs_index(
+        docs_slice, threshold=0.8, prefix_filter=False).count())
+    assert n_g == n_u, f"guard changed the result set: {n_g} != {n_u}"
+    T["ngram_idx_guarded_slice"] = t_g
+    T["ngram_idx_unguarded_slice"] = t_u
+    res["ngram_idx_slice_pairs"] = n_g
+    res["ngram_idx_unguarded_over_guarded_slice"] = round(t_u / t_g, 2)
+    print(f"# ngram index, 5k slice w/ 500-doc clique: guarded {t_g}s "
+          f"vs unguarded {t_u}s ({n_g} pairs; ratio "
+          f"{res['ngram_idx_unguarded_over_guarded_slice']}x)",
+          file=sys.stderr)
+    n, t = _timed_steady(lambda: dedup.ngram_jaccard_pairs_index(
+        docs_skew, threshold=0.8).count())
+    T["ngram_idx_guarded_skew_10x"] = t
+    res["ngram_idx_skew_pairs"] = n
+    res["ngram_idx_guarded_over_minhash_skew"] = round(
+        t / T["minhash_skew_10x"], 2)
+    print(f"# ngram index GUARDED, full skew tier (5k-doc clique in "
+          f"{n_docs10}): {t}s ({n} pairs — the clique's own C(5k,2) "
+          f"output rows; {res['ngram_idx_guarded_over_minhash_skew']}x "
+          f"of minhash_skew_10x)", file=sys.stderr)
+
     # --- IVF store: build + probe sweep vs exact -----------------------
     store = f"{STRESS_DIR}/ivf64"
     _, t = _timed(lambda: similarity.ivf_build_store(
