@@ -46,17 +46,60 @@ def tokens(col: Column) -> Column:
             .otherwise(F.split(t, WORD_SPLIT_RE))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles joined with single spaces.  Documents
-    shorter than k tokens contribute their whole text as one shingle so
-    short exact-dups still collide."""
-    toks = tokens(col)
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of an ALREADY-PROJECTED tokens column.
+    ``toks`` should be a plain attribute reference: Catalyst inlines
+    whatever Column tree it is given into the per-element slice
+    lambda, so handing this an inline ``tokens(text)`` expression
+    re-evaluates the regex strip + split PER SHINGLE POSITION — the
+    r15 profiling measured 8-12x on exactly that (guide §1.2 step 2:
+    per-task work).  Use shingle_frame for the common
+    (id, shingle-array) projection."""
     n = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     return F.when(n >= k, F.array_distinct(shingled)) \
             .otherwise(F.array(F.array_join(toks, " ")))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles joined with single spaces.  Documents
+    shorter than k tokens contribute their whole text as one shingle so
+    short exact-dups still collide.
+
+    NOTE (r15): only for one-off expression contexts.  In DataFrame
+    plans prefer shingle_frame / shingles_of over a projected tokens
+    column — this inline form re-evaluates the token split once per
+    shingle position (see shingles_of)."""
+    return shingles_of(tokens(col), k)
+
+
+def shingle_frame(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, __sh) shingle-array projection with the token split
+    evaluated ONCE per row: tokens are materialized as a real
+    projection first, so the per-position slice lambda references an
+    attribute instead of re-running the regex split per shingle
+    (r15 optimization; output pinned identical to the inline form by
+    tests/test_dedup_sem.py::test_shingle_frame_equals_inline)."""
+    cols = [F.col(c) for c in (id_col, *extra_cols)]
+    return (df.select(*cols, tokens(F.col(text_col)).alias("__toks"))
+            .select(*cols, shingles_of(F.col("__toks"), k).alias("__sh")))
+
+
+def shingle_explode(df: DataFrame, text_col: str = "text", k: int = 3,
+                    extra_cols: tuple[str, ...] = (),
+                    out_col: str = "sh") -> DataFrame:
+    """One (extra_cols..., shingle) row per distinct doc shingle —
+    the F.explode(word_shingles(...)) shape every sketch/contamination
+    consumer used, with the token split evaluated once per row instead
+    of once per shingle position (r15; same rows, same multiplicity)."""
+    cols = [F.col(c) for c in extra_cols]
+    return (df.select(*cols, tokens(F.col(text_col)).alias("__toks"))
+            .select(*cols, shingles_of(F.col("__toks"), k).alias("__sh"))
+            .select(*cols, F.explode("__sh").alias(out_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -114,16 +157,34 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 16) -> DataFrame:
     """Wide MinHash signature table (id, h0..h{n-1}).
 
-    Plan: explode distinct shingles -> one md5 base hash per shingle ->
-    single hash-aggregate computing all num_hashes min() columns
-    map-side-partially.  One shuffle on id_col.  The explode/groupBy
-    formulation (rather than nested higher-order functions) keeps every
-    expression tree tiny — HOF signatures get re-inlined by Catalyst
-    into each downstream band/join reference and blow up codegen.
+    Plan: project tokens -> explode shingle POSITIONS (an int sequence
+    — the generator and its inferred non-empty filter then never
+    re-evaluate string work) -> assemble each shingle from the
+    materialized token array by attribute slice -> one md5 base hash
+    per shingle -> single hash-aggregate computing all num_hashes
+    min() columns map-side-partially.  One shuffle on id_col.  The
+    explode/groupBy formulation (rather than nested higher-order
+    functions) keeps every expression tree tiny — HOF signatures get
+    re-inlined by Catalyst into each downstream band/join reference
+    and blow up codegen.
+
+    r15 note: positions may emit duplicate shingles where the old
+    distinct-shingle explode deduplicated; min() over duplicated
+    hashes is identical, and the signature table is pinned equal to
+    the r14 form in tests/test_dedup_sem.py.  Short docs (< k tokens)
+    keep the whole-text fallback via the -1 sentinel position.
     """
-    ex = df.select(F.col(id_col),
-                   F.explode(word_shingles(F.col(text_col))).alias("__shingle"))
-    h = ex.select(id_col, md5_int32(F.col("__shingle")).alias("__h"))
+    k = 3
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    pos = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+           .otherwise(F.array(F.lit(-1)))
+    ex = toks.select(F.col(id_col), "__toks", F.explode(pos).alias("__i"))
+    shingle = F.when(
+        F.col("__i") >= 0,
+        F.array_join(F.slice("__toks", F.col("__i") + 1, k), " ")) \
+        .otherwise(F.array_join("__toks", " "))
+    h = ex.select(id_col, md5_int32(shingle).alias("__h"))
     aggs = [
         F.min((F.lit(HASH_A[s]) * F.col("__h") + F.lit(HASH_B[s]))
               % F.lit(MINHASH_PRIME)).alias(f"h{s}")
@@ -250,7 +311,7 @@ def minhash_pairs_from_index(banded: DataFrame, df: DataFrame,
     if min_band_overlap > 1:
         cands = cands.filter(F.col("__n_shared") >= min_band_overlap)
     cands = cands.select("id_a", "id_b")
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh"))
+    sh = shingle_frame(df, text_col, id_col)
     jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
            / F.size(F.array_union("__sh_a", "__sh_b")))
     return (cands
@@ -351,7 +412,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """Exact pairwise word-k-gram Jaccard above threshold.  O(n^2/2)
     cross join — the verification oracle for minhash, and the exact
     path for corpora small enough to broadcast one side."""
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh"))
+    sh = shingle_frame(df, text_col, id_col, k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"),
                   F.size("__sh").alias("__n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"),
@@ -437,8 +498,7 @@ def ngram_jaccard_pairs_index(df: DataFrame, text_col: str = "text",
                          "(zero-overlap pairs never meet in the index); "
                          "use ngram_jaccard_pairs for threshold 0")
     if not prefix_filter:
-        sh = df.select(F.col(id_col),
-                       word_shingles(F.col(text_col), k).alias("__sh"))
+        sh = shingle_frame(df, text_col, id_col, k)
         ex = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
                        F.explode("__sh").alias("__s"))
         a = ex.select(F.col(id_col).alias("id_a"),
@@ -464,9 +524,8 @@ def ngram_jaccard_pairs_index(df: DataFrame, text_col: str = "text",
     #    representative (min id) per distinct shingle set.  Arrays
     #    within a group are IDENTICAL once sorted, so F.first is
     #    value-deterministic.
-    canon = (df.select(F.col(id_col),
-                       F.array_sort(word_shingles(F.col(text_col), k))
-                       .alias("__sh"))
+    canon = (shingle_frame(df, text_col, id_col, k)
+             .select(F.col(id_col), F.array_sort("__sh").alias("__sh"))
              .withColumn("__key", _set_key(F.col("__sh"))))
     # members feeds four plan references (two expansion joins + the
     # intra self-join's two sides) and reps feeds five (freq, prefix,
@@ -649,19 +708,30 @@ def semdedup_pairs(vectors: DataFrame, n_clusters: int = 8,
     dd_semdedup_recall; precision stays 1.0 by construction (every
     emitted pair is exact-cosine-verified)."""
     from .similarity import assign_cells, fit_centroids
-    from ..functions.vector import cosine, to_double_array
+    from ..functions.vector import dot, norm, to_double_array
 
     cents = fit_centroids(vectors, n_lists=n_clusters, vec_col=vec_col)
-    cells = assign_cells(vectors, cents, vec_col=vec_col, id_col=id_col) \
-        .select(F.col(id_col), F.col(vec_col), F.col("cell"))
+    # hoist the double-cast and the per-row norm out of the per-cell
+    # quadratic loop (the pairwise_similar idiom): one interpreted-HOF
+    # dot per pair instead of three aggregates + two casts.
+    # dot/(na*nb) is bit-identical to cosine() — same double ops in
+    # the same order, just factored — so pairs and scores (and the
+    # recall gate) are unchanged.
+    cells = (assign_cells(vectors, cents, vec_col=vec_col, id_col=id_col)
+             .select(F.col(id_col),
+                     to_double_array(F.col(vec_col)).alias("__vd"),
+                     F.col("cell"))
+             .withColumn("__n", norm(F.col("__vd"))))
     a = cells.select(F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("__va"), "cell")
+                     F.col("__vd").alias("__va"),
+                     F.col("__n").alias("__na"), "cell")
     b = cells.select(F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("__vb"), "cell")
+                     F.col("__vd").alias("__vb"),
+                     F.col("__n").alias("__nb"), "cell")
     return (a.join(b, "cell")
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", cosine(to_double_array(F.col("__va")),
-                                      to_double_array(F.col("__vb"))))
+            .withColumn("cos", dot(F.col("__va"), F.col("__vb"))
+                        / (F.col("__na") * F.col("__nb")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos"),
                     "cell"))
@@ -821,11 +891,11 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
                  .join(F.broadcast(need), id_col, "left_semi")
                  .join(F.broadcast(delta.select(id_col)), id_col,
                        "left_anti"))
-    sh = (delta.select(id_col, text_col)
-          .join(F.broadcast(need), id_col, "left_semi")
-          .unionByName(base_only)
-          .select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh"))
-          .localCheckpoint())
+    sh = shingle_frame(
+        delta.select(id_col, text_col)
+        .join(F.broadcast(need), id_col, "left_semi")
+        .unionByName(base_only),
+        text_col, id_col).localCheckpoint()
     jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
            / F.size(F.array_union("__sh_a", "__sh_b")))
     return (cands

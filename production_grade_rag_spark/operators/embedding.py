@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import WORD_SPLIT_RE, pystrip
-from ..functions.vector import l2_normalize
 
 
 def _bucket(tok: Column, dim: int) -> Column:
@@ -59,7 +58,14 @@ def hash_components(df: DataFrame, text_col: str = "content",
     (pre-assembly, pre-normalization) stage of ``hash_embed`` — exposed
     because it is fully relational (explode -> hash -> groupBy) and so
     oracle-checkable without array-stringification hazards."""
-    toks = (df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__tok"))
+    # r15: project the token array BEFORE exploding it — handing the
+    # generator an inline tokenize() expression makes the optimizer's
+    # inferred non-empty filter re-evaluate the strip+split regex per
+    # row (the dedup.shingles_of lesson); an attribute reference keeps
+    # it to one evaluation.  Same rows, same multiplicity.
+    toks = (df.select(F.col(id_col),
+                      tokenize(F.col(text_col)).alias("__toks"))
+              .select(F.col(id_col), F.explode("__toks").alias("__tok"))
               .select(F.col(id_col),
                       _bucket(F.col("__tok"), dim).alias("bucket"),
                       _sign(F.col("__tok")).alias("__sign")))
@@ -76,7 +82,20 @@ def hash_embed(df: DataFrame, text_col: str = "content",
     Plan: explode tokens -> hash to (bucket, sign) -> partial+final sum
     per (id, bucket) -> assemble dense array via map lookup.  Rows with
     zero tokens get the zero vector (left join keeps them).
+
+    r15: the assembled array and its norm are materialized as REAL
+    projections before the normalize step.  The old form passed the
+    whole map-assembly tree into ``l2_normalize``, whose per-element
+    division lambda inlines the norm subtree — which itself inlines
+    the dim-element assembly twice — so each row paid O(dim^2)
+    interpreted map lookups (~295k element_at calls per row at the
+    flagship's dim=384).  Factored over attributes the math is the
+    SAME double ops in the same order: the zero-token and zero-norm
+    rows still come out as the raw zero vector (norm(0)=0 hits the
+    same ``when`` branch l2_normalize used), so every consumer oracle
+    stands (pinned by tests/test_embedding.py).
     """
+    from ..functions.vector import norm
     sums = (hash_components(df, text_col, id_col, dim)
             .groupBy(id_col)
             .agg(F.map_from_entries(
@@ -86,15 +105,22 @@ def hash_embed(df: DataFrame, text_col: str = "content",
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.coalesce(F.element_at(F.col("__m"), j.cast("long")), F.lit(0.0)),
     )
-    if normalize:
-        vec = l2_normalize(vec)
     out = (df.join(sums, id_col, "left")
-             .withColumn(out_col, F.when(F.col("__m").isNull(),
+             .withColumn("__vec", F.when(F.col("__m").isNull(),
                                          F.array_repeat(F.lit(0.0), dim))
                                    .otherwise(vec))
-             .drop("__m")
-             .withColumn("embedding_model", F.lit(f"hash-{dim}")))
-    return out
+             .drop("__m"))
+    if normalize:
+        out = (out.withColumn("__n", norm(F.col("__vec")))
+                  .withColumn(out_col, F.when(
+                      F.col("__n") == 0, F.col("__vec"))
+                      .otherwise(F.transform(
+                          F.col("__vec"),
+                          lambda x: x / F.col("__n"))))
+                  .drop("__vec", "__n"))
+    else:
+        out = out.withColumnRenamed("__vec", out_col)
+    return out.withColumn("embedding_model", F.lit(f"hash-{dim}"))
 
 
 def embed_text_py(text: str, dim: int = 64, normalize: bool = True) -> list[float]:

@@ -245,10 +245,18 @@ def _build_nb(spark: SparkSession, d: str, k: int, method: str,
                 .filter(F.col("__r") <= k)
                 .select(F.col("query_id").alias("src"),
                         F.col("result_id").alias("dst")))
-    ed = e.select("vec_id",
-                  to_double_array(F.col("embedding")).alias("emb"))
+    from ..functions.vector import dot, norm
+    # hoist per-row norms out of the O(n^2) pair loop (the
+    # pairwise_similar idiom): one interpreted-HOF dot per pair
+    # instead of three.  dot/(na*nb) is bit-identical to cosine() —
+    # same double ops in the same order, just factored — so the edge
+    # set (and every graph oracle downstream) is unchanged.
+    ed = (e.select("vec_id",
+                   to_double_array(F.col("embedding")).alias("emb"))
+          .withColumn("nrm", norm(F.col("emb"))))
     a, b = ed.alias("a"), ed.alias("b")
-    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    cos = (dot(F.col("a.emb"), F.col("b.emb"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
     w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
     return (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("src"),

@@ -363,12 +363,10 @@ def _kmv_sketch(spark: SparkSession, d: str,
     ``with_exact`` adds the exact countDistinct twin (the catalog
     audit column); the pure-sketch form (what a 100 TB run compiles)
     is stress-timed at the 10x tier."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import shingle_explode
     from .catalog_r9 import _h60
     docs = _t(spark, d, "documents")
-    s = (docs.select("source",
-                     F.explode(word_shingles(F.col("text"), 3))
-                     .alias("sh"))
+    s = (shingle_explode(docs, extra_cols=("source",))
          .select("source", _h60(F.col("sh")).alias("h")))
     surv = s.filter(F.col("h") < _KMV_PREFILTER)
     w_loc = Window.partitionBy("source", "p").orderBy("h")
@@ -512,12 +510,10 @@ def a31_kmv_merge(spark: SparkSession, d: str) -> DataFrame:
     Scale shape: inputs are the per-source k-sets (sources x k rows);
     the merge is one tiny window.  The exact corpus NDV is the
     catalog-scale audit column."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import shingle_explode
     from .catalog_r9 import _h60
     docs = _t(spark, d, "documents")
-    s = (docs.select("source",
-                     F.explode(word_shingles(F.col("text"), 3))
-                     .alias("sh"))
+    s = (shingle_explode(docs, extra_cols=("source",))
          .select("source", _h60(F.col("sh")).alias("h")))
     surv = s.filter(F.col("h") < _KMV_PREFILTER)
     w_loc = Window.partitionBy("source", "p").orderBy("h")
@@ -585,7 +581,7 @@ def st_kmv_ingest(spark: SparkSession, d: str) -> DataFrame:
     import shutil
     from pathlib import Path
 
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import shingle_explode
     from ..sources.paged_source import PagedDumpDataSource
     from ..sources.tables import list_versions, read_version, write_version
     from ..streaming import pipeline as SP
@@ -619,9 +615,7 @@ def st_kmv_ingest(spark: SparkSession, d: str) -> DataFrame:
             import os
             batch_docs = (batch_df.filter(~F.col("malformed"))
                           .select(F.col("title").alias("text")))
-            inc = (batch_docs
-                   .select(F.explode(word_shingles(F.col("text"), 3))
-                           .alias("sh"))
+            inc = (shingle_explode(batch_docs)
                    .select(_h60(F.col("sh")).alias("h"))
                    .distinct().orderBy("h").limit(_KMV_K))
             sp = batch_df.sparkSession

@@ -385,12 +385,11 @@ def m6_whiten_embeddings(spark: SparkSession, d: str) -> DataFrame:
     few-cell partial agg."""
     from .catalog_r8b import _pca_frames
     c, v = _pca_frames(spark, d)
-    # v (the 6-iteration power loop) is referenced from four subtrees
-    # (removal, residual, both anisotropy sides); the broadcast
-    # exchange is REUSED by Catalyst so the loop runs once — m6's
-    # wall-clock floor is the loop's per-iteration scheduling latency,
-    # the same corpus-independent bound g4_pca_power carries
-    # (verified: an explicit localCheckpoint changes nothing).
+    # v is referenced from four subtrees (removal, residual, both
+    # anisotropy sides); since the r15 Gram collapse it is a LITERAL
+    # 1-row frame (_power_iters runs the iterations driver-side on the
+    # one-pass Gram matrix), so the old per-iteration scheduling floor
+    # is gone and each subtree re-reads only the narrow centered store.
     j = c.crossJoin(F.broadcast(v))
     s = F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
                     F.lit(0).cast("long"), lambda acc, x: acc + x)

@@ -2407,9 +2407,8 @@ def dd_decontaminate(spark: SparkSession, d: str) -> DataFrame:
     every corpus gram so n_grams is computed in the same pass as
     n_hits (no second aggregation over the corpus)."""
     docs = _t(spark, d, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(dedup.word_shingles(F.col("text"), k=5)).alias("g"))
+    grams = dedup.shingle_explode(docs, k=5, extra_cols=("doc_id",),
+                                  out_col="g")
     bench = (grams.filter(F.col("doc_id") % 17 == 0)
              .select("g").distinct())
     corpus = grams.filter(F.col("doc_id") % 17 != 0)

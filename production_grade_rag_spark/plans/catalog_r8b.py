@@ -597,39 +597,62 @@ def _pca_centered(spark: SparkSession, d: str) -> DataFrame:
 
 
 def _pca_frames(spark: SparkSession, d: str):
-    """(centered frame cv, final 1-row direction frame v) — the Spark
-    twin of _pca_cte, fully IN-PLAN: every per-iteration reduction is
-    a 16-cell partial aggregate broadcast back as a 1-row frame, so
-    there is no driver-side collect anywhere in the loop.  The
+    """(centered frame cv, final 1-row direction frame v).  The
     centered frame comes from the one-off narrow materialization
-    (_pca_centered) — the oracle's ``c AS MATERIALIZED`` twin."""
-    VS = _PCA_VS
+    (_pca_centered) — the oracle's ``c AS MATERIALIZED`` twin; the
+    direction comes from the ONE-PASS Gram collapse of the power loop
+    (see _power_iters)."""
     c = _pca_centered(spark, d)
-    v = spark.range(1).select(F.array(
-        F.lit(VS).cast("long"),
-        *[F.lit(0).cast("long") for _ in range(_PCA_D - 1)]).alias("v"))
-    return c, _power_iters(c, v)
+    return c, _power_iters(c, [_PCA_VS] + [0] * (_PCA_D - 1))
 
 
-def _power_iters(c: DataFrame, v: DataFrame) -> DataFrame:
-    """The shared iteration loop: iterate v <- normalize(A v) over
-    the centered frame c (columns vec_id, cv) starting from the
-    1-row direction frame v."""
+def _trunc_div(a: int, m: int) -> int:
+    """SQL integer division (truncation toward zero) for exact Python
+    ints — Spark ``div`` and DuckDB ``//`` semantics; ``m`` > 0."""
+    q = abs(a) // m
+    return q if a >= 0 else -q
+
+
+def _power_iters(c: DataFrame, v0: list[int]) -> DataFrame:
+    """The shared power loop v <- normalize(A v) over the centered
+    frame c (columns vec_id, cv), starting from the integer vector
+    ``v0`` — collapsed to ONE data pass (optimization r15, guide §1.2
+    "the distributed algorithm" / §2.4 "remove shuffles outright").
+
+    w_i = sum_x cv_i * (cv . v) = sum_j (sum_x cv_i cv_j) v_j: the
+    Gram matrix G = sum_x cv cv' is a FIXED 16x16 integer table, so
+    instead of 2 distributed reductions per iteration (2 * _PCA_ITERS
+    jobs whose wall-clock was pure per-iteration scheduling latency —
+    the corpus-independent floor g4/m6 carried through r14), compute
+    G's upper triangle in one 136-cell partial aggregate (a bounded
+    1-row collect, the repo's monitor-frame convention) and run all
+    iterations in exact driver-side integer arithmetic.  Rearranging
+    integer sums is exact, every division is trunc-toward-zero in
+    both formulations, so the trajectory is BIT-IDENTICAL to the
+    in-plan loop (pinned by tests/test_catalog_r8b.py::
+    test_power_iters_gram_equals_inplan_loop) and every g4/m6 oracle
+    stands unchanged.  Overflow envelope is unchanged too:
+    |G_ij| <= n * cv^2 and |sum_j G_ij v_j| <= 16 * n * cv^2 * VS —
+    the same n ~ 4e6 bound as the cv_i*s form (the _pca_cte grid
+    contract).  At 100 TB this is one map + 136-cell partial agg over
+    the narrow store vs 12 full passes: strictly fewer scans AND no
+    per-iteration barrier."""
     D, VS = _PCA_D, _PCA_VS
+    row = c.agg(*[
+        F.sum(F.element_at("cv", i + 1) * F.element_at("cv", j + 1))
+        .cast("long").alias(f"g_{i}_{j}")
+        for i in range(D) for j in range(i, D)]).first()
+    G = [[0] * D for _ in range(D)]
+    for i in range(D):
+        for j in range(i, D):
+            G[i][j] = G[j][i] = int(row[f"g_{i}_{j}"] or 0)
+    v = [int(x) for x in v0]
     for _ in range(_PCA_ITERS):
-        s = (c.crossJoin(F.broadcast(v))
-             .select("cv",
-                     F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
-                                 F.lit(0).cast("long"),
-                                 lambda acc, x: acc + x).alias("s")))
-        w = s.agg(*[F.sum(F.element_at("cv", i + 1) * F.col("s"))
-                    .cast("long").alias(f"w{i}") for i in range(D)])
-        m_expr = F.expr(
-            f"greatest({', '.join(f'abs(w{i})' for i in range(D))}) div {VS}")
-        w = w.withColumn("m", F.greatest(m_expr, F.lit(1).cast("long")))
-        v = w.select(F.array(
-            *[F.expr(f"w{i} div m") for i in range(D)]).alias("v"))
-    return v
+        w = [sum(G[i][j] * v[j] for j in range(D)) for i in range(D)]
+        m = max(max(abs(x) for x in w) // VS, 1)
+        v = [_trunc_div(x, m) for x in w]
+    return c.sparkSession.range(1).select(
+        F.array(*[F.lit(int(x)).cast("long") for x in v]).alias("v"))
 
 
 @register("g4_pca_power", headline=True, oracle=_pca_cte() + f"""
@@ -1630,10 +1653,7 @@ def g4_pca_power2(spark: SparkSession, d: str) -> DataFrame:
           .select("vec_id",
                   F.expr("zip_with(cv, v, (a, b) -> a - ((s1 * b) div vv))")
                    .alias("cv")))
-    u0 = spark.range(1).select(F.array(
-        F.lit(0).cast("long"), F.lit(_PCA_VS).cast("long"),
-        *[F.lit(0).cast("long") for _ in range(_PCA_D - 2)]).alias("v"))
-    u = _power_iters(c2, u0)
+    u = _power_iters(c2, [0, _PCA_VS] + [0] * (_PCA_D - 2))
     return (v1.crossJoin(F.broadcast(u.withColumnRenamed("v", "u")))
             .select(F.posexplode("v").alias("pos", "v1_q"), "u")
             .select((F.col("pos") + 1).cast("long").alias("dim"), "v1_q",

@@ -402,15 +402,22 @@ def st_semdedup(spark: SparkSession, d: str) -> DataFrame:
 
     # election over the store alone (dedup-on-read keeps replayed
     # batches idempotent: each row is a pure function of the input)
-    members = spark.read.parquet(store).select("vec_id", "v", "cell") \
-        .distinct()
+    # norms hoisted out of the per-cell quadratic loop (the
+    # semdedup_pairs idiom): dot/(na*nb) is bit-identical to cosine()
+    from ..functions.vector import dot as _dot
+    from ..functions.vector import norm as _norm
+    members = (spark.read.parquet(store).select("vec_id", "v", "cell")
+               .distinct().withColumn("__n", _norm(F.col("v"))))
     a = members.select(F.col("vec_id").alias("id_a"),
-                       F.col("v").alias("va"), "cell")
+                       F.col("v").alias("va"),
+                       F.col("__n").alias("na"), "cell")
     b = members.select(F.col("vec_id").alias("id_b"),
-                       F.col("v").alias("vb"), "cell")
+                       F.col("v").alias("vb"),
+                       F.col("__n").alias("nb"), "cell")
     dropped = (a.join(b, "cell")
                .filter(F.col("id_a") < F.col("id_b"))
-               .filter(cosine(F.col("va"), F.col("vb")) >= 0.3)
+               .filter(_dot(F.col("va"), F.col("vb"))
+                       / (F.col("na") * F.col("nb")) >= 0.3)
                .select(F.col("id_b").alias("vec_id")).distinct())
     stream_kept = members.select("vec_id") \
         .join(dropped, "vec_id", "left_anti")
@@ -1268,11 +1275,9 @@ def a22_theta_ndv(spark: SparkSession, d: str) -> DataFrame:
     here stays as the relational reduction whose survivor SET feeds
     the a23 set operations (union-mergeable — the st_cms_ingest
     story, with union instead of addition)."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import shingle_explode
     docs = _t(spark, d, "documents")
-    s = (docs.select("source",
-                     F.explode(word_shingles(F.col("text"), 3))
-                     .alias("sh"))
+    s = (shingle_explode(docs, extra_cols=("source",))
          .select("source", _h60(F.col("sh")).alias("h")))
     keep_h = F.when(F.col("h") < _THETA, F.col("h"))
     return (s.groupBy("source")
@@ -1338,11 +1343,11 @@ def a23_theta_setops(spark: SparkSession, d: str) -> DataFrame:
     read that genuinely needs the fixed-threshold survivor sample
     (equal thetas make survivor sets union/intersect-compatible,
     which KMV's per-source adaptive thresholds break)."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import shingle_explode
     docs = _t(spark, d, "documents")
-    s = (docs.filter(F.col("source").isin(_SETOP_A, _SETOP_B))
-         .select("source",
-                 F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
+    s = (shingle_explode(docs.filter(F.col("source")
+                                     .isin(_SETOP_A, _SETOP_B)),
+                         extra_cols=("source",))
          .select("source", _h60(F.col("sh")).alias("h")))
     flags = s.groupBy("h").agg(
         F.max((F.col("source") == _SETOP_A).cast("int")).alias("in_a"),
@@ -1888,7 +1893,7 @@ def st_theta_ingest(spark: SparkSession, d: str) -> DataFrame:
     import shutil
     from pathlib import Path
 
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import shingle_explode
     from ..sources.paged_source import PagedDumpDataSource
     from ..sources.tables import list_versions, read_version, write_version
     from ..streaming import pipeline as SP
@@ -1921,9 +1926,7 @@ def st_theta_ingest(spark: SparkSession, d: str) -> DataFrame:
             import os
             batch_docs = (batch_df.filter(~F.col("malformed"))
                           .select(F.col("title").alias("text")))
-            inc = (batch_docs
-                   .select(F.explode(word_shingles(F.col("text"), 3))
-                           .alias("sh"))
+            inc = (shingle_explode(batch_docs)
                    .select(_h60(F.col("sh")).alias("h"))
                    .filter(F.col("h") < _THETA).distinct())
             sp = batch_df.sparkSession

@@ -189,6 +189,55 @@ def test_pca_power_converges_on_anisotropic_corpus(spark, tmp_path):
     assert cos > 0.99, cos
 
 
+def test_power_iters_gram_equals_inplan_loop(spark):
+    # r15 optimization pin: the one-pass Gram collapse of _power_iters
+    # must reproduce the distributed in-plan loop's trajectory
+    # BIT-IDENTICALLY (integer-sum rearrangement is exact; every
+    # division truncates toward zero in both forms).  This is the old
+    # r14 implementation inlined as the reference.
+    from production_grade_rag_spark.plans.catalog_r8b import (
+        _PCA_D, _PCA_ITERS, _PCA_VS, _pca_frames, _power_iters)
+    c, v_fast = _pca_frames(spark, SF01)
+    D, VS = _PCA_D, _PCA_VS
+    v = spark.range(1).select(F.array(
+        F.lit(VS).cast("long"),
+        *[F.lit(0).cast("long") for _ in range(D - 1)]).alias("v"))
+    for _ in range(_PCA_ITERS):
+        s = (c.crossJoin(F.broadcast(v))
+             .select("cv",
+                     F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
+                                 F.lit(0).cast("long"),
+                                 lambda acc, x: acc + x).alias("s")))
+        w = s.agg(*[F.sum(F.element_at("cv", i + 1) * F.col("s"))
+                    .cast("long").alias(f"w{i}") for i in range(D)])
+        m_expr = F.expr(
+            f"greatest({', '.join(f'abs(w{i})' for i in range(D))}) div {VS}")
+        w = w.withColumn("m", F.greatest(m_expr, F.lit(1).cast("long")))
+        v = w.select(F.array(
+            *[F.expr(f"w{i} div m") for i in range(D)]).alias("v"))
+    assert list(v_fast.first()["v"]) == list(v.first()["v"])
+    # and the same for a non-e1 start over a derived frame (the
+    # g4_pca_power2 deflated-loop call shape)
+    u_fast = _power_iters(c, [0, VS] + [0] * (D - 2))
+    u = spark.range(1).select(F.array(
+        F.lit(0).cast("long"), F.lit(VS).cast("long"),
+        *[F.lit(0).cast("long") for _ in range(D - 2)]).alias("v"))
+    for _ in range(_PCA_ITERS):
+        s = (c.crossJoin(F.broadcast(u))
+             .select("cv",
+                     F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
+                                 F.lit(0).cast("long"),
+                                 lambda acc, x: acc + x).alias("s")))
+        w = s.agg(*[F.sum(F.element_at("cv", i + 1) * F.col("s"))
+                    .cast("long").alias(f"w{i}") for i in range(D)])
+        m_expr = F.expr(
+            f"greatest({', '.join(f'abs(w{i})' for i in range(D))}) div {VS}")
+        w = w.withColumn("m", F.greatest(m_expr, F.lit(1).cast("long")))
+        u = w.select(F.array(
+            *[F.expr(f"w{i} div m") for i in range(D)]).alias("v"))
+    assert list(u_fast.first()["v"]) == list(u.first()["v"])
+
+
 def test_bloom_prefilter_contract(spark):
     row = CATALOG["a21_bloom_prefilter"].build(spark, SF01).collect()[0]
     # Bloom guarantee: no false negatives, ever

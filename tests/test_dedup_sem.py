@@ -52,3 +52,43 @@ def test_semdedup_deterministic(spark):
                dedup.semdedup_pairs(emb, n_clusters=6,
                                     threshold=0.99).collect())
     assert a == b
+
+
+def test_shingle_frame_equals_inline(spark):
+    # r15 optimization pin: the two-step projection (tokens
+    # materialized, shingles over the attribute) must produce the
+    # exact shingle arrays of the inline word_shingles form, and the
+    # position-explode minhash signature must equal the
+    # distinct-shingle-explode form it replaced.
+    from pyspark.sql import functions as F
+
+    from conftest import SF01
+
+    docs = (spark.read.parquet(f"{SF01}/documents.parquet")
+            .select("doc_id", "text"))
+    for k in (3, 5):
+        new = dedup.shingle_frame(docs, "text", "doc_id", k)
+        old = docs.select(
+            F.col("doc_id"),
+            dedup.shingles_of(dedup.tokens(F.col("text")), k).alias("__sh"))
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+    # shingle_explode row multiplicity matches explode(word_shingles)
+    ex_new = dedup.shingle_explode(docs, extra_cols=("doc_id",))
+    ex_old = docs.select(
+        "doc_id", F.explode(dedup.word_shingles(F.col("text"), 3))
+        .alias("sh"))
+    assert ex_new.exceptAll(ex_old).count() == 0
+    assert ex_old.exceptAll(ex_new).count() == 0
+    # signature table: position-explode == r14 distinct-shingle explode
+    sigs_new = dedup.minhash_signatures(docs)
+    ex = docs.select(
+        F.col("doc_id"),
+        F.explode(dedup.word_shingles(F.col("text"))).alias("__shingle"))
+    h = ex.select("doc_id", dedup.md5_int32(F.col("__shingle")).alias("__h"))
+    sigs_old = h.groupBy("doc_id").agg(*[
+        F.min((F.lit(dedup.HASH_A[s]) * F.col("__h")
+               + F.lit(dedup.HASH_B[s])) % F.lit(dedup.MINHASH_PRIME))
+        .alias(f"h{s}") for s in range(16)])
+    assert sigs_new.exceptAll(sigs_old).count() == 0
+    assert sigs_old.exceptAll(sigs_new).count() == 0

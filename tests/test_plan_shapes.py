@@ -421,14 +421,16 @@ def test_cluster_balanced_sample_accept_is_map_side(spark):
 
 
 def test_pca_power_no_cartesian_no_window(spark):
-    # every per-iteration reduction is a 16-cell two-phase hash
-    # aggregate; the 1-row direction frames come back as broadcast
-    # nested-loop joins (1-row side), never a cartesian or a window
+    # since the r15 Gram collapse the returned plan is a posexplode of
+    # the literal converged direction — the one data pass (the 136-cell
+    # Gram partial aggregate) runs at build() time; no cartesian, no
+    # window, no per-iteration join chain survives in the final plan
     plan = _plan(spark, "g4_pca_power")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
-    assert plan.count("HashAggregate") >= 2
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only Exchange left is the final 16-row orderBy("dim") sort
+    assert plan.count("Exchange") <= 1
 
 
 def test_bloom_bitmap_partial_aggregates_and_broadcast_probe(spark):
