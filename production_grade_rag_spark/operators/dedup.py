@@ -89,6 +89,26 @@ def shingle_frame(df: DataFrame, text_col: str = "text",
             .select(*cols, shingles_of(F.col("__toks"), k).alias("__sh")))
 
 
+def explode_attr(col: Column, elem_type: str = "string") -> Column:
+    """``explode()`` over an already-projected (non-checkpointed) array
+    attribute, wrapped in ``coalesce(col, [])``.
+
+    Why: for a bare attribute child, InferFiltersFromGenerate adds
+    ``size(col) > 0 AND isnotnull(col)`` under the Generate; predicate
+    pushdown then substitutes the attribute's DEFINING EXPRESSION into
+    that filter and pushes it below the projection — so the whole
+    array-building tree (regex split + shingle assembly here) runs 2x
+    more per row at the scan.  Measured on the sf0.1 KMV sketch: 11.0 s
+    with the bare attribute vs 0.6 s wrapped (the inline-expression
+    form the projection replaced was 1.0 s).  The rule skips non-cheap
+    generator children, and coalesce makes the child non-attribute
+    without changing a single output row: explode(null) and
+    explode(array()) both emit nothing, and coalesce is identity on
+    every non-null array.  Not needed above a localCheckpoint (the
+    inferred filter then stays a cheap attribute predicate)."""
+    return F.explode(F.coalesce(col, F.array().cast(f"array<{elem_type}>")))
+
+
 def shingle_explode(df: DataFrame, text_col: str = "text", k: int = 3,
                     extra_cols: tuple[str, ...] = (),
                     out_col: str = "sh") -> DataFrame:
@@ -99,7 +119,7 @@ def shingle_explode(df: DataFrame, text_col: str = "text", k: int = 3,
     cols = [F.col(c) for c in extra_cols]
     return (df.select(*cols, tokens(F.col(text_col)).alias("__toks"))
             .select(*cols, shingles_of(F.col("__toks"), k).alias("__sh"))
-            .select(*cols, F.explode("__sh").alias(out_col)))
+            .select(*cols, explode_attr(F.col("__sh")).alias(out_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -500,7 +520,7 @@ def ngram_jaccard_pairs_index(df: DataFrame, text_col: str = "text",
     if not prefix_filter:
         sh = shingle_frame(df, text_col, id_col, k)
         ex = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
-                       F.explode("__sh").alias("__s"))
+                       explode_attr(F.col("__sh")).alias("__s"))
         a = ex.select(F.col(id_col).alias("id_a"),
                       F.col("__n").alias("__n_a"), "__s")
         b = ex.select(F.col(id_col).alias("id_b"),

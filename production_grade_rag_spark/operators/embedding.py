@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import WORD_SPLIT_RE, pystrip
+from .dedup import explode_attr
 
 
 def _bucket(tok: Column, dim: int) -> Column:
@@ -65,7 +66,8 @@ def hash_components(df: DataFrame, text_col: str = "content",
     # it to one evaluation.  Same rows, same multiplicity.
     toks = (df.select(F.col(id_col),
                       tokenize(F.col(text_col)).alias("__toks"))
-              .select(F.col(id_col), F.explode("__toks").alias("__tok"))
+              .select(F.col(id_col),
+                      explode_attr(F.col("__toks")).alias("__tok"))
               .select(F.col(id_col),
                       _bucket(F.col("__tok"), dim).alias("bucket"),
                       _sign(F.col("__tok")).alias("__sign")))
