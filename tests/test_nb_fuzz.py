@@ -51,6 +51,11 @@ TOK = st.sampled_from(["the", "a", "xx", "yy", "zz", "q"])
                           st.lists(TOK, min_size=0, max_size=6)),
                 min_size=1, max_size=6))
 def test_nb_scores_match_python(spark, labeled):
+    # the registry entry point first: importing catalog_r8 directly
+    # leaves it partially initialized when catalog.py's module chain
+    # re-enters it (solo-run import order; the full suite imports the
+    # registry earlier via the test_catalog_* modules)
+    from production_grade_rag_spark.plans import catalog  # noqa: F401
     from production_grade_rag_spark.plans.catalog_r8 import _nb_scores_from
     docs = [(i, pos, toks) for i, (pos, toks) in enumerate(labeled)]
     if not any(t for _, _, t in docs):
