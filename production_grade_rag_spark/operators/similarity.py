@@ -42,8 +42,30 @@ def knn_topk(corpus: DataFrame, query_vec: list[float], k: int = 10,
     tiebreak on the id column.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = corpus.withColumn(
-        "score", _score(metric, to_double_array(F.col(vec_col)), q))
+    # r15 factoring (guide §1.2 step 2): materialize the double-cast
+    # once (the inline cosine re-evaluated it 3x per row — dot + twice
+    # inside the row norm) and precompute the query norm driver-side
+    # with the same left-to-right IEEE fold + sqrt the in-plan
+    # norm(q-literal) performed per row (Catalyst cannot constant-fold
+    # HOF aggregates — they are CodegenFallback).  dot/(sqrt(selfdot)
+    # * qnorm) is the same double ops in the same order as cosine();
+    # bit-identical, pinned by tests/test_catalog_r15.py.
+    ecol = F.col("__e")
+    scored = corpus.withColumn("__e", to_double_array(F.col(vec_col)))
+    if metric == "cosine":
+        import math
+        acc = 0.0
+        for x in query_vec:
+            acc += float(x) * float(x)
+        scored = (scored
+                  .withColumn("__d", dot(ecol, q))
+                  .withColumn("__s", dot(ecol, ecol))
+                  .withColumn("score", F.col("__d")
+                              / (F.sqrt("__s") * F.lit(math.sqrt(acc))))
+                  .drop("__d", "__s"))
+    else:
+        scored = scored.withColumn("score", _score(metric, ecol, q))
+    scored = scored.drop("__e")
     if min_score is not None:
         scored = scored.filter(F.col("score") >= min_score)   # T5
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

@@ -31,6 +31,39 @@ def _qvec_col():
     return F.array(*[F.lit(float(x)) for x in QUERY_VEC])
 
 
+def _qvec_norm() -> float:
+    """||QUERY_VEC|| with the same left-to-right IEEE double fold as
+    functions.vector.norm (aggregate over zip_with, acc starts 0.0) and
+    the same correctly-rounded sqrt, so the literal is bit-identical to
+    what the in-plan norm(_qvec_col()) computed per row."""
+    import math
+    acc = 0.0
+    for x in QUERY_VEC:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def with_cosine_q(df: DataFrame, emb_col: str = "embedding",
+                  out: str = "__cos_q") -> DataFrame:
+    """``out`` = cosine(embedding, QUERY_VEC) with the per-row work
+    factored (r15, guide §1.2 step 2): the double-cast of the embedding
+    is materialized ONCE as a real projection (the inline form
+    re-evaluated it three times — in the dot product and twice inside
+    the row norm), and the query norm — constant per row but NOT
+    constant-folded by Catalyst because HOF folds are CodegenFallback —
+    is a Python-precomputed literal.  dot/(sqrt(selfdot)*qnorm) is the
+    same double ops in the same order as cosine(); pinned bit-identical
+    on every corpus row by tests/test_catalog_r15.py."""
+    from ..functions.vector import dot
+    e = F.col("__e")
+    return (df.withColumn("__e", to_double_array(F.col(emb_col)))
+              .withColumn("__d", dot(e, _qvec_col()))
+              .withColumn("__s", dot(e, e))
+              .withColumn(out, F.col("__d")
+                          / (F.sqrt("__s") * F.lit(_qvec_norm())))
+              .drop("__e", "__d", "__s"))
+
+
 def _overlap_score(col):
     """Text-branch relevance: |distinct tokens ∩ query terms| / |query|."""
     toks = F.array_distinct(dedup.tokens(col))
@@ -238,11 +271,10 @@ def r7_hybrid_bm25(spark: SparkSession, d: str) -> DataFrame:
     from ..operators import textscore
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
-    vec = (emb.select(
-        F.col("vec_id").alias("id"),
-        cosine(to_double_array(F.col("embedding")), _qvec_col())
-            .alias("vector_score"))
-        .orderBy(F.desc("vector_score"), "id").limit(40))
+    vec = (with_cosine_q(emb)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("__cos_q").alias("vector_score"))
+           .orderBy(F.desc("vector_score"), "id").limit(40))
     txt = (textscore.bm25_score(docs, QUERY_TERMS, text_col="text")
            .select(F.col("doc_id").alias("id"), "text_score")
            .orderBy(F.desc("text_score"), "id").limit(40))
@@ -270,11 +302,10 @@ def r7_hybrid_bm25_std(spark: SparkSession, d: str) -> DataFrame:
     from ..operators import textscore
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
-    vec = (emb.select(
-        F.col("vec_id").alias("id"),
-        cosine(to_double_array(F.col("embedding")), _qvec_col())
-            .alias("vector_score"))
-        .orderBy(F.desc("vector_score"), "id").limit(40))
+    vec = (with_cosine_q(emb)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("__cos_q").alias("vector_score"))
+           .orderBy(F.desc("vector_score"), "id").limit(40))
     txt = (textscore.bm25_score(docs, QUERY_TERMS, text_col="text",
                                 analyzer="standard")
            .select(F.col("doc_id").alias("id"), "text_score")
@@ -300,11 +331,10 @@ def r7_hybrid_tfidf(spark: SparkSession, d: str) -> DataFrame:
     from ..operators import textscore
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
-    vec = (emb.select(
-        F.col("vec_id").alias("id"),
-        cosine(to_double_array(F.col("embedding")), _qvec_col())
-            .alias("vector_score"))
-        .orderBy(F.desc("vector_score"), "id").limit(40))
+    vec = (with_cosine_q(emb)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("__cos_q").alias("vector_score"))
+           .orderBy(F.desc("vector_score"), "id").limit(40))
     txt = (textscore.tfidf_score(docs, QUERY_TERMS, text_col="text")
            .select(F.col("doc_id").alias("id"), "text_score")
            .orderBy(F.desc("text_score"), "id").limit(40))
@@ -327,11 +357,10 @@ def r7_hybrid_fusion(spark: SparkSession, d: str) -> DataFrame:
     row id doubles as the document id (testdata convention)."""
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
-    vec = (emb.select(
-        F.col("vec_id").alias("id"),
-        cosine(to_double_array(F.col("embedding")), _qvec_col())
-            .alias("vector_score"))
-        .orderBy(F.desc("vector_score"), "id").limit(40))
+    vec = (with_cosine_q(emb)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("__cos_q").alias("vector_score"))
+           .orderBy(F.desc("vector_score"), "id").limit(40))
     txt = (docs.select(
         F.col("doc_id").alias("id"),
         _overlap_score(F.col("text")).alias("text_score"))
@@ -385,9 +414,10 @@ def a3_multi_strategy_fusion(spark: SparkSession, d: str) -> DataFrame:
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
     dv = to_double_array(F.col("embedding"))
-    s1 = (emb.select(F.col("vec_id").alias("id"),
-                     cosine(dv, _qvec_col()).alias("score"),
-                     F.lit("similarity").alias("strategy"))
+    s1 = (with_cosine_q(emb)
+          .select(F.col("vec_id").alias("id"),
+                  F.col("__cos_q").alias("score"),
+                  F.lit("similarity").alias("strategy"))
           .orderBy(F.desc("score"), "id").limit(20))
     from ..functions.vector import dot
     s2 = (emb.select(F.col("vec_id").alias("id"),
@@ -419,10 +449,10 @@ def r1_attribution_join(spark: SparkSession, d: str) -> DataFrame:
     (source_attribution.py:23-129) as a real join."""
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
-    results = (emb.select(
-        F.col("vec_id").alias("doc_id"),
-        cosine(to_double_array(F.col("embedding")), _qvec_col()).alias("score"))
-        .orderBy(F.desc("score"), "doc_id").limit(20))
+    results = (with_cosine_q(emb)
+               .select(F.col("vec_id").alias("doc_id"),
+                       F.col("__cos_q").alias("score"))
+               .orderBy(F.desc("score"), "doc_id").limit(20))
     out = attr.attribution_join(results, docs)
     return (out.select("doc_id", F.round("score", 6).alias("score"),
                        "source", "lang")

@@ -418,14 +418,12 @@ def m4_context_grouping(spark: SparkSession, d: str) -> DataFrame:
     concatenate their texts separator-joined in rank order
     (rag_engine.py:296-347).  The LLM call itself is out of scope
     (BASELINE.md); this is the data shaping that feeds it."""
-    from .catalog_ext import _qvec_col
-    from ..functions.vector import cosine, to_double_array
+    from .catalog_ext import with_cosine_q
     docs = _t(spark, d, "documents")
     emb = _t(spark, d, "embeddings")
-    ranked = (docs.join(emb, docs.doc_id == emb.vec_id)
+    ranked = (with_cosine_q(docs.join(emb, docs.doc_id == emb.vec_id))
               .select("source", "text", "doc_id",
-                      cosine(to_double_array(F.col("embedding")), _qvec_col())
-                      .alias("score"))
+                      F.col("__cos_q").alias("score"))
               .orderBy(F.desc("score"), "doc_id").limit(10))
     grp = (F.when(F.col("source").isin("src0", "src1"), "notion")
             .when(F.col("source").isin("src2", "src3"), "web")
@@ -776,12 +774,14 @@ def t5_score_threshold(spark: SparkSession, d: str) -> DataFrame:
     top-k (vector_search.py:249-253 / advanced_search.py:224 — the
     threshold is its own operator; r4_knn_filtered composes it with
     the limit)."""
-    from ..operators.similarity import cosine, to_double_array
-    from .catalog_ext import _qvec_col
+    from .catalog_ext import with_cosine_q
     emb = _t(spark, d, "embeddings")
-    score = cosine(to_double_array(F.col("embedding")), _qvec_col())
-    return (emb.select("vec_id", F.round(score, 6).alias("score"),
-                       score.alias("__raw"))
+    # r15: the raw score previously appeared TWICE in the projection
+    # (rounded + filter column) and so computed twice per row; the
+    # factored frame computes it once
+    return (with_cosine_q(emb)
+            .select("vec_id", F.round("__cos_q", 6).alias("score"),
+                    F.col("__cos_q").alias("__raw"))
             .filter(F.col("__raw") >= 0.1).drop("__raw"))
 
 

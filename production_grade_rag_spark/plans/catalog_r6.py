@@ -3014,14 +3014,13 @@ def r7_hybrid_rrf(spark: SparkSession, d: str) -> DataFrame:
     id tiebreaks, making the fusion integer-deterministic; the only
     float is the final reciprocal sum, rounded on both sides.  Same
     two branch scans and k-bounded shuffles as r7_hybrid_fusion."""
-    from ..functions.vector import cosine, to_double_array
-    from .catalog_ext import _overlap_score, _qvec_col
+    from .catalog_ext import _overlap_score, with_cosine_q
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
-    vscore = cosine(to_double_array(F.col("embedding")), _qvec_col())
-    wv = Window.orderBy(F.desc(vscore), F.col("vec_id"))
-    vec = (emb.select(F.col("vec_id").alias("id"),
-                      F.row_number().over(wv).alias("rnk"))
+    wv = Window.orderBy(F.desc("__cos_q"), F.col("vec_id"))
+    vec = (with_cosine_q(emb)
+           .select(F.col("vec_id").alias("id"),
+                   F.row_number().over(wv).alias("rnk"))
            .filter(F.col("rnk") <= 40))
     wt = Window.orderBy(F.desc(_overlap_score(F.col("text"))),
                         F.col("doc_id"))

@@ -208,15 +208,14 @@ def r7_hybrid_bm25_stem(spark: SparkSession, d: str) -> DataFrame:
     from ..functions.vector import cosine, to_double_array
     from ..operators import fusion, textscore
     from . import oracle_vec as OV
-    from .catalog_ext import _qvec_col
+    from .catalog_ext import with_cosine_q
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
     terms = [stem_py(t) for t in OV.QUERY_TERMS]
-    vec = (emb.select(
-        F.col("vec_id").alias("id"),
-        cosine(to_double_array(F.col("embedding")), _qvec_col())
-            .alias("vector_score"))
-        .orderBy(F.desc("vector_score"), "id").limit(40))
+    vec = (with_cosine_q(emb)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("__cos_q").alias("vector_score"))
+           .orderBy(F.desc("vector_score"), "id").limit(40))
     txt = (textscore.bm25_score(docs, terms, text_col="text",
                                 analyzer="stemmed")
            .select(F.col("doc_id").alias("id"), "text_score")
@@ -895,15 +894,14 @@ def r7_hybrid_bm25_en(spark: SparkSession, d: str) -> DataFrame:
     from ..functions.vector import cosine, to_double_array
     from ..operators import fusion, textscore
     from . import oracle_vec as OV
-    from .catalog_ext import _qvec_col
+    from .catalog_ext import with_cosine_q
     emb = _t(spark, d, "embeddings")
     docs = _t(spark, d, "documents")
     terms = english_analyze_py(" ".join(OV.QUERY_TERMS))
-    vec = (emb.select(
-        F.col("vec_id").alias("id"),
-        cosine(to_double_array(F.col("embedding")), _qvec_col())
-            .alias("vector_score"))
-        .orderBy(F.desc("vector_score"), "id").limit(40))
+    vec = (with_cosine_q(emb)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("__cos_q").alias("vector_score"))
+           .orderBy(F.desc("vector_score"), "id").limit(40))
     txt = (textscore.bm25_score(docs, terms, text_col="text",
                                 analyzer="english")
            .select(F.col("doc_id").alias("id"), "text_score")
