@@ -56,6 +56,64 @@ def pystrip(col: Column) -> Column:
     return F.regexp_replace(col, PY_STRIP_RE, "")
 
 
+def bind1(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and let ``fn``'s body reference
+    the value many times: ``transform`` over a one-element array runs
+    the lambda exactly once with ``expr`` bound to a lambda variable,
+    and lambda-variable references are plain slot reads.  Catalyst
+    cannot substitute an expression tree through a lambda variable the
+    way it re-inlines projection aliases into pushed-down filters, so
+    this is the expression-level twin of the ``shingle_frame``
+    projection barrier (optimization guide §1.2 step 2): without it, an
+    expression like the language-ID argmax re-evaluates its token-split
+    subtree once per REFERENCE (~40x per row), and the whole tree is
+    duplicated again under every filter that predicate pushdown copies
+    below the defining projection.
+
+    The wrapped tree is evaluated via the higher-order-function
+    interpreter (CodegenFallback) rather than whole-stage codegen —
+    a constant-factor cost that is orders of magnitude smaller than
+    the duplicated evaluation it removes.  Semantics are identical:
+    same sub-expressions, same order, evaluated once.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def nd_pin(col: Column) -> Column:
+    """Pin an expensive PROJECTED column in place: wrap its defining
+    tree in a constant-true nondeterministic ``when`` so the optimizer
+    may not substitute the tree anywhere else (the built-in-expression
+    analog of guide §4.4's ``asNondeterministic()`` fix for duplicated
+    UDF evaluation).  Unpinned, a filter on a derived column like the
+    curation gate's quality score is rewritten by predicate pushdown
+    with the column's WHOLE defining tree and pushed below the
+    parallelizing exchange — the tree then runs twice per row, the
+    first time single-threaded in the one-task parquet scan.
+
+    Shape matters (all verified against 4.1.2): ANDing a
+    nondeterministic term onto the FILTER does not help — conjunctions
+    are split and the deterministic conjuncts pushed anyway; and
+    nondeterministic filter conditions still push through deterministic
+    Projects (row-preserving, so it is legal).  What stops substitution
+    is nondeterminism in the PROJECT FIELD itself: every pushdown /
+    collapse rule requires the producing projection's fields to be
+    deterministic.  The guard ``spark_partition_id() >= 0`` is true on
+    every row (partition ids are non-negative), is marked
+    nondeterministic but costs no RNG draw, and is not constant-folded
+    (unlike ``rand() >= 0``, whose [0,1) range Spark 4 can prove).
+    Values are identical on every evaluation, including under task
+    retry."""
+    return F.when(F.spark_partition_id() >= F.lit(0), col)
+
+
+# Non-whitespace runs: ``regexp_extract_all(col, TOKEN_RUN_RE)`` is
+# exactly the strip-then-split-on-\s+ token sequence (Python
+# ``s.split()``) in ONE regex pass — Java \S is the complement of the
+# \s class PY_STRIP_RE/WORD_SPLIT_RE use, so maximal \S+ runs are the
+# split fields with leading/trailing/empty fields already dropped.
+TOKEN_RUN_RE = r"\S+"
+
+
 def std_tokens(col: Column) -> Column:
     """Lucene-standard-analyzed tokens: lowercase, split at
     non-alphanumeric runs, drop empties (leading/trailing delimiters
@@ -178,11 +236,14 @@ def clean_text(col: Column) -> Column:
 
 def word_count(col: Column) -> Column:
     """F3: Python ``len(s.split())`` — whitespace split dropping empties.
-    Python-style strip first: a leading newline must not add a token."""
-    t = pystrip(col)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, WORD_SPLIT_RE))
-    )
+
+    r15: counted as non-whitespace runs in ONE regex pass.  The prior
+    strip → empty-check → split form ran the strip regex twice per row
+    and its ``when`` branches blocked codegen subexpression
+    elimination; counting \\S+ runs is the same number for every
+    string (split fields == maximal non-space runs) and the same NULL
+    (regexp_extract_all propagates it)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RUN_RE), 0))
 
 
 def regex_count(col: Column, pattern: str) -> Column:
@@ -194,14 +255,21 @@ def avg_sentence_words(col: Column) -> Column:
     """Mean words per sentence, sentences split on ``[.!?]+`` keeping
     empty boundary strings — exactly ``re.split`` semantics
     (document_processor.py:58-61)."""
-    sentences = F.split(col, SENTENCE_SPLIT_RE)
-    total_words = F.aggregate(
-        sentences,
-        F.lit(0),
-        lambda acc, s: acc + F.when(F.length(pystrip(s)) == 0, F.lit(0))
-                             .otherwise(F.size(F.split(pystrip(s), WORD_SPLIT_RE))),
-    )
-    return total_words.cast("double") / F.size(sentences)
+    # r15: bind the sentence array once (the inline form re-ran the
+    # sentence split for the denominator) and count each sentence's
+    # words as \S+ runs in one regex instead of strip-check-strip-split
+    # (three regex passes per sentence).  Same totals: a blank sentence
+    # has zero \S+ runs, exactly the old empty-after-strip 0 branch.
+    def _avg(sentences: Column) -> Column:
+        total_words = F.aggregate(
+            sentences,
+            F.lit(0),
+            lambda s_acc, s: s_acc
+            + F.size(F.regexp_extract_all(s, F.lit(TOKEN_RUN_RE), 0)),
+        )
+        return total_words.cast("double") / F.size(sentences)
+
+    return bind1(F.split(col, SENTENCE_SPLIT_RE), _avg)
 
 
 def clamp01(col: Column) -> Column:
@@ -218,10 +286,16 @@ def quality_components(text_col: Column,
     their reference fallbacks (title term 0, credibility 0.5).
     Returns the five component columns plus the weighted, clamped score.
     """
-    wc = word_count(text_col)
-    length_score = F.when(
-        wc > 100, F.least(F.lit(1.0), wc.cast("double") / 1000.0)
-    ).otherwise(F.lit(0.0))
+    # r15: bind the word count once — the condition and the value both
+    # reference it, and these projections evaluate interpreted (the
+    # sentence aggregate below is CodegenFallback), so nothing CSEs the
+    # duplicate regex away.
+    length_score = bind1(
+        word_count(text_col),
+        lambda wc: F.when(
+            wc > 100, F.least(F.lit(1.0), wc.cast("double") / 1000.0)
+        ).otherwise(F.lit(0.0)),
+    )
 
     header_cnt = regex_count(text_col, HEADER_RE)
     list_cnt = regex_count(text_col, LIST_RE)
@@ -271,12 +345,40 @@ def quality_components(text_col: Column,
     }
 
 
+def quality_score_from(comps: Column, text_col: Column) -> Column:
+    """The T2 weighted score over an ALREADY-PROJECTED component struct
+    (fields named like quality_components' keys) — the same arithmetic
+    quality_components builds inline, reading attribute slots instead
+    of re-inlining each component's tree."""
+    quality = clamp01(
+        0.2 * comps["length_score"] + 0.15 * comps["structure_score"]
+        + 0.25 * comps["richness_score"] + 0.2 * comps["readability_score"]
+        + 0.2 * comps["credibility_score"]
+    )
+    return F.when(F.length(text_col) == 0, F.lit(0.0)).otherwise(quality)
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """T2 as a DataFrame transform: documents -> documents_enriched."""
+    """T2 as a DataFrame transform: documents -> documents_enriched.
+
+    r15: the five component trees are materialized ONCE in a struct
+    projection and both the component columns and the weighted score
+    read the struct's slots — the old per-column form evaluated every
+    component twice per row (its own column + its copy inside
+    quality_score), and these projections run interpreted (the
+    sentence aggregate is CodegenFallback) so no codegen CSE saved it.
+    Same expressions, same order, same rounding — values identical
+    (tests/test_text_sem.py)."""
     comps = quality_components(F.col(text_col))
-    for name, col in comps.items():
-        df = df.withColumn(name, F.round(col, 6))
-    return df
+    parts = {k: v for k, v in comps.items() if k != "quality_score"}
+    out = df.withColumn(
+        "__qc", F.struct(*[v.alias(k) for k, v in parts.items()]))
+    for name in parts:
+        out = out.withColumn(name, F.round(F.col("__qc")[name], 6))
+    out = out.withColumn(
+        "quality_score",
+        F.round(quality_score_from(F.col("__qc"), F.col(text_col)), 6))
+    return out.drop("__qc")
 
 
 def quality_filter(df: DataFrame, threshold: float = 0.5,
@@ -312,10 +414,11 @@ def classify_intent(col: Column) -> Column:
 
 def word_tokens(col: Column) -> Column:
     """Distinct lowercase whitespace tokens (W5 Jaccard input,
-    advanced_search.py:297-311)."""
-    t = F.lower(pystrip(col))
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
-            .otherwise(F.array_distinct(F.split(t, WORD_SPLIT_RE)))
+    advanced_search.py:297-311).  r15: one regex pass (\\S+ runs ==
+    strip+split fields; array_distinct keeps first-occurrence order in
+    both forms; empty text gives [] either way)."""
+    return F.array_distinct(
+        F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RUN_RE), 0))
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -58,13 +58,29 @@ def chunk_fixed(documents: DataFrame,
     n_chunks = F.when(F.length(src) == 0, F.lit(0)).otherwise(
         F.floor((F.length(src) - 1) / stride) + 1
     )
-    df = df.withColumn("chunk_index",
-                       F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)))
+    # r15: explode a PROJECTED index array through the coalesce guard
+    # (dedup.explode_attr) — exploding the inline sequence made
+    # InferFiltersFromGenerate push an isnotnull(<whole clean_text
+    # tree>) filter to the one-task scan, re-running the 8-regex clean
+    # chain per document single-threaded (same disease/fix as the r15
+    # shingle explode; same rows: the sequence array is unchanged,
+    # only bound to an attribute first).
+    from .dedup import explode_attr
+    df = (df.withColumn("__seq",
+                        F.sequence(F.lit(0), n_chunks.cast("int") - 1))
+          .withColumn("chunk_index", explode_attr(F.col("__seq"), "int"))
+          .drop("__seq"))
     start = (F.col("chunk_index") * stride).cast("int")
     raw = src.substr(start + 1, F.lit(chunk_size))
+    # nd_pin: the min-length filter otherwise re-evaluates the strip
+    # below this projection (pushdown substitutes the defining tree) —
+    # pin it so every chunk strips once (values identical; see
+    # functions.text.nd_pin)
+    from ..functions.text import nd_pin
     df = (
         df.withColumn("__raw", raw)
-        .withColumn("content", F.regexp_replace(F.col("__raw"), PY_STRIP, ""))
+        .withColumn("content",
+                    nd_pin(F.regexp_replace(F.col("__raw"), PY_STRIP, "")))
         .filter(F.length("content") >= min_chars)
         .select(
             F.md5(F.concat_ws("_", F.col(id_col), F.col("chunk_index"),

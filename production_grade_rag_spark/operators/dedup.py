@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import WORD_SPLIT_RE, pystrip
+from ..functions.text import TOKEN_RUN_RE, pystrip
 
 # ---------------------------------------------------------------------------
 # shared hashing primitives (md5 -> 32-bit int; Spark/DuckDB-identical)
@@ -40,10 +40,12 @@ def md5_int32(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens (empty text -> empty array)."""
-    t = F.lower(pystrip(col))
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
-            .otherwise(F.split(t, WORD_SPLIT_RE))
+    """Lowercased whitespace tokens (empty text -> empty array).
+
+    r15: one regex pass — maximal \\S+ runs ARE the strip+split fields
+    (same order, same values, [] for empty, NULL for NULL), where the
+    old form ran the strip regex twice before the split."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RUN_RE), 0)
 
 
 def shingles_of(toks: Column, k: int = 3) -> Column:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import WORD_SPLIT_RE, pystrip
+from ..functions.text import TOKEN_RUN_RE, WORD_SPLIT_RE, bind1, pystrip
 
 # Stopword profiles for the n-gram/stopword language heuristic.  Small
 # on purpose: the signal is the *ratio* of profile hits, and ties break
@@ -29,35 +29,66 @@ LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    """Per-language stopword-hit ratio over whitespace tokens."""
-    t = F.lower(pystrip(col))
-    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
-            .otherwise(F.split(t, WORD_SPLIT_RE))
+def _lang_tokens(col: Column) -> Column:
+    """Lowercase whitespace tokens in ONE regex pass (r15: \\S+ runs ==
+    the old strip → empty-check → split fields, same NULL)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RUN_RE), 0)
+
+
+def _lang_score_vec(toks: Column) -> Column:
+    """The four profile-coverage scores of a BOUND token array, as one
+    array<double> in LANG_PROFILES order.  ``toks`` must be a lambda
+    variable / attribute: the distinct-token set is bound once and each
+    score reads it, where the old per-language dict re-inlined the
+    whole tokenize tree into every score (and detect_language's argmax
+    then duplicated each score ~6x more — ~40 tokenize runs per row,
+    all interpreted because these trees sit in HOF/fallback
+    projections; guide §1.2 step 2)."""
     n = F.size(toks)
-    out = {}
-    for lang, words in LANG_PROFILES:
-        hits = F.size(F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in words])))
-        # distinct-hit count / profile size: how much of the profile the
-        # document covers (robust to doc length, unlike raw token ratio)
-        out[lang] = F.when(n == 0, F.lit(0.0)) \
-                     .otherwise(hits.cast("double") / len(words))
-    return out
+    return bind1(
+        F.array_distinct(toks),
+        lambda dist: F.array(*[
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_intersect(
+                    dist, F.array(*[F.lit(w) for w in words])))
+                .cast("double") / len(words))
+            for _, words in LANG_PROFILES]))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio over whitespace tokens.
+
+    Kept as the per-language dict API; each entry evaluates its own
+    bound pipeline.  detect_language does NOT call this (it needs all
+    four scores per row and binds the score vector once instead)."""
+    toks = _lang_tokens(col)
+    vec = {lang: i for i, (lang, _) in enumerate(LANG_PROFILES)}
+    return {lang: F.element_at(bind1(toks, _lang_score_vec), i + 1)
+            for lang, i in vec.items()}
 
 
 def detect_language(col: Column, min_score: float = 0.05) -> Column:
     """Language-ID: argmax profile coverage, 'unknown' below min_score.
     Ties break in LANG_PROFILES order (first wins) — deterministic and
-    mirrored exactly in the oracle SQL's CASE chain."""
-    scores = lang_scores(col)
-    best = F.greatest(*scores.values())
-    expr = None
-    for lang, _ in LANG_PROFILES:
-        cond = scores[lang] == best
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return F.when(best < min_score, F.lit("unknown")).otherwise(expr)
+    mirrored exactly in the oracle SQL's CASE chain.
+
+    r15: tokenize → score-vector → argmax with each stage bound once
+    via ``bind1`` (same sub-expressions, same order, evaluated once per
+    row).  The old form lexically inlined the tokenize tree into every
+    score and every argmax comparison — ~40 evaluations per row."""
+    def pick(scores: Column) -> Column:
+        vals = [F.element_at(scores, i + 1)
+                for i in range(len(LANG_PROFILES))]
+        best = F.greatest(*vals)
+        expr = None
+        for val, (lang, _) in zip(vals, LANG_PROFILES):
+            cond = val == best
+            expr = (F.when(cond, F.lit(lang)) if expr is None
+                    else expr.when(cond, F.lit(lang)))
+        return F.when(best < min_score, F.lit("unknown")).otherwise(expr)
+
+    return bind1(_lang_tokens(col),
+                 lambda toks: bind1(_lang_score_vec(toks), pick))
 
 
 def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -87,19 +118,18 @@ def quality_ratios(col: Column) -> dict[str, Column]:
     no stopwords is usually not prose; one that is mostly punctuation
     or digits is usually markup or tables)."""
     n_chars = F.greatest(F.length(col), F.lit(1))
-    t = F.lower(pystrip(col))
-    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
-            .otherwise(F.split(t, WORD_SPLIT_RE))
-    n_toks = F.greatest(F.size(toks), F.lit(1))
-    stop_hits = F.size(F.filter(
-        toks, lambda w: w.isin(*STOPWORDS)))
     counts = {
         "punct_ratio": F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0)),
         "digit_ratio": F.size(F.regexp_extract_all(col, F.lit(DIGIT_RE), 0)),
         "upper_ratio": F.size(F.regexp_extract_all(col, F.lit(UPPER_RE), 0)),
     }
     out = {k: v.cast("double") / n_chars for k, v in counts.items()}
-    out["stopword_ratio"] = stop_hits.cast("double") / n_toks
+    # r15: tokenize once (one \S+ pass — see _lang_tokens) and bind the
+    # array so numerator and denominator read the same slot.
+    out["stopword_ratio"] = bind1(
+        _lang_tokens(col),
+        lambda toks: F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+        .cast("double") / F.greatest(F.size(toks), F.lit(1)))
     return out
 
 
@@ -110,12 +140,17 @@ def with_quality_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def char_shingles(col: Column, k: int = 8) -> Column:
-    """Character k-grams of the lowercased, whitespace-normalized text."""
+    """Character k-grams of the lowercased, whitespace-normalized text.
+
+    r15: the normalized string is bound once — the old inline form
+    re-ran the strip+normalize regexes once per character position
+    inside the substring lambda (the shingle_frame disease at the
+    character level)."""
     t = F.regexp_replace(F.lower(pystrip(col)), WORD_SPLIT_RE, " ")
-    n = F.length(t)
-    return F.when(n < k, F.array(t)).otherwise(
-        F.transform(F.sequence(F.lit(1), n - k + 1),
-                    lambda i: F.substr(t, i, F.lit(k))))
+    return bind1(t, lambda tv: F.when(
+        F.length(tv) < k, F.array(tv)).otherwise(
+        F.transform(F.sequence(F.lit(1), F.length(tv) - k + 1),
+                    lambda i: F.substr(tv, i, F.lit(k)))))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
@@ -134,10 +169,13 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
     kept = F.array_sort(F.array_distinct(
         F.filter(hashes, lambda h: h % mod == 0)))
-    return df.select(
-        F.col(id_col),
-        kept.alias("fingerprint"),
-        F.size(kept).alias("fingerprint_size"))
+    # r15: project kept once, size the attribute — one Project with
+    # kept twice evaluated the whole shingle+hash chain twice per row
+    # (CollapseProject keeps the split: kept is non-cheap and
+    # referenced twice, so the projects are not re-merged).
+    return (df.select(F.col(id_col), kept.alias("fingerprint"))
+            .select(F.col(id_col), F.col("fingerprint"),
+                    F.size("fingerprint").alias("fingerprint_size")))
 
 
 def fingerprint_resemblance(fp: DataFrame, threshold: float = 0.5,

@@ -1028,20 +1028,29 @@ def _ppr_rank(emb: DataFrame, nb: DataFrame) -> DataFrame:
     (src, dst) — shared with the r11 IVF-fidelity card, which runs the
     IDENTICAL iteration over the approximate store to measure what
     missing edges do to the ranking a user actually reads."""
-    r = emb.select("vec_id",
-                   F.when(F.col("vec_id") == _PPR_SEED, F.lit(1000000))
-                    .otherwise(F.lit(0)).cast("long").alias("r"))
+    # r15 (guide §1.2 step 1): carry only the NONZERO-mass frontier.
+    # The old loop left-joined each iteration's contributions back to
+    # the full node table — a full corpus pass plus a join per hop
+    # whose only effect was materializing r=0 rows.  Zero rows are
+    # inert (floor(17*0/100) == 0 contribution) and the final filter
+    # drops them, so frontier-only iteration returns the identical
+    # row set (pinned by tests/test_text_sem.py::test_ppr_frontier_
+    # equals_dense_loop); each hop now touches O(frontier * k) rows
+    # regardless of corpus size.
+    r = (emb.select("vec_id").filter(F.col("vec_id") == _PPR_SEED)
+         .select("vec_id", F.lit(1000000).cast("long").alias("r")))
+    seed_mass = (emb.select("vec_id")
+                 .filter(F.col("vec_id") == _PPR_SEED)
+                 .select("vec_id",
+                         F.lit(150000).cast("long").alias("m")))
     for _ in range(_PPR_ITERS):
         contrib = (nb.join(r.withColumnRenamed("vec_id", "src"), "src")
                    .groupBy(F.col("dst").alias("vec_id"))
                    .agg(F.sum(F.expr("(17 * r) div 100")).cast("long")
                         .alias("m")))
-        r = (emb.select("vec_id").join(contrib, "vec_id", "left")
-             .select("vec_id",
-                     (F.when(F.col("vec_id") == _PPR_SEED,
-                             F.lit(150000)).otherwise(F.lit(0))
-                      + F.coalesce("m", F.lit(0))).cast("long")
-                     .alias("r")))
+        r = (contrib.unionByName(seed_mass)
+             .groupBy("vec_id")
+             .agg(F.sum("m").cast("long").alias("r")))
     return (r.filter(F.col("r") > 0)
             .orderBy(F.desc("r"), "vec_id").limit(_PPR_TOP)
             .select("vec_id", F.col("r").alias("ppr_scaled")))

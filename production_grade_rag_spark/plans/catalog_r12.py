@@ -511,9 +511,15 @@ def cc_ingest_delta(spark: SparkSession, d: str) -> DataFrame:
     # materialize once per stage, exactly what a production ingest
     # does when it logs the funnel: stage outputs are tables, not
     # re-derivations of the whole upstream per read
-    g_store = cc_gate_keyed(docs.filter(F.col("doc_id") % 2 == 0)) \
-        .localCheckpoint()
-    g_batch = cc_gate_keyed(batch_raw).localCheckpoint()
+    #
+    # r15: gate ONCE and split by parity afterwards — the old
+    # per-split gating ran the clean+quality+language pipeline as two
+    # jobs over two scans (same total expression work, twice the scan
+    # + checkpoint floor); the gate is per-row, so filter-then-gate ==
+    # gate-then-filter row for row.
+    g_all = cc_gate_keyed(docs).localCheckpoint()
+    g_store = g_all.filter(F.col("doc_id") % 2 == 0)
+    g_batch = g_all.filter(F.col("doc_id") % 2 == 1)
 
     # --- bloom pre-filter over the store's content hashes (a21) ----
     jcol = F.explode(F.array(*[F.lit(j) for j in range(_ING_BF_K)])) \

@@ -39,11 +39,19 @@ def cc_gate_keyed(docs: DataFrame) -> DataFrame:
     language gate -> content hash), shared with the incremental
     streaming twin st_cc_curate so batch and per-micro-batch curation
     are the SAME fused projection, not two drifting copies."""
+    # r15: nd_pin the two gate columns — unpinned, predicate pushdown
+    # substitutes their whole defining trees into the gate filter and
+    # pushes it below the parallelizing exchange, so the full
+    # quality+language expression pipeline ran TWICE per row, the
+    # first time single-threaded in the one-task parquet scan (guide
+    # §4.4's duplicated-evaluation disease, built-in expression form).
     scored = docs.select(
         "doc_id",
         X.clean_text(F.col("text")).alias("clean_text"),
-        X.quality_components(F.col("text"))["quality_score"].alias("q"),
-        textstats.detect_language(F.col("text")).alias("detected_lang"))
+        X.nd_pin(X.quality_components(F.col("text"))["quality_score"])
+         .alias("q"),
+        X.nd_pin(textstats.detect_language(F.col("text")))
+         .alias("detected_lang"))
     gated = scored.filter(
         (F.col("q").isNull() | (F.col("q") >= 0.2))
         & (F.col("detected_lang") == "en"))

@@ -313,3 +313,70 @@ def test_knn_topk_factored_bit_identical(spark):
     assert [r["vec_id"] for r in inline] == [r["vec_id"] for r in got]
     for a, b in zip(inline, got):
         assert struct.pack("<d", a["score"]) == struct.pack("<d", b["score"])
+
+
+# ---------------------------------------------------------------------------
+# r15 session 2: the PPR frontier loop must equal the old dense loop
+# (full-node left join per hop) row for row, including on a graph
+# where the seed has no in-edges and where truncation zeroes small
+# contributions.
+# ---------------------------------------------------------------------------
+
+def test_ppr_frontier_equals_dense_loop(spark):
+    from pyspark.sql import functions as F
+
+    import production_grade_rag_spark.plans.catalog  # noqa: F401 (registration order)
+    from production_grade_rag_spark.plans.catalog_r10 import (
+        _PPR_ITERS, _PPR_SEED, _PPR_TOP, _ppr_rank)
+
+    import random
+    rng = random.Random(11)
+    n = 60
+    emb = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    edges = []
+    for src in range(n):
+        for dst in rng.sample([j for j in range(n) if j != src], 5):
+            edges.append((src, dst))
+    nb = spark.createDataFrame(edges, "src long, dst long")
+
+    # the pre-r15 dense loop, verbatim
+    r = emb.select("vec_id",
+                   F.when(F.col("vec_id") == _PPR_SEED, F.lit(1000000))
+                    .otherwise(F.lit(0)).cast("long").alias("r"))
+    for _ in range(_PPR_ITERS):
+        contrib = (nb.join(r.withColumnRenamed("vec_id", "src"), "src")
+                   .groupBy(F.col("dst").alias("vec_id"))
+                   .agg(F.sum(F.expr("(17 * r) div 100")).cast("long")
+                        .alias("m")))
+        r = (emb.select("vec_id").join(contrib, "vec_id", "left")
+             .select("vec_id",
+                     (F.when(F.col("vec_id") == _PPR_SEED,
+                             F.lit(150000)).otherwise(F.lit(0))
+                      + F.coalesce("m", F.lit(0))).cast("long")
+                     .alias("r")))
+    want = [(row["vec_id"], row["ppr_scaled"]) for row in
+            (r.filter(F.col("r") > 0)
+             .orderBy(F.desc("r"), "vec_id").limit(_PPR_TOP)
+             .select("vec_id", F.col("r").alias("ppr_scaled")).collect())]
+    got = [(row["vec_id"], row["ppr_scaled"]) for row in
+           _ppr_rank(emb, nb).collect()]
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ppr_frontier_seed_without_in_edges(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import production_grade_rag_spark.plans.catalog  # noqa: F401 (registration order)
+    from production_grade_rag_spark.plans.catalog_r10 import (
+        _PPR_SEED, _ppr_rank)
+
+    emb = spark.createDataFrame([(i,) for i in range(6)], "vec_id long")
+    # seed 0 points out, nothing points back at it
+    nb = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 1)],
+        "src long, dst long")
+    got = {row["vec_id"]: row["ppr_scaled"]
+           for row in _ppr_rank(emb, nb).collect()}
+    # the seed keeps its restart mass every iteration
+    assert got[_PPR_SEED] == 150000
