@@ -128,6 +128,37 @@ def shingle_explode(df: DataFrame, text_col: str = "text", k: int = 3,
 # exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
 
+def jaccard_verify(pairs: DataFrame, threshold: float,
+                   a: str = "__sh_a", b: str = "__sh_b",
+                   drop: tuple[str, ...] = ()) -> DataFrame:
+    """The exact-Jaccard verify tail shared by every candidate-pair
+    consumer: ``jaccard`` (rounded 6dp) of two DISTINCT-element
+    shingle-array columns + the ``>= threshold`` filter.
+
+    r15 (guide §1.2 step 2): two per-pair savings over the inline
+    ``size(intersect)/size(union)`` form, values identical —
+    - the union ARRAY is never built: for distinct-element arrays
+      |A∪B| = |A|+|B| − |A∩B| (inclusion–exclusion), and the integer
+      denominators being equal makes the double division — and its
+      6dp round — bit-identical;
+    - the intersection size is materialized once and nd_pin'd, so the
+      threshold filter reads the slot instead of predicate pushdown
+      re-substituting the whole set expression below the projection
+      (the inline form computed intersect+union TWICE per candidate
+      pair).
+    Pinned equal to the inline form by tests/test_text_sem.py.
+    """
+    from ..functions.text import nd_pin
+    jac = (F.col("__i").cast("double")
+           / (F.size(a) + F.size(b) - F.col("__i")))
+    return (pairs
+            .withColumn("__i",
+                        nd_pin(F.size(F.array_intersect(a, b))))
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .drop("__i", a, b, *drop))
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      normalize: bool = True) -> DataFrame:
@@ -334,15 +365,12 @@ def minhash_pairs_from_index(banded: DataFrame, df: DataFrame,
         cands = cands.filter(F.col("__n_shared") >= min_band_overlap)
     cands = cands.select("id_a", "id_b")
     sh = shingle_frame(df, text_col, id_col)
-    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-           / F.size(F.array_union("__sh_a", "__sh_b")))
-    return (cands
-            .join(sh.select(F.col(id_col).alias("id_a"),
-                            F.col("__sh").alias("__sh_a")), "id_a")
-            .join(sh.select(F.col(id_col).alias("id_b"),
-                            F.col("__sh").alias("__sh_b")), "id_b")
-            .withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
+    joined = (cands
+              .join(sh.select(F.col(id_col).alias("id_a"),
+                              F.col("__sh").alias("__sh_a")), "id_a")
+              .join(sh.select(F.col(id_col).alias("id_b"),
+                              F.col("__sh").alias("__sh_b")), "id_b"))
+    return (jaccard_verify(joined, threshold)
             .select("id_a", "id_b", "jaccard"))
 
 
@@ -439,17 +467,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   F.size("__sh").alias("__n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"),
                   F.size("__sh").alias("__n_b"))
-    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-           / F.size(F.array_union("__sh_a", "__sh_b")))
     # size-bound prune inside the join condition: |A∩B| <= min(|A|,|B|)
     # and |A∪B| >= max(|A|,|B|), so jaccard <= min/max — pairs failing
     # the cheap cardinality test never evaluate the set expressions.
     bound = (F.least("__n_a", "__n_b").cast("double")
              / F.greatest("__n_a", "__n_b")) >= threshold
-    return (a.join(b, (F.col("id_a") < F.col("id_b")) & bound)
-             .withColumn("jaccard", F.round(jac, 6))
-             .filter(F.col("jaccard") >= threshold)
-             .select("id_a", "id_b", "jaccard"))
+    joined = a.join(b, (F.col("id_a") < F.col("id_b")) & bound)
+    return (jaccard_verify(joined, threshold, drop=("__n_a", "__n_b"))
+            .select("id_a", "id_b", "jaccard"))
 
 
 def _set_key(sorted_arr: Column) -> Column:
@@ -591,15 +616,12 @@ def ngram_jaccard_pairs_index(df: DataFrame, text_col: str = "text",
 
     # 4. candidate-bounded exact verify on the sorted shingle arrays
     rsh = reps.select("__rid", "__sh")
-    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-           / F.size(F.array_union("__sh_a", "__sh_b")))
-    rep_pairs = (cand
-                 .join(rsh.select(F.col("__rid").alias("ra"),
-                                  F.col("__sh").alias("__sh_a")), "ra")
-                 .join(rsh.select(F.col("__rid").alias("rb"),
-                                  F.col("__sh").alias("__sh_b")), "rb")
-                 .withColumn("jaccard", F.round(jac, 6))
-                 .filter(F.col("jaccard") >= threshold)
+    rep_joined = (cand
+                  .join(rsh.select(F.col("__rid").alias("ra"),
+                                   F.col("__sh").alias("__sh_a")), "ra")
+                  .join(rsh.select(F.col("__rid").alias("rb"),
+                                   F.col("__sh").alias("__sh_b")), "rb"))
+    rep_pairs = (jaccard_verify(rep_joined, threshold)
                  .select("ra", "rb", "jaccard"))
 
     # 5. expand back to member pairs: cross pairs inherit the
@@ -918,13 +940,10 @@ def minhash_delta_pairs(base: DataFrame, delta: DataFrame,
         .join(F.broadcast(need), id_col, "left_semi")
         .unionByName(base_only),
         text_col, id_col).localCheckpoint()
-    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-           / F.size(F.array_union("__sh_a", "__sh_b")))
-    return (cands
-            .join(sh.select(F.col(id_col).alias("id_a"),
-                            F.col("__sh").alias("__sh_a")), "id_a")
-            .join(sh.select(F.col(id_col).alias("id_b"),
-                            F.col("__sh").alias("__sh_b")), "id_b")
-            .withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
+    joined = (cands
+              .join(sh.select(F.col(id_col).alias("id_a"),
+                              F.col("__sh").alias("__sh_a")), "id_a")
+              .join(sh.select(F.col(id_col).alias("id_b"),
+                              F.col("__sh").alias("__sh_b")), "id_b"))
+    return (jaccard_verify(joined, threshold)
             .select("id_a", "id_b", "jaccard"))

@@ -183,11 +183,20 @@ def fingerprint_resemblance(fp: DataFrame, threshold: float = 0.5,
     """Pairwise resemblance from fingerprints (Jaccard over sampled
     hash sets).  Same pair-pruning rules as the dedup suite apply at
     scale (LSH-band the fingerprints); exact form here for oracles."""
+    from ..functions.text import nd_pin
     a = fp.select(F.col(id_col).alias("id_a"), F.col("fingerprint").alias("__fa"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("fingerprint").alias("__fb"))
-    res = (F.size(F.array_intersect("__fa", "__fb")).cast("double")
-           / F.greatest(F.size(F.array_union("__fa", "__fb")), F.lit(1)))
+    # r15: fingerprints are distinct-element arrays, so the union ARRAY
+    # is never built (|A∪B| = |A|+|B|−|A∩B|, same integer, same double
+    # division and round); the intersection size is nd_pin'd so the
+    # threshold filter reads the slot instead of pushdown re-running
+    # the set expression per pair (see dedup.jaccard_verify).
+    res = (F.col("__i").cast("double")
+           / F.greatest(F.size("__fa") + F.size("__fb") - F.col("__i"),
+                        F.lit(1)))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("__i",
+                         nd_pin(F.size(F.array_intersect("__fa", "__fb"))))
              .withColumn("resemblance", F.round(res, 6))
              .filter(F.col("resemblance") >= threshold)
              .select("id_a", "id_b", "resemblance"))

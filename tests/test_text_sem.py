@@ -208,3 +208,44 @@ def test_with_quality_struct_projection(docs):
     assert new.columns == old.columns
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+
+
+def test_jaccard_verify_equals_inline_union(docs, spark):
+    """jaccard_verify (inclusion-exclusion denominator, pinned
+    intersection) must return exactly the inline
+    size(intersect)/size(union) pairs — values and row set — for the
+    minhash candidate path at a permissive threshold."""
+    from production_grade_rag_spark.operators.dedup import (
+        minhash_band_table, minhash_dedup_pairs, minhash_signatures,
+        shingle_frame)
+
+    d = docs.filter(F.col("text").isNotNull()).limit(300)
+    got = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                 minhash_dedup_pairs(d, threshold=0.3).collect())
+
+    # inline reference: same candidates, old verify expression
+    sigs = minhash_signatures(d)
+    banded = minhash_band_table(sigs)
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "band_hash")
+    banded = (banded.withColumn("__n", F.count("*").over(w))
+              .filter(F.col("__n") <= 1000).drop("__n"))
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    cands = (a.join(b, ["band", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    sh = shingle_frame(d, "text", "doc_id")
+    jac = (F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+           / F.size(F.array_union("__sh_a", "__sh_b")))
+    want = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                  (cands
+                   .join(sh.select(F.col("doc_id").alias("id_a"),
+                                   F.col("__sh").alias("__sh_a")), "id_a")
+                   .join(sh.select(F.col("doc_id").alias("id_b"),
+                                   F.col("__sh").alias("__sh_b")), "id_b")
+                   .withColumn("jaccard", F.round(jac, 6))
+                   .filter(F.col("jaccard") >= 0.3)
+                   .select("id_a", "id_b", "jaccard")).collect())
+    assert got == want
+    assert len(got) > 0
