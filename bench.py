@@ -83,6 +83,23 @@ def main() -> None:
     _CAL_PROBE_LARGE = "dd_minhash_lsh"
     _LARGE_QUERY_SEC = 2.0
 
+    # r15: record hypervisor steal across the headline loop — sessions
+    # on this host intermittently lose >50% of demanded cycles to the
+    # hypervisor (measured via /proc/stat during a degraded run), which
+    # inflates every query uniformly; a bench artifact should carry the
+    # evidence of the window it ran in so a slow total can be read as
+    # contention rather than regression.  Best-effort: absent /proc
+    # (non-Linux) it reports None.
+    def _cpu_ticks() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            return vals[7] if len(vals) > 7 else 0, sum(vals[:8])
+        except Exception:  # noqa: BLE001 — calibration must not kill the bench
+            return None
+    steal0 = _cpu_ticks()
+
     # one failing query must not lose the artifact for the healthy 14:
     # failures are recorded per-query and the JSON line is always emitted
     timings: dict[str, float] = {}
@@ -100,6 +117,12 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    steal1 = _cpu_ticks()
+    steal_pct = None
+    if steal0 and steal1 and steal1[1] > steal0[1]:
+        steal_pct = round(100.0 * (steal1[0] - steal0[0])
+                          / (steal1[1] - steal0[1]), 2)
 
     cal_warm = _cal()
     # the 3-shape probe set: each already ran once in the headline
@@ -130,6 +153,7 @@ def main() -> None:
             "host_factor_median": host_factor,
             "probe_large": _CAL_PROBE_LARGE,
             "host_factor_large": host_factor_large,
+            "steal_pct": steal_pct,
         },
     }
     if errors:
