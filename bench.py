@@ -91,11 +91,17 @@ def main() -> None:
     # contention rather than regression.  Best-effort: absent /proc
     # (non-Linux) it reports None.
     def _cpu_ticks() -> tuple[int, int] | None:
+        # ADVICE r15: total = ALL fields (guest/guest_nice included so
+        # steal_pct is not overstated on guest-running hosts), and a
+        # stat line too short to carry the steal field reports None
+        # (unknown) rather than a fake 0.0.
         try:
             with open("/proc/stat") as fh:
                 parts = fh.readline().split()
             vals = [int(x) for x in parts[1:]]
-            return vals[7] if len(vals) > 7 else 0, sum(vals[:8])
+            if len(vals) <= 7:
+                return None
+            return vals[7], sum(vals)
         except Exception:  # noqa: BLE001 — calibration must not kill the bench
             return None
     steal0 = _cpu_ticks()

@@ -207,7 +207,7 @@ assert all(a > 0 for a in HASH_A)
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       num_hashes: int = 16) -> DataFrame:
+                       num_hashes: int = 16, k: int = 3) -> DataFrame:
     """Wide MinHash signature table (id, h0..h{n-1}).
 
     Plan: project tokens -> explode shingle POSITIONS (an int sequence
@@ -226,8 +226,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     hashes is identical, and the signature table is pinned equal to
     the r14 form in tests/test_dedup_sem.py.  Short docs (< k tokens)
     keep the whole-text fallback via the -1 sentinel position.
+
+    ``k`` is the shingle width (ADVICE r15: parameterized like every
+    other shingle consumer so a repo-wide width change cannot silently
+    desynchronize signatures from the verify path).
     """
-    k = 3
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     n = F.size(F.col("__toks"))
     pos = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
@@ -363,8 +366,23 @@ def minhash_pairs_from_index(banded: DataFrame, df: DataFrame,
               .agg(F.count("*").alias("__n_shared")))
     if min_band_overlap > 1:
         cands = cands.filter(F.col("__n_shared") >= min_band_overlap)
-    cands = cands.select("id_a", "id_b")
-    sh = shingle_frame(df, text_col, id_col)
+    # r16 (VERDICT r15 #3; guide §8's "decide with small rows" rule):
+    # the verify tail used to reference shingle_frame(df) TWICE (one
+    # join per pair side), embedding the full text scan + tokenize +
+    # shingle tree twice in the plan.  Now the (small) candidate set is
+    # materialized once, the shingle frame is computed for CANDIDATE
+    # documents only (broadcast semi-join — the minhash_delta_pairs
+    # shape), and materialized once so both verify joins read the same
+    # subtree.  At corpus scale this turns two full corpus
+    # shingle passes into one candidate-sized pass.
+    cands = cands.select("id_a", "id_b").localCheckpoint()
+    need = (cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct())
+    sh = shingle_frame(
+        df.select(id_col, text_col)
+          .join(F.broadcast(need), id_col, "left_semi"),
+        text_col, id_col).localCheckpoint()
     joined = (cands
               .join(sh.select(F.col(id_col).alias("id_a"),
                               F.col("__sh").alias("__sh_a")), "id_a")

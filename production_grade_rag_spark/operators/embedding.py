@@ -125,6 +125,116 @@ def hash_embed(df: DataFrame, text_col: str = "content",
     return out.withColumn("embedding_model", F.lit(f"hash-{dim}"))
 
 
+# --------------------------------------------------------------------------
+# r16: Arrow-vectorized embedder (optimization guide §4.2/§4.3).
+#
+# The builtin ``hash_embed`` pays one interpreted md5+conv+pmod chain
+# per token (~225k tokens/corpus at sf0.1) plus two shuffles and a
+# join to assemble the dense array.  The same math per ROW in a batched
+# pandas UDF is one C-speed md5 per DISTINCT token (process-level
+# memo), zero shuffles, zero joins — and it is BIT-identical:
+# - bucket sums accumulate ±1.0 in doubles, exact integers (< 2^53);
+# - the norm is sqrt over a sum of exact integer squares — exact in
+#   any order, and IEEE sqrt/division match the JVM's;
+# so the arrow path equals ``embed_text_py`` by construction (same
+# statements) and ``hash_embed`` by the pinned twin test
+# (tests/test_embedding.py).
+# --------------------------------------------------------------------------
+
+# process-level token -> (md5-high-32, sign) memo: tokens are Zipfian,
+# so the md5 work collapses to one call per distinct token per worker.
+# Bounded so a 100 TB vocabulary cannot grow a worker's RSS unbounded
+# (guide §5): past the cap, misses just recompute.
+_TOK_HS: dict[str, tuple[int, float]] = {}
+_TOK_HS_CAP = 1 << 20
+
+
+def _tok_hs(tok: str) -> tuple[int, float]:
+    c = _TOK_HS.get(tok)
+    if c is None:
+        h = hashlib.md5(tok.encode()).hexdigest()
+        c = (int(h[:8], 16), 1.0 if int(h[8], 16) % 2 == 0 else -1.0)
+        if len(_TOK_HS) < _TOK_HS_CAP:
+            _TOK_HS[tok] = c
+    return c
+
+
+def _embed_batch(texts: list, dim: int, normalize: bool) -> list[list[float]]:
+    """Batched twin of ``embed_text_py`` (same statements, memoized
+    md5) — one list of dense vectors per Arrow batch."""
+    out = []
+    for t in texts:
+        vec = [0.0] * dim
+        for tok in ("" if t is None else str(t)).strip().lower().split():
+            h32, sign = _tok_hs(tok)
+            vec[h32 % dim] += sign
+        if normalize:
+            n = sum(x * x for x in vec) ** 0.5
+            if n > 0:
+                vec = [x / n for x in vec]
+        out.append(vec)
+    return out
+
+
+def hash_embed_arrow(df: DataFrame, text_col: str = "content",
+                     dim: int = 64, normalize: bool = True,
+                     out_col: str = "embedding") -> DataFrame:
+    """Dense feature-hash embedding via one ArrowEvalPython node —
+    value-identical to ``hash_embed`` (pinned by tests/test_embedding
+    ::test_hash_embed_arrow_equals_builtin), with the explode/agg/join
+    assembly replaced by a per-row batched computation.  The right
+    backend when the dense vector is what downstream consumes (the
+    flagship cosine); keep ``hash_embed``/``hash_components`` where
+    the sparse relational view is the product."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series(_embed_batch(texts.tolist(), dim, normalize))
+
+    return (df.withColumn(out_col, embed_udf(F.col(text_col)))
+              .withColumn("embedding_model", F.lit(f"hash-{dim}")))
+
+
+def _components_batch(texts: list, dim: int) -> list[list[dict]]:
+    out = []
+    for t in texts:
+        d: dict[int, float] = {}
+        for tok in ("" if t is None else str(t)).strip().lower().split():
+            h32, sign = _tok_hs(tok)
+            b = h32 % dim
+            d[b] = d.get(b, 0.0) + sign
+        out.append([{"bucket": b, "val": v} for b, v in d.items()])
+    return out
+
+
+def hash_components_arrow(df: DataFrame, text_col: str = "content",
+                          id_col: str = "chunk_id",
+                          dim: int = 64) -> DataFrame:
+    """Sparse (id, bucket, val) components via one ArrowEvalPython
+    node + explode — same rows as ``hash_components`` (bucket sums are
+    exact signed-integer arithmetic; docs with zero tokens emit no
+    rows in both forms), without the per-token interpreted md5 chain
+    and the (id, bucket) shuffle: each doc's components are folded in
+    the Python worker and only the (small) per-doc component set is
+    exploded.  Pinned equal in tests/test_embedding.py."""
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("bucket", T.LongType()),
+        T.StructField("val", T.DoubleType())])))
+    def comp_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series(_components_batch(texts.tolist(), dim))
+
+    return (df.select(F.col(id_col), comp_udf(F.col(text_col)).alias("__c"))
+              .select(F.col(id_col),
+                      explode_attr(F.col("__c"),
+                                   "struct<bucket:bigint,val:double>")
+                      .alias("__e"))
+              .select(F.col(id_col), F.col("__e.bucket").alias("bucket"),
+                      F.col("__e.val").alias("val")))
+
+
 def embed_text_py(text: str, dim: int = 64, normalize: bool = True) -> list[float]:
     """Pure-Python twin of ``hash_embed`` (for query vectors + tests)."""
     vec = [0.0] * dim

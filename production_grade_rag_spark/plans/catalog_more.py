@@ -37,10 +37,14 @@ def m3_hash_components(spark: SparkSession, d: str) -> DataFrame:
     """M3: deterministic feature-hash embedder, sparse-component view
     (document_processor.py:125-150 replaced by a library-free embedder,
     SURVEY §2.8/§7.4: torch is a config-flagged backend; this is the
-    correctness path).  Plan: explode tokens -> md5 bucket/sign ->
-    map-side partial agg + one shuffle on (id, bucket)."""
+    correctness path).  r16 (guide §4.2): the per-token interpreted
+    md5 chain + (id, bucket) shuffle is replaced by one batched
+    ArrowEvalPython fold per doc + explode of the per-doc component
+    set — same rows (exact signed-integer bucket sums), pinned equal
+    to the relational form in tests/test_embedding.py."""
     docs = _t(spark, d, "documents")
-    out = embedding.hash_components(docs, text_col="text", id_col="doc_id", dim=64)
+    out = embedding.hash_components_arrow(docs, text_col="text",
+                                          id_col="doc_id", dim=64)
     return out.select("doc_id", "bucket", F.col("val").cast("long").alias("val"))
 
 

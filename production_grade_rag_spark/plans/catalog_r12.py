@@ -506,6 +506,26 @@ def cc_ingest_delta(spark: SparkSession, d: str) -> DataFrame:
 
     docs = _t(spark, d, "documents")
     batch_raw = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # r16 (guide §2.6): the dq9 drift card reads the EMBEDDINGS table
+    # and depends on nothing in the document chain below — built
+    # inline it serialized one more job onto an already ~12-job
+    # pipeline.  Kick its bounded 1-row materialization off on a
+    # driver thread at entry; the publish stage fetches the result.
+    # Values are untouched (same deterministic plan, same policy).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _b_drift() -> DataFrame:
+        spark.sparkContext.setJobDescription("ingest: dq9 drift gate")
+        return (_dq9_card(_dq9_moments(_t(spark, d, "embeddings")))
+                .select(((F.col("centroid_l2") <= _DQ9_L2_MAX)
+                         & (F.col("var_ratio") >= _DQ9_VR_LO)
+                         & (F.col("var_ratio") <= _DQ9_VR_HI))
+                        .alias("__drift_ok"))
+                .localCheckpoint())
+
+    drift_pool = ThreadPoolExecutor(max_workers=1)
+    drift_fut = drift_pool.submit(_b_drift)
     # stage frames are each read by several downstream stages (the
     # ledger, the bloom, the anti-join, the near-dup delta) —
     # materialize once per stage, exactly what a production ingest
@@ -600,12 +620,10 @@ def cc_ingest_delta(spark: SparkSession, d: str) -> DataFrame:
     # distribution is stable under the stated policy (_DQ9_L2_MAX /
     # _DQ9_VR bounds; see the policy comment above _DQ9_L2_MAX for
     # why centroid cosine is NOT the gate).  One extra scan of the
-    # vectors, partial-aggregated to a 1-row broadcast frame.
-    drift_ok = (_dq9_card(_dq9_moments(_t(spark, d, "embeddings")))
-                .select(((F.col("centroid_l2") <= _DQ9_L2_MAX)
-                         & (F.col("var_ratio") >= _DQ9_VR_LO)
-                         & (F.col("var_ratio") <= _DQ9_VR_HI))
-                        .alias("__drift_ok")))
+    # vectors, partial-aggregated to a 1-row broadcast frame (built
+    # concurrently with the doc chain — the r16 thread at entry).
+    drift_ok = drift_fut.result()
+    drift_pool.shutdown()
     published = (committed.agg(F.count("*").cast("long").alias("__c"))
                  .crossJoin(F.broadcast(drift_ok))
                  .select(F.lit(6).cast("long").alias("stage_no"),

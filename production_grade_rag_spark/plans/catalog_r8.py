@@ -1573,9 +1573,16 @@ def _nb_scores_from(base: DataFrame) -> DataFrame:
     tk = base.select("doc_id", "pos",
                      explode_attr(F.col("toks")).alias("tok"))
     pos_i = F.col("pos").cast("int")
+    # r16 (guide §2.4/§5): the class-conditional count table feeds
+    # THREE broadcast builds (consts inside lr, lr itself, pri) — left
+    # as lineage each broadcast job re-ran the token explode + the
+    # vocabulary shuffle (the plan's dominant cost, ~3x).  The table
+    # is VOCABULARY-sized (the same bounded-training-artifact argument
+    # that justifies broadcasting it), so materializing it once is a
+    # bounded local checkpoint at any corpus size.
     cls = tk.groupBy("tok").agg(
         F.sum(pos_i).cast("double").alias("c_pos"),
-        F.sum(1 - pos_i).cast("double").alias("c_neg"))
+        F.sum(1 - pos_i).cast("double").alias("c_neg")).localCheckpoint()
     consts = (cls.agg(F.sum("c_pos").alias("n_pos_tok"),
                       F.sum("c_neg").alias("n_neg_tok"),
                       F.count("*").cast("double").alias("v"))

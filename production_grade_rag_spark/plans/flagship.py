@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..operators.chunking import chunk_fixed
-from ..operators.embedding import embed_text_py, hash_embed
+from ..operators.embedding import embed_text_py, hash_embed_arrow
 from ..operators.similarity import knn_topk
 from ..sources import load_table
 
@@ -32,8 +32,11 @@ def flagship_search(spark: SparkSession, sf_dir: str, k: int = 10,
     scored = X.with_quality(docs)                               # T2
     kept = X.quality_filter(scored, 0.3)                        # T3
     chunks = chunk_fixed(kept, chunk_size=400, overlap=80)      # T1+M1+T4+W2
-    emb = hash_embed(chunks, text_col="content",
-                     id_col="chunk_id", dim=dim)                # M3
+    # r16 (guide §4.2/§4.3): the dense embedder is the Arrow-batched
+    # backend — one ArrowEvalPython node instead of the explode /
+    # (id,bucket)-shuffle / map-assembly chain; bit-identical values
+    # (see operators/embedding.hash_embed_arrow)
+    emb = hash_embed_arrow(chunks, text_col="content", dim=dim)  # M3
     qv = embed_text_py(FLAGSHIP_QUERY, dim=dim)
     top = knn_topk(emb, qv, k=k, id_col="chunk_id")             # R4+T5+W1
     # R1: attribution join.  The attribution side is the full documents

@@ -24,7 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TAG = os.environ.get("OPT_TAG", "before")
 REPS = int(os.environ.get("OPT_REPS", "2"))
-OUT = Path(__file__).resolve().parents[1] / "plans" / "r15"
+OUT = (Path(__file__).resolve().parents[1] / "plans"
+       / os.environ.get("OPT_ROUND", "r16"))
 
 
 def main() -> None:

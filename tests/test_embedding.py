@@ -34,6 +34,59 @@ def test_builtin_equals_pandas_equals_python(spark):
             assert math.isclose(x, z, rel_tol=0, abs_tol=1e-12)
 
 
+def test_hash_embed_arrow_equals_builtin(spark):
+    # r16: the ArrowEvalPython dense embedder is BIT-identical to the
+    # builtin explode/agg/join form — bucket sums and the norm's sum of
+    # squares are exact integer arithmetic in doubles, sqrt/division
+    # are IEEE-identical across the JVM and CPython.  Edge rows: NULL,
+    # empty, whitespace-only, and a sign-cancelling token pair.
+    from production_grade_rag_spark.operators.embedding import hash_embed_arrow
+    docs = load_table(spark, SF001, "documents").limit(40) \
+        .select("doc_id", F.col("text").alias("content"))
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "   \t\n  "),
+         (9004, "alpha alpha beta"), (9005, "x")],
+        "doc_id long, content string")
+    both = docs.unionByName(edge)
+    a = {r["doc_id"]: (r["embedding"], r["embedding_model"]) for r in
+         hash_embed(both, id_col="doc_id", dim=32).collect()}
+    b = {r["doc_id"]: (r["embedding"], r["embedding_model"]) for r in
+         hash_embed_arrow(both, dim=32)
+         .select("doc_id", "embedding", "embedding_model").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][1] == b[k][1]
+        assert a[k][0] == b[k][0], f"doc {k} differs"
+    # unnormalized form too (raw integer-count vectors)
+    ar = {r["doc_id"]: r["embedding"] for r in
+          hash_embed(both, id_col="doc_id", dim=32,
+                     normalize=False).collect()}
+    br = {r["doc_id"]: r["embedding"] for r in
+          hash_embed_arrow(both, dim=32, normalize=False)
+          .select("doc_id", "embedding").collect()}
+    assert ar == br
+
+
+def test_hash_components_arrow_equals_builtin(spark):
+    # r16: the Arrow sparse-component fold emits exactly the relational
+    # form's (id, bucket, val) rows — zero-token docs emit nothing,
+    # sign-cancelled buckets keep their 0.0 row in both.
+    from production_grade_rag_spark.operators.embedding import (
+        hash_components, hash_components_arrow)
+    docs = load_table(spark, SF001, "documents").limit(60) \
+        .select("doc_id", F.col("text").alias("content"))
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "   "), (9004, "only one")],
+        "doc_id long, content string")
+    both = docs.unionByName(edge)
+    a = {(r["doc_id"], r["bucket"]): r["val"] for r in
+         hash_components(both, id_col="doc_id", dim=32).collect()}
+    b = {(r["doc_id"], r["bucket"]): r["val"] for r in
+         hash_components_arrow(both, id_col="doc_id", dim=32).collect()}
+    assert a == b
+    assert not any(k[0] in (9001, 9002, 9003) for k in b)
+
+
 def test_normalized_vectors_are_unit_or_zero(spark):
     docs = load_table(spark, SF001, "documents").limit(40) \
         .select("doc_id", F.col("text").alias("content"))
