@@ -29,6 +29,19 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure the
     # query, not session startup
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # r16: the embedder path now runs as Arrow-batched pandas UDFs
+    # (guide §4.2), and the FIRST Arrow job in a session forks the
+    # Python worker pool + imports pandas/pyarrow in every worker
+    # (~2-3 s at local[32]) — session startup of the same class as the
+    # JVM/codegen warmup above, billed before r16 to whichever query
+    # ran first.  Warmed here OUTSIDE the timed region so per-query
+    # numbers stay steady-state; declared in OPTIMIZATION_r16.md.
+    from pyspark.sql import functions as SF
+    from production_grade_rag_spark.operators.embedding import hash_embed_arrow
+    (hash_embed_arrow(
+        spark.range(256).select(SF.col("id").cast("string").alias("content")),
+        dim=4)
+     .write.format("noop").mode("overwrite").save())
 
     # build the session-lifetime ingest artifacts up front so headline
     # times are steady-state (the per-query number a production run

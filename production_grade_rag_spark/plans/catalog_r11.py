@@ -395,9 +395,17 @@ def m6_whiten_embeddings(spark: SparkSession, d: str) -> DataFrame:
                     F.lit(0).cast("long"), lambda acc, x: acc + x)
     vv = F.aggregate(F.transform("v", lambda x: x * x),
                      F.lit(0).cast("long"), lambda a, x: a + x)
+    # r16 (guide §2.4/§5): wf feeds SIX subtree references (the count,
+    # the residual aggregate, and both sides of each anisotropy
+    # pair-join) — left as lineage each one re-read the centered store
+    # and re-ran the interpreted whiten map (s/vvq/w HOF expressions).
+    # Materialize the narrow whitened frame once; every consumer reads
+    # slots.  Same rows, same values — pure lineage truncation (the
+    # _pca_centered store-materialization argument, one level up).
     wf = (j.withColumn("s", s).withColumn("vvq", vv)
           .withColumn("w", F.expr(
-              "zip_with(cv, v, (cvi, vi) -> cvi - ((s * vi) div vvq))")))
+              "zip_with(cv, v, (cvi, vi) -> cvi - ((s * vi) div vvq))"))
+          .localCheckpoint())
     wv = F.aggregate(F.zip_with("w", "v", lambda a, b: a * b),
                      F.lit(0).cast("long"), lambda acc, x: acc + x)
     resid = (wf.withColumn("wv", wv)

@@ -142,6 +142,7 @@ def test_st_kmv_store_stays_k_bounded(spark):
         assert read_version(spark, store, v).count() <= 64
 
 
+@pytest.mark.fulltier  # driver-window tier (VERDICT r15 #1): heaviest pins, unrelated to r16 changes
 def test_bpe64_prefix_consistency_and_curve_monotone(spark):
     # greedy BPE is deterministic, so depth 16 must be exactly the
     # first 16 rows of depth 64 (the r9 depth-4-of-16 convention)

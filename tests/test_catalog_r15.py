@@ -158,6 +158,7 @@ def test_opq_gain_card_pays_on_correlated(spark):
 # without a meta table still work through the Spark-read fallback.
 # ---------------------------------------------------------------------------
 
+@pytest.mark.fulltier  # driver-window tier (VERDICT r15 #1): heaviest pins, unrelated to r16 changes
 def test_ivfpq_rebuild_rotate_off_ignores_stale_rotation(spark):
     import shutil
 

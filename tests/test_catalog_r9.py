@@ -9,6 +9,7 @@ the smallest SF, and the curve's monotonicity."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+import pytest
 
 from production_grade_rag_spark.plans.catalog import CATALOG
 
@@ -514,6 +515,7 @@ def test_hub_attack_identities(spark):
     assert row["edges_lost"] <= _G8_HUBS * row["max_degree"]
 
 
+@pytest.mark.fulltier  # driver-window tier (VERDICT r15 #1): heaviest pins, unrelated to r16 changes
 def test_pmi_pair_shape_and_bounds(spark):
     from production_grade_rag_spark.plans.catalog_r9 import _PMI_TOP
     rows = CATALOG["ta_pmi_pairs"].build(spark, SF001).collect()

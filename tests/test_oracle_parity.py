@@ -37,7 +37,27 @@ def _normalize(rows, columns):
     return [columns[i] for i in idx], out
 
 
-ORACLE_CASES = [n for n, s in CATALOG.items() if s.oracle is not None]
+# Driver-window fast tier (VERDICT r15 #1; see conftest).  The full
+# ~400-entry sweep duplicates the driver's own every-declared-query
+# DuckDB gate and scripts/driver_check.py; running all of it inside
+# pytest is what pushed the suite past the driver's window.  Default
+# tier = every HEADLINE entry (the bench surface) + a deterministic
+# md5-keyed quarter of the rest (stable breadth, no rotation  — the
+# driver's snapshot and driver_check carry the full coverage); the
+# rest are marked ``fulltier`` and run with PGRS_FULL_TESTS=1.
+import hashlib
+
+
+def _fast_tier(name: str) -> bool:
+    if CATALOG[name].headline:
+        return True
+    return int(hashlib.md5(name.encode()).hexdigest(), 16) % 4 == 0
+
+
+ORACLE_CASES = [
+    n if _fast_tier(n) else pytest.param(n, marks=pytest.mark.fulltier)
+    for n, s in CATALOG.items() if s.oracle is not None
+]
 ROWS_ONLY_CASES = [n for n, s in CATALOG.items() if s.oracle is None]
 
 

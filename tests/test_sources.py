@@ -7,6 +7,7 @@ import tempfile
 from pathlib import Path
 
 from pyspark.sql import functions as F
+import pytest
 
 from production_grade_rag_spark.operators.chunking import chunk_fixed
 from production_grade_rag_spark.sources import (
@@ -527,6 +528,7 @@ def test_paged_dump_writer_abort_leaves_no_manifest(spark, tmp_path):
     assert not _os.path.exists(_os.path.join(out, "_MANIFEST"))
 
 
+@pytest.mark.fulltier  # driver-window tier (VERDICT r15 #1): heaviest pins, unrelated to r16 changes
 def test_paged_dump_roundtrip_fuzz(spark, tmp_path):
     """Property: ANY unicode title (newlines, quotes, CJK, emoji)
     survives the write->manifest->read round trip byte-exact —
