@@ -14,7 +14,7 @@ plans/catalog.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import _t, register
@@ -1639,9 +1639,17 @@ def t44_quality_length_corr(spark: SparkSession, d: str) -> DataFrame:
               F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
               F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
               F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # r16: moment products in decimal(38,0) — BIGINT overflows at
+    # ~5e4 docs with the 1e6-scaled quality grid (the 10x stress tier
+    # crashed the shared audit_risk_corr form of this exact formula);
+    # decimal is exact 128-bit and bit-identical at oracle SFs (see
+    # catalog_r11.audit_risk_corr).
+    def _d(c: str) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (_d("n") * _d("sxy") - _d("sx") * _d("sy"))
+    dx = (_d("n") * _d("sxx") - _d("sx") * _d("sx"))
+    dy = (_d("n") * _d("syy") - _d("sy") * _d("sy"))
     return s.select(
         F.col("n").alias("n_docs"),
         F.round(num.cast("double") / F.sqrt(dx.cast("double"))

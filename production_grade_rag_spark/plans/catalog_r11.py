@@ -18,7 +18,7 @@ plans/catalog.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import _t, register
@@ -555,11 +555,22 @@ def pr_counts_from(strat: DataFrame, threshold: float = 0.8) -> DataFrame:
     the identical arithmetic over its drained stratum registry."""
     from ..operators.dedup import (minhash_dedup_pairs,
                                    ngram_jaccard_pairs_index)
-    cand = (minhash_dedup_pairs(strat, threshold=0.0)
-            .agg(F.count("*").cast("long").alias("n_candidates"),
-                 F.coalesce(F.sum((F.col("jaccard") >= threshold)
-                                  .cast("int")), F.lit(0))
-                 .cast("long").alias("n_true_pos")))
+
+    # r16 (guide §2.6): the LSH-candidate branch and the exact-index
+    # branch are independent 1-row reductions over the materialized
+    # stratum, but the candidate branch's eager steps (the r16
+    # candidate/shingle checkpoints inside minhash_pairs_from_index)
+    # serialized in front of the exact join.  Materialize both 1-row
+    # frames from a 2-thread pool so the exact join runs while the
+    # LSH chain builds.  Values untouched (same plans, same stratum).
+    def _b_cand() -> DataFrame:
+        return (minhash_dedup_pairs(strat, threshold=0.0)
+                .agg(F.count("*").cast("long").alias("n_candidates"),
+                     F.coalesce(F.sum((F.col("jaccard") >= threshold)
+                                      .cast("int")), F.lit(0))
+                     .cast("long").alias("n_true_pos"))
+                .localCheckpoint())
+
     # prefix_filter=False: the stratum is BOUNDED (~2k docs by the
     # derived modulus), so even a worst-case all-boilerplate stratum
     # caps the unguarded enumeration at shingles x 2048^2 — a bounded
@@ -567,9 +578,16 @@ def pr_counts_from(strat: DataFrame, threshold: float = 0.8) -> DataFrame:
     # the documented cheapest plan on bounded frames, and the r15
     # hot-shingle guard (collapse + PPJoin prefix) stays on the
     # FULL-CORPUS consumers where a megacluster is unbounded
-    ex = (ngram_jaccard_pairs_index(strat, threshold=threshold,
-                                    prefix_filter=False)
-          .agg(F.count("*").cast("long").alias("n_exact")))
+    def _b_ex() -> DataFrame:
+        return (ngram_jaccard_pairs_index(strat, threshold=threshold,
+                                          prefix_filter=False)
+                .agg(F.count("*").cast("long").alias("n_exact"))
+                .localCheckpoint())
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cand, f_ex = pool.submit(_b_cand), pool.submit(_b_ex)
+        cand, ex = f_cand.result(), f_ex.result()
     ns = strat.agg(F.count("*").cast("long").alias("n_stratum"))
     return ns.crossJoin(F.broadcast(cand)).crossJoin(F.broadcast(ex))
 
@@ -613,9 +631,22 @@ def audit_risk_corr(g: DataFrame) -> DataFrame:
         F.sum("sxy").cast("long").alias("csxy"),
         F.sum("sxx").cast("long").alias("csxx"),
         F.sum("syy").cast("long").alias("csyy"))
-    num = (F.col("cn") * F.col("csxy") - F.col("csx") * F.col("csy"))
-    dx = (F.col("cn") * F.col("csxx") - F.col("csx") * F.col("csx"))
-    dy = (F.col("cn") * F.col("csyy") - F.col("csy") * F.col("csy"))
+    # r16 (found by the 10x stress tier, which CRASHED here): the
+    # moment products overflow BIGINT at corpus scale — cn ~ 5e4 docs
+    # with quality-scaled sxx ~ 5e16 already puts cn*csxx ~ 2.5e21
+    # past 2^63 (ANSI long-multiply exception).  The products run in
+    # decimal(38,0) — exact 128-bit integer arithmetic, the same
+    # HUGEINT class the DuckDB oracle uses — which is bit-identical
+    # at oracle SFs (a decimal->double and a long->double cast round
+    # the SAME integer to the same double) and exact to ~1e11 docs
+    # (n^2 * 1e12 <= 1e38).  Same fix at the two sibling sites
+    # (t44_quality_length_corr, ta_zipf_fit).
+    def _d(c: str) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (_d("cn") * _d("csxy") - _d("csx") * _d("csy"))
+    dx = (_d("cn") * _d("csxx") - _d("csx") * _d("csx"))
+    dy = (_d("cn") * _d("csyy") - _d("csy") * _d("csy"))
     return both.select(
         "risk",
         F.round(num.cast("double") / F.sqrt(dx.cast("double"))

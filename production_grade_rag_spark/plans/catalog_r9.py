@@ -44,7 +44,7 @@ plans/catalog.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import _t, register
@@ -1448,8 +1448,15 @@ def ta_zipf_fit(spark: SparkSession, d: str) -> DataFrame:
               F.sum("y").cast("long").alias("sy"),
               F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
               F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # r16: regression-moment products in decimal(38,0) — the BIGINT
+    # form overflows once n_types * sxx passes 2^63 (~1e6 types on
+    # the log grid); exact 128-bit, bit-identical at oracle SFs (see
+    # catalog_r11.audit_risk_corr).
+    def _d(c: str) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (_d("n") * _d("sxy") - _d("sx") * _d("sy"))
+    den = (_d("n") * _d("sxx") - _d("sx") * _d("sx"))
     slope = num.cast("double") / den.cast("double")
     return s.select(
         F.col("n").alias("n_types"), "n_tokens",

@@ -140,6 +140,41 @@ def test_flagship_embeds_via_arrow_not_interpreted_hofs(spark):
         "interpreted per-token md5 bucket chain back in the plan"
 
 
+def test_audit_corr_moments_survive_bigint_overflow(spark):
+    # r16: the 10x stress tier crashed cc_release_audit with
+    # [ARITHMETIC_OVERFLOW] in audit_risk_corr — cn * csxx passes 2^63
+    # at ~5e4 docs on the 1e6-scaled quality grid.  The products now
+    # run in decimal(38,0); this pin feeds moments of overflow
+    # magnitude through the operator and checks the exact value
+    # against 128-bit Python integer arithmetic.
+    import math
+
+    from production_grade_rag_spark.plans.catalog_r11 import audit_risk_corr
+    rows = [
+        # (source, lang, len_bucket, n, sx, sy, sxy, sxx, syy)
+        ("a", "en", 1, 30000, 27_000_000_000, 230_000_000,
+         207_000_000_000_000, 24_400_000_000_000_000, 1_800_000_000_000),
+        ("b", "en", 2, 25000, 21_000_000_000, 190_000_000,
+         160_000_000_000_000, 17_700_000_000_000_000, 1_500_000_000_000),
+    ]
+    g = spark.createDataFrame(
+        rows, "source string, lang string, len_bucket long, n long, "
+              "sx long, sy long, sxy long, sxx long, syy long")
+    out = audit_risk_corr(g).collect()[0]
+    cn = sum(r[3] for r in rows)
+    csx = sum(r[4] for r in rows)
+    csy = sum(r[5] for r in rows)
+    csxy = sum(r[6] for r in rows)
+    csxx = sum(r[7] for r in rows)
+    csyy = sum(r[8] for r in rows)
+    assert cn * csxx > 2**63, "fixture must exceed BIGINT"
+    expect = round(
+        float(cn * csxy - csx * csy)
+        / math.sqrt(float(cn * csxx - csx * csx))
+        / math.sqrt(float(cn * csyy - csy * csy)), 6)
+    assert out["corr"] == expect
+
+
 def test_m3_components_via_arrow(spark):
     from production_grade_rag_spark.operators.embedding import (
         hash_components_arrow)
