@@ -241,9 +241,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         F.array_join(F.slice("__toks", F.col("__i") + 1, k), " ")) \
         .otherwise(F.array_join("__toks", " "))
     h = ex.select(id_col, md5_int32(shingle).alias("__h"))
+    # r16: each min-cell handed to the SQL parser as one string (the
+    # g4 Gram finding — chained Column ops cost ~8 py4j round trips
+    # per cell, and this helper is compiled by every LSH consumer:
+    # dd_minhash_lsh, the audit stratum, the ingest delta, streaming).
+    # `L` suffixes pin bigint literals, so the promote-then-multiply
+    # arithmetic is the exact (lit * col + lit) % lit tree it
+    # replaces (value-pinned in tests/test_dedup_sem.py::
+    # test_minhash_agg_expr_parse_equals_columns).
     aggs = [
-        F.min((F.lit(HASH_A[s]) * F.col("__h") + F.lit(HASH_B[s]))
-              % F.lit(MINHASH_PRIME)).alias(f"h{s}")
+        F.expr(f"min(({HASH_A[s]}L * __h + {HASH_B[s]}L) % "
+               f"{MINHASH_PRIME}L) as h{s}")
         for s in range(num_hashes)
     ]
     return h.groupBy(id_col).agg(*aggs)

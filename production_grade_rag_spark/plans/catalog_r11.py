@@ -390,11 +390,17 @@ def m6_whiten_embeddings(spark: SparkSession, d: str) -> DataFrame:
     # 1-row frame (_power_iters runs the iterations driver-side on the
     # one-pass Gram matrix), so the old per-iteration scheduling floor
     # is gone and each subtree re-reads only the narrow centered store.
+    # r16: every HOF tree below is handed to the SQL parser as one
+    # string — the lambda-Column form cost ~0.5-0.8 s of py4j round
+    # trips per build (the g4 Gram finding, guide §1.2 step 2 applied
+    # to plan construction); the parsed expressions are the identical
+    # Catalyst nodes (pinned value-equal in tests/test_catalog_r11.py::
+    # test_m6_expr_parse_equals_lambda_columns).
     j = c.crossJoin(F.broadcast(v))
-    s = F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
-                    F.lit(0).cast("long"), lambda acc, x: acc + x)
-    vv = F.aggregate(F.transform("v", lambda x: x * x),
-                     F.lit(0).cast("long"), lambda a, x: a + x)
+    s = F.expr("aggregate(zip_with(cv, v, (a, b) -> a * b), "
+               "cast(0 as bigint), (acc, x) -> acc + x)")
+    vv = F.expr("aggregate(transform(v, x -> x * x), "
+                "cast(0 as bigint), (a, x) -> a + x)")
     # r16 (guide §2.4/§5): wf feeds SIX subtree references (the count,
     # the residual aggregate, and both sides of each anisotropy
     # pair-join) — left as lineage each one re-read the centered store
@@ -406,8 +412,8 @@ def m6_whiten_embeddings(spark: SparkSession, d: str) -> DataFrame:
           .withColumn("w", F.expr(
               "zip_with(cv, v, (cvi, vi) -> cvi - ((s * vi) div vvq))"))
           .localCheckpoint())
-    wv = F.aggregate(F.zip_with("w", "v", lambda a, b: a * b),
-                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    wv = F.expr("aggregate(zip_with(w, v, (a, b) -> a * b), "
+                "cast(0 as bigint), (acc, x) -> acc + x)")
     resid = (wf.withColumn("wv", wv)
              .agg(F.sum(F.expr("(s div 1000) * (s div 1000)"))
                   .cast("long").alias("before_q"),
@@ -415,26 +421,26 @@ def m6_whiten_embeddings(spark: SparkSession, d: str) -> DataFrame:
                   .cast("long").alias("resid_q")))
 
     def anis(col: str, name: str) -> DataFrame:
-        sq = F.aggregate(F.transform(col, lambda x: x * x),
-                         F.lit(0).cast("long"), lambda a, x: a + x)
+        sq = F.expr(f"aggregate(transform({col}, x -> x * x), "
+                    "cast(0 as bigint), (a, x) -> a + x)")
         side = wf.select("vec_id", F.col(col).alias("vc"),
                          sq.alias("sq"))
         a = side.select(F.col("vec_id").alias("ia"),
                         F.col("vc").alias("va"), F.col("sq").alias("qa"))
         b = side.select((F.col("vec_id") - 1).alias("ia"),
                         F.col("vc").alias("vb"), F.col("sq").alias("qb"))
-        dot = F.aggregate(
-            F.zip_with("va", "vb",
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-        na = F.sqrt(F.aggregate(
-            F.transform("va", lambda x: x.cast("double")
-                        * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x))
-        nb = F.sqrt(F.aggregate(
-            F.transform("vb", lambda x: x.cast("double")
-                        * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x))
+        dot = F.expr(
+            "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) "
+            "* cast(y as double)), cast(0 as double), "
+            "(acc, x) -> acc + x)")
+        na = F.expr(
+            "sqrt(aggregate(transform(va, x -> cast(x as double) "
+            "* cast(x as double)), cast(0 as double), "
+            "(acc, x) -> acc + x))")
+        nb = F.expr(
+            "sqrt(aggregate(transform(vb, x -> cast(x as double) "
+            "* cast(x as double)), cast(0 as double), "
+            "(acc, x) -> acc + x))")
         p = (a.join(b, "ia")
              .filter((F.col("qa") > 0) & (F.col("qb") > 0))
              .select(F.round(dot / na / nb * 1000000).cast("long")

@@ -638,9 +638,17 @@ def _power_iters(c: DataFrame, v0: list[int]) -> DataFrame:
     the narrow store vs 12 full passes: strictly fewer scans AND no
     per-iteration barrier."""
     D, VS = _PCA_D, _PCA_VS
+    # r16 (guide §1.2 step 2, applied to plan CONSTRUCTION): the 136
+    # Gram cells built from chained Column operators cost ~800 py4j
+    # round trips per build — measured 5-6x the cost of handing each
+    # cell to the SQL parser as ONE string.  Identical Catalyst
+    # expression per cell (sum/element_at/cast; equality pinned in
+    # tests/test_catalog_r8b.py::test_power_iters_gram_expr_parse),
+    # so the Gram matrix and the bit-exact trajectory argument below
+    # are untouched.
     row = c.agg(*[
-        F.sum(F.element_at("cv", i + 1) * F.element_at("cv", j + 1))
-        .cast("long").alias(f"g_{i}_{j}")
+        F.expr(f"cast(sum(element_at(cv, {i + 1}) * element_at(cv, "
+               f"{j + 1})) as long) as g_{i}_{j}")
         for i in range(D) for j in range(i, D)]).first()
     G = [[0] * D for _ in range(D)]
     for i in range(D):

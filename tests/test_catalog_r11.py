@@ -323,3 +323,43 @@ def test_dd_minhash_delta_equals_restricted_batch(spark):
     delta = {(r["id_a"], r["id_b"], r["jaccard"])
              for r in _rows(spark, "dd_minhash_delta")}
     assert delta == full and len(delta) > 0
+
+
+def test_m6_expr_parse_equals_lambda_columns(spark):
+    # r16: m6's HOF trees are handed to the SQL parser as one string
+    # each (plan-construction cost); this pins every parsed tree
+    # value-equal to the lambda-Column form it replaced, on arrays
+    # with negatives/zeros so the long and double folds both exercise
+    # sign and truncation.
+    df = spark.createDataFrame(
+        [(1, [3, -2, 0, 7], [1, 0, -1, 2]),
+         (2, [-5, 4, 9, -1], [0, 3, 2, -2])],
+        "vec_id long, cv array<long>, v array<long>")
+    parsed = df.select(
+        F.expr("aggregate(zip_with(cv, v, (a, b) -> a * b), "
+               "cast(0 as bigint), (acc, x) -> acc + x)").alias("s"),
+        F.expr("aggregate(transform(v, x -> x * x), "
+               "cast(0 as bigint), (a, x) -> a + x)").alias("vv"),
+        F.expr("aggregate(zip_with(cv, v, (x, y) -> cast(x as double) "
+               "* cast(y as double)), cast(0 as double), "
+               "(acc, x) -> acc + x)").alias("dot"),
+        F.expr("sqrt(aggregate(transform(cv, x -> cast(x as double) "
+               "* cast(x as double)), cast(0 as double), "
+               "(acc, x) -> acc + x))").alias("n")).collect()
+    lam = df.select(
+        F.aggregate(F.zip_with("cv", "v", lambda a, b: a * b),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("s"),
+        F.aggregate(F.transform("v", lambda x: x * x),
+                    F.lit(0).cast("long"), lambda a, x: a + x).alias("vv"),
+        F.aggregate(F.zip_with("cv", "v",
+                               lambda x, y: x.cast("double")
+                               * y.cast("double")),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("dot"),
+        F.sqrt(F.aggregate(F.transform("cv", lambda x: x.cast("double")
+                                       * x.cast("double")),
+                           F.lit(0.0), lambda acc, x: acc + x))
+        .alias("n")).collect()
+    for rp, rl in zip(parsed, lam):
+        assert rp["s"] == rl["s"] and rp["vv"] == rl["vv"]
+        assert rp["dot"] == rl["dot"] and rp["n"] == rl["n"]

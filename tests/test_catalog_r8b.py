@@ -474,3 +474,25 @@ def test_mix_tuning_sweep_shape(spark, tmp_path):
     assert sk[0.0]["l1_to_uniform"] <= sk[0.5]["l1_to_uniform"]
     assert sk[0.5]["l1_to_uniform"] <= sk[1.0]["l1_to_uniform"]
     assert sk[0.0]["is_best"]
+
+
+def test_power_iters_gram_expr_parse(spark):
+    # r16: the Gram cells are handed to the SQL parser as one string
+    # each (plan-construction cost — guide §1.2 step 2 applied to the
+    # driver); this pins the parsed expression equal, cell by cell, to
+    # the chained-Column form it replaced.
+    from production_grade_rag_spark.plans.catalog_r8b import (
+        _PCA_D, _pca_centered)
+    c = _pca_centered(spark, SF01)
+    D = _PCA_D
+    cells = [(i, j) for i in range(D) for j in range(i, D)]
+    parsed = c.agg(*[
+        F.expr(f"cast(sum(element_at(cv, {i + 1}) * element_at(cv, "
+               f"{j + 1})) as long) as g_{i}_{j}")
+        for i, j in cells]).first()
+    chained = c.agg(*[
+        F.sum(F.element_at("cv", i + 1) * F.element_at("cv", j + 1))
+        .cast("long").alias(f"g_{i}_{j}")
+        for i, j in cells]).first()
+    assert all(parsed[f"g_{i}_{j}"] == chained[f"g_{i}_{j}"]
+               for i, j in cells)

@@ -92,3 +92,30 @@ def test_shingle_frame_equals_inline(spark):
         .alias(f"h{s}") for s in range(16)])
     assert sigs_new.exceptAll(sigs_old).count() == 0
     assert sigs_old.exceptAll(sigs_new).count() == 0
+
+
+def test_minhash_agg_expr_parse_equals_columns(spark):
+    # r16: the 16 min-cells are handed to the SQL parser as one string
+    # each; this pins the parsed (A*h+B)%P tree value-equal to the
+    # chained-Column form it replaced, over hashes spanning the full
+    # uint32 range (so the long-promotion and modulo paths are
+    # exercised at their envelope).
+    from pyspark.sql import functions as F
+
+    from production_grade_rag_spark.operators.dedup import (
+        HASH_A, HASH_B, MINHASH_PRIME)
+    df = spark.createDataFrame(
+        [(1, 0), (1, 4294967295), (2, 2147483648), (2, 12345)],
+        "doc_id long, __h long")
+    parsed = df.groupBy("doc_id").agg(*[
+        F.expr(f"min(({HASH_A[s]}L * __h + {HASH_B[s]}L) % "
+               f"{MINHASH_PRIME}L) as h{s}") for s in range(16)])
+    chained = df.groupBy("doc_id").agg(*[
+        F.min((F.lit(HASH_A[s]) * F.col("__h") + F.lit(HASH_B[s]))
+              % F.lit(MINHASH_PRIME)).alias(f"h{s}")
+        for s in range(16)])
+    rp = {r["doc_id"]: r for r in parsed.collect()}
+    rc = {r["doc_id"]: r for r in chained.collect()}
+    for k in rp:
+        for s in range(16):
+            assert rp[k][f"h{s}"] == rc[k][f"h{s}"]
